@@ -1,0 +1,120 @@
+"""Flagship extraction pipeline: interleaved docs → extracted span docs.
+
+Ray-Data-first restatement of the reference's enqueue→run→merge lifecycle
+(/root/reference/src/ocr_agent/cli.py:161-256):
+
+    read docs (parquet/Lance, column-pruned)
+      → map_batches(FanOutStage)          # doc → work units (enqueue fan-out)
+      → map_batches(OcrStage, actor pool) # the GPU hot loop, N-wide
+      → map_batches(FinalizeStage)        # post-process + drop-empty + headers
+      → groupby(partition_id).map_groups(PartitionAssembler)
+                                          # THE one shuffle; per-doc ordered
+                                          # assembly + atomic checkpoint commit
+
+Everything is lazy/streaming with backpressure; nothing materializes the
+full dataset. Resume filters committed partitions out at the top with a
+broadcast set (anti-join, SURVEY.md §2.4) — no shuffle, no re-read of done
+work.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_agent_ray.config import PipelineSettings, PostProcessSettings
+from ocr_agent_ray.stages.assemble import PartitionAssembler
+from ocr_agent_ray.stages.fanout import FanOutStage
+from ocr_agent_ray.stages.ocr import MockOcrEngine, OcrStage
+from ocr_agent_ray.stages.postprocess import FinalizeStage
+
+
+def build_extract_pipeline(
+    docs_ds,
+    *,
+    engine_factory=MockOcrEngine,
+    settings: PipelineSettings | None = None,
+    post: PostProcessSettings | None = None,
+    out_dir: str | None = None,
+    skip_partitions: set[int] | None = None,
+):
+    """Compose the lazy extraction Dataset. Consuming it executes the run."""
+    settings = settings or PipelineSettings()
+    post = post or PostProcessSettings()
+
+    # Instances (not classes) -> stateless Ray tasks; only the OCR stage
+    # below is an actor pool.
+    units = docs_ds.map_batches(
+        FanOutStage(num_partitions=settings.num_partitions),
+        batch_format="pyarrow",
+        batch_size=settings.fanout_batch_size,
+    )
+
+    if skip_partitions:
+        done = pa.array(sorted(skip_partitions), pa.int32())
+
+        def _drop_committed(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch["partition_id"], value_set=done))
+            )
+
+        units = units.map_batches(_drop_committed, batch_format="pyarrow")
+
+    ocred = units.map_batches(
+        OcrStage,
+        fn_constructor_kwargs={"engine_factory": engine_factory,
+                               "fail_fast": settings.fail_fast},
+        batch_format="pyarrow",
+        batch_size=settings.ocr_batch_size,
+        concurrency=settings.ocr_concurrency,
+        num_cpus=settings.ocr_num_cpus,
+        # GPU deployment: num_gpus=1 per actor, same callable.
+    )
+
+    final = ocred.map_batches(
+        FinalizeStage(math_style=post.math_delimiter_style),
+        batch_format="pyarrow",
+        batch_size=settings.ocr_batch_size,
+    )
+
+    assembler = PartitionAssembler(out_dir=out_dir)
+
+    def assemble_partition(group: pa.Table) -> pa.Table:
+        return assembler(group)
+
+    return final.groupby("partition_id").map_groups(
+        assemble_partition, batch_format="pyarrow"
+    )
+
+
+def run_extract_checkpointed(
+    docs_ds,
+    out_dir: str,
+    *,
+    engine_factory=MockOcrEngine,
+    settings: PipelineSettings | None = None,
+    post: PostProcessSettings | None = None,
+) -> dict:
+    """Resumable run: skip committed partitions, process the rest, commit
+    each atomically. Returns a summary dict (partitions done/skipped)."""
+    from ocr_agent_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(out_dir).initialize()
+    already = store.committed_ids()
+    pipe = build_extract_pipeline(
+        docs_ds,
+        engine_factory=engine_factory,
+        settings=settings,
+        post=post,
+        out_dir=out_dir,
+        skip_partitions=already,
+    )
+    # Consume fully but stream — count() only pulls row counts per block.
+    n_docs = pipe.count()
+    after = store.committed_ids()
+    return {
+        "partitions_committed_before": len(already),
+        "partitions_committed_total": len(after),
+        "partitions_processed": len(after) - len(already),
+        "docs_assembled_this_run": n_docs,
+    }

@@ -1,0 +1,120 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md F1).
+
+Schema is exactly the BASELINE.json ``input_hint``:
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset:int32>>)``.
+
+Every document is a pure function of ``(seed, doc_index)`` — generation is
+therefore identical whether built serially (tests) or in parallel Ray
+blocks (bench-scale), and independent of block boundaries. Uses
+``random.Random`` (stdlib, stable across versions), never wall-clock.
+
+Structure mirrors the reference's input universe:
+- plain text spans (with LaTeX delimiters, fences, grounding tokens — the
+  constructs post-processing is sensitive to, markdown_merge.py:50-52,
+  PreviewPanel.tsx:35-36),
+- 'image' spans with text='' and a unique media_ref
+  (cf. image tasks, queue_store.py:66-89),
+- contiguous runs of 'pdf_page' spans sharing a media_ref, run length
+  heavy-tailed for skew tests (cf. per-page fan-out, queue_store.py:91-123),
+- some empty / whitespace-only text spans (the merge skips these with
+  their headers, markdown_merge.py:30-38).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ocr_agent_ray.schema import DOCUMENTS_SCHEMA
+
+_TEXT_TEMPLATES = [
+    "Plain paragraph number {i} about corpus item {j}.",
+    "Inline math \\( x_{i} + y_{j} \\) inside prose.",
+    "A display block:\n\\[\n  \\sum_k a_k = {i}\n\\]\ndone.",
+    "Mixed \\( a \\) then \\[ b_{j} \\] then \\( c \\).",
+    "```\ncode block \\( not converted \\)\nline {i}\n```",
+    "~~~\ntilde fenced \\[ kept \\]\n~~~",
+    "   ```\nindented fence toggles too \\( code \\)\n```",
+    "````\nouter\n```\ninner fence chars \\( code \\)\n````",
+    "Unclosed fence follows:\n```\ntrailing code \\( still code \\)",
+    "<|ref|>heading<|/ref|><|det|>[[{x}, {y}, {x2}, {y2}]]<|/det|> Section {i}",
+    "Escaped but empty \\(\\) stays, \\( {i} \\) converts.",
+    "",
+    "   \n\t ",
+    "Multi\nline\ntext with \\(\nnewline math\n\\) across lines.",
+]
+
+_IMAGE_EXTS = [".png", ".jpg", ".jpeg", ".webp", ".bmp", ".tif", ".tiff"]
+
+
+def _doc_spans(seed: int, doc_index: int, skew: bool) -> list[dict]:
+    rng = random.Random(f"corpus:{seed}:{doc_index}")
+    spans: list[dict] = []
+    n_groups = rng.randint(1, 8)
+    for g in range(n_groups):
+        roll = rng.random()
+        if roll < 0.55:  # text span
+            t = rng.choice(_TEXT_TEMPLATES)
+            x, y = rng.randint(0, 800), rng.randint(0, 800)
+            text = t.format(
+                i=rng.randint(0, 99), j=rng.randint(0, 99),
+                x=x, y=y, x2=x + rng.randint(5, 200), y2=y + rng.randint(5, 200),
+            ) if "{" in t else t
+            spans.append({"kind": "text", "text": text,
+                          "media_ref": "", "offset": 0})
+        elif roll < 0.80:  # single image span
+            ext = rng.choice(_IMAGE_EXTS)
+            spans.append({
+                "kind": "image", "text": "",
+                "media_ref": f"media://doc{doc_index:07d}/img{g}{ext}",
+                "offset": 0,
+            })
+        else:  # pdf run: contiguous pages, one media_ref
+            if skew and rng.random() < 0.02:
+                pages = rng.randint(60, 200)  # heavy tail
+            else:
+                pages = rng.randint(1, 8)
+            ref = f"media://doc{doc_index:07d}/file{g}.pdf"
+            for _ in range(pages):
+                spans.append({"kind": "pdf_page", "text": "",
+                              "media_ref": ref, "offset": 0})
+    for k, s in enumerate(spans):
+        s["offset"] = k
+    return spans
+
+
+def generate_documents(num_docs: int, seed: int = 42, skew: bool = True,
+                       start: int = 0) -> pa.Table:
+    """Build docs ``start .. start+num_docs-1`` as an Arrow table."""
+    doc_ids = [f"doc-{i:09d}" for i in range(start, start + num_docs)]
+    spans = [_doc_spans(seed, i, skew) for i in range(start, start + num_docs)]
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids, "spans": spans}, schema=DOCUMENTS_SCHEMA
+    )
+
+
+def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
+                         skew: bool = True, rows_per_file: int = 2000) -> list[str]:
+    """Write the corpus as a directory of parquet shards (resumable layout:
+    one file per contiguous doc range — the scale path would write one
+    Lance fragment per range)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    files: list[str] = []
+    for start in range(0, num_docs, rows_per_file):
+        n = min(rows_per_file, num_docs - start)
+        fp = os.path.join(path, f"docs-{start:09d}.parquet")
+        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start), fp)
+        files.append(fp)
+    return files
+
+
+def read_documents(path: str):
+    """Read an interleaved-docs table as a Ray Dataset (parquet; a Lance
+    reader would slot in here via ray.data.read_lance when available)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path)

@@ -1,0 +1,188 @@
+"""OCR engine adapters + the actor-pool inference stage.
+
+The reference's hot loop is one GPU inference per task inside a lazily
+loaded singleton runner (/root/reference/src/ocr_agent/deepseek_ocr2_runner.py:72-177).
+Here the same shape becomes a Ray Data actor pool: the engine is
+constructed ONCE per actor in ``__init__`` and invoked per Arrow batch in
+``__call__`` — N concurrent copies of the reference's load-once semantics.
+
+Engines implement ``infer_batch(media_refs, page_indices) -> list[Any]``
+(batch-of-images -> batch-of-raw-model-results); raw results are normalized
+with :func:`ocr_agent_ray.functions.kernels.normalize_infer_result_to_markdown`,
+mirroring deepseek_ocr2_runner.py:37-52.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Any, Protocol, Sequence
+
+import pyarrow as pa
+
+from ocr_agent_ray.functions.kernels import normalize_infer_result_to_markdown
+from ocr_agent_ray.schema import MEDIA_KINDS
+
+
+class OcrEngine(Protocol):
+    def infer_batch(
+        self, media_refs: Sequence[str], page_indices: Sequence[int | None]
+    ) -> list[Any]: ...
+
+
+# --- deterministic mock engine -------------------------------------------
+# The sandbox has no GPU (the reference hard-fails without CUDA,
+# deepseek_ocr2_runner.py:92-94). The mock is a pure function of
+# (media_ref, page_index) so goldens are stable under any parallelism.
+
+_MOCK_SENTENCES = [
+    "The quarterly revenue grew by 12 percent.",
+    "Figure 3 shows the measured distribution.",
+    "All samples were normalized before analysis.",
+    "Results are summarized in the table below.",
+    "See appendix B for derivations.",
+]
+
+_MOCK_MATH = [
+    "Inline math \\( {a} + {b} \\) appears here.",
+    "Displayed equation:\n\\[\n  E_{a} = m c^{b}\n\\]\nend.",
+    "Nested forms \\[ f({a}) = \\( {b} \\) \\] are rare.",
+]
+
+_MOCK_FENCES = [
+    "```\ncode with \\( untouched \\) math\n```",
+    "~~~\ntilde fence \\[ also untouched \\]\n~~~",
+    "  ```python\nindented fence \\( still code \\)\n  ```",
+    "````\nlong fence\n```\nstill code \\( here \\)\n````",
+]
+
+_MOCK_GROUNDING = [
+    "<|ref|>title<|/ref|><|det|>[[{x}, {y}, {x2}, {y2}]]<|/det|> Document Title",
+    "<|ref|>table<|/ref|><|det|>[[{x},{y},{x2},{y2}]]<|/det|>\n| a | b |\n| - | - |\n| 1 | 2 |",
+]
+
+
+def mock_markdown_for(media_ref: str, page_index: int | None) -> Any:
+    """Deterministic raw model result for one media item.
+
+    Returns the same *shape variety* the reference normalizer handles
+    (str / dict / None / empty), keyed purely on content so any two
+    executions agree.
+    """
+    seed = f"ocr:{media_ref}:{page_index if page_index is not None else -1}"
+    rng = random.Random(seed)
+    roll = rng.random()
+    if roll < 0.04:
+        return None  # normalized to "" -> section dropped (markdown_merge.py:36-38)
+    if roll < 0.07:
+        return "   \n  "  # whitespace-only -> also dropped
+
+    parts: list[str] = []
+    for _ in range(rng.randint(1, 4)):
+        bucket = rng.random()
+        if bucket < 0.40:
+            parts.append(rng.choice(_MOCK_SENTENCES))
+        elif bucket < 0.65:
+            t = rng.choice(_MOCK_MATH)
+            parts.append(t.format(a=rng.randint(1, 9), b=rng.randint(1, 9)))
+        elif bucket < 0.82:
+            parts.append(rng.choice(_MOCK_FENCES))
+        else:
+            t = rng.choice(_MOCK_GROUNDING)
+            x, y = rng.randint(0, 500), rng.randint(0, 500)
+            parts.append(t.format(x=x, y=y, x2=x + rng.randint(10, 300), y2=y + rng.randint(10, 300)))
+    body = "\n\n".join(parts)
+
+    shape = rng.random()
+    if shape < 0.10:
+        return {"markdown": body}
+    if shape < 0.15:
+        return {"text": body, "extra": 1}
+    return body
+
+
+class MockOcrEngine:
+    """Pure-function engine; safe to construct in every actor."""
+
+    def infer_batch(
+        self, media_refs: Sequence[str], page_indices: Sequence[int | None]
+    ) -> list[Any]:
+        return [mock_markdown_for(r, p) for r, p in zip(media_refs, page_indices)]
+
+
+class DeepSeekOcr2Engine:
+    """GPU adapter skeleton (STUB — no CUDA/model in this container).
+
+    Faithful to the reference's load-once runner
+    (deepseek_ocr2_runner.py:78-120): tokenizer+model loaded in __init__,
+    bf16/fp16 pick, flash-attention fallback, batched infer in infer_batch.
+    The Ray-side plumbing (actor signature, batch flow) is real and tested
+    via MockOcrEngine; only the model call is stubbed.
+    """
+
+    def __init__(self, settings: Any = None) -> None:
+        raise NotImplementedError(
+            "DeepSeek-OCR-2 requires CUDA + model weights (reference "
+            "deepseek_ocr2_runner.py:92-94); unavailable in this environment. "
+            "Use MockOcrEngine, or implement infer_batch with "
+            "AutoModel.from_pretrained(...).eval().cuda() on a GPU node."
+        )
+
+    def infer_batch(self, media_refs, page_indices):  # pragma: no cover
+        raise NotImplementedError
+
+
+def _stable_u64(text: str) -> int:
+    return int.from_bytes(hashlib.blake2b(text.encode(), digest_size=8).digest(), "big")
+
+
+class OcrStage:
+    """Actor-pool ``map_batches`` callable: OCR media rows, pass text rows.
+
+    Use as::
+
+        ds.map_batches(OcrStage, fn_constructor_kwargs={"engine_factory": MockOcrEngine},
+                       batch_format="pyarrow", batch_size=B, concurrency=N)
+
+    Rows with kind in ('image', 'pdf_page') and empty text get engine
+    output (normalized, deepseek_ocr2_runner.py:37-52); 'text' rows pass
+    through untouched. Per-row engine failures are recorded in an
+    ``error_message`` column and yield empty text — the reference's
+    mark-failed-and-continue semantics (cli.py:239-244), never a retry.
+    """
+
+    def __init__(self, engine_factory=MockOcrEngine, fail_fast: bool = False) -> None:
+        self.engine = engine_factory()  # once per actor
+        self.fail_fast = fail_fast
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        texts = batch["text"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        pages = batch["page_index"].to_pylist()
+
+        todo = [i for i, (k, t) in enumerate(zip(kinds, texts)) if k in MEDIA_KINDS and not t]
+        errors: list[str | None] = [None] * len(kinds)
+        if todo:
+            try:
+                results = self.engine.infer_batch(
+                    [refs[i] for i in todo], [pages[i] for i in todo]
+                )
+                for i, raw in zip(todo, results):
+                    texts[i] = normalize_infer_result_to_markdown(raw)
+            except Exception:
+                # batch-level engine fault: fall back to per-row isolation
+                for i in todo:
+                    try:
+                        raw = self.engine.infer_batch([refs[i]], [pages[i]])[0]
+                        texts[i] = normalize_infer_result_to_markdown(raw)
+                    except Exception as exc:  # poison pill: record, continue
+                        if self.fail_fast:
+                            raise
+                        texts[i] = ""
+                        errors[i] = str(exc)
+
+        out = batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+        )
+        return out.append_column("error_message", pa.array(errors, pa.string()))

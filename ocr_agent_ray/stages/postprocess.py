@@ -1,0 +1,80 @@
+"""Post-OCR finalization + grounding-detection extraction stages.
+
+``finalize_units`` reproduces, per work unit, what the reference's merge
+does per task (/root/reference/src/ocr_agent/markdown_merge.py:26-47):
+drop units whose markdown is empty/whitespace-only (header included),
+apply the fence-aware math-delimiter conversion, and synthesize the
+section-header text. Running it BEFORE the assembly shuffle means empty
+units never hit the wire and the shuffle carries final strings only.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ocr_agent_ray.functions.kernels import (
+    parse_grounding_detections,
+    post_process_markdown,
+    render_header_text,
+)
+
+DETECTION_STRUCT = pa.struct(
+    [
+        pa.field("ref_type", pa.string()),
+        pa.field("x1", pa.int32()),
+        pa.field("y1", pa.int32()),
+        pa.field("x2", pa.int32()),
+        pa.field("y2", pa.int32()),
+    ]
+)
+
+
+class FinalizeStage:
+    """map_batches callable: post-process text, drop empties, add header_text."""
+
+    def __init__(self, math_style: str = "dollar") -> None:
+        self.math_style = math_style
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        refs = batch["media_ref"].to_pylist()
+        pages = batch["page_index"].to_pylist()
+        totals = batch["total_pages"].to_pylist()
+
+        keep: list[int] = []
+        processed: list[str] = []
+        headers: list[str] = []
+        for i, t in enumerate(texts):
+            if t is None or t.strip() == "":
+                continue  # section dropped incl. header (markdown_merge.py:30-38)
+            keep.append(i)
+            processed.append(post_process_markdown(t, self.math_style))
+            headers.append(render_header_text(kinds[i], refs[i], pages[i], totals[i]))
+
+        kept = batch.take(pa.array(keep, pa.int64()))
+        kept = kept.set_column(
+            kept.schema.get_field_index("text"), "text", pa.array(processed, pa.string())
+        )
+        return kept.append_column("header_text", pa.array(headers, pa.string()))
+
+
+class GroundingExtractStage:
+    """map_batches callable: parse grounded-output detection rectangles.
+
+    Promotes the reference GUI's preview regex
+    (/root/reference/gui/src/PreviewPanel.tsx:35-36) to a core operator:
+    adds a ``detections: list<struct<ref_type,x1,y1,x2,y2>>`` column.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dets = [
+            [
+                {"ref_type": r, "x1": x1, "y1": y1, "x2": x2, "y2": y2}
+                for (r, x1, y1, x2, y2) in parse_grounding_detections(t or "")
+            ]
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column(
+            "detections", pa.array(dets, pa.list_(DETECTION_STRUCT))
+        )

@@ -1,0 +1,130 @@
+"""Partitioned checkpoint store: atomic commits, lineage, exact resume.
+
+The reference's checkpoint is its SQLite task table — statuses survive a
+restart and completed work is skipped (/root/reference/src/ocr_agent/
+queue_store.py:50-62, 125-138) — but a crash mid-task strands rows in
+'running' forever (pop selects only 'pending'). This store fixes that with
+write-then-commit per partition:
+
+    out_dir/
+      data/part-{pid}.parquet        # written to *.tmp then os.replace
+      manifest/part-{pid}.json       # existence == committed (atomic rename)
+      metrics/part-{pid}.json        # per-stage lineage + metrics rows
+
+A partition either has a committed manifest entry (data file is complete)
+or it doesn't (any partial tmp data is ignored and rewritten). Resume =
+anti-join of work against ``committed_ids()`` — broadcast as a small set
+into a ``map_batches`` filter, never a shuffle (SURVEY.md §2.4).
+
+Commit markers are one file per partition, so concurrent writers never
+contend on a shared manifest file; the committed set is the directory
+listing. Metrics follow FIXTURES.md F3; ``groupby('status').count()`` over
+them reproduces the reference's status-count query (queue_store.py:191-196).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+
+from ocr_agent_ray.schema import PARTITION_MANIFEST_SCHEMA, STAGE_METRICS_SCHEMA
+
+
+class CheckpointStore:
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.data_dir = os.path.join(out_dir, "data")
+        self.manifest_dir = os.path.join(out_dir, "manifest")
+        self.metrics_dir = os.path.join(out_dir, "metrics")
+
+    def initialize(self) -> "CheckpointStore":
+        for d in (self.data_dir, self.manifest_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+        return self
+
+    # --- commit path (called from inside write tasks) ---------------------
+
+    def data_path(self, partition_id: int) -> str:
+        return os.path.join(self.data_dir, f"part-{partition_id:05d}.parquet")
+
+    def write_partition(
+        self,
+        partition_id: int,
+        table: pa.Table,
+        metrics_rows: list[dict],
+    ) -> str:
+        """Atomically write one partition's output and commit it.
+
+        Order matters: data first (tmp+rename), then metrics, then the
+        manifest marker LAST — a marker implies everything else is durable.
+        """
+        import pyarrow.parquet as pq
+
+        final = self.data_path(partition_id)
+        tmp = final + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)
+
+        mpath = os.path.join(self.metrics_dir, f"part-{partition_id:05d}.json")
+        _atomic_write_json(mpath, metrics_rows)
+
+        num_spans = sum(len(s) for s in table["spans"].to_pylist()) if "spans" in table.column_names else len(table)
+        entry = {
+            "partition_id": partition_id,
+            "committed_at_unix_ms": int(time.time() * 1000),
+            "num_docs": len(table),
+            "num_spans": int(num_spans),
+            "output_fragment": final,
+        }
+        _atomic_write_json(
+            os.path.join(self.manifest_dir, f"part-{partition_id:05d}.json"), entry
+        )
+        return final
+
+    # --- read / resume path ----------------------------------------------
+
+    def committed_ids(self) -> set[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return set()
+        out = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("part-") and name.endswith(".json"):
+                out.add(int(name[5:-5]))
+        return out
+
+    def load_manifest(self) -> pa.Table:
+        rows = []
+        if os.path.isdir(self.manifest_dir):
+            for name in sorted(os.listdir(self.manifest_dir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(self.manifest_dir, name)) as f:
+                        rows.append(json.load(f))
+        return pa.Table.from_pylist(rows, schema=PARTITION_MANIFEST_SCHEMA)
+
+    def load_metrics(self) -> pa.Table:
+        rows: list[dict] = []
+        if os.path.isdir(self.metrics_dir):
+            for name in sorted(os.listdir(self.metrics_dir)):
+                if name.endswith(".json"):
+                    with open(os.path.join(self.metrics_dir, name)) as f:
+                        rows.extend(json.load(f))
+        return pa.Table.from_pylist(rows, schema=STAGE_METRICS_SCHEMA)
+
+    def read_output(self):
+        """Committed output as a Ray Dataset (only committed fragments)."""
+        import ray.data as rd
+
+        files = [self.data_path(pid) for pid in sorted(self.committed_ids())]
+        if not files:
+            raise FileNotFoundError(f"no committed partitions under {self.out_dir}")
+        return rd.read_parquet(files)
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
