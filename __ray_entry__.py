@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in ocr_agent_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 (or a
+training-data-pipeline extension); SQL-expressible ones have a matching
+``oracle_sql()`` DuckDB statement with IDENTICAL column names and value
+rounding. Non-SQL-expressible entries (flagship span extraction, MinHash/
+SimHash near-dup, language-ID, LSH ANN) are rows-only checks here and are
+golden-tested against sequential oracles in tests/.
 """
 
 from __future__ import annotations
@@ -18,27 +16,199 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: flat docs → interleaved spans →
+    fan-out → (mock) OCR actor pool → post-process → per-doc assembly."""
+    from ocr_agent_ray.pipelines.interleave import flagship_extract
+
+    return flagship_extract(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_agent_ray.pipelines import (
+        dedup,
+        interleave,
+        relational,
+        similarity,
+        streaming,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir: str):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def _emb(sf_dir: str):
+        import ray.data as rd
+
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    return {
+        # --- relational (SURVEY §2.5-2.7 analogs) -------------------------
+        "q_status_counts": relational.status_counts,
+        "q_mean_value_by_type": relational.mean_value_by_type,
+        "q_supported_path_filter": relational.supported_path_filter,
+        "q_page_fanout": relational.page_fanout,
+        "q_pricing_summary": relational.pricing_summary,
+        "q_suppliers_per_region": relational.suppliers_per_region,
+        "q_customer_balance_by_nation": relational.customer_balance_by_nation,
+        "q_top_orders_by_revenue": relational.top_orders_by_revenue,
+        "q_distinct_segments": relational.distinct_segments,
+        # --- stream-shaped (SURVEY §2.9) ----------------------------------
+        "q_tumbling_windows": streaming.tumbling_window_counts,
+        "q_sessionize": streaming.sessionize,
+        "q_last_event_per_user": streaming.last_event_per_user,
+        "q_error_top1": streaming.error_top1,
+        # --- text analysis ------------------------------------------------
+        "q_quality_scores": text.quality_scores,
+        "q_token_count_by_source": text.token_count_total,
+        "q_fingerprints": text.fingerprints,
+        "q_language_id": text.language_id,          # rows-only
+        "q_winnowing": text.winnowing_fingerprints,  # rows-only
+        # --- dedup ---------------------------------------------------------
+        "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
+        "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
+        "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
+            _emb(sf), threshold=0.3
+        ),
+        # --- similarity search -------------------------------------------
+        "q_knn_bruteforce": similarity.knn_bruteforce,
+        "q_knn_lsh": similarity.knn_lsh,            # rows-only
+        # --- flagship extraction (north rule; rows-only vs pytest goldens)
+        "q_flagship_span_counts": interleave.flagship_span_counts,
+    }
+
+
+_STOP_LIST = "('the','a','and','of','to','in','is','on','for','with')"
+_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_status_counts": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+        ),
+        "q_mean_value_by_type": (
+            "SELECT event_type, ROUND(SUM(value)/COUNT(*), 6) AS mean_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_supported_path_filter": (
+            "SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) || "
+            "CASE doc_id % 4 WHEN 0 THEN '.png' WHEN 1 THEN '.pdf' "
+            "WHEN 2 THEN '.txt' ELSE '.JPG' END AS path "
+            "FROM documents WHERE doc_id % 4 IN (0, 1, 3)"
+        ),
+        "q_page_fanout": (
+            "SELECT doc_id, UNNEST(range((n_chars % 5) + 1)) AS page_index, "
+            "(n_chars % 5) + 1 AS total_pages FROM documents"
+        ),
+        "q_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "ROUND(SUM(l_quantity)/COUNT(*), 2) AS avg_qty, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_suppliers_per_region": (
+            "SELECT r_name, COUNT(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "q_customer_balance_by_nation": (
+            "SELECT n_name, ROUND(SUM(c_acctbal)/COUNT(*), 2) AS avg_acctbal, "
+            "COUNT(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "q_top_orders_by_revenue": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderkey, o_orderpriority "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "q_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q_tumbling_windows": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "q_sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, event_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_session) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "  FROM flagged) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events FROM numbered GROUP BY user_id, sid"
+        ),
+        "q_last_event_per_user": (
+            "SELECT user_id, event_id, ts, event_type FROM events "
+            "QUALIFY row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "q_error_top1": (
+            "SELECT event_id, ts, user_id, event_type, value FROM events "
+            "WHERE event_type = 'error' ORDER BY ts DESC, event_id DESC LIMIT 1"
+        ),
+        "q_quality_scores": (
+            "WITH base AS ("
+            "  SELECT doc_id, LENGTH(text) AS n_chars, "
+            "  LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_tokens, "
+            "  LEN(list_filter(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'), "
+            f"      w -> w IN {_STOP_LIST})) AS n_stop "
+            "  FROM documents"
+            "), ratio AS ("
+            "  SELECT doc_id, n_chars, n_tokens, "
+            "  ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6) AS stop_ratio "
+            "  FROM base) "
+            "SELECT doc_id, n_chars, n_tokens, stop_ratio, "
+            "ROUND(0.5 * LEAST(n_tokens, 100) / 100.0 + 0.5 * stop_ratio, 6) "
+            "AS quality_score FROM ratio"
+        ),
+        "q_token_count_by_source": (
+            "SELECT source, CAST(SUM(LEN(regexp_extract_all(text, '[0-9A-Za-z_]+'))) "
+            "AS BIGINT) AS n_tokens FROM documents GROUP BY source"
+        ),
+        "q_fingerprints": (
+            f"SELECT doc_id, {_FP} AS fingerprint FROM documents"
+        ),
+        "q_exact_dedup": (
+            f"SELECT {_FP} AS fingerprint, MIN(doc_id) AS doc_id "
+            "FROM documents GROUP BY 1"
+        ),
+        "q_embedding_near_dup": (
+            "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+            "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b "
+            "ON a.label = b.label AND a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        "q_knn_bruteforce": (
+            "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+            "FROM embeddings WHERE vec_id < 8), "
+            "scored AS (SELECT q.qid AS query_id, e.vec_id, "
+            "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+            "SELECT query_id, vec_id, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, "
+            "ROUND(cos, 6) AS cosine FROM scored "
+            "QUALIFY rank <= 5"
+        ),
+        # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
+        # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_flagship_span_counts
+    }

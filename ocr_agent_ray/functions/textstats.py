@@ -1,0 +1,130 @@
+"""Vectorized text-analysis kernels: tokens, quality, language-ID, fingerprints.
+
+These extend the engine beyond the reference's operator set toward what a
+large-scale training-data pipeline needs (driver brief). All kernels are
+batch-vectorized (pandas str / numpy); regexes are ASCII-classed (`[0-9A-Za-z_]`)
+so Ray and the DuckDB (RE2) oracle agree on tokenization.
+
+Rounding: DuckDB ROUND is half-away-from-zero while Python/numpy round
+half-even; :func:`round_half_away` reproduces DuckDB so value hashes match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = r"[0-9A-Za-z_]+"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+# per-language marker words for the n-gram/marker language heuristic
+_LANG_MARKERS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is that it was for on are with as his they at be this have from".split()),
+    "de": frozenset("der die das und ist nicht ich sie mit ein eine den dem zu auf für von werden".split()),
+    "fr": frozenset("le la les et de des un une est que pour dans qui sur pas avec ce il au du".split()),
+    "es": frozenset("el la los las y de un una es que por para con no se su al lo como más".split()),
+    "it": frozenset("il la le e di un una è che per con non si del alla sono come più anche".split()),
+}
+
+_LANG_TRIGRAMS: dict[str, frozenset[str]] = {
+    "en": frozenset(["the", "ing", "and", "ion", "tio", "ent", "ati", "for"]),
+    "de": frozenset(["der", "ein", "ich", "nde", "sch", "die", "den", "cht"]),
+    "fr": frozenset(["les", "ent", "des", "que", "ait", "eur", "our", "ais"]),
+    "es": frozenset(["que", "ión", "los", "ado", "con", "por", "ent", "una"]),
+    "it": frozenset(["che", "ione", "ell", "per", "con", "ato", "gli", "are"]),
+}
+
+
+def round_half_away(x: np.ndarray | float, digits: int = 6):
+    """DuckDB-compatible ROUND (ties away from zero)."""
+    scale = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def token_counts(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").str.count(TOKEN_RE).astype("int64")
+
+
+def stopword_ratios(texts: pd.Series) -> pd.Series:
+    toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    stop = set(STOPWORDS)
+    n_stop = toks.map(lambda ws: sum(w in stop for w in ws))
+    n_tok = toks.map(len).clip(lower=1)
+    return n_stop / n_tok
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """n_chars, n_tokens, stop_ratio, quality_score (all SQL-expressible).
+
+    quality_score = round(0.5*min(n_tokens,100)/100 + 0.5*stop_ratio, 6):
+    a crude length x natural-language-ness score in [0,1].
+    """
+    t = texts.fillna("")
+    n_chars = t.str.len().astype("int64")
+    n_tokens = token_counts(t)
+    stop_ratio = round_half_away(stopword_ratios(t).to_numpy(), 6)
+    score = round_half_away(
+        0.5 * np.minimum(n_tokens.to_numpy(), 100) / 100.0 + 0.5 * stop_ratio, 6
+    )
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "stop_ratio": stop_ratio,
+            "quality_score": score,
+        },
+        index=t.index,
+    )
+
+
+def detect_language(text: str) -> tuple[str, float]:
+    """Marker-word + character-trigram language heuristic.
+
+    Scores each candidate language by marker-word hits (weight 2) and
+    trigram hits (weight 1), normalized by token count; returns
+    (best_lang, score). 'und' (undetermined) when nothing scores.
+    """
+    words = [w for w in text.lower().split() if w]
+    if not words:
+        return ("und", 0.0)
+    tris: set[str] = set()
+    for w in words[:200]:
+        for i in range(len(w) - 2):
+            tris.add(w[i : i + 3])
+    best_lang, best = "und", 0.0
+    for lang in sorted(_LANG_MARKERS):
+        mw = sum(1 for w in words[:200] if w in _LANG_MARKERS[lang])
+        tg = len(tris & _LANG_TRIGRAMS[lang])
+        score = (2.0 * mw + tg) / (len(words[:200]) + 1)
+        if score > best:
+            best_lang, best = lang, score
+    return (best_lang, float(round_half_away(best, 6)))
+
+
+def md5_fingerprint(texts: pd.Series, normalize: bool = True) -> pd.Series:
+    """Content fingerprint: md5 hex of the (optionally normalized) text.
+
+    Normalization = lowercase + collapse whitespace runs to single spaces +
+    strip — expressible in DuckDB as
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))).
+    """
+    t = texts.fillna("")
+    if normalize:
+        t = t.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    return t.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod_select: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: polynomial rolling hashes over
+    byte windows, keeping hashes ≡ 0 (mod mod_select). Not SQL-expressible;
+    golden-tested in pytest."""
+    from ocr_agent_ray.functions.hashing import rolling_hashes
+
+    h = rolling_hashes(text, window)
+    if h.size == 0:
+        return []
+    kept = h[h % mod_select == 0]
+    return sorted(set(int(v) for v in kept))

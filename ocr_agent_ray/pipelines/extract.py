@@ -66,7 +66,9 @@ def build_extract_pipeline(
                                "fail_fast": settings.fail_fast},
         batch_format="pyarrow",
         batch_size=settings.ocr_batch_size,
-        concurrency=settings.ocr_concurrency,
+        # autoscaling pool (min 1): a fixed pool sized at the CPU count can
+        # reserve every core and starve the read/finalize/shuffle stages
+        concurrency=(1, settings.ocr_concurrency),
         num_cpus=settings.ocr_num_cpus,
         # GPU deployment: num_gpus=1 per actor, same callable.
     )

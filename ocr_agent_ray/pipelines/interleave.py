@@ -1,0 +1,82 @@
+"""Adapter: flat documents table → interleaved (doc_id, spans) table.
+
+The driver's testdata documents are flat (doc_id:int64, text, lang, source,
+n_chars); the flagship pipeline consumes the BASELINE.json ``input_hint``
+interleaved shape. This converter derives spans deterministically from row
+content (pure function of doc_id + text), so any two runs at any
+parallelism agree:
+
+- the text is split into up to 3 chunk spans,
+- doc_id % 3 == 0 docs get an image span,
+- doc_id % 5 == 0 docs get a pdf run of (doc_id % 4) + 2 pages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from ocr_agent_ray.schema import DOCUMENTS_SCHEMA
+
+
+def _spans_for(doc_id: int, text: str) -> list[dict]:
+    spans: list[dict] = []
+    text = text or ""
+    n = len(text)
+    bounds = [0, n // 3, 2 * n // 3, n]
+    chunks = [text[bounds[i]:bounds[i + 1]] for i in range(3)]
+    spans.append({"kind": "text", "text": chunks[0], "media_ref": "", "offset": 0})
+    if doc_id % 3 == 0:
+        spans.append({"kind": "image", "text": "",
+                      "media_ref": f"media://{doc_id}/fig.png", "offset": 0})
+    spans.append({"kind": "text", "text": chunks[1], "media_ref": "", "offset": 0})
+    if doc_id % 5 == 0:
+        pages = (doc_id % 4) + 2
+        for _ in range(pages):
+            spans.append({"kind": "pdf_page", "text": "",
+                          "media_ref": f"media://{doc_id}/scan.pdf", "offset": 0})
+    spans.append({"kind": "text", "text": chunks[2], "media_ref": "", "offset": 0})
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    return spans
+
+
+def flat_to_interleaved_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": [f"doc-{i:09d}" for i in ids],
+            "spans": [_spans_for(i, t) for i, t in zip(ids, texts)],
+        },
+        schema=DOCUMENTS_SCHEMA,
+    )
+
+
+def documents_to_interleaved(sf_dir: str):
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(flat_to_interleaved_batch, batch_format="pyarrow")
+
+
+def flagship_extract(sf_dir: str):
+    """The flagship pipeline over sf_dir's documents, returned as the
+    assembled (doc_id, spans) Dataset."""
+    from ocr_agent_ray.pipelines.extract import build_extract_pipeline
+
+    return build_extract_pipeline(documents_to_interleaved(sf_dir))
+
+
+def flagship_span_counts(sf_dir: str):
+    """Flat summary of the flagship output for driver row-count checks:
+    (doc_id, n_spans)."""
+    import pyarrow.compute as pc
+
+    def _summarize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pc.list_value_length(batch["spans"]).cast(pa.int64())],
+            names=["doc_id", "n_spans"],
+        )
+
+    return flagship_extract(sf_dir).map_batches(_summarize, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Join strategies for Ray Data pipelines.
+
+The reference has no join operator (SURVEY.md §2.4) — its closest lookup is
+the watch-folder marker check, semantically an anti-join of work against a
+completed set. At 100 TB the join strategy is the difference between a
+broadcast lookup and an all-to-all shuffle, so each is explicit here:
+
+- ``broadcast_join``: small side pinned ONCE in the object store via
+  ``ray.put`` and merged per batch — no shuffle; the default for dimension
+  tables. The object store ships the table to each worker node once.
+- ``broadcast_semi_filter``: semi/anti join as a vectorized membership
+  filter against a broadcast key set (the resume anti-join pattern,
+  state/checkpoint.py).
+- ``bucket_hash_join``: both sides large → explicit partitioned hash join:
+  add ``bucket = stable_hash(key) % B`` to both sides, align to a common
+  Arrow schema (typed nulls for the absent side), union, groupby(bucket),
+  pandas-merge each bucket inside ``map_groups``. One union + one shuffle.
+  B bounds join parallelism; salt hot keys into sub-buckets upstream if a
+  single key dominates.
+- Ray's native ``Dataset.join`` (hash shuffle) exists in this version; the
+  explicit variants stay because their shuffle shape is documented,
+  deterministic and portable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hash_str_stable(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (x ^ (x >> np.uint64(31))) >> np.uint64(1)
+
+
+def stable_bucket_array(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa.Array:
+    """Stable (cross-process, version-independent) hash bucket per value.
+
+    Integers: vectorized splitmix64 finalizer. Strings: blake2b per value
+    (python hash() is salted per process and unusable for partitioning).
+    """
+    if pa.types.is_integer(col.type):
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.array((_splitmix64(v) % np.uint64(num_buckets)).astype(np.int32))
+    return pa.array(
+        np.fromiter(
+            (hash_str_stable(str(v)) % num_buckets for v in col.to_pylist()),
+            dtype=np.int32,
+            count=len(col),
+        )
+    )
+
+
+def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], how: str = "inner"):
+    """Map-side join: ``small`` enters the object store once; every batch
+    does a local pandas merge. No shuffle."""
+    import ray
+
+    ref = ray.put(small)
+
+    def _merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
+
+    return ds.map_batches(_merge, batch_format="pandas")
+
+
+def broadcast_semi_filter(ds, keys, column: str, keep: bool = True):
+    """Semi (keep=True) / anti (keep=False) join as a membership filter."""
+    value_set = pa.array(sorted(set(keys)))
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[column], value_set=value_set)
+        return batch.filter(mask if keep else pc.invert(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _arrow_schema_of(ds) -> pa.Schema:
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    # PandasBlockSchema (names + numpy dtypes) from pandas-producing stages
+    fields = []
+    for name, dtype in zip(base.names, base.types):
+        if isinstance(dtype, pa.DataType):
+            fields.append(pa.field(name, dtype))
+        elif str(dtype) == "object":
+            fields.append(pa.field(name, pa.string()))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(dtype)))
+    return pa.schema(fields)
+
+
+def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
+                     how: str = "inner", left_cols=None, right_cols=None):
+    """Explicit partitioned hash join of two large Datasets (see module doc)."""
+    lschema = _arrow_schema_of(left)
+    rschema = _arrow_schema_of(right)
+    left_cols = list(left_cols or lschema.names)
+    right_cols = list(right_cols or rschema.names)
+    if on not in left_cols:
+        left_cols.insert(0, on)
+    if on not in right_cols:
+        right_cols.insert(0, on)
+
+    types: dict[str, pa.DataType] = {}
+    for name in left_cols:
+        types[name] = lschema.field(name).type
+    for name in right_cols:
+        types.setdefault(name, rschema.field(name).type)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    target = pa.schema(
+        [pa.field(c, types[c]) for c in all_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.string())]
+    )
+
+    def _prep(side: str, cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays = []
+            for c in all_cols:
+                if c in cols:
+                    arrays.append(batch[c].cast(types[c]))
+                else:
+                    arrays.append(pa.nulls(n, types[c]))
+            arrays.append(stable_bucket_array(batch[on].combine_chunks(), num_buckets))
+            arrays.append(pa.array([side] * n, pa.string()))
+            return pa.Table.from_arrays(arrays, schema=target)
+
+        return _fn
+
+    lt = left.select_columns(left_cols).map_batches(_prep("l", left_cols), batch_format="pyarrow")
+    rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g.loc[g["__side"] == "l", left_cols]
+        rhs = g.loc[g["__side"] == "r", right_cols]
+        return lhs.merge(rhs, on=on, how=how, suffixes=("_l", "_r"))
+
+    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")

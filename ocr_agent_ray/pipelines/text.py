@@ -1,0 +1,107 @@
+"""Text-analysis pipelines over a flat documents table.
+
+Operate on ``documents(doc_id, text, lang, source, n_chars)``
+(/root/testdata layout); every stage is a vectorized ``map_batches``.
+Regex/setup state (compiled patterns, marker tables) is module-level —
+loaded once per worker process, not per batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+from ocr_agent_ray.functions.textstats import (
+    detect_language,
+    md5_fingerprint,
+    quality_features,
+    rolling_fingerprint,
+)
+
+
+def _read_documents(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def quality_scores(sf_dir: str):
+    """doc_id + n_chars/n_tokens/stop_ratio/quality_score per document."""
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(batch["text"])
+        feats.insert(0, "doc_id", batch["doc_id"])
+        return feats
+
+    return _read_documents(sf_dir).map_batches(_score, batch_format="pandas")
+
+
+def token_count_total(sf_dir: str):
+    """Corpus-wide token count grouped by source — partial aggregation
+    inside map_batches (one row per source per batch), then a tiny groupby:
+    the pre-aggregate pattern for shuffle-free counting at scale."""
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from ocr_agent_ray.functions.textstats import token_counts
+
+        g = (
+            batch.assign(n_tokens=token_counts(batch["text"]))
+            .groupby("source", as_index=False)["n_tokens"]
+            .sum()
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    partials = _read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _partial, batch_format="pandas"
+    )
+    return partials.groupby("source").aggregate(Sum("n_tokens", alias_name="n_tokens"))
+
+
+def language_id(sf_dir: str):
+    """Heuristic language-ID per doc (marker words + char trigrams).
+
+    Not SQL-expressible — golden-tested on multilingual fixtures in pytest.
+    """
+
+    def _lid(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = batch["text"].map(detect_language)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pairs.map(lambda p: p[0]),
+                "lang_score": pairs.map(lambda p: p[1]),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(_lid, batch_format="pandas")
+
+
+def fingerprints(sf_dir: str):
+    """md5 content fingerprint per doc (SQL-checkable against DuckDB md5)."""
+
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": md5_fingerprint(batch["text"]),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(_fp, batch_format="pandas")
+
+
+def winnowing_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints (count per doc exposed;
+    the full sets feed near-dup detection). Rows-only oracle."""
+
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = batch["text"].map(lambda t: rolling_fingerprint(t or ""))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": sets.map(len).astype("int64"),
+            }
+        )
+
+    return _read_documents(sf_dir).map_batches(_fp, batch_format="pandas")

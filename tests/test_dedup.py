@@ -1,0 +1,105 @@
+"""Dedup operators vs sequential oracles on planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from ocr_agent_ray.functions.hashing import (
+    char_shingle_set,
+    hamming64,
+    jaccard,
+    simhash64,
+)
+from ocr_agent_ray.pipelines.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays on "
+    "and the crowd cheers for more music in the warm summer evening air"
+)
+
+
+@pytest.fixture(scope="module")
+def planted():
+    rows = []
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    for i in range(40):
+        w = list(rng.permutation(words))
+        rows.append({"doc_id": i, "text": " ".join(w)})
+    # exact dup pair (50, 51), near-dup pair (60, 61), far text (70)
+    rows.append({"doc_id": 50, "text": BASE})
+    rows.append({"doc_id": 51, "text": BASE})
+    near = BASE.replace("summer", "winter")
+    rows.append({"doc_id": 60, "text": BASE})
+    rows.append({"doc_id": 61, "text": near})
+    rows.append({"doc_id": 70, "text": "completely different content here xyz"})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup(ray_session, planted):
+    out = exact_dedup(rd.from_pandas(planted)).to_pandas()
+    # 50/51 and 60 share identical text -> one fingerprint keeps min id 50
+    assert 51 not in set(out["doc_id"])
+    assert 50 in set(out["doc_id"])
+    # distinct texts all kept: unique fingerprints == unique texts
+    assert len(out) == planted["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip().nunique()
+
+
+def test_minhash_finds_planted_pairs(ray_session, planted):
+    out = minhash_lsh_dedup(rd.from_pandas(planted), threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (50, 51) in pairs or (50, 60) in pairs  # exact dups collide
+    assert any({a, b} == {60, 61} or {a, b} == {50, 61} or {a, b} == {51, 61}
+               for a, b in pairs)  # near-dup found
+    assert all(70 not in (a, b) for a, b in pairs)
+    # reported jaccard equals the sequential oracle value
+    texts = dict(zip(planted["doc_id"], planted["text"]))
+    for a, b, j in zip(out["doc_id_a"], out["doc_id_b"], out["jaccard"]):
+        expect = jaccard(char_shingle_set(texts[a]), char_shingle_set(texts[b]))
+        assert abs(j - expect) < 1e-6
+
+
+def test_minhash_deterministic(ray_session, planted):
+    a = minhash_lsh_dedup(rd.from_pandas(planted)).to_pandas()
+    b = minhash_lsh_dedup(rd.from_pandas(planted)).to_pandas()
+    key = lambda df: sorted(zip(df["doc_id_a"], df["doc_id_b"], df["jaccard"]))
+    assert key(a) == key(b)
+
+
+def test_simhash_finds_planted_pairs(ray_session, planted):
+    out = simhash_dedup(rd.from_pandas(planted), max_hamming=6).to_pandas()
+    pairs = {frozenset((a, b)) for a, b in zip(out["doc_id_a"], out["doc_id_b"])}
+    assert frozenset((50, 51)) in pairs
+    texts = dict(zip(planted["doc_id"], planted["text"]))
+    for a, b, h in zip(out["doc_id_a"], out["doc_id_b"], out["hamming"]):
+        assert hamming64(simhash64(texts[a]), simhash64(texts[b])) == h <= 6
+
+
+def test_embedding_near_dup_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # plant: vec 100 ~ vec 0 (tiny noise)
+    vecs = list(base) + [base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)]
+    ids = list(range(20)) + [100]
+    df = pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [v.astype(np.float32) for v in vecs],
+        "label": [0] * 21,
+    })
+    out = embedding_near_dup(rd.from_pandas(df), threshold=0.9).to_pandas()
+    pairs = set(zip(out["vec_id_a"], out["vec_id_b"]))
+    assert (0, 100) in pairs
+    # oracle: brute-force double-precision cosine
+    unit = np.stack([v / np.linalg.norm(v.astype(np.float64)) for v in vecs])
+    for a, b, c in zip(out["vec_id_a"], out["vec_id_b"], out["cosine"]):
+        ia, ib = ids.index(a), ids.index(b)
+        assert abs(c - round(float(unit[ia] @ unit[ib]), 6)) <= 1e-6

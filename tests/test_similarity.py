@@ -1,0 +1,52 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_agent_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle_knn():
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in range(8):
+        qi = int(np.nonzero(ids == qid)[0][0])
+        scores = unit @ unit[qi]
+        order = np.lexsort((ids, -scores))
+        order = [i for i in order if ids[i] != qid][:5]
+        out[qid] = [(int(ids[i]), float(scores[i])) for i in order]
+    return out
+
+
+def test_knn_bruteforce_exact(ray_session, oracle_knn):
+    out = knn_bruteforce(SF).to_pandas()
+    for qid, expected in oracle_knn.items():
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert list(got["vec_id"]) == [v for v, _ in expected]
+        for c, (_, s) in zip(got["cosine"], expected):
+            assert abs(c - round(s, 6)) <= 1e-6
+
+
+def test_knn_lsh_recall(ray_session, oracle_knn):
+    out = knn_lsh(SF).to_pandas()
+    hits = total = 0
+    for qid, expected in oracle_knn.items():
+        got = set(out[out["query_id"] == qid]["vec_id"])
+        want = {v for v, _ in expected}
+        hits += len(got & want)
+        total += len(want)
+    # approximate: expect meaningful recall, not exactness
+    assert hits / total >= 0.2
+    # every returned neighbor's cosine must be exact (verification is exact)
+    bf = knn_bruteforce(SF, k=500).to_pandas()  # superset scores
+    merged = out.merge(bf, on=["query_id", "vec_id"], suffixes=("_lsh", "_bf"))
+    assert (merged["cosine_lsh"] == merged["cosine_bf"]).all()

@@ -1,0 +1,72 @@
+"""Text-analysis kernels: quality features, language-ID, fingerprints."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ocr_agent_ray.functions.textstats import (
+    detect_language,
+    md5_fingerprint,
+    quality_features,
+    rolling_fingerprint,
+    round_half_away,
+    token_counts,
+)
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    vals = [0.0078125, -0.0078125, 1.2345675, 0.1, 2.5e-6, -2.5e-6]
+    con = duckdb.connect()
+    for v in vals:
+        expect = con.execute(f"SELECT ROUND({v!r}::DOUBLE, 6)").fetchone()[0]
+        assert float(round_half_away(np.float64(v), 6)) == expect, v
+
+
+def test_token_counts():
+    s = pd.Series(["a b_c  d", "", None, "x,y;z"])
+    assert list(token_counts(s)) == [3, 0, 0, 3]
+
+
+def test_quality_features_golden():
+    f = quality_features(pd.Series(["the cat sat on the mat", ""]))
+    assert list(f["n_tokens"]) == [6, 0]
+    assert list(f["n_chars"]) == [22, 0]
+    # stopwords: the, on, the -> 3/6
+    assert f["stop_ratio"][0] == 0.5
+    assert f["quality_score"][0] == round(0.5 * 6 / 100 + 0.25, 6)
+
+
+def test_detect_language_on_fixtures():
+    cases = {
+        "en": "the cat and the dog were in the house with a friend of the family",
+        "de": "der hund und die katze sind nicht mit einem freund in dem haus",
+        "fr": "le chien et les chats sont dans la maison avec un ami de la famille",
+        "es": "el perro y los gatos no se encuentran en la casa con un amigo",
+    }
+    for lang, text in cases.items():
+        pred, score = detect_language(text)
+        assert pred == lang, (lang, pred, score)
+        assert score > 0
+    assert detect_language("")[0] == "und"
+    assert detect_language("zzz qqq xxx")[0] == "und"
+
+
+def test_md5_fingerprint_normalization():
+    s = pd.Series(["  Hello   World ", "hello world"])
+    out = md5_fingerprint(s)
+    assert out[0] == out[1] == hashlib.md5(b"hello world").hexdigest()
+    raw = md5_fingerprint(s, normalize=False)
+    assert raw[0] != raw[1]
+
+
+def test_rolling_fingerprint_properties():
+    a = rolling_fingerprint("the quick brown fox jumps over the lazy dog" * 3)
+    assert a == rolling_fingerprint("the quick brown fox jumps over the lazy dog" * 3)
+    assert rolling_fingerprint("") == []
+    b = rolling_fingerprint("a completely different document body" * 3)
+    assert set(a) != set(b)

@@ -1,0 +1,109 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every __ray_entry__.queries() entry and its oracle_sql() twin on the
+same sf_dir, compares row count, column names, and (column-name-sorted,
+row-sorted) values. Usage:
+
+    python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import warnings
+
+warnings.filterwarnings("ignore")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def normalize(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("uint"):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    import duckdb
+    import pandas as pd
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = normalize(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
+            continue
+        try:
+            sql_df = normalize(con.execute(oracles[name]).fetchdf())
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            continue
+        if len(ray_df) != len(sql_df):
+            failures.append(name)
+            print(f"FAIL {name}: rows ray={len(ray_df)} sql={len(sql_df)}")
+            continue
+        if list(ray_df.columns) != list(sql_df.columns):
+            failures.append(name)
+            print(f"FAIL {name}: cols ray={list(ray_df.columns)} sql={list(sql_df.columns)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                          check_exact=True)
+            print(f"ok   {name}: {len(ray_df)} rows exact")
+        except AssertionError as e:
+            failures.append(name)
+            print(f"FAIL {name}: values differ\n{str(e)[:800]}")
+    print("---")
+    print("FAILURES:", failures if failures else "none")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
