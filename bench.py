@@ -1,0 +1,192 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "units_per_sec": ...}
+
+--scaling: runs the headline flagship pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and prints throughputs plus
+scaling efficiency (recorded in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "12000"))
+CORPUS_DIR = f"/tmp/graft_bench/corpus_{BENCH_DOCS}"
+
+
+def _ensure_corpus() -> None:
+    from ocr_agent_ray.sources.corpus import write_corpus_parquet
+
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus_parquet(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42,
+                             rows_per_file=500)
+        open(marker, "w").write("ok")
+
+
+OCR_WORK_MS = float(os.environ.get("GRAFT_OCR_WORK_MS", "3.0"))
+
+
+def _run_flagship(work_ms: float | None = None) -> dict:
+    """Headline: interleaved corpus -> extraction pipeline (docs + units/s).
+
+    The mock engine emulates GRAFT_OCR_WORK_MS of model latency per page
+    (real DeepSeek-OCR-2 runs ~1 s/page on GPU) so the OCR actor pool is
+    compute-bound like the real deployment.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.config import PipelineSettings
+    from ocr_agent_ray.pipelines.extract import build_extract_pipeline
+    from ocr_agent_ray.sources.corpus import read_documents
+    from ocr_agent_ray.stages.ocr import MockOcrEngine
+
+    settings = PipelineSettings(
+        ocr_concurrency=max(2, NUM_CPUS - 2),
+        ocr_min_actors=max(2, NUM_CPUS - 2),  # pinned pool: no ramp-up
+        ocr_batch_size=128,
+        fanout_batch_size=256,
+        num_partitions=max(32, NUM_CPUS * 4),
+        balance_blocks=NUM_CPUS * 4,
+    )
+    t0 = time.monotonic()
+    ds = build_extract_pipeline(
+        # few fat read blocks (per-task overhead is steep in this Ray
+        # build); granularity for the OCR pool comes from balance_blocks
+        read_documents(CORPUS_DIR, num_blocks=2 * NUM_CPUS),
+        engine_factory=functools.partial(
+            MockOcrEngine,
+            work_ms=OCR_WORK_MS if work_ms is None else work_ms,
+        ),
+        settings=settings,
+    )
+    total_docs = 0
+    total_spans = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        total_docs += len(batch)
+        total_spans += int(pc.sum(pc.list_value_length(batch["spans"])).as_py())
+    sec = time.monotonic() - t0
+    return {
+        "sec": sec,
+        "docs": total_docs,
+        "spans": total_spans,
+        "docs_per_sec": total_docs / sec,
+        "units_per_sec": (total_spans / 2) / sec,  # units == header+body pairs
+    }
+
+
+QUERY_NAMES = [
+    "q_pricing_summary",
+    "q_top_orders_by_revenue",
+    "q_sessionize",
+    "q_tumbling_windows",
+    "q_quality_scores",
+    "q_exact_dedup",
+    "q_minhash_pairs",
+    "q_knn_bruteforce",
+    "q_embedding_near_dup",
+]
+
+
+def _consume(result) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame, pa.Table)):
+        return len(result)
+    n = 0
+    for b in result.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        n += len(b)
+    return n
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    _ensure_corpus()
+    # warm page cache + worker processes with a zero-cost-model pass so the
+    # measured run sees compute+shuffle, not first-read/startup effects
+    _ = _run_flagship(work_ms=0.0)
+    flagship = _run_flagship()
+
+    queries: dict[str, float] = {"flagship_extract": round(flagship["sec"], 3)}
+    qs = entrymod.queries()
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        _consume(qs[name](SF_DIR))
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "flagship extraction sec (+ per-query sec)",
+        "value": round(flagship["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": flagship["docs"],
+        "docs_per_sec": round(flagship["docs_per_sec"], 1),
+        "units_per_sec": round(flagship["units_per_sec"], 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger corpus for scaling runs: amortizes the per-run fixed cost
+        # (actor-pool spin-up, shuffle barriers) that a real long-running
+        # 100 TB job pays once
+        env.setdefault("GRAFT_BENCH_DOCS", "24000")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "units_per_sec_8": lo["units_per_sec"],
+        "units_per_sec_32": hi["units_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -70,8 +70,14 @@ class PipelineSettings:
     reference is strictly sequential, cli.py:224-244)."""
 
     ocr_batch_size: int = 256          # work units per OCR actor call
-    ocr_concurrency: int = 4           # actor-pool size
+    ocr_concurrency: int = 4           # actor-pool max size
+    ocr_min_actors: int = 1            # pool min; keep < cluster CPUs to
+                                       # leave room for the other stages
     ocr_num_cpus: float = 1.0          # reserved per actor (GPU adapter: num_gpus=1)
     fanout_batch_size: int = 512       # documents per fan-out batch
     num_partitions: int = 32           # checkpoint / output partitions
+    balance_blocks: int | None = None  # repartition work units into this
+                                       # many row-balanced blocks before OCR
+                                       # (cost leveling; units are ~equal
+                                       # cost after per-page fan-out)
     fail_fast: bool = False            # reference --fail-fast (cli.py:74-85)

@@ -68,7 +68,8 @@ def lsh_band_keys(signature: np.ndarray, num_bands: int) -> list[int]:
         key = np.zeros(num_bands, dtype=_U64)
         for r in range(rows):
             key = key * _BASE + bands[:, r]
-        return [int(v) for v in splitmix64(key)]
+        # 63-bit keys so band_key columns stay int64-safe
+        return [int(v) & 0x7FFFFFFFFFFFFFFF for v in splitmix64(key)]
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -1,0 +1,106 @@
+"""Aggregation strategies.
+
+Ray Data's built-in ``groupby().aggregate(...)`` is a sort-based shuffle
+whose fixed cost dwarfs small aggregations and whose reduce is
+near-serial in this version. The scale-appropriate shapes are explicit:
+
+- ``combine_partials_driver``: map-side partials (one row per key per
+  batch) then a single pandas combine of the tiny partial table on the
+  driver. Right when |keys| is small (status counts, Q1 groups) — the
+  partial table is bounded by keys × batches regardless of input size.
+- ``hash_partition_aggregate``: map-side partials, then ONE
+  groupby(bucket) shuffle into B buckets and a vectorized pandas
+  aggregation per bucket. Right when |keys| is large (per-order revenue,
+  per-user windows): every bucket processes ~|keys|/B keys with zero
+  per-key Python.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pandas as pd
+
+from ocr_agent_ray.pipelines.joins import stable_bucket_array
+
+# agg_spec: {output_col: (input_col, how)} with how in sum|count|min|max
+AggSpec = Mapping[str, tuple[str, str]]
+
+
+def _partial_fn(keys: list[str], spec: AggSpec):
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False).agg(
+            **{out: (col, how if how != "count" else "size")
+               for out, (col, how) in spec.items()}
+        )
+        return g
+
+    return _partial
+
+
+def _combine(df: pd.DataFrame, keys: list[str], spec: AggSpec) -> pd.DataFrame:
+    how2 = {out: ("sum" if how == "count" else how) for out, (_, how) in spec.items()}
+    return df.groupby(keys, as_index=False, sort=False).agg(
+        **{out: (out, how2[out]) for out in spec}
+    )
+
+
+def combine_partials_driver(ds, keys: list[str], spec: AggSpec) -> pd.DataFrame:
+    """Two-phase aggregate with a driver-side final combine (small keys)."""
+    partials = ds.map_batches(_partial_fn(keys, spec), batch_format="pandas")
+    chunks = [b for b in partials.iter_batches(batch_format="pandas",
+                                               batch_size=65536)]
+    if not chunks:
+        cols = keys + list(spec)
+        return pd.DataFrame(columns=cols)
+    return _combine(pd.concat(chunks, ignore_index=True), keys, spec)
+
+
+def hash_partition_aggregate(ds, keys: list[str], spec: AggSpec,
+                             num_buckets: int = 32):
+    """Two-phase aggregate with a bucketed distributed combine (large keys)."""
+    import pyarrow as pa
+
+    partial = _partial_fn(keys, spec)
+
+    def _partial_bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        g = partial(batch)
+        tbl = pa.Table.from_pandas(g[keys[0]].to_frame(), preserve_index=False)
+        g = g.copy()
+        g["__bucket"] = stable_bucket_array(
+            tbl.column(0).combine_chunks(), num_buckets
+        ).to_numpy(zero_copy_only=False)
+        return g
+
+    def _combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _combine(g.drop(columns="__bucket"), keys, spec)
+
+    return (
+        ds.map_batches(_partial_bucketed, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_combine_bucket, batch_format="pandas")
+    )
+
+
+def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
+    """Distributed DISTINCT over ``cols``: bucket by first col, vectorized
+    drop_duplicates per bucket (no per-key Python)."""
+    import pyarrow as pa
+
+    def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[cols].drop_duplicates()
+        tbl = pa.Table.from_pandas(b[cols[0]].to_frame(), preserve_index=False)
+        b = b.copy()
+        b["__bucket"] = stable_bucket_array(
+            tbl.column(0).combine_chunks(), num_buckets
+        ).to_numpy(zero_copy_only=False)
+        return b
+
+    return (
+        ds.map_batches(_bucketed, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: g.drop(columns="__bucket").drop_duplicates(),
+            batch_format="pandas",
+        )
+    )

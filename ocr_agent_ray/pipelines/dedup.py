@@ -41,8 +41,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the minimum id per identical (normalized) text.
 
     Reference analog: first-wins work dedup (.processed markers / page-PNG
-    cache, SURVEY.md §2.7), as data: hash-partition + per-group min.
+    cache, SURVEY.md §2.7), as data: per-batch partial min per fingerprint,
+    then one bucketed hash-partition combine (large key space).
     """
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
 
     def _fp(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -52,21 +54,57 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    from ray.data.aggregate import Min
-
-    return (
-        ds.map_batches(_fp, batch_format="pandas")
-        .groupby("fingerprint")
-        .aggregate(Min(id_col, alias_name=id_col))
+    return hash_partition_aggregate(
+        ds.map_batches(_fp, batch_format="pandas"),
+        ["fingerprint"],
+        {id_col: (id_col, "min")},
+        num_buckets=32,
     )
 
 
-def _pairs_from_bucket(g: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    ids = sorted(g[id_col].unique())
-    if len(ids) < 2 or len(ids) > MAX_BUCKET:
-        return pd.DataFrame(columns=_PAIR_COLS)
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-    return pd.DataFrame({"doc_id_a": a, "doc_id_b": b})
+def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = None,
+                         num_buckets: int = 32):
+    """band rows (id, band_key[, extras]) → distinct candidate pairs.
+
+    Shuffle shape: ONE groupby over ``band_key % B`` buckets (not one group
+    per band key — most keys are singletons and per-key Python would
+    dominate); inside each bucket the pair generation is a vectorized
+    pandas self-merge, with hot keys above MAX_BUCKET dropped.
+    Pairs are then globally de-duplicated with a bucketed distinct.
+    """
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+
+    extra_cols = extra_cols or []
+
+    def _bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = (batch["band_key"].to_numpy(np.uint64)
+                             % np.uint64(num_buckets)).astype(np.int32)
+        return batch
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").drop_duplicates(["band_key", id_col])
+        sizes = g["band_key"].map(g["band_key"].value_counts())
+        g = g[(sizes >= 2) & (sizes <= MAX_BUCKET)]
+        if g.empty:
+            return pd.DataFrame(columns=_PAIR_COLS + extra_cols)
+        m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out = pd.DataFrame({
+            "doc_id_a": m[f"{id_col}_a"],
+            "doc_id_b": m[f"{id_col}_b"],
+        })
+        for c in extra_cols:
+            out[f"{c}_a"] = m[f"{c}_a"].to_numpy()
+            out[f"{c}_b"] = m[f"{c}_b"].to_numpy()
+        return out.drop_duplicates(_PAIR_COLS)
+
+    pairs = (
+        band_rows.map_batches(_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return distinct_rows(pairs, _PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"])
 
 
 def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -79,20 +117,13 @@ def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
             sig = minhash_signature(char_shingle_set(text or "", k), num_perm)
             for key in lsh_band_keys(sig, num_bands):
                 rows_id.append(did)
-                rows_key.append(np.uint64(key))
-        return pd.DataFrame({id_col: rows_id, "band_key": np.array(rows_key, dtype=np.uint64)})
+                rows_key.append(key)
+        return pd.DataFrame(
+            {id_col: rows_id, "band_key": np.array(rows_key, dtype=np.int64)}
+        )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_from_bucket(g, id_col)
-
-    pairs = (
-        ds.map_batches(_bands, batch_format="pandas")
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    )
-    # one row per distinct pair (a pair can fire in many bands)
-    return pairs.groupby(_PAIR_COLS).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return _bucketed_band_pairs(
+        ds.map_batches(_bands, batch_format="pandas"), id_col
     )
 
 
@@ -101,26 +132,20 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       num_bands: int = 16, k: int = 5):
     """Verified near-dup pairs: LSH candidates filtered by exact Jaccard ≥ t.
 
-    Verification broadcasts an id→shingle-set map built from the (small)
-    candidate id set; at 100 TB swap for bucket joins on doc_id.
+    Verification broadcasts an id→shingle-set map (built in one driver pass
+    over the corpus — fine to ~10^6 docs of metadata); at 100 TB swap the
+    broadcast for two bucket_hash_joins on doc_id (pipelines/joins.py).
     """
     import ray
 
     cands = minhash_candidates(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, num_bands=num_bands, k=k,
-    ).materialize()
-    need = set()
-    for row in cands.take_all():
-        need.add(row["doc_id_a"])
-        need.add(row["doc_id_b"])
-    if not need:
-        return cands
+    )
 
     shingles: dict = {}
     for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
-        m = batch[batch[id_col].isin(need)]
-        for did, text in zip(m[id_col], m[text_col]):
+        for did, text in zip(batch[id_col], batch[text_col]):
             shingles[did] = char_shingle_set(text or "", k)
     ref = ray.put(shingles)
 
@@ -151,36 +176,35 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             sig = simhash64(text or "")
             for key in simhash_band_keys(sig, num_bands):
                 rows_id.append(did)
-                rows_key.append(np.uint64(key))
-                rows_sig.append(np.uint64(sig))
+                rows_key.append(key)
+                rows_sig.append(sig)
         return pd.DataFrame(
             {id_col: rows_id,
-             "band_key": np.array(rows_key, dtype=np.uint64),
+             "band_key": np.array(rows_key, dtype=np.int64),
              "sig": np.array(rows_sig, dtype=np.uint64)}
         )
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = rows[id_col].tolist()
-        sigs = rows["sig"].tolist()
-        if len(ids) < 2 or len(ids) > MAX_BUCKET:
-            return pd.DataFrame(columns=_PAIR_COLS + ["hamming"])
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                h = hamming64(int(sigs[i]), int(sigs[j]))
-                if h <= max_hamming:
-                    out_a.append(ids[i]); out_b.append(ids[j]); out_h.append(h)
-        return pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b, "hamming": out_h})
+    cands = _bucketed_band_pairs(
+        ds.map_batches(_bands, batch_format="pandas"), id_col, extra_cols=["sig"]
+    )
 
-    pairs = (
-        ds.map_batches(_bands, batch_format="pandas")
-        .groupby("band_key")
-        .map_groups(_bucket_pairs, batch_format="pandas")
-    )
-    return pairs.groupby(_PAIR_COLS).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized popcount over the xor'd signatures
+        x = batch["sig_a"].to_numpy(np.uint64) ^ batch["sig_b"].to_numpy(np.uint64)
+        ham = np.zeros(len(batch), dtype=np.int64)
+        for shift in range(0, 64, 8):
+            ham += np.unpackbits(
+                ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
+                axis=1,
+            ).sum(axis=1).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id_a": batch["doc_id_a"],
+            "doc_id_b": batch["doc_id_b"],
+            "hamming": ham,
+        })
+        return out[out["hamming"] <= max_hamming]
+
+    return cands.map_batches(_verify, batch_format="pandas")
 
 
 def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
@@ -235,16 +259,10 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     import ray
 
-    cands = minhash_candidates(ds, text_col=text_col, id_col=id_col).materialize()
-    need = set()
-    for row in cands.take_all():
-        need.add(row["doc_id_a"]); need.add(row["doc_id_b"])
-    if not need:
-        return cands
+    cands = minhash_candidates(ds, text_col=text_col, id_col=id_col)
     sets: dict = {}
     for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
-        m = batch[batch[id_col].isin(need)]
-        for did, text in zip(m[id_col], m[text_col]):
+        for did, text in zip(batch[id_col], batch[text_col]):
             sets[did] = _ngram_set(text)
     ref = ray.put(sets)
 

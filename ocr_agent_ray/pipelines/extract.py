@@ -60,15 +60,26 @@ def build_extract_pipeline(
 
         units = units.map_batches(_drop_committed, batch_format="pyarrow")
 
+    if settings.balance_blocks:
+        # Skew leveling (north_rule): after per-page fan-out every unit has
+        # ~equal cost (the reference's own leveling insight,
+        # queue_store.py:91-123), so row-balanced blocks are cost-balanced —
+        # a 200-page doc spreads across many OCR tasks instead of straggling
+        # one. Without this, the actor pool receives a handful of fat,
+        # uneven bundles and the slowest bundle sets the wall time.
+        units = units.repartition(settings.balance_blocks)
+
     ocred = units.map_batches(
         OcrStage,
         fn_constructor_kwargs={"engine_factory": engine_factory,
                                "fail_fast": settings.fail_fast},
         batch_format="pyarrow",
         batch_size=settings.ocr_batch_size,
-        # autoscaling pool (min 1): a fixed pool sized at the CPU count can
-        # reserve every core and starve the read/finalize/shuffle stages
-        concurrency=(1, settings.ocr_concurrency),
+        # autoscaling pool: min must stay below the CPU count or the pool
+        # reserves every core and starves the read/finalize/shuffle stages;
+        # benches pin min == max to skip ramp-up
+        concurrency=(min(settings.ocr_min_actors, settings.ocr_concurrency),
+                     settings.ocr_concurrency),
         num_cpus=settings.ocr_num_cpus,
         # GPU deployment: num_gpus=1 per actor, same callable.
     )

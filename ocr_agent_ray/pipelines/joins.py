@@ -102,10 +102,17 @@ def _arrow_schema_of(ds) -> pa.Schema:
 
 
 def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
-                     how: str = "inner", left_cols=None, right_cols=None):
-    """Explicit partitioned hash join of two large Datasets (see module doc)."""
-    lschema = _arrow_schema_of(left)
-    rschema = _arrow_schema_of(right)
+                     how: str = "inner", left_cols=None, right_cols=None,
+                     left_schema: pa.Schema | None = None,
+                     right_schema: pa.Schema | None = None):
+    """Explicit partitioned hash join of two large Datasets (see module doc).
+
+    Pass ``left_schema``/``right_schema`` when a side is a lazy pipeline:
+    ``ds.schema()`` executes enough of the plan to infer it, which would run
+    the upstream stages twice.
+    """
+    lschema = left_schema if left_schema is not None else _arrow_schema_of(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema_of(right)
     left_cols = list(left_cols or lschema.names)
     right_cols = list(right_cols or rschema.names)
     if on not in left_cols:

@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ocr_agent_ray.sources.readers import read_table
+
 from ocr_agent_ray.functions.kernels import is_supported_path
 from ocr_agent_ray.functions.textstats import round_half_away
 from ocr_agent_ray.pipelines.joins import broadcast_join, bucket_hash_join
@@ -23,44 +25,33 @@ from ocr_agent_ray.pipelines.joins import broadcast_join, bucket_hash_join
 
 def status_counts(sf_dir: str):
     """Grouped status counts — the reference's fetch_status_counts
-    (queue_store.py:191-196) over the events log: rows per event_type."""
-    from ray.data.aggregate import Count
+    (queue_store.py:191-196) over the events log: rows per event_type.
+    Map-side partials + driver combine: the wire carries keys×batches rows."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+    return combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type"]),
+        ["event_type"],
+        {"n": ("event_type", "count")},
     )
 
 
 def mean_value_by_type(sf_dir: str):
-    """Running-mean ETA analog (main.rs:800-828): mean event value per type,
-    computed as mergeable partials (sum, count) inside map_batches, then a
-    tiny groupby — the scale-safe mean."""
+    """Running-mean ETA analog (main.rs:800-828): mean event value per type
+    from mergeable (sum, count) partials — the scale-safe mean."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("event_type", as_index=False).agg(
-            s=("value", "sum"), c=("value", "size")
-        )
-
-    from ray.data.aggregate import Sum
-
-    partials = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-        .map_batches(_partial, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    out = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type"],
+        {"s": ("value", "sum"), "c": ("value", "count")},
     )
-
-    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": batch["event_type"],
-                "mean_value": round_half_away(batch["s"] / batch["c"], 6),
-            }
-        )
-
-    return partials.map_batches(_finish, batch_format="pandas")
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "mean_value": round_half_away(out["s"] / out["c"], 6),
+        }
+    )
 
 
 _EXTS = [".png", ".pdf", ".txt", ".JPG"]
@@ -78,7 +69,7 @@ def supported_path_filter(sf_dir: str):
         return out[path.map(is_supported_path)]
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        read_table(sf_dir, "documents", ["doc_id", "source"])
         .map_batches(_paths, batch_format="pandas")
     )
 
@@ -103,56 +94,45 @@ def page_fanout(sf_dir: str):
         )
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        read_table(sf_dir, "documents", ["doc_id", "n_chars"])
         .map_batches(_fan, batch_format="pyarrow")
     )
 
 
 def pricing_summary(sf_dir: str):
-    """TPC-H Q1-shaped pricing summary with partial pre-aggregation: the
-    per-batch combiner emits one row per key per batch; the groupby then
-    shuffles ~keys×batches rows instead of the whole fact table."""
+    """TPC-H Q1-shaped pricing summary: filter + derived column + per-batch
+    partial combiner (one row per key per batch), driver-side final combine
+    over the tiny partial table (6 keys × batches rows)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch[batch["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        batch = batch.assign(
+        return batch.assign(
             disc_price=batch["l_extendedprice"] * (1 - batch["l_discount"])
         )
-        return batch.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "size"),
-        )
 
-    from ray.data.aggregate import Sum
+    ds = read_table(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(_derive, batch_format="pandas")
 
-    agg = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_returnflag", "l_linestatus", "l_quantity",
-                     "l_extendedprice", "l_discount", "l_shipdate"],
-        )
-        .map_batches(_partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
+    agg = combine_partials_driver(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "count_order": ("l_quantity", "count"),
+        },
     )
-
-    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["avg_qty"] = round_half_away(batch["sum_qty"] / batch["count_order"], 2)
-        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            batch[c] = round_half_away(batch[c], 2)
-        batch["count_order"] = batch["count_order"].astype("int64")
-        return batch[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-                      "sum_disc_price", "avg_qty", "count_order"]]
-
-    return agg.map_batches(_finish, batch_format="pandas")
+    agg["avg_qty"] = round_half_away(agg["sum_qty"] / agg["count_order"], 2)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        agg[c] = round_half_away(agg[c], 2)
+    agg["count_order"] = agg["count_order"].astype("int64")
+    return agg[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]]
 
 
 def suppliers_per_region(sf_dir: str):
@@ -165,13 +145,13 @@ def suppliers_per_region(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "s_nationkey"})
 
-    from ray.data.aggregate import Count
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    return (
-        broadcast_join(sup, dim, on="s_nationkey")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_suppliers"))
+    sup = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    return combine_partials_driver(
+        broadcast_join(sup, dim, on="s_nationkey"),
+        ["r_name"],
+        {"n_suppliers": ("r_name", "count")},
     )
 
 
@@ -181,65 +161,60 @@ def customer_balance_by_nation(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
+    cust = read_table(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("n_name", as_index=False).agg(
-            s=("c_acctbal", "sum"), c=("c_acctbal", "size")
-        )
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    from ray.data.aggregate import Sum
-
-    partials = (
-        broadcast_join(cust, nation, on="c_nationkey")
-        .map_batches(_partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+    out = combine_partials_driver(
+        broadcast_join(cust, nation, on="c_nationkey"),
+        ["n_name"],
+        {"s": ("c_acctbal", "sum"), "c": ("c_acctbal", "count")},
     )
-
-    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "n_name": batch["n_name"],
-                "avg_acctbal": round_half_away(batch["s"] / batch["c"], 2),
-                "n_customers": batch["c"].astype("int64"),
-            }
-        )
-
-    return partials.map_batches(_finish, batch_format="pandas")
+    return pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "avg_acctbal": round_half_away(out["s"] / out["c"], 2),
+            "n_customers": out["c"].astype("int64"),
+        }
+    )
 
 
 def top_orders_by_revenue(sf_dir: str, *, k: int = 10):
     """Fact-fact bucket hash join (lineitem ⋈ orders) → revenue per order →
     global top-k. The only all-to-all exchange is the bucketed union; the
     top-k is a sort+limit over the (small) aggregated result."""
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
 
     # pre-aggregate revenue per orderkey BEFORE joining: the join's left
-    # side shrinks from |lineitem| to |orders|
-    def _rev(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
+    # side shrinks from |lineitem| to |orders|. Large key space -> bucketed
+    # hash-partition aggregate (vectorized per bucket).
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
             revenue=batch["l_extendedprice"] * (1 - batch["l_discount"])
         )
-        return batch.groupby("l_orderkey", as_index=False)["revenue"].sum()
 
-    from ray.data.aggregate import Sum
-
-    rev = (
-        li.map_batches(_rev, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    rev = hash_partition_aggregate(
+        li.map_batches(_derive, batch_format="pandas"),
+        ["l_orderkey"],
+        {"revenue": ("revenue", "sum")},
+        num_buckets=32,
     )
     rev = rev.map_batches(
         lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
     )
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucket_hash_join(
+        rev, orders, on="o_orderkey", num_buckets=16,
+        # explicit schemas: rev is a lazy aggregate; introspecting it would
+        # execute the whole upstream plan twice
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderpriority", pa.string())]),
     )
-    joined = bucket_hash_join(rev, orders, on="o_orderkey", num_buckets=16)
 
     def _round(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -254,9 +229,11 @@ def top_orders_by_revenue(sf_dir: str, *, k: int = 10):
 
 
 def distinct_segments(sf_dir: str):
-    """DISTINCT via groupby-first (ds.unique is the same shuffle)."""
-    return (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
-        .groupby("c_mktsegment")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    """DISTINCT via per-batch dedup + bucketed global dedup."""
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+
+    return distinct_rows(
+        read_table(sf_dir, "customer", ["c_mktsegment"]),
+        ["c_mktsegment"],
+        num_buckets=4,
     )

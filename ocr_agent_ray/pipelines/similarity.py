@@ -19,10 +19,11 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.sources.readers import read_table
+
 
 def _read_embeddings(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    return read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:

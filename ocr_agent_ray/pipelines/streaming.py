@@ -15,9 +15,11 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.sources.readers import read_table
+
 
 def _read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")):
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    return read_table(sf_dir, "events", list(columns))
 
 
 def tumbling_window_counts(sf_dir: str, *, hours: int = 1):
@@ -25,25 +27,16 @@ def tumbling_window_counts(sf_dir: str, *, hours: int = 1):
     to the hour boundary. Partial-aggregated inside map_batches before the
     groupby shuffle."""
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            window_start=batch["ts"].dt.floor(f"{hours}h")
-        )
-        g = batch.groupby(["user_id", "window_start"], as_index=False).agg(
-            n_events=("event_id", "size"), sum_value=("value", "sum")
-        )
-        return g
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
 
-    from ray.data.aggregate import Sum
+    def _window(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(window_start=batch["ts"].dt.floor(f"{hours}h"))
 
-    agg = (
-        _read_events(sf_dir)
-        .map_batches(_partial, batch_format="pandas")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
-        )
+    agg = hash_partition_aggregate(
+        _read_events(sf_dir).map_batches(_window, batch_format="pandas"),
+        ["user_id", "window_start"],
+        {"n_events": ("event_id", "count"), "sum_value": ("value", "sum")},
+        num_buckets=32,
     )
 
     def _finish(batch: pd.DataFrame) -> pd.DataFrame:

@@ -12,6 +12,8 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.sources.readers import read_table
+
 from ocr_agent_ray.functions.textstats import (
     detect_language,
     md5_fingerprint,
@@ -21,7 +23,7 @@ from ocr_agent_ray.functions.textstats import (
 
 
 def _read_documents(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_table(sf_dir, "documents", list(columns))
 
 
 def quality_scores(sf_dir: str):
@@ -40,22 +42,19 @@ def token_count_total(sf_dir: str):
     inside map_batches (one row per source per batch), then a tiny groupby:
     the pre-aggregate pattern for shuffle-free counting at scale."""
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        from ocr_agent_ray.functions.textstats import token_counts
+    from ocr_agent_ray.functions.textstats import token_counts
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-        g = (
-            batch.assign(n_tokens=token_counts(batch["text"]))
-            .groupby("source", as_index=False)["n_tokens"]
-            .sum()
-        )
-        return g
+    def _count(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(n_tokens=token_counts(batch["text"]))
 
-    from ray.data.aggregate import Sum
-
-    partials = _read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
-        _partial, batch_format="pandas"
+    return combine_partials_driver(
+        _read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+            _count, batch_format="pandas"
+        ),
+        ["source"],
+        {"n_tokens": ("n_tokens", "sum")},
     )
-    return partials.groupby("source").aggregate(Sum("n_tokens", alias_name="n_tokens"))
 
 
 def language_id(sf_dir: str):

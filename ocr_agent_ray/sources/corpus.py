@@ -112,9 +112,21 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
     return files
 
 
-def read_documents(path: str):
+def read_documents(path: str, num_blocks: int | None = None):
     """Read an interleaved-docs table as a Ray Dataset (parquet; a Lance
-    reader would slot in here via ray.data.read_lance when available)."""
+    reader would slot in here via ray.data.read_lance when available).
+
+    Block count defaults to 4x the cluster CPUs: downstream actor-pool
+    concurrency is bounded by input block count, so a handful of fat files
+    must split into enough blocks to keep every actor fed.
+    """
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(path)
+    if num_blocks is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num_blocks = 4 * max(2, cpus)
+    return rd.read_parquet(path, override_num_blocks=num_blocks)

@@ -102,12 +102,36 @@ def mock_markdown_for(media_ref: str, page_index: int | None) -> Any:
 
 
 class MockOcrEngine:
-    """Pure-function engine; safe to construct in every actor."""
+    """Pure-function engine; safe to construct in every actor.
+
+    ``work_ms`` emulates per-page model latency with deterministic-output
+    busy work (the real model runs ~1 s/page on GPU,
+    deepseek_ocr2_runner.py:122-177; benchmarks use a few ms so the OCR
+    stage is compute-bound the way the real pipeline is). Output is
+    independent of work_ms.
+    """
+
+    def __init__(self, work_ms: float = 0.0) -> None:
+        self.work_ms = work_ms
+
+    def _burn(self) -> None:
+        if self.work_ms <= 0:
+            return
+        import time
+
+        deadline = time.perf_counter() + self.work_ms / 1000.0
+        h = b"x"
+        while time.perf_counter() < deadline:
+            h = hashlib.blake2b(h, digest_size=32).digest()
 
     def infer_batch(
         self, media_refs: Sequence[str], page_indices: Sequence[int | None]
     ) -> list[Any]:
-        return [mock_markdown_for(r, p) for r, p in zip(media_refs, page_indices)]
+        out = []
+        for r, p in zip(media_refs, page_indices):
+            self._burn()
+            out.append(mock_markdown_for(r, p))
+        return out
 
 
 class DeepSeekOcr2Engine:

@@ -28,4 +28,5 @@ def test_entry_returns_rows(ray_session):
 @pytest.mark.parametrize("name", ["q_status_counts", "q_pricing_summary"])
 def test_sample_query_runs(ray_session, name):
     out = entrymod.queries()[name]("/root/testdata/sf0.001")
-    assert out.count() > 0
+    n = len(out) if hasattr(out, "__len__") else out.count()
+    assert n > 0
