@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": streaming.sessionize,
         "q_last_event_per_user": streaming.last_event_per_user,
         "q_error_top1": streaming.error_top1,
+        "q_latest_order_asof": streaming.latest_order_asof,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -162,6 +163,13 @@ def oracle_sql() -> dict[str, str]:
         "q_error_top1": (
             "SELECT event_id, ts, user_id, event_type, value FROM events "
             "WHERE event_type = 'error' ORDER BY ts DESC, event_id DESC LIMIT 1"
+        ),
+        "q_latest_order_asof": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey "
+            "FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate "
+            "FROM events e ASOF LEFT JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "q_quality_scores": (
             "WITH base AS ("

@@ -1,0 +1,189 @@
+"""CLI — the reference's enqueue/run lifecycle re-expressed for Ray Data.
+
+Commands (analog of /root/reference/src/ocr_agent/cli.py:37-134):
+
+  corpus   generate a deterministic interleaved-document corpus (FIXTURES F1)
+  enqueue  discover input paths -> manifest parquet + diagnostics
+           (exit code 2 when nothing enqueued, parity with cli.py:32,188-192)
+  run      execute the checkpointed extraction pipeline (resumable)
+  status   status counts + ETA from the checkpoint store
+           (queue_store.py:191-196, main.rs:800-828 analogs)
+  merge    fold committed output into one markdown file in doc order
+           (markdown_merge.py:18-47 parity surface, small outputs only)
+
+Only this CLI owns the Ray session (guarded init); library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+EXIT_NOTHING_ENQUEUED = 2
+
+
+def _ray_init(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_corpus(args) -> int:
+    from ocr_agent_ray.sources.corpus import write_corpus_parquet
+
+    files = write_corpus_parquet(args.out, num_docs=args.num_docs,
+                                 seed=args.seed, rows_per_file=args.rows_per_file)
+    print(f"wrote {args.num_docs} docs in {len(files)} shards to {args.out}")
+    return 0
+
+
+def cmd_enqueue(args) -> int:
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.sources.discovery import (
+        discover_paths,
+        manifest_from_report,
+    )
+
+    report = discover_paths(args.paths)
+    # diagnostics parity with _print_enqueue_discovery_report (cli.py:270-297)
+    for label, bucket in [
+        ("missing", report.missing),
+        ("unsupported", report.unsupported),
+        ("directories with no supported files", report.empty_dirs),
+        ("unknown", report.unknown),
+    ]:
+        if bucket:
+            print(f"{label} ({len(bucket)}):")
+            for p in bucket:
+                print(f"  {p}")
+    table = manifest_from_report(report)
+    pq.write_table(table, args.manifest)
+    n = len(report.supported)
+    print(f"enqueued {n} supported files -> {args.manifest}")
+    if n == 0:
+        return EXIT_NOTHING_ENQUEUED
+    return 0
+
+
+def cmd_run(args) -> int:
+    _ray_init(args.num_cpus)
+    import functools
+
+    from ocr_agent_ray.config import PipelineSettings, PostProcessSettings
+    from ocr_agent_ray.pipelines.extract import run_extract_checkpointed
+    from ocr_agent_ray.sources.corpus import read_documents
+    from ocr_agent_ray.stages.ocr import MockOcrEngine
+
+    settings = PipelineSettings(
+        ocr_concurrency=args.ocr_concurrency,
+        num_partitions=args.num_partitions,
+        fail_fast=args.fail_fast,
+    )
+    post = PostProcessSettings(math_delimiter_style=args.math_style)
+    summary = run_extract_checkpointed(
+        read_documents(args.input),
+        args.out,
+        engine_factory=functools.partial(MockOcrEngine, work_ms=args.ocr_work_ms),
+        settings=settings,
+        post=post,
+    )
+    print(json.dumps(summary))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_status(args) -> int:
+    from ocr_agent_ray.state.checkpoint import CheckpointStore, compute_eta_seconds
+
+    store = CheckpointStore(args.out)
+    metrics = store.load_metrics()
+    counts: dict[str, int] = {}
+    for row in metrics.to_pylist():
+        counts[row["status"]] = counts.get(row["status"], 0) + 1
+    manifest = store.load_manifest()
+    out = {
+        "status_counts": counts,
+        "partitions_committed": manifest.num_rows,
+        "eta_seconds": compute_eta_seconds(metrics, args.total_partitions),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    _ray_init(args.num_cpus)
+    from ocr_agent_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(args.out)
+    docs = store.read_output().sort("doc_id").take_all()
+    lines: list[str] = ["# OCR Output", ""]
+    for d in docs:
+        spans = d["spans"]
+        for i in range(0, len(spans), 2):
+            lines += [spans[i]["text"], "", spans[i + 1]["text"], "", "---", ""]
+    with open(args.output_md, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines).rstrip() + "\n")
+    print(f"merged {len(docs)} docs -> {args.output_md}")
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr-agent-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("corpus")
+    c.add_argument("--out", required=True)
+    c.add_argument("--num-docs", type=int, default=1000)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--rows-per-file", type=int, default=2000)
+    c.set_defaults(fn=cmd_corpus)
+
+    e = sub.add_parser("enqueue")
+    e.add_argument("paths", nargs="+")
+    e.add_argument("--manifest", required=True)
+    e.set_defaults(fn=cmd_enqueue)
+
+    r = sub.add_parser("run")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument("--ocr-concurrency", type=int, default=8)
+    r.add_argument("--ocr-work-ms", type=float, default=0.0)
+    r.add_argument("--num-partitions", type=int, default=32)
+    r.add_argument("--math-style", default="dollar", choices=["dollar", "latex"])
+    r.add_argument("--fail-fast", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("status")
+    s.add_argument("--out", required=True)
+    s.add_argument("--total-partitions", type=int, default=32)
+    s.set_defaults(fn=cmd_status)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--out", required=True)
+    m.add_argument("--output-md", required=True)
+    m.add_argument("--num-cpus", type=int, default=None)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,7 +72,8 @@ def build_extract_pipeline(
     ocred = units.map_batches(
         OcrStage,
         fn_constructor_kwargs={"engine_factory": engine_factory,
-                               "fail_fast": settings.fail_fast},
+                               "fail_fast": settings.fail_fast,
+                               "metrics_dir": out_dir},
         batch_format="pyarrow",
         batch_size=settings.ocr_batch_size,
         # autoscaling pool: min must stay below the CPU count or the pool
@@ -85,7 +86,7 @@ def build_extract_pipeline(
     )
 
     final = ocred.map_batches(
-        FinalizeStage(math_style=post.math_delimiter_style),
+        FinalizeStage(math_style=post.math_delimiter_style, metrics_dir=out_dir),
         batch_format="pyarrow",
         batch_size=settings.ocr_batch_size,
     )

@@ -156,3 +156,62 @@ def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
         return lhs.merge(rhs, on=on, how=how, suffixes=("_l", "_r"))
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+
+
+def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
+              num_buckets: int = 16,
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None):
+    """As-of join: for each left row, the latest right row with the same
+    key and right_ts <= left_ts (backward search).
+
+    A custom operator Ray Data lacks (SURVEY.md §2.4 guidance): bucket both
+    sides by key hash (one union + one shuffle, same shape as
+    bucket_hash_join), then ``pd.merge_asof`` over the ts-sorted bucket.
+    Partitioning assumption: all rows of one key land in one bucket — true
+    by construction of the hash; skew bounded by the hottest key.
+    Right columns come back null when no match exists (left join).
+    """
+    lschema = left_schema if left_schema is not None else _arrow_schema_of(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema_of(right)
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
+
+    types: dict[str, pa.DataType] = {}
+    for name in left_cols:
+        types[name] = lschema.field(name).type
+    for name in right_cols:
+        types.setdefault(name, rschema.field(name).type)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    target = pa.schema(
+        [pa.field(c, types[c]) for c in all_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.string())]
+    )
+
+    def _prep(side: str, cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays = []
+            for c in all_cols:
+                arrays.append(batch[c].cast(types[c]) if c in cols else pa.nulls(n, types[c]))
+            arrays.append(stable_bucket_array(batch[on].combine_chunks(), num_buckets))
+            arrays.append(pa.array([side] * n, pa.string()))
+            return pa.Table.from_arrays(arrays, schema=target)
+
+        return _fn
+
+    lt = left.select_columns(left_cols).map_batches(_prep("l", left_cols), batch_format="pyarrow")
+    rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g.loc[g["__side"] == "l", left_cols].sort_values(left_ts, kind="mergesort")
+        rhs = g.loc[g["__side"] == "r", right_cols].sort_values(right_ts, kind="mergesort")
+        if lhs.empty:
+            return pd.DataFrame(columns=all_cols)
+        return pd.merge_asof(
+            lhs, rhs, left_on=left_ts, right_on=right_ts, by=on,
+            direction="backward",
+        )
+
+    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")

@@ -96,6 +96,42 @@ def last_event_per_user(sf_dir: str):
     )
 
 
+def latest_order_asof(sf_dir: str):
+    """As-of join: for each event, the user's latest order placed at or
+    before the event time (backward as-of on the order date).
+
+    Orders are first reduced to one row per (custkey, date) — max orderkey
+    — so tie-breaking is deterministic on both the Ray and SQL sides.
+    """
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import asof_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    events = _read_events(sf_dir, columns=("event_id", "ts", "user_id"))
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+    orders = hash_partition_aggregate(
+        orders, ["o_custkey", "o_orderdate"], {"o_orderkey": ("o_orderkey", "max")}
+    )
+    orders = orders.map_batches(
+        lambda b: b.rename(columns={"o_custkey": "user_id"}), batch_format="pandas"
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("ts", pa.timestamp("us")),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us")),
+                                ("o_orderkey", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda b: b[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]],
+        batch_format="pandas",
+    )
+
+
 def error_top1(sf_dir: str):
     """The reference's 'last error' query (main.rs:780-798): top-1 failed
     row by order key, here the latest 'error' event globally."""

@@ -175,11 +175,20 @@ class OcrStage:
     mark-failed-and-continue semantics (cli.py:239-244), never a retry.
     """
 
-    def __init__(self, engine_factory=MockOcrEngine, fail_fast: bool = False) -> None:
+    def __init__(self, engine_factory=MockOcrEngine, fail_fast: bool = False,
+                 metrics_dir: str | None = None) -> None:
         self.engine = engine_factory()  # once per actor
         self.fail_fast = fail_fast
+        self.spool = None
+        if metrics_dir:
+            from ocr_agent_ray.state.checkpoint import MetricsSpool
+
+            self.spool = MetricsSpool(metrics_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic()
         kinds = batch["kind"].to_pylist()
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
@@ -209,4 +218,11 @@ class OcrStage:
         out = batch.set_column(
             batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
         )
-        return out.append_column("error_message", pa.array(errors, pa.string()))
+        out = out.append_column("error_message", pa.array(errors, pa.string()))
+        if self.spool is not None:
+            wall_ms = int((_time.monotonic() - t0) * 1000)
+            self.spool.append(
+                "ocr",
+                self.spool.rows_for("ocr", batch["partition_id"].to_pylist(), wall_ms),
+            )
+        return out

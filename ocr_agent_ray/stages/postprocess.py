@@ -32,10 +32,19 @@ DETECTION_STRUCT = pa.struct(
 class FinalizeStage:
     """map_batches callable: post-process text, drop empties, add header_text."""
 
-    def __init__(self, math_style: str = "dollar") -> None:
+    def __init__(self, math_style: str = "dollar",
+                 metrics_dir: str | None = None) -> None:
         self.math_style = math_style
+        self.spool = None
+        if metrics_dir:
+            from ocr_agent_ray.state.checkpoint import MetricsSpool
+
+            self.spool = MetricsSpool(metrics_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic()
         texts = batch["text"].to_pylist()
         kinds = batch["kind"].to_pylist()
         refs = batch["media_ref"].to_pylist()
@@ -56,7 +65,17 @@ class FinalizeStage:
         kept = kept.set_column(
             kept.schema.get_field_index("text"), "text", pa.array(processed, pa.string())
         )
-        return kept.append_column("header_text", pa.array(headers, pa.string()))
+        kept = kept.append_column("header_text", pa.array(headers, pa.string()))
+        if self.spool is not None:
+            wall_ms = int((_time.monotonic() - t0) * 1000)
+            self.spool.append(
+                "postprocess",
+                self.spool.rows_for(
+                    "postprocess", batch["partition_id"].to_pylist(), wall_ms,
+                    rows_out=len(kept),
+                ),
+            )
+        return kept
 
 
 class GroundingExtractStage:

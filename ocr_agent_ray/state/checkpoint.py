@@ -128,3 +128,71 @@ def _atomic_write_json(path: str, obj) -> None:
     with open(tmp, "w") as f:
         json.dump(obj, f)
     os.replace(tmp, path)
+
+
+class MetricsSpool:
+    """Per-stage lineage/metrics writer usable from inside map stages.
+
+    Each append writes one small json file (atomic rename) under
+    ``<out_dir>/metrics``, named by stage/pid/sequence so concurrent tasks
+    never contend. ``CheckpointStore.load_metrics`` merges them with the
+    per-partition commit metrics. At production scale an actor would
+    buffer rows and flush per N batches; one file per batch is fine here
+    and keeps crash semantics trivial (metrics are observability, not
+    correctness — losing a spool file cannot corrupt a commit).
+    """
+
+    def __init__(self, out_dir: str) -> None:
+        self.dir = os.path.join(out_dir, "metrics")
+        self._seq = 0
+
+    def append(self, stage: str, rows: list[dict]) -> None:
+        if not rows:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        self._seq += 1
+        name = f"spool-{stage}-{os.getpid()}-{self._seq:06d}.json"
+        _atomic_write_json(os.path.join(self.dir, name), rows)
+
+    def rows_for(self, stage: str, batch_partition_ids, wall_ms: int,
+                 rows_out: int | None = None,
+                 error_message: str | None = None) -> list[dict]:
+        """Build one metrics row per partition present in a batch."""
+        import collections
+
+        counts = collections.Counter(int(p) for p in batch_partition_ids)
+        n = sum(counts.values()) or 1
+        return [
+            {
+                "partition_id": pid,
+                "stage": stage,
+                "status": "failed" if error_message else "completed",
+                "rows_in": c,
+                "rows_out": c if rows_out is None else int(rows_out * c / n),
+                "wall_ms": int(wall_ms * c / n),
+                "error_message": error_message,
+            }
+            for pid, c in sorted(counts.items())
+        ]
+
+
+def compute_eta_seconds(metrics: pa.Table, total_partitions: int) -> float | None:
+    """ETA: mean committed-partition wall time × remaining partitions.
+
+    Parity with the reference's estimator `elapsed/completed × remaining`
+    (/root/reference/gui/src-tauri/src/main.rs:800-828), with its 0-guards.
+    """
+    if total_partitions <= 0 or metrics.num_rows == 0:
+        return None
+    rows = [
+        r for r in metrics.to_pylist()
+        if r["stage"] == "assemble" and r["status"] == "completed"
+    ]
+    if not rows:
+        return None
+    done = len({r["partition_id"] for r in rows})
+    remaining = total_partitions - done
+    if remaining <= 0:
+        return 0.0
+    mean_ms = sum(r["wall_ms"] for r in rows) / len(rows)
+    return mean_ms * remaining / 1000.0
