@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
@@ -196,6 +197,10 @@ def oracle_sql() -> dict[str, str]:
         "q_exact_dedup": (
             f"SELECT {_FP} AS fingerprint, MIN(doc_id) AS doc_id "
             "FROM documents GROUP BY 1"
+        ),
+        "q_dedup_keep_first": (
+            "SELECT doc_id, text FROM documents "
+            f"QUALIFY row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1"
         ),
         "q_embedding_near_dup": (
             "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "

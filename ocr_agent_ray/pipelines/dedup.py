@@ -62,6 +62,39 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dedup_keep_first(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Full-row exact dedup: keep each fingerprint's minimum-id row.
+
+    One shuffle: fingerprint inside map_batches, bucket by fingerprint
+    hash, keep min-id row per fingerprint inside the bucket (vectorized
+    idxmin) — rows never broadcast, so this scales to mostly-unique
+    corpora where the keeper set is nearly the whole table.
+    """
+    from ocr_agent_ray.pipelines.joins import stable_bucket_array
+
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        batch = batch.copy()
+        batch["fingerprint"] = md5_fingerprint(batch[text_col])
+        col = pa.Table.from_pandas(
+            batch["fingerprint"].to_frame(), preserve_index=False
+        ).column(0).combine_chunks()
+        batch["__bucket"] = stable_bucket_array(col, 32).to_numpy(zero_copy_only=False)
+        return batch
+
+    def _keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket")
+        idx = g.groupby("fingerprint")[id_col].idxmin()
+        return g.loc[sorted(idx)].drop(columns="fingerprint")
+
+    return (
+        ds.map_batches(_fp, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(_keep_min, batch_format="pandas")
+    )
+
+
 def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = None,
                          num_buckets: int = 32):
     """band rows (id, band_key[, extras]) → distinct candidate pairs.
@@ -247,15 +280,13 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         from ocr_agent_ray.functions.hashing import rolling_hashes
 
         toks = (text or "").lower().split()
-        joined = "\x00".join(toks)
-        # hash every n-token window by hashing the joined string windows
         grams = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
         if not grams:
             return np.empty(0, dtype=np.uint64)
-        arr = np.unique(
+        # one full-length rolling hash per n-gram string
+        return np.unique(
             np.concatenate([rolling_hashes(g, len(g.encode())) for g in grams if g])
         )
-        return arr
 
     import ray
 
