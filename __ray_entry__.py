@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
         "q_flagship_span_counts": interleave.flagship_span_counts,
+        "q_grounding_detections": interleave.grounding_detection_counts,
     }
 
 

@@ -68,6 +68,26 @@ def flagship_extract(sf_dir: str):
     return build_extract_pipeline(documents_to_interleaved(sf_dir))
 
 
+def grounding_detection_counts(sf_dir: str):
+    """Grounding-token detections over extracted spans (SURVEY M10 as a
+    core operator): flagship output → per-doc count of
+    <|ref|>..<|/ref|><|det|>[[..]]<|/det|> rectangles in span text."""
+    from ocr_agent_ray.functions.kernels import parse_grounding_detections
+
+    def _count(batch: pa.Table) -> pa.Table:
+        counts = []
+        for spans in batch["spans"].to_pylist():
+            counts.append(
+                sum(len(parse_grounding_detections(s["text"])) for s in spans)
+            )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(counts, pa.int64())],
+            names=["doc_id", "n_detections"],
+        )
+
+    return flagship_extract(sf_dir).map_batches(_count, batch_format="pyarrow")
+
+
 def flagship_span_counts(sf_dir: str):
     """Flat summary of the flagship output for driver row-count checks:
     (doc_id, n_spans)."""

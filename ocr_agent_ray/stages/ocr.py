@@ -134,6 +134,50 @@ class MockOcrEngine:
         return out
 
 
+def _read_png_text_chunk(data: bytes, key: bytes = b"ocr-text") -> str | None:
+    """Extract a tEXt chunk payload from PNG bytes (fixture metadata)."""
+    import struct
+
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos = 8
+    prefix = key + b"\x00"
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"tEXt" and payload.startswith(prefix):
+            return payload[len(prefix):].decode("latin-1")
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    return None
+
+
+class MetadataOcrEngine:
+    """Deterministic text-from-image-metadata engine — the SURVEY.md §5
+    mock: reads the ``ocr-text`` tEXt chunk of fixture PNGs (written by
+    tools/generate_text_image.py) behind the same batch adapter interface
+    as the real model. Stands in for the reference's GPU integration test
+    (tests/test_synthetic_ocr.py:43-63) so the normalized-containment
+    conformance check runs without CUDA. media_ref is a filesystem path.
+    """
+
+    def infer_batch(
+        self, media_refs: Sequence[str], page_indices: Sequence[int | None]
+    ) -> list[Any]:
+        out: list[Any] = []
+        for ref in media_refs:
+            try:
+                with open(ref, "rb") as f:
+                    data = f.read()
+            except OSError:
+                out.append(None)
+                continue
+            out.append(_read_png_text_chunk(data))
+        return out
+
+
 class DeepSeekOcr2Engine:
     """GPU adapter skeleton (STUB — no CUDA/model in this container).
 

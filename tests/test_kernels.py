@@ -135,6 +135,13 @@ def test_grounding_parser():
     assert K.strip_grounding_tokens(text) == "title Hi table"
 
 
+def test_decode_escaped_newlines():
+    from ocr_agent_ray.config import decode_escaped_newlines
+
+    assert decode_escaped_newlines("a\\nb") == "a\nb"
+    assert decode_escaped_newlines("plain") == "plain"
+
+
 def test_contains_check_normalizer():
     assert K.normalize_text_for_contains_check("Hello, WORLD_42!") == "helloworld_42"
 
