@@ -112,6 +112,30 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
     return files
 
 
+def write_corpus_parquet_ray(path: str, num_docs: int, seed: int = 42,
+                             skew: bool = True, rows_per_file: int = 2000) -> list[str]:
+    """Parallel corpus writer: one Ray task per shard. Identical bytes to
+    the serial writer — every doc is a pure function of (seed, index), so
+    sharding is embarrassingly parallel and order-free."""
+    import os
+
+    import ray
+
+    os.makedirs(path, exist_ok=True)
+
+    @ray.remote
+    def _write(start: int, n: int) -> str:
+        fp = os.path.join(path, f"docs-{start:09d}.parquet")
+        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start), fp)
+        return fp
+
+    refs = [
+        _write.remote(start, min(rows_per_file, num_docs - start))
+        for start in range(0, num_docs, rows_per_file)
+    ]
+    return ray.get(refs)
+
+
 def read_documents(path: str, num_blocks: int | None = None):
     """Read an interleaved-docs table as a Ray Dataset (parquet; a Lance
     reader would slot in here via ray.data.read_lance when available).
