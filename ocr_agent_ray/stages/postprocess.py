@@ -45,6 +45,28 @@ class FinalizeStage:
         import time as _time
 
         t0 = _time.monotonic()
+        # Failed units (poison pills from the OCR stage) are recorded in
+        # lineage before being dropped — the reference keeps failed task
+        # rows with their error_message (queue_store.py:160-170) and
+        # excludes them from the merge; we keep the record in metrics.
+        if self.spool is not None and "error_message" in batch.column_names:
+            import pyarrow.compute as pc
+
+            errs = batch.filter(pc.is_valid(batch["error_message"]))
+            if len(errs):
+                rows = []
+                for pid, msg in zip(errs["partition_id"].to_pylist(),
+                                    errs["error_message"].to_pylist()):
+                    rows.append({
+                        "partition_id": int(pid),
+                        "stage": "ocr",
+                        "status": "failed",
+                        "rows_in": 1,
+                        "rows_out": 0,
+                        "wall_ms": 0,
+                        "error_message": msg,
+                    })
+                self.spool.append("ocr-failed", rows)
         texts = batch["text"].to_pylist()
         kinds = batch["kind"].to_pylist()
         refs = batch["media_ref"].to_pylist()
