@@ -59,6 +59,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_balance_by_nation": relational.customer_balance_by_nation,
         "q_top_orders_by_revenue": relational.top_orders_by_revenue,
         "q_distinct_segments": relational.distinct_segments,
+        "q_part_price_stats": relational.part_price_stats,
+        "q_orders_in_range_by_priority": relational.orders_in_range_by_priority,
+        "q_top_orders_per_priority": relational.top_orders_per_priority,
+        "q_union_error_purchase": relational.union_error_purchase_counts,
+        "q_distinct_users_per_type": relational.distinct_users_per_type,
+        "q_hll_distinct_users": relational.hll_distinct_users,   # rows-only (sketch)
+        "q_running_value_per_user": relational.running_value_per_user,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -139,6 +146,38 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
         "q_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q_part_price_stats": (
+            "SELECT p_brand, ROUND(MIN(p_retailprice), 2) AS min_price, "
+            "ROUND(MAX(p_retailprice), 2) AS max_price, COUNT(*) AS n_parts "
+            "FROM part GROUP BY p_brand"
+        ),
+        "q_orders_in_range_by_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY o_orderpriority"
+        ),
+        "q_top_orders_per_priority": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+            "FROM orders QUALIFY rnk <= 2"
+        ),
+        "q_union_error_purchase": (
+            "SELECT event_type, COUNT(*) AS n FROM ("
+            "SELECT event_type FROM events WHERE event_type = 'error' "
+            "UNION ALL SELECT event_type FROM events WHERE event_type = 'purchase'"
+            ") GROUP BY event_type"
+        ),
+        "q_distinct_users_per_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_running_value_per_user": (
+            "SELECT user_id, event_id, ts, "
+            "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING), 6) AS running_value "
+            "FROM events WHERE user_id < 5"
+        ),
         "q_tumbling_windows": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value "

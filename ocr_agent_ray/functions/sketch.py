@@ -1,0 +1,114 @@
+"""Mergeable sketches: HyperLogLog for approximate distinct counting.
+
+The scale pattern (guide: "emit one serialized sketch per batch and merge
+them in a second, tiny stage"): each batch produces one HLL register
+array; registers merge with elementwise max; the estimate runs on the
+merged registers. Flajolet et al. 2007 with the standard bias correction
+for small/large ranges. Deterministic (splitmix64 hashing, no RNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_agent_ray.functions.hashing import splitmix64
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12) -> None:
+        assert 4 <= p <= 18
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 12:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        elif p >= 7:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        elif p == 6:
+            self.alpha = 0.709
+        elif p == 5:
+            self.alpha = 0.697
+        else:
+            self.alpha = 0.673
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Vectorized insert of pre-hashed uint64 values."""
+        if hashes.size == 0:
+            return
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of remaining bits + 1 (cap at 64-p+1)
+        rank = np.full(h.shape, 64 - self.p + 1, dtype=np.uint8)
+        found = np.zeros(h.shape, dtype=bool)
+        for bit in range(64 - self.p):
+            mask = (~found) & ((rest >> np.uint64(63 - bit)) & np.uint64(1) == 1)
+            rank[mask] = bit + 1
+            found |= mask
+        np.maximum.at(self.registers, idx, rank)
+
+    def add_ints(self, values: np.ndarray) -> None:
+        self.add_hashes(splitmix64(np.asarray(values, dtype=np.uint64)))
+
+    def add_strings(self, values) -> None:
+        import hashlib
+
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
+                )
+                for v in values
+            ),
+            dtype=np.uint64,
+            count=len(values),
+        )
+        self.add_hashes(hs)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        out = cls(p)
+        out.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return out
+
+    def estimate(self) -> float:
+        regs = self.registers.astype(np.float64)
+        raw = self.alpha * self.m * self.m / np.sum(2.0 ** -regs)
+        zeros = int(np.sum(self.registers == 0))
+        if raw <= 2.5 * self.m and zeros:
+            return self.m * np.log(self.m / zeros)  # linear counting
+        if raw > (1 / 30) * (1 << 32):
+            return -(1 << 32) * np.log(1 - raw / (1 << 32))
+        return raw
+
+
+def hll_distinct(ds, column: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT column): one sketch per batch, merged on
+    the driver (sketches are tiny and mergeable — the shuffle-free path)."""
+    import pandas as pd
+
+    def _sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p)
+        col = batch[column]
+        if col.dtype.kind in "iu":
+            hll.add_ints(col.to_numpy())
+        else:
+            hll.add_strings(col.tolist())
+        return pd.DataFrame({"sketch": [hll.serialize()]})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(_sketch, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for blob in b["sketch"]:
+            merged = merged.merge(HyperLogLog.deserialize(blob, p))
+    return float(merged.estimate())

@@ -228,6 +228,125 @@ def top_orders_by_revenue(sf_dir: str, *, k: int = 10):
     )
 
 
+def part_price_stats(sf_dir: str):
+    """Min/max/count per brand — exercises min/max partial aggregation."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "part", ["p_brand", "p_retailprice"]),
+        ["p_brand"],
+        {
+            "min_price": ("p_retailprice", "min"),
+            "max_price": ("p_retailprice", "max"),
+            "n_parts": ("p_retailprice", "count"),
+        },
+    )
+    out["min_price"] = round_half_away(out["min_price"], 2)
+    out["max_price"] = round_half_away(out["max_price"], 2)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out
+
+
+def orders_in_range_by_priority(sf_dir: str):
+    """Date-range predicate pushdown + grouped count (filter at the read)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+        return batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
+
+    return combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate"]).map_batches(
+            _filter, batch_format="pandas"
+        ),
+        ["o_orderpriority"],
+        {"n_orders": ("o_orderpriority", "count")},
+    )
+
+
+def top_orders_per_priority(sf_dir: str, *, k: int = 2):
+    """Per-group top-k: the k highest-value orders within each priority.
+
+    groupby(priority) then a vectorized head(k) over the sorted group —
+    the distributed form of QUALIFY row_number() <= k.
+    """
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(_topk, batch_format="pandas")
+    )
+
+
+def union_error_purchase_counts(sf_dir: str):
+    """Union of two filtered streams, then grouped counts (set op §2.7)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = read_table(sf_dir, "events", ["event_type"])
+    errors = ev.map_batches(
+        lambda b: b[b["event_type"] == "error"], batch_format="pandas"
+    )
+    purchases = ev.map_batches(
+        lambda b: b[b["event_type"] == "purchase"], batch_format="pandas"
+    )
+    return combine_partials_driver(
+        errors.union(purchases), ["event_type"], {"n": ("event_type", "count")}
+    )
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch dedup
+    partials, bucketed global dedup, then grouped counts — two small
+    shuffle-free-ish phases instead of shipping every row."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+
+    pairs = distinct_rows(
+        read_table(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type", "user_id"],
+        num_buckets=16,
+    )
+    return combine_partials_driver(
+        pairs, ["event_type"], {"n_users": ("user_id", "count")}
+    )
+
+
+def hll_distinct_users(sf_dir: str):
+    """Approximate distinct users via mergeable HyperLogLog sketches
+    (rows-only; accuracy asserted in pytest against the exact count)."""
+    import pandas as pd
+
+    from ocr_agent_ray.functions.sketch import hll_distinct
+
+    est = hll_distinct(
+        read_table(sf_dir, "events", ["user_id"]), "user_id"
+    )
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
+def running_value_per_user(sf_dir: str, *, limit_users: int = 5):
+    """Running (cumulative) sum of event value per user in time order —
+    groupby(user).map_groups with a vectorized cumsum (window function
+    analog; SQL oracle: SUM() OVER (PARTITION BY ... ORDER BY ...))."""
+
+    def _running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.assign(running_value=round_half_away(g["value"].cumsum().to_numpy(), 6))
+        return g[["user_id", "event_id", "ts", "running_value"]]
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    filtered = ds.map_batches(
+        lambda b: b[b["user_id"] < limit_users], batch_format="pandas"
+    )
+    return filtered.groupby("user_id").map_groups(_running, batch_format="pandas")
+
+
 def distinct_segments(sf_dir: str):
     """DISTINCT via per-batch dedup + bucketed global dedup."""
     from ocr_agent_ray.pipelines.agg import distinct_rows
