@@ -81,3 +81,6 @@ class PipelineSettings:
                                        # (cost leveling; units are ~equal
                                        # cost after per-page fan-out)
     fail_fast: bool = False            # reference --fail-fast (cli.py:74-85)
+    fuse_finalize: bool = True         # run post-processing inside the OCR
+                                       # actor (one fewer operator); False
+                                       # keeps a separate finalize stage

@@ -69,27 +69,40 @@ def build_extract_pipeline(
         # uneven bundles and the slowest bundle sets the wall time.
         units = units.repartition(settings.balance_blocks)
 
-    ocred = units.map_batches(
-        OcrStage,
-        fn_constructor_kwargs={"engine_factory": engine_factory,
-                               "fail_fast": settings.fail_fast,
-                               "metrics_dir": out_dir},
+    # autoscaling pool: min must stay below the CPU count or the pool
+    # reserves every core and starves the read/shuffle stages; benches pin
+    # min == max to skip ramp-up. GPU deployment: num_gpus=1, same callable.
+    pool_kwargs = dict(
         batch_format="pyarrow",
         batch_size=settings.ocr_batch_size,
-        # autoscaling pool: min must stay below the CPU count or the pool
-        # reserves every core and starves the read/finalize/shuffle stages;
-        # benches pin min == max to skip ramp-up
         concurrency=(min(settings.ocr_min_actors, settings.ocr_concurrency),
                      settings.ocr_concurrency),
         num_cpus=settings.ocr_num_cpus,
-        # GPU deployment: num_gpus=1 per actor, same callable.
     )
+    if settings.fuse_finalize:
+        from ocr_agent_ray.stages.ocr import OcrFinalizeStage
 
-    final = ocred.map_batches(
-        FinalizeStage(math_style=post.math_delimiter_style, metrics_dir=out_dir),
-        batch_format="pyarrow",
-        batch_size=settings.ocr_batch_size,
-    )
+        final = units.map_batches(
+            OcrFinalizeStage,
+            fn_constructor_kwargs={"engine_factory": engine_factory,
+                                   "fail_fast": settings.fail_fast,
+                                   "metrics_dir": out_dir,
+                                   "math_style": post.math_delimiter_style},
+            **pool_kwargs,
+        )
+    else:
+        ocred = units.map_batches(
+            OcrStage,
+            fn_constructor_kwargs={"engine_factory": engine_factory,
+                                   "fail_fast": settings.fail_fast,
+                                   "metrics_dir": out_dir},
+            **pool_kwargs,
+        )
+        final = ocred.map_batches(
+            FinalizeStage(math_style=post.math_delimiter_style, metrics_dir=out_dir),
+            batch_format="pyarrow",
+            batch_size=settings.ocr_batch_size,
+        )
 
     assembler = PartitionAssembler(out_dir=out_dir)
 

@@ -200,6 +200,29 @@ class DeepSeekOcr2Engine:
         raise NotImplementedError
 
 
+class OcrFinalizeStage:
+    """OCR + finalize fused in one actor callable.
+
+    Post-processing is cheap CPU relative to inference, so running it
+    inside the OCR actor removes an entire operator (its task overhead and
+    block hop) from the hot path; the separate FinalizeStage remains for
+    pipelines that need the intermediate units.
+    """
+
+    def __init__(self, engine_factory=None, fail_fast: bool = False,
+                 metrics_dir: str | None = None, math_style: str = "dollar") -> None:
+        from ocr_agent_ray.stages.postprocess import FinalizeStage
+
+        self.ocr = OcrStage(
+            engine_factory=engine_factory or MockOcrEngine,
+            fail_fast=fail_fast, metrics_dir=metrics_dir,
+        )
+        self.finalize = FinalizeStage(math_style=math_style, metrics_dir=metrics_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.finalize(self.ocr(batch))
+
+
 def _stable_u64(text: str) -> int:
     return int.from_bytes(hashlib.blake2b(text.encode(), digest_size=8).digest(), "big")
 
