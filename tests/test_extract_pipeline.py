@@ -68,6 +68,17 @@ def test_headers_and_pairing(ray_session, corpus, golden):
             assert tups[i + 1][1].strip() != ""  # empty sections dropped
 
 
+@pytest.mark.parametrize("seed", [1, 7, 1234])
+def test_span_equality_other_seeds(ray_session, seed):
+    corpus = generate_documents(60, seed=seed)
+    golden = oracle_extract(corpus.to_pylist(), MockOcrEngine())
+    got = _run(corpus)
+    nonempty = {d: v for d, v in golden.items() if v}
+    assert set(got) == set(nonempty)
+    for did, g in nonempty.items():
+        assert _span_tuples(got[did]) == _span_tuples(g), (seed, did)
+
+
 def test_merged_markdown_parity(ray_session, corpus):
     """Global single-file merge parity vs the oracle (small-fixture only)."""
     docs = corpus.to_pylist()[:40]
