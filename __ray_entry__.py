@@ -48,6 +48,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _html_main_text(sf_dir: str):
+        from ocr_agent_ray.stages.boilerplate import html_main_text
+
+        return html_main_text(sf_dir)
+
     return {
         # --- relational (SURVEY §2.5-2.7 analogs) -------------------------
         "q_status_counts": relational.status_counts,
@@ -92,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
         "q_flagship_span_counts": interleave.flagship_span_counts,
         "q_grounding_detections": interleave.grounding_detection_counts,
+        "q_html_main_text": _html_main_text,  # rows-only (DOM heuristic)
     }
 
 

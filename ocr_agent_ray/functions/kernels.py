@@ -141,6 +141,36 @@ def strip_grounding_tokens(text: str) -> str:
     return _DET_RE.sub(lambda m: m.group(1), text)
 
 
+# --- layout reading order -------------------------------------------------
+
+def layout_reading_order(
+    detections: list[tuple[str, int, int, int, int]], *, row_tolerance: int = 20
+) -> list[int]:
+    """Reading order for grounded layout rectangles: cluster boxes into
+    rows by y1 (within ``row_tolerance`` px of the row's running top),
+    then order left-to-right within a row, rows top-to-bottom — the
+    layout-parse step the north rule pairs with the grounding extractor.
+    Returns indices into ``detections`` in reading order.
+    """
+    if not detections:
+        return []
+    order = sorted(range(len(detections)),
+                   key=lambda i: (detections[i][2], detections[i][1]))
+    rows: list[list[int]] = []
+    row_top: int | None = None
+    for i in order:
+        y1 = detections[i][2]
+        if row_top is None or y1 - row_top > row_tolerance:
+            rows.append([i])
+            row_top = y1
+        else:
+            rows[-1].append(i)
+    out: list[int] = []
+    for row in rows:
+        out.extend(sorted(row, key=lambda i: (detections[i][1], detections[i][2])))
+    return out
+
+
 # --- model-output normalization ------------------------------------------
 
 def normalize_infer_result_to_markdown(infer_result: Any) -> str:
