@@ -70,6 +70,10 @@ def oracle_extract_doc(
         if kind in MEDIA_KINDS and not s["text"]:
             raw = engine.infer_batch([s["media_ref"]], [s["page_index"]])[0]
             markdown = normalize_infer_result_to_markdown(raw)
+        elif kind == "html" and s["text"]:
+            from ocr_agent_ray.stages.boilerplate import extract_main_text
+
+            markdown = extract_main_text(s["text"])
         else:
             markdown = s["text"]
         if markdown.strip() == "":

@@ -16,6 +16,7 @@ import pyarrow as pa
 # (the merge's "## <source>" section headers,
 # /root/reference/src/ocr_agent/markdown_merge.py:139-152).
 KIND_TEXT = "text"
+KIND_HTML = "html"          # raw HTML span: boilerplate-stripped at finalize
 KIND_IMAGE = "image"
 KIND_PDF_PAGE = "pdf_page"
 KIND_HEADER = "header"

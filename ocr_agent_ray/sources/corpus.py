@@ -55,7 +55,17 @@ def _doc_spans(seed: int, doc_index: int, skew: bool) -> list[dict]:
     n_groups = rng.randint(1, 8)
     for g in range(n_groups):
         roll = rng.random()
-        if roll < 0.55:  # text span
+        if roll < 0.08:  # raw HTML span (boilerplate-strip path)
+            from ocr_agent_ray.stages.boilerplate import wrap_text_as_html
+
+            payload = (
+                f"article body {doc_index} group {g} with several words of "
+                f"actual content that survives the density heuristic easily"
+            )
+            spans.append({"kind": "html",
+                          "text": wrap_text_as_html(doc_index, payload),
+                          "media_ref": "", "offset": 0})
+        elif roll < 0.55:  # text span
             t = rng.choice(_TEXT_TEMPLATES)
             x, y = rng.randint(0, 800), rng.randint(0, 800)
             text = t.format(

@@ -77,6 +77,13 @@ class FinalizeStage:
         processed: list[str] = []
         headers: list[str] = []
         for i, t in enumerate(texts):
+            if kinds[i] == "html" and t:
+                # north-rule main-content extraction: strip boilerplate
+                # before markdown post-processing; an all-chrome page
+                # yields "" and falls through to the empty-section drop
+                from ocr_agent_ray.stages.boilerplate import extract_main_text
+
+                t = extract_main_text(t)
             if t is None or t.strip() == "":
                 continue  # section dropped incl. header (markdown_merge.py:30-38)
             keep.append(i)

@@ -64,7 +64,7 @@ def test_headers_and_pairing(ray_session, corpus, golden):
         for i in range(0, len(tups), 2):
             assert tups[i][0] == "header"
             assert tups[i][1].startswith("## ")
-            assert tups[i + 1][0] in ("text", "image", "pdf_page")
+            assert tups[i + 1][0] in ("text", "html", "image", "pdf_page")
             assert tups[i + 1][1].strip() != ""  # empty sections dropped
 
 

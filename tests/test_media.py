@@ -36,7 +36,7 @@ def test_media_pipeline_schema_and_rows(ray_session, units):
     media = t.filter(pa.compute.is_valid(t["media_bytes"]))
     nonmedia = t.filter(pa.compute.is_null(t["media_bytes"]))
     # text rows pass through with null media; media rows carry payloads
-    assert set(nonmedia["kind"].to_pylist()) <= {"text"}
+    assert set(nonmedia["kind"].to_pylist()) <= {"text", "html"}
     assert set(media["kind"].to_pylist()) <= {"image", "pdf_page"}
     for row in media.slice(0, 20).to_pylist():
         assert row["width"] == 768 and row["height"] == 768  # resized
