@@ -30,13 +30,18 @@ CORPUS_DIR = f"/tmp/graft_bench/corpus_{BENCH_DOCS}"
 
 
 def _ensure_corpus() -> None:
-    from ocr_agent_ray.sources.corpus import write_corpus_parquet
+    import shutil
+
+    from ocr_agent_ray.sources.corpus import CORPUS_VERSION, write_corpus_parquet
 
     marker = os.path.join(CORPUS_DIR, "_DONE")
-    if not os.path.exists(marker):
-        write_corpus_parquet(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42,
-                             rows_per_file=500)
-        open(marker, "w").write("ok")
+    tag = f"v{CORPUS_VERSION}"
+    if os.path.exists(marker) and open(marker).read() == tag:
+        return
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    write_corpus_parquet(CORPUS_DIR, num_docs=BENCH_DOCS, seed=42,
+                         rows_per_file=500)
+    open(marker, "w").write(tag)
 
 
 OCR_WORK_MS = float(os.environ.get("GRAFT_OCR_WORK_MS", "3.0"))

@@ -48,6 +48,9 @@ _TEXT_TEMPLATES = [
 
 _IMAGE_EXTS = [".png", ".jpg", ".jpeg", ".webp", ".bmp", ".tif", ".tiff"]
 
+# bump when _doc_spans content changes: benchmark corpus caches key on this
+CORPUS_VERSION = 2
+
 
 def _doc_spans(seed: int, doc_index: int, skew: bool) -> list[dict]:
     rng = random.Random(f"corpus:{seed}:{doc_index}")
