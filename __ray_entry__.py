@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_balance_by_nation": relational.customer_balance_by_nation,
         "q_top_orders_by_revenue": relational.top_orders_by_revenue,
         "q_distinct_segments": relational.distinct_segments,
+        "q_customer_nation_native_join": relational.customer_nation_native_join,
         "q_part_price_stats": relational.part_price_stats,
         "q_orders_in_range_by_priority": relational.orders_in_range_by_priority,
         "q_top_orders_per_priority": relational.top_orders_per_priority,
@@ -152,6 +153,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
         "q_distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "q_customer_nation_native_join": (
+            "SELECT c_custkey, c_name, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
         "q_part_price_stats": (
             "SELECT p_brand, ROUND(MIN(p_retailprice), 2) AS min_price, "
             "ROUND(MAX(p_retailprice), 2) AS max_price, COUNT(*) AS n_parts "

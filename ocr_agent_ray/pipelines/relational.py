@@ -347,6 +347,18 @@ def running_value_per_user(sf_dir: str, *, limit_users: int = 5):
     return filtered.groupby("user_id").map_groups(_running, batch_format="pandas")
 
 
+def customer_nation_native_join(sf_dir: str):
+    """Ray's built-in hash-shuffle ``Dataset.join`` (API coverage alongside
+    the explicit broadcast/bucket variants in pipelines/joins.py)."""
+    c = read_table(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    n = read_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = c.join(n, "inner", num_partitions=4,
+               on=("c_nationkey",), right_on=("n_nationkey",))
+    return j.map_batches(
+        lambda b: b[["c_custkey", "c_name", "n_name"]], batch_format="pandas"
+    )
+
+
 def distinct_segments(sf_dir: str):
     """DISTINCT via per-batch dedup + bucketed global dedup."""
     from ocr_agent_ray.pipelines.agg import distinct_rows
