@@ -104,9 +104,15 @@ QUERY_NAMES = [
     "q_tumbling_windows",
     "q_quality_scores",
     "q_exact_dedup",
+    "q_dedup_keep_first",
     "q_minhash_pairs",
+    "q_simhash_pairs",
     "q_knn_bruteforce",
+    "q_knn_lsh",
     "q_embedding_near_dup",
+    "q_latest_order_asof",
+    "q_html_main_text",
+    "q_language_id",
 ]
 
 
