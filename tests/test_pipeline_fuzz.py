@@ -29,6 +29,8 @@ _TEXT_FRAGMENTS = st.sampled_from([
     "multi\nline\ntext", "$dollar$ \\( mix \\)",
     "<html><body><nav><a href='/'>x</a></nav><p>actual html content body "
     "with plenty of words to keep</p></body></html>",
+    "unicode: héllo wörld — \u4f60\u597d\u4e16\u754c \U0001f600 \\( \u03b1+\u03b2 \\)",
+    "\u65e5\u672c\u8a9e\u306e\u30c6\u30ad\u30b9\u30c8\n```\n\u30b3\u30fc\u30c9 \\( x \\)\n```",
 ])
 
 
