@@ -92,11 +92,20 @@ class RasterizeStage:
     constructed once per actor. Non-pdf rows pass through with null bytes.
     """
 
-    def __init__(self, codec_factory=DeterministicFakeCodec, dpi: int = 200) -> None:
+    def __init__(self, codec_factory=DeterministicFakeCodec, dpi: int = 200,
+                 metrics_dir: str | None = None) -> None:
         self.codec = codec_factory()
         self.dpi = dpi
+        self.spool = None
+        if metrics_dir:
+            from ocr_agent_ray.state.checkpoint import MetricsSpool
+
+            self.spool = MetricsSpool(metrics_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic()
         kinds = batch["kind"].to_pylist()
         refs = batch["media_ref"].to_pylist()
         pages = batch["page_index"].to_pylist()
@@ -110,11 +119,19 @@ class RasterizeStage:
                 )
             elif k == "image":
                 payloads[i], widths[i], heights[i] = self.codec.decode_image(r)
-        return (
+        out = (
             batch.append_column("media_bytes", pa.array(payloads, pa.binary()))
             .append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
         )
+        if self.spool is not None and "partition_id" in batch.column_names:
+            wall_ms = int((_time.monotonic() - t0) * 1000)
+            self.spool.append(
+                "rasterize",
+                self.spool.rows_for("rasterize",
+                                    batch["partition_id"].to_pylist(), wall_ms),
+            )
+        return out
 
 
 class ResizeStage:
