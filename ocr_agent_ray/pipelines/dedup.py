@@ -24,7 +24,6 @@ import ray.data as rd
 
 from ocr_agent_ray.functions.hashing import (
     char_shingle_set,
-    hamming64,
     jaccard,
     lsh_band_keys,
     minhash_signature,

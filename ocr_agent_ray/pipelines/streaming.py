@@ -10,7 +10,6 @@ pre-aggregate pattern (partials per batch, then a small groupby).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 import ray.data as rd
