@@ -91,10 +91,21 @@ def cmd_run(args) -> int:
         fail_fast=args.fail_fast,
     )
     post = PostProcessSettings(math_delimiter_style=args.math_style)
+    if args.engine == "metadata":
+        # reads fixture-PNG tEXt metadata; media_ref must be a file path
+        from ocr_agent_ray.stages.ocr import MetadataOcrEngine
+
+        engine_factory = MetadataOcrEngine
+    elif args.engine == "deepseek":
+        from ocr_agent_ray.stages.ocr import DeepSeekOcr2Engine
+
+        engine_factory = DeepSeekOcr2Engine  # raises: needs GPU + weights
+    else:
+        engine_factory = functools.partial(MockOcrEngine, work_ms=args.ocr_work_ms)
     summary = run_extract_checkpointed(
         read_documents(args.input),
         args.out,
-        engine_factory=functools.partial(MockOcrEngine, work_ms=args.ocr_work_ms),
+        engine_factory=engine_factory,
         settings=settings,
         post=post,
     )
@@ -165,6 +176,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--num-cpus", type=int, default=None)
     r.add_argument("--ocr-concurrency", type=int, default=8)
     r.add_argument("--ocr-work-ms", type=float, default=0.0)
+    r.add_argument("--engine", default="mock",
+                   choices=["mock", "metadata", "deepseek"])
     r.add_argument("--num-partitions", type=int, default=32)
     r.add_argument("--math-style", default="dollar", choices=["dollar", "latex"])
     r.add_argument("--fail-fast", action="store_true")
