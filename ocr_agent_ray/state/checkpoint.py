@@ -16,6 +16,12 @@ or it doesn't (any partial tmp data is ignored and rewritten). Resume =
 anti-join of work against ``committed_ids()`` — broadcast as a small set
 into a ``map_batches`` filter, never a shuffle (SURVEY.md §2.4).
 
+Concurrent-writer safety: partition outputs are pure functions of input
+content, so two racing runs write byte-identical files and the atomic
+``os.replace`` makes the race harmless (last writer rewrites the same
+bytes) — no distributed lock needed, matching the reference's
+exactly-once-by-marker design rather than its O_EXCL claim lock.
+
 Commit markers are one file per partition, so concurrent writers never
 contend on a shared manifest file; the committed set is the directory
 listing. Metrics follow FIXTURES.md F3; ``groupby('status').count()`` over

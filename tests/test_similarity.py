@@ -44,8 +44,9 @@ def test_knn_lsh_recall(ray_session, oracle_knn):
         want = {v for v, _ in expected}
         hits += len(got & want)
         total += len(want)
-    # approximate: expect meaningful recall, not exactness
-    assert hits / total >= 0.2
+    # measured ~0.75 on this corpus (random gaussian vectors — the hard
+    # case); assert a safe floor well above chance
+    assert hits / total >= 0.5
     # every returned neighbor's cosine must be exact (verification is exact)
     bf = knn_bruteforce(SF, k=500).to_pandas()  # superset scores
     merged = out.merge(bf, on=["query_id", "vec_id"], suffixes=("_lsh", "_bf"))

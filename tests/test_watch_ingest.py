@@ -44,6 +44,25 @@ def test_incremental_ingest_exactly_once(ray_session, corpus_dir, tmp_path):
     assert r3["ingested"] == ["shard-002"]
     assert read_ingested_output(out).count() > n1
 
+    # combined committed output matches the sequential oracle exactly
+    from ocr_agent_ray.oracle import oracle_extract
+    from ocr_agent_ray.stages.ocr import MockOcrEngine
+
+    all_docs = (
+        generate_documents(20, seed=1, start=0).to_pylist()
+        + generate_documents(20, seed=1, start=20).to_pylist()
+        + generate_documents(10, seed=1, start=40).to_pylist()
+    )
+    golden = oracle_extract(all_docs, MockOcrEngine())
+    got = {r["doc_id"]: r["spans"]
+           for r in read_ingested_output(out).take_all()}
+    nonempty = {d: v for d, v in golden.items() if v}
+    assert set(got) == set(nonempty)
+    for did, g in nonempty.items():
+        assert [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in got[did]] == \
+               [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g]
+
 
 def test_failed_shard_is_parked(ray_session, corpus_dir, tmp_path):
     out = str(tmp_path / "out2")
