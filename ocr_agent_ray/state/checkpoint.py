@@ -150,14 +150,18 @@ class MetricsSpool:
 
     def __init__(self, out_dir: str) -> None:
         self.dir = os.path.join(out_dir, "metrics")
-        self._seq = 0
 
     def append(self, stage: str, rows: list[dict]) -> None:
         if not rows:
             return
+        import uuid
+
         os.makedirs(self.dir, exist_ok=True)
-        self._seq += 1
-        name = f"spool-{stage}-{os.getpid()}-{self._seq:06d}.json"
+        # pid alone is NOT unique: task-pool stages deserialize the UDF
+        # instance per task, so an instance counter restarts inside one
+        # worker process and same-named files would silently overwrite —
+        # a random suffix makes every spool file unique
+        name = f"spool-{stage}-{os.getpid()}-{uuid.uuid4().hex[:12]}.json"
         _atomic_write_json(os.path.join(self.dir, name), rows)
 
     def rows_for(self, stage: str, batch_partition_ids, wall_ms: int,
