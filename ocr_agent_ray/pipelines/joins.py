@@ -205,10 +205,11 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
     both = lt.union(rt)
 
     def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # empty sides flow through merge_asof so every bucket's output
+        # keeps identical column dtypes (a hand-built empty frame would
+        # come back all-object and break cross-bucket schema unification)
         lhs = g.loc[g["__side"] == "l", left_cols].sort_values(left_ts, kind="mergesort")
         rhs = g.loc[g["__side"] == "r", right_cols].sort_values(right_ts, kind="mergesort")
-        if lhs.empty:
-            return pd.DataFrame(columns=all_cols)
         return pd.merge_asof(
             lhs, rhs, left_on=left_ts, right_on=right_ts, by=on,
             direction="backward",

@@ -54,6 +54,10 @@ def knn_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 8):
     ref = ray.put((qids, qmat))
 
     def _partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         q_ids, q = ray.get(ref)
         ids = batch["vec_id"].to_numpy()
         unit = _unit(np.stack(batch["embedding"].to_numpy()))
@@ -120,6 +124,10 @@ def knn_lsh(sf_dir: str, *, k: int = 5, num_queries: int = 8,
     ref = ray.put((qids, qmat, planes, qsig))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
         q_ids, q, pl, qs = ray.get(ref)
         ids = batch["vec_id"].to_numpy()
         unit = _unit(np.stack(batch["embedding"].to_numpy()))
