@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return html_main_text(sf_dir)
 
+    relational_hash_sample = relational.hash_sample_documents
+
     return {
         # --- relational (SURVEY §2.5-2.7 analogs) -------------------------
         "q_status_counts": relational.status_counts,
@@ -87,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
+        "q_duplicate_clusters": lambda sf: dedup.duplicate_clusters(
+            dedup.minhash_lsh_dedup(_docs(sf))
+        ),  # rows-only (iterative algorithm)
+        "q_hash_sample": relational_hash_sample,
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
@@ -156,6 +162,10 @@ def oracle_sql() -> dict[str, str]:
         "q_customer_nation_native_join": (
             "SELECT c_custkey, c_name, n_name FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "q_hash_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE md5(CAST(doc_id AS VARCHAR)) < '2'"
         ),
         "q_part_price_stats": (
             "SELECT p_brand, ROUND(MIN(p_retailprice), 2) AS min_price, "

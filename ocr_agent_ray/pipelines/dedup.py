@@ -269,6 +269,49 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
     return ds.groupby(block_col).map_groups(_block_pairs, batch_format="pandas")
 
 
+def duplicate_clusters(pairs_ds, *, max_rounds: int = 10):
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = the component's minimum doc_id.
+
+    Min-label propagation: each round joins every node's current label
+    with its neighbors' and takes the min; converges in O(diameter)
+    rounds, and duplicate chains are short in practice (max_rounds=10 is
+    generous; stops early when nothing changes). The pair set is the
+    (small) LSH output so the rounds run driver-side in pandas; at a scale
+    where pairs don't fit the driver, each round becomes the same
+    edge⋈label bucket join + groupby-min over Datasets.
+    """
+    import pandas as pd
+
+    edges = pairs_ds.map_batches(
+        lambda b: pd.concat([
+            pd.DataFrame({"src": b["doc_id_a"], "dst": b["doc_id_b"]}),
+            pd.DataFrame({"src": b["doc_id_b"], "dst": b["doc_id_a"]}),
+        ], ignore_index=True),
+        batch_format="pandas",
+    ).materialize()
+
+    # labels start as self; kept driver-side as a (small) pair table —
+    # components only span docs that appear in pairs
+    edf = edges.to_pandas()
+    if edf.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_id": pd.Series(dtype="int64")})
+    labels = pd.DataFrame({"node": pd.unique(edf[["src", "dst"]].values.ravel())})
+    labels["label"] = labels["node"]
+    for _ in range(max_rounds):
+        # neighbor labels: join edges to labels on src, min per dst
+        nbr = edf.merge(labels.rename(columns={"node": "src"}), on="src")
+        nbr = nbr.groupby("dst", as_index=False)["label"].min()
+        merged = labels.merge(nbr.rename(columns={"dst": "node"}),
+                              on="node", how="left", suffixes=("", "_nbr"))
+        new = merged[["label", "label_nbr"]].min(axis=1)
+        if (new == labels["label"]).all():
+            break
+        labels["label"] = new
+    return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup pairs (LSH-free small-scale variant):

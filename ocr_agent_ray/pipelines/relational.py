@@ -358,6 +358,24 @@ def customer_nation_native_join(sf_dir: str):
     )
 
 
+def hash_sample_documents(sf_dir: str):
+    """Deterministic content-hash sampling (~1/8 of rows): keep docs whose
+    md5(doc_id-as-string) hex starts below '2'. Unlike seeded RNG
+    sampling, the sample is a pure function of the data — reproducible
+    across engines, which is what makes an exact SQL oracle possible."""
+    import hashlib
+
+    def _sample(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = batch["doc_id"].map(
+            lambda i: hashlib.md5(str(i).encode()).hexdigest() < "2"
+        )
+        return batch[keep][["doc_id", "source"]]
+
+    return read_table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        _sample, batch_format="pandas"
+    )
+
+
 def distinct_segments(sf_dir: str):
     """DISTINCT via per-batch dedup + bucketed global dedup."""
     from ocr_agent_ray.pipelines.agg import distinct_rows
