@@ -134,6 +134,19 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_reset(args) -> int:
+    """Un-commit partitions so the next run redoes them — the reference's
+    queue `reset` for stale failed work (README.md:75-79)."""
+    from ocr_agent_ray.state.checkpoint import CheckpointStore
+
+    store = CheckpointStore(args.out)
+    pids = (sorted(store.committed_ids()) if args.all
+            else [int(p) for p in args.partitions])
+    done = [p for p in pids if store.reset_partition(p)]
+    print(json.dumps({"reset_partitions": done}))
+    return 0
+
+
 def cmd_merge(args) -> int:
     _ray_init(args.num_cpus)
     from ocr_agent_ray.state.checkpoint import CheckpointStore
@@ -187,6 +200,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--total-partitions", type=int, default=32)
     s.set_defaults(fn=cmd_status)
+
+    x = sub.add_parser("reset")
+    x.add_argument("--out", required=True)
+    x.add_argument("partitions", nargs="*", default=[])
+    x.add_argument("--all", action="store_true")
+    x.set_defaults(fn=cmd_reset)
 
     m = sub.add_parser("merge")
     m.add_argument("--out", required=True)

@@ -90,6 +90,26 @@ class CheckpointStore:
         )
         return final
 
+    def reset_partition(self, partition_id: int) -> bool:
+        """Un-commit one partition so the next run reprocesses it — the
+        analog of the reference's queue `reset` for stale failed rows
+        (README.md:75-79). Removes the manifest marker FIRST (the commit
+        point), then best-effort cleans data/metrics; returns whether the
+        partition had been committed."""
+        marker = os.path.join(self.manifest_dir, f"part-{partition_id:05d}.json")
+        existed = os.path.exists(marker)
+        if existed:
+            os.remove(marker)
+        for p in (
+            self.data_path(partition_id),
+            os.path.join(self.metrics_dir, f"part-{partition_id:05d}.json"),
+        ):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return existed
+
     # --- read / resume path ----------------------------------------------
 
     def committed_ids(self) -> set[int]:

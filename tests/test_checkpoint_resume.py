@@ -80,6 +80,29 @@ def test_resume_skips_committed_partitions(ray_session, tmp_path):
     assert summary2["docs_assembled_this_run"] == 0
 
 
+def test_reset_partition_reprocesses(ray_session, tmp_path):
+    """The reference's `reset` semantics: un-commit -> next run redoes
+    exactly that partition, others untouched."""
+    corpus = generate_documents(80, seed=13)
+    out_dir = str(tmp_path / "ckpt_reset")
+    run_extract_checkpointed(rd.from_arrow(corpus), out_dir, settings=SETTINGS)
+    store = CheckpointStore(out_dir)
+    all_ids = store.committed_ids()
+    victim = sorted(all_ids)[0]
+    before = {p: os.path.getmtime(store.data_path(p)) for p in all_ids}
+
+    assert store.reset_partition(victim) is True
+    assert store.reset_partition(victim) is False  # idempotent
+    assert victim not in store.committed_ids()
+
+    summary = run_extract_checkpointed(rd.from_arrow(corpus), out_dir,
+                                       settings=SETTINGS)
+    assert summary["partitions_processed"] == 1
+    assert store.committed_ids() == all_ids
+    for p in all_ids - {victim}:
+        assert os.path.getmtime(store.data_path(p)) == before[p]
+
+
 def test_manifest_contents(ray_session, tmp_path):
     corpus = generate_documents(40, seed=7)
     out_dir = str(tmp_path / "ckpt2")
