@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
+        "q_bpe_token_counts": text.bpe_token_counts_per_doc,
         "q_fingerprints": text.fingerprints,
         "q_language_id": text.language_id,          # rows-only
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
@@ -98,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
             _emb(sf), threshold=0.3
         ),
+        "q_embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(
+            _emb(sf), threshold=0.3
+        ),  # rows-only (LSH-blocked scale path; recall-tested in pytest)
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
@@ -251,6 +255,11 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count_by_source": (
             "SELECT source, CAST(SUM(LEN(regexp_extract_all(text, '[0-9A-Za-z_]+'))) "
             "AS BIGINT) AS n_tokens FROM documents GROUP BY source"
+        ),
+        "q_bpe_token_counts": (
+            "SELECT doc_id, LEN(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[0-9A-Za-z]+| ?[^\\s0-9A-Za-z]+')) "
+            "AS n_bpe_tokens FROM documents"
         ),
         "q_fingerprints": (
             f"SELECT doc_id, {_FP} AS fingerprint FROM documents"

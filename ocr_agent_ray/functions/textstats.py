@@ -18,6 +18,11 @@ import pandas as pd
 
 TOKEN_RE = r"[0-9A-Za-z_]+"
 
+# BPE-ish pre-tokenizer: GPT-2-style contraction/word/punct splitting,
+# simplified to RE2-compatible alternation (no lookaheads) so the DuckDB
+# oracle tokenizes identically. Alternation order is load-bearing.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[0-9A-Za-z]+| ?[^\s0-9A-Za-z]+"
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
 # per-language marker words for the n-gram/marker language heuristic
@@ -46,6 +51,12 @@ def round_half_away(x: np.ndarray | float, digits: int = 6):
 
 def token_counts(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.count(TOKEN_RE).astype("int64")
+
+
+def bpe_token_counts(texts: pd.Series) -> pd.Series:
+    """Token counts under the BPE-ish pre-tokenizer (the brief's
+    'whitespace + a BPE-ish regex' counting)."""
+    return texts.fillna("").str.count(BPE_TOKEN_RE).astype("int64")
 
 
 def stopword_ratios(texts: pd.Series) -> pd.Series:

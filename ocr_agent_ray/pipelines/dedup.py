@@ -312,6 +312,72 @@ def duplicate_clusters(pairs_ds, *, max_rounds: int = 10):
     return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
 
 
+def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id",
+                           vec_col: str = "embedding", num_tables: int = 8,
+                           probe_bits: int = 8):
+    """Near-dup pairs by embedding cosine WITHOUT a blocking column — the
+    scale path: random-hyperplane LSH buckets are the blocking key
+    (vectors this similar collide in some table with high probability),
+    then candidates are verified with exact double-precision cosine
+    against a broadcast id→vector map (bucket joins at driver-breaking
+    scale, as with MinHash verification)."""
+    import ray
+
+    from ocr_agent_ray.functions.hashing import splitmix64
+
+    rng = np.random.default_rng(97531)
+
+    def _bands_factory(dim: int):
+        planes = rng.standard_normal((num_tables * probe_bits, dim))
+
+        def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                     "band_key": pd.Series(dtype="int64")})
+            ids = batch[id_col].to_numpy()
+            mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            sig = (mat @ planes.T) > 0  # (n, tables*bits)
+            rows_id, rows_key = [], []
+            weights = (1 << np.arange(probe_bits, dtype=np.uint64))
+            for t in range(num_tables):
+                chunk = sig[:, t * probe_bits:(t + 1) * probe_bits]
+                keys = (chunk.astype(np.uint64) * weights).sum(axis=1)
+                keys = splitmix64(keys ^ np.uint64(t * 0x9E37))
+                rows_id.extend(ids.tolist())
+                rows_key.extend((keys & np.uint64(0x7FFFFFFFFFFFFFFF)).tolist())
+            return pd.DataFrame({id_col: rows_id,
+                                 "band_key": np.array(rows_key, dtype=np.int64)})
+
+        return _bands
+
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pandas")))
+    dim = len(first[vec_col].iloc[0])
+    cands = _bucketed_band_pairs(
+        ds.map_batches(_bands_factory(dim), batch_format="pandas"), id_col
+    )
+
+    vectors: dict = {}
+    for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
+        for vid, v in zip(batch[id_col], batch[vec_col]):
+            vec = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(vec)
+            vectors[vid] = vec / n if n else vec
+    ref = ray.put(vectors)
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        vs = ray.get(ref)
+        cos = [float(vs[a] @ vs[b])
+               for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
+        out = pd.DataFrame({
+            "vec_id_a": batch["doc_id_a"],
+            "vec_id_b": batch["doc_id_b"],
+            "cosine": np.round(cos, 6),
+        })
+        return out[out["cosine"] >= threshold]
+
+    return cands.map_batches(_verify, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup pairs (LSH-free small-scale variant):

@@ -57,6 +57,20 @@ def token_count_total(sf_dir: str):
     )
 
 
+def bpe_token_counts_per_doc(sf_dir: str):
+    """Per-doc BPE-ish token counts (SQL oracle uses the identical
+    RE2-compatible pattern)."""
+    from ocr_agent_ray.functions.textstats import bpe_token_counts
+
+    def _count(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": bpe_token_counts(batch["text"]),
+        })
+
+    return _read_documents(sf_dir).map_batches(_count, batch_format="pandas")
+
+
 def language_id(sf_dir: str):
     """Heuristic language-ID per doc (marker words + char trigrams).
 
