@@ -247,19 +247,27 @@ def part_price_stats(sf_dir: str):
 
 
 def orders_in_range_by_priority(sf_dir: str):
-    """Date-range predicate pushdown + grouped count (filter at the read)."""
+    """Date-range predicate PUSHED INTO the read (pyarrow dataset
+    expression → row-group pruning at the source — rows outside the range
+    never leave storage), then grouped count via driver combine."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
     from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
-        lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
-        return batch[(batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)]
-
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        override_num_blocks=8,
+    )
     return combine_partials_driver(
-        read_table(sf_dir, "orders", ["o_orderpriority", "o_orderdate"]).map_batches(
-            _filter, batch_format="pandas"
-        ),
-        ["o_orderpriority"],
-        {"n_orders": ("o_orderpriority", "count")},
+        ds, ["o_orderpriority"], {"n_orders": ("o_orderpriority", "count")}
     )
 
 
