@@ -85,8 +85,12 @@ class PartitionAssembler:
         self.store = CheckpointStore(out_dir) if out_dir else None
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from ocr_agent_ray.schema import validate_schema
+
         t0 = time.monotonic()
         assembled = assemble_group(group)
+        # declared-schema discipline: validate at the commit boundary
+        validate_schema(assembled, ASSEMBLED_SCHEMA, "PartitionAssembler")
         if self.store is not None and len(group) > 0:
             pid = int(group["partition_id"][0].as_py())
             wall_ms = int((time.monotonic() - t0) * 1000)
