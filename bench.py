@@ -167,6 +167,15 @@ def main() -> None:
         "docs": flagship["docs"],
         "docs_per_sec": round(flagship["docs_per_sec"], 1),
         "units_per_sec": round(flagship["units_per_sec"], 1),
+        "config": {
+            "bench_docs": BENCH_DOCS,
+            "ocr_work_ms": OCR_WORK_MS,
+            "ocr_actors": max(2, NUM_CPUS - 2),
+            "ocr_batch_size": 128,
+            "balance_blocks": NUM_CPUS * 4,
+            "num_partitions": max(32, NUM_CPUS * 4),
+            "fuse_finalize": True,
+        },
     }
     ray.shutdown()
     print(json.dumps(out))

@@ -243,9 +243,20 @@ class OcrStage:
     """
 
     def __init__(self, engine_factory=MockOcrEngine, fail_fast: bool = False,
-                 metrics_dir: str | None = None) -> None:
+                 metrics_dir: str | None = None,
+                 max_error_fraction: float = 0.5,
+                 min_rows_for_error_cap: int = 64) -> None:
         self.engine = engine_factory()  # once per actor
         self.fail_fast = fail_fast
+        # systemic-failure guard (the max_errored_blocks-style cap of
+        # SURVEY §4): per-row poison pills are tolerated, but once more
+        # than max_error_fraction of this actor's attempted media rows have
+        # failed (after a minimum sample), the engine is considered broken
+        # and the run aborts instead of silently emitting an empty corpus
+        self.max_error_fraction = max_error_fraction
+        self.min_rows_for_error_cap = min_rows_for_error_cap
+        self._attempted = 0
+        self._failed = 0
         self.spool = None
         if metrics_dir:
             from ocr_agent_ray.state.checkpoint import MetricsSpool
@@ -281,6 +292,17 @@ class OcrStage:
                             raise
                         texts[i] = ""
                         errors[i] = str(exc)
+                        self._failed += 1
+            self._attempted += len(todo)
+            if (self._attempted >= self.min_rows_for_error_cap
+                    and self._failed > self.max_error_fraction * self._attempted):
+                sample = next((e for e in reversed(errors) if e), "")
+                raise RuntimeError(
+                    f"OCR engine failing systemically: {self._failed}/"
+                    f"{self._attempted} media rows errored in degraded "
+                    f"batches (cap {self.max_error_fraction:.0%}); "
+                    f"sample: {sample!r}"
+                )
 
         out = batch.set_column(
             batch.schema.get_field_index("text"), "text", pa.array(texts, pa.string())

@@ -63,6 +63,21 @@ def test_ocr_stage_fail_fast_raises():
         OcrStage(engine_factory=_RowFailEngine, fail_fast=True)(batch)
 
 
+def test_systemic_failure_cap_aborts():
+    class _AllFailEngine:
+        def infer_batch(self, refs, pages):
+            raise RuntimeError("dead engine")
+
+    batch = _units_batch()
+    stage = OcrStage(engine_factory=_AllFailEngine, min_rows_for_error_cap=10)
+    with pytest.raises(RuntimeError, match="failing systemically"):
+        stage(batch)
+    # sparse failures stay below the cap and flow through as poison pills
+    sparse = OcrStage(engine_factory=_RowFailEngine, min_rows_for_error_cap=10)
+    out = sparse(batch)
+    assert any(out["error_message"].to_pylist())
+
+
 def test_latex_style_end_to_end(ray_session):
     """math_style='latex' disables conversion through the whole pipeline
     (reference config.py:110-122 toggle)."""
