@@ -116,7 +116,20 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__bucket").drop_duplicates(["band_key", id_col])
-        sizes = g["band_key"].map(g["band_key"].value_counts())
+        counts = g["band_key"].value_counts()
+        hot = counts[counts > MAX_BUCKET]
+        if len(hot):
+            # no silent caps: a band this hot means degenerate/boilerplate
+            # text; its pairs are skipped here (exact_dedup still catches
+            # identical texts) and the skip is logged with its size
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dropping %d hot LSH band(s) (max member count %d > cap %d); "
+                "run exact_dedup for degenerate duplicates",
+                len(hot), int(hot.max()), MAX_BUCKET,
+            )
+        sizes = g["band_key"].map(counts)
         g = g[(sizes >= 2) & (sizes <= MAX_BUCKET)]
         if g.empty:
             return pd.DataFrame(columns=_PAIR_COLS + extra_cols)

@@ -84,6 +84,16 @@ def test_simhash_finds_planted_pairs(ray_session, planted):
         assert hamming64(simhash64(texts[a]), simhash64(texts[b])) == h <= 6
 
 
+def test_degenerate_corpus_hot_bucket_cap(ray_session):
+    """300 identical docs overflow the LSH bucket cap (pairs skipped, not
+    O(n^2)-exploded); exact dedup still collapses them to one keeper."""
+    df = pd.DataFrame({"doc_id": range(300), "text": [BASE] * 300})
+    pairs = minhash_lsh_dedup(rd.from_pandas(df)).to_pandas()
+    assert len(pairs) <= 300 * 16  # far below the 44,850 full pair count
+    kept = exact_dedup(rd.from_pandas(df)).to_pandas()
+    assert list(kept["doc_id"]) == [0]
+
+
 def test_embedding_near_dup_matches_bruteforce(ray_session):
     rng = np.random.default_rng(3)
     base = rng.standard_normal((20, 16)).astype(np.float32)
