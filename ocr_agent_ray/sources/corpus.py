@@ -120,7 +120,12 @@ def write_corpus_parquet(path: str, num_docs: int, seed: int = 42,
     for start in range(0, num_docs, rows_per_file):
         n = min(rows_per_file, num_docs - start)
         fp = os.path.join(path, f"docs-{start:09d}.parquet")
-        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start), fp)
+        # tmp+rename: a shard is only visible once complete — the watch
+        # protocol's `.ready` contract (a half-written .parquet must never
+        # be listed by sources/watch.py)
+        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start),
+                       fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
         files.append(fp)
     return files
 
@@ -139,7 +144,9 @@ def write_corpus_parquet_ray(path: str, num_docs: int, seed: int = 42,
     @ray.remote
     def _write(start: int, n: int) -> str:
         fp = os.path.join(path, f"docs-{start:09d}.parquet")
-        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start), fp)
+        pq.write_table(generate_documents(n, seed=seed, skew=skew, start=start),
+                       fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
         return fp
 
     refs = [

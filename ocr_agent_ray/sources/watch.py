@@ -16,6 +16,10 @@ leaves no marker, so the shard is simply reprocessed (idempotent —
 outputs are a pure function of shard content). Failed shards are parked
 with a .failed marker and skipped until it is removed, mirroring
 watch_folder.rs:189-195 (no automatic retry).
+
+Producer contract (the `.ready` watermark analog): shards must be written
+tmp+rename so a listed ``*.parquet`` file is always complete — the corpus
+writers in sources/corpus.py follow this.
 """
 
 from __future__ import annotations
