@@ -13,21 +13,57 @@ golden-tested against sequential oracles in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+# the ocr_agent_ray package lives next to this file; make it importable
+# even when the driver loads this module by path from another cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
 SF0001 = "/root/testdata/sf0.001"
+
+
+def _register_package_by_value() -> None:
+    """Ray workers deserialize our stage classes by importing
+    ``ocr_agent_ray`` — which fails (as a silent actor-restart hang) when
+    the driver's cwd isn't the repo root, because workers don't inherit
+    the driver's sys.path mutations. Registering the package for
+    cloudpickle by-value serialization removes the import requirement
+    entirely; skipped when workers can resolve the package anyway."""
+    if os.getcwd() == _HERE:
+        return  # workers inherit cwd -> normal by-reference imports work
+    try:
+        # Ray serializes with its VENDORED cloudpickle — register there
+        from ray import cloudpickle
+
+        import ocr_agent_ray  # noqa: F401  (ensure the tree is loaded)
+        import ocr_agent_ray.pipelines.extract  # noqa: F401 (pulls stages)
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("ocr_agent_ray") and mod is not None:
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+    except Exception:
+        pass
 
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: flat docs → interleaved spans →
     fan-out → (mock) OCR actor pool → post-process → per-doc assembly."""
+    _register_package_by_value()
     from ocr_agent_ray.pipelines.interleave import flagship_extract
 
     return flagship_extract(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    _register_package_by_value()
     from ocr_agent_ray.pipelines import (
         dedup,
         interleave,

@@ -16,6 +16,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from ocr_agent_ray.functions.hashing import rolling_hashes
+
 TOKEN_RE = r"[0-9A-Za-z_]+"
 
 # BPE-ish pre-tokenizer: GPT-2-style contraction/word/punct splitting,
@@ -132,8 +134,6 @@ def rolling_fingerprint(text: str, window: int = 16, mod_select: int = 8) -> lis
     """Winnowing-style document fingerprint: polynomial rolling hashes over
     byte windows, keeping hashes ≡ 0 (mod mod_select). Not SQL-expressible;
     golden-tested in pytest."""
-    from ocr_agent_ray.functions.hashing import rolling_hashes
-
     h = rolling_hashes(text, window)
     if h.size == 0:
         return []

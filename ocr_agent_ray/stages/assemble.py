@@ -18,7 +18,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from ocr_agent_ray.schema import ASSEMBLED_SCHEMA, SPAN_STRUCT
+from ocr_agent_ray.schema import ASSEMBLED_SCHEMA, SPAN_STRUCT, validate_schema
 from ocr_agent_ray.state.checkpoint import CheckpointStore
 
 
@@ -85,8 +85,6 @@ class PartitionAssembler:
         self.store = CheckpointStore(out_dir) if out_dir else None
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from ocr_agent_ray.schema import validate_schema
-
         t0 = time.monotonic()
         assembled = assemble_group(group)
         # declared-schema discipline: validate at the commit boundary

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ocr_agent_ray.functions.scalars import dots_per_inch_to_scale
+from ocr_agent_ray.state.checkpoint import MetricsSpool
 
 MEDIA_SCHEMA_FIELDS = [
     pa.field("media_ref", pa.string()),
@@ -96,11 +97,7 @@ class RasterizeStage:
                  metrics_dir: str | None = None) -> None:
         self.codec = codec_factory()
         self.dpi = dpi
-        self.spool = None
-        if metrics_dir:
-            from ocr_agent_ray.state.checkpoint import MetricsSpool
-
-            self.spool = MetricsSpool(metrics_dir)
+        self.spool = MetricsSpool(metrics_dir) if metrics_dir else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time

@@ -22,6 +22,8 @@ import pyarrow as pa
 
 from ocr_agent_ray.functions.kernels import normalize_infer_result_to_markdown
 from ocr_agent_ray.schema import MEDIA_KINDS
+from ocr_agent_ray.stages.postprocess import FinalizeStage
+from ocr_agent_ray.state.checkpoint import MetricsSpool
 
 
 class OcrEngine(Protocol):
@@ -211,8 +213,6 @@ class OcrFinalizeStage:
 
     def __init__(self, engine_factory=None, fail_fast: bool = False,
                  metrics_dir: str | None = None, math_style: str = "dollar") -> None:
-        from ocr_agent_ray.stages.postprocess import FinalizeStage
-
         self.ocr = OcrStage(
             engine_factory=engine_factory or MockOcrEngine,
             fail_fast=fail_fast, metrics_dir=metrics_dir,
@@ -257,11 +257,7 @@ class OcrStage:
         self.min_rows_for_error_cap = min_rows_for_error_cap
         self._attempted = 0
         self._failed = 0
-        self.spool = None
-        if metrics_dir:
-            from ocr_agent_ray.state.checkpoint import MetricsSpool
-
-            self.spool = MetricsSpool(metrics_dir)
+        self.spool = MetricsSpool(metrics_dir) if metrics_dir else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ocr_agent_ray.stages.boilerplate import extract_main_text
+from ocr_agent_ray.state.checkpoint import MetricsSpool
 from ocr_agent_ray.functions.kernels import (
     parse_grounding_detections,
     post_process_markdown,
@@ -35,11 +37,7 @@ class FinalizeStage:
     def __init__(self, math_style: str = "dollar",
                  metrics_dir: str | None = None) -> None:
         self.math_style = math_style
-        self.spool = None
-        if metrics_dir:
-            from ocr_agent_ray.state.checkpoint import MetricsSpool
-
-            self.spool = MetricsSpool(metrics_dir)
+        self.spool = MetricsSpool(metrics_dir) if metrics_dir else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
@@ -81,8 +79,6 @@ class FinalizeStage:
                 # north-rule main-content extraction: strip boilerplate
                 # before markdown post-processing; an all-chrome page
                 # yields "" and falls through to the empty-section drop
-                from ocr_agent_ray.stages.boilerplate import extract_main_text
-
                 t = extract_main_text(t)
             if t is None or t.strip() == "":
                 continue  # section dropped incl. header (markdown_merge.py:30-38)
