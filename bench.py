@@ -142,6 +142,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
+    # workers must deserialize our stage classes even when bench runs from
+    # outside the repo (see __ray_entry__._register_package_by_value)
+    entrymod._register_package_by_value()
+
     _ensure_corpus()
     # warm page cache + worker processes with a zero-cost-model pass so the
     # measured run sees compute+shuffle, not first-read/startup effects
