@@ -28,29 +28,11 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _register_package_by_value() -> None:
-    """Ray workers deserialize our stage classes by importing
-    ``ocr_agent_ray`` — which fails (as a silent actor-restart hang) when
-    the driver's cwd isn't the repo root, because workers don't inherit
-    the driver's sys.path mutations. Registering the package for
-    cloudpickle by-value serialization removes the import requirement
-    entirely; skipped when workers can resolve the package anyway."""
-    if os.getcwd() == _HERE:
-        return  # workers inherit cwd -> normal by-reference imports work
-    try:
-        # Ray serializes with its VENDORED cloudpickle — register there
-        from ray import cloudpickle
+    """See ocr_agent_ray/serialization.py: lets Ray workers deserialize
+    our stages by value when they cannot import the package themselves."""
+    from ocr_agent_ray.serialization import register_for_ray_workers
 
-        import ocr_agent_ray  # noqa: F401  (ensure the tree is loaded)
-        import ocr_agent_ray.pipelines.extract  # noqa: F401 (pulls stages)
-
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("ocr_agent_ray") and mod is not None:
-                try:
-                    cloudpickle.register_pickle_by_value(mod)
-                except Exception:
-                    pass
-    except Exception:
-        pass
+    register_for_ray_workers()
 
 
 def entry() -> Any:

@@ -36,6 +36,9 @@ def _ray_init(num_cpus: int | None) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ocr_agent_ray.serialization import register_for_ray_workers
+
+    register_for_ray_workers()
 
 
 def cmd_corpus(args) -> int:
