@@ -88,6 +88,49 @@ def grounding_detection_counts(sf_dir: str):
     return flagship_extract(sf_dir).map_batches(_count, batch_format="pyarrow")
 
 
+def layout_blocks(sf_dir: str):
+    """Layout parse over extracted spans: grounding rectangles per span in
+    READING ORDER (row-clustered top-to-bottom, left-to-right) — the
+    north rule's 'PDF/layout parse' as one flat table:
+    (doc_id, span_offset, read_pos, ref_type, x1, y1, x2, y2). Rows-only.
+    """
+    from ocr_agent_ray.functions.kernels import (
+        layout_reading_order,
+        parse_grounding_detections,
+    )
+
+    def _blocks(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in
+                ("doc_id", "span_offset", "read_pos", "ref_type",
+                 "x1", "y1", "x2", "y2")}
+        for did, spans in zip(batch["doc_id"].to_pylist(),
+                              batch["spans"].to_pylist()):
+            for s in spans:
+                dets = parse_grounding_detections(s["text"])
+                if not dets:
+                    continue
+                for pos, idx in enumerate(layout_reading_order(dets)):
+                    r, x1, y1, x2, y2 = dets[idx]
+                    rows["doc_id"].append(did)
+                    rows["span_offset"].append(s["offset"])
+                    rows["read_pos"].append(pos)
+                    rows["ref_type"].append(r)
+                    rows["x1"].append(x1); rows["y1"].append(y1)
+                    rows["x2"].append(x2); rows["y2"].append(y2)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.string()),
+            "span_offset": pa.array(rows["span_offset"], pa.int32()),
+            "read_pos": pa.array(rows["read_pos"], pa.int32()),
+            "ref_type": pa.array(rows["ref_type"], pa.string()),
+            "x1": pa.array(rows["x1"], pa.int32()),
+            "y1": pa.array(rows["y1"], pa.int32()),
+            "x2": pa.array(rows["x2"], pa.int32()),
+            "y2": pa.array(rows["y2"], pa.int32()),
+        })
+
+    return flagship_extract(sf_dir).map_batches(_blocks, batch_format="pyarrow")
+
+
 def flagship_span_counts(sf_dir: str):
     """Flat summary of the flagship output for driver row-count checks:
     (doc_id, n_spans)."""

@@ -93,3 +93,14 @@ def test_layout_reading_order():
     # single column stays top-to-bottom
     col = [("t", 0, y, 10, y + 10) for y in (500, 100, 300)]
     assert layout_reading_order(col) == [1, 2, 0]
+
+
+def test_layout_blocks_query(ray_session):
+    from ocr_agent_ray.pipelines.interleave import layout_blocks
+
+    out = layout_blocks("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    # read_pos is dense 0..n-1 within each (doc, span)
+    for (_, _), g in out.groupby(["doc_id", "span_offset"]):
+        assert sorted(g["read_pos"]) == list(range(len(g)))
+    assert (out["x2"] >= out["x1"]).all()
