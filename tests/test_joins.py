@@ -59,6 +59,17 @@ def test_bucket_hash_join_string_key(ray_session):
     pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
 
 
+@pytest.mark.parametrize("how", ["left", "right", "outer"])
+def test_bucket_hash_join_other_hows(ray_session, tables, how):
+    left, right = tables
+    got = bucket_hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k",
+        num_buckets=8, how=how,
+    ).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
 def test_semi_and_anti_filter(ray_session, tables):
     left, _ = tables
     keys = [1, 2, 3]
