@@ -123,7 +123,15 @@ def run_extract_checkpointed(
     post: PostProcessSettings | None = None,
 ) -> dict:
     """Resumable run: skip committed partitions, process the rest, commit
-    each atomically. Returns a summary dict (partitions done/skipped)."""
+    each atomically. Returns a summary dict (partitions done/skipped).
+
+    Assumes immutable input between runs (the reference's assumption too —
+    its SQLite queue snapshots enqueue-time state): a committed partition
+    is never re-derived, so edits to already-committed docs are invisible
+    until that partition is reset (CheckpointStore.reset_partition / CLI
+    ``reset``). New DOCUMENTS arriving as new shards belong to the
+    incremental path (sources/watch.py), which keys exactly-once on the
+    shard, not the hash partition."""
     from ocr_agent_ray.state.checkpoint import CheckpointStore
 
     store = CheckpointStore(out_dir).initialize()
