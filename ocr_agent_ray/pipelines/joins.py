@@ -204,15 +204,31 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
     rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])
+
+    def _asof_bucket(g: pd.DataFrame) -> pa.Table:
         # empty sides flow through merge_asof so every bucket's output
         # keeps identical column dtypes (a hand-built empty frame would
         # come back all-object and break cross-bucket schema unification)
         lhs = g.loc[g["__side"] == "l", left_cols].sort_values(left_ts, kind="mergesort")
         rhs = g.loc[g["__side"] == "r", right_cols].sort_values(right_ts, kind="mergesort")
-        return pd.merge_asof(
+        merged = pd.merge_asof(
             lhs, rhs, left_on=left_ts, right_on=right_ts, by=on,
             direction="backward",
         )
+        # merge_asof upcasts unmatched right-side int columns to float64
+        # (NaN fill); emit Arrow with the declared target types so integers
+        # come back as int-with-null, matching the join's logical schema.
+        arrays = []
+        for c in all_cols:
+            col = merged[c]
+            t = types[c]
+            if pa.types.is_integer(t) and col.dtype.kind == "f":
+                mask = col.isna().to_numpy()
+                vals = np.nan_to_num(col.to_numpy()).astype(np.int64)
+                arrays.append(pa.array(vals, pa.int64(), mask=mask).cast(t))
+            else:
+                arrays.append(pa.Array.from_pandas(col, type=t))
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")

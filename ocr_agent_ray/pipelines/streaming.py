@@ -125,9 +125,11 @@ def latest_order_asof(sf_dir: str):
                                 ("o_orderdate", pa.timestamp("us")),
                                 ("o_orderkey", pa.int64())]),
     )
+    # project in Arrow: a pandas round-trip here would re-upcast the
+    # nullable int64 o_orderkey (unmatched rows) to float64
     return out.map_batches(
-        lambda b: b[["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]],
-        batch_format="pandas",
+        lambda b: b.select(["event_id", "user_id", "ts", "o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
     )
 
 

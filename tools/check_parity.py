@@ -17,6 +17,46 @@ warnings.filterwarnings("ignore")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def to_arrow(result):
+    """Result → pyarrow.Table preserving the producer's types (the driver
+    hashes typed values: int64 123 != float64 123.0)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    import ray
+
+    tables = [t for t in ray.get(result.to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.Table.from_pandas(result.to_pandas(), preserve_index=False)
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def value_hash(table):
+    """Dtype-aware hash mimicking the driver: columns sorted by name, rows
+    sorted, every cell serialized with its Python repr (so 123.0 != 123)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    table = table.select(sorted(table.column_names))
+    if table.num_rows:
+        table = table.sort_by([(c, "ascending") for c in table.column_names])
+    h = hashlib.md5()
+    for row in table.to_pylist():
+        for c in table.column_names:
+            v = row[c]
+            if isinstance(v, float) and v == int(v):
+                pass  # keep float repr distinct from int repr
+            h.update(repr(v).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
 def to_pandas(result):
     import pandas as pd
     import pyarrow as pa
@@ -70,7 +110,9 @@ def main():
         if only and name not in only:
             continue
         try:
-            ray_df = normalize(to_pandas(fn(sf_dir)))
+            ray_result = fn(sf_dir)
+            ray_arrow = to_arrow(ray_result)
+            ray_df = normalize(ray_arrow.to_pandas())
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
@@ -79,7 +121,8 @@ def main():
             print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
             continue
         try:
-            sql_df = normalize(con.execute(oracles[name]).fetchdf())
+            sql_arrow = con.execute(oracles[name]).fetch_arrow_table()
+            sql_df = normalize(sql_arrow.to_pandas())
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
@@ -95,10 +138,21 @@ def main():
         try:
             pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
                                           check_exact=True)
-            print(f"ok   {name}: {len(ray_df)} rows exact")
         except AssertionError as e:
             failures.append(name)
             print(f"FAIL {name}: values differ\n{str(e)[:800]}")
+            continue
+        try:
+            rh, sh = value_hash(ray_arrow), value_hash(sql_arrow)
+        except Exception as e:
+            print(f"ok   {name}: {len(ray_df)} rows exact (hash skipped: {e})")
+            continue
+        if rh != sh:
+            failures.append(name)
+            print(f"FAIL {name}: typed value-hash mismatch (dtype drift?) "
+                  f"ray={ray_arrow.schema.types} sql={sql_arrow.schema.types}")
+        else:
+            print(f"ok   {name}: {len(ray_df)} rows exact+hash")
     print("---")
     print("FAILURES:", failures if failures else "none")
     ray.shutdown()
