@@ -63,10 +63,15 @@ def bpe_token_counts(texts: pd.Series) -> pd.Series:
 
 def stopword_ratios(texts: pd.Series) -> pd.Series:
     toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
-    stop = set(STOPWORDS)
-    n_stop = toks.map(lambda ws: sum(w in stop for w in ws))
-    n_tok = toks.map(len).clip(lower=1)
-    return n_stop / n_tok
+    toks.index = pd.RangeIndex(len(toks))
+    n_tok = toks.str.len().clip(lower=1)
+    # vectorized membership: explode tokens, isin, re-aggregate by row
+    ex = toks.explode().dropna()
+    n_stop = ex.isin(STOPWORDS).groupby(level=0).sum()
+    n_stop = n_stop.reindex(toks.index, fill_value=0)
+    out = n_stop / n_tok
+    out.index = texts.index
+    return out
 
 
 def quality_features(texts: pd.Series) -> pd.DataFrame:
@@ -117,17 +122,73 @@ def detect_language(text: str) -> tuple[str, float]:
     return (best_lang, float(round_half_away(best, 6)))
 
 
+def detect_language_batch(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized :func:`detect_language` over a batch.
+
+    Same scores bit-for-bit (marker words weight 2, distinct-trigram hits
+    weight 1, normalized by capped token count; first language in sorted
+    order wins ties), but computed with explode/isin/groupby instead of a
+    Python loop per row. Returns (lang_pred, lang_score).
+    """
+    t = texts.fillna("").str.lower()
+    words = t.str.split().str[:200]
+    words.index = pd.RangeIndex(len(words))
+    n_words = words.str.len().fillna(0).astype("int64")
+    ex = words.explode().dropna()
+    ex = ex[ex != ""]
+
+    langs = sorted(_LANG_MARKERS)
+    n = len(t)
+    scores = np.zeros((n, len(langs)), dtype=np.float64)
+
+    # marker-word hits per language (weight 2)
+    for j, lang in enumerate(langs):
+        hits = ex.isin(_LANG_MARKERS[lang]).groupby(level=0).sum()
+        scores[hits.index.to_numpy(), j] += 2.0 * hits.to_numpy(dtype=np.float64)
+
+    # distinct character trigrams per doc, matched against each language set
+    if len(ex):
+        maxlen = int(ex.str.len().max())
+        parts = []
+        for i in range(max(0, maxlen - 2)):
+            s = ex.str[i : i + 3]
+            parts.append(s[s.str.len() == 3])
+        if parts:
+            tris = pd.concat(parts)
+            tdf = pd.DataFrame({"doc": tris.index.to_numpy(),
+                                "tri": tris.to_numpy()}).drop_duplicates()
+            for j, lang in enumerate(langs):
+                tg = tdf.loc[tdf["tri"].isin(_LANG_TRIGRAMS[lang])] \
+                        .groupby("doc").size()
+                scores[tg.index.to_numpy(), j] += tg.to_numpy(dtype=np.float64)
+
+    scores /= (n_words.to_numpy() + 1)[:, None]
+    best = scores.max(axis=1)
+    pred = np.where(best > 0, np.asarray(langs, dtype=object)[scores.argmax(axis=1)],
+                    "und")
+    return pd.DataFrame(
+        {"lang_pred": pred, "lang_score": round_half_away(best, 6)},
+        index=texts.index,
+    )
+
+
 def md5_fingerprint(texts: pd.Series, normalize: bool = True) -> pd.Series:
     """Content fingerprint: md5 hex of the (optionally normalized) text.
 
     Normalization = lowercase + collapse whitespace runs to single spaces +
     strip — expressible in DuckDB as
     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))).
+    The whitespace class is pinned to RE2's ASCII \\s ([\\t\\n\\f\\r ]) and
+    the strip to plain spaces (DuckDB TRIM), so texts containing Unicode
+    whitespace (NBSP, \\x0b) fingerprint identically on both sides.
     """
     t = texts.fillna("")
     if normalize:
-        t = t.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
-    return t.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        t = t.str.lower().str.replace(r"[\t\n\f\r ]+", " ", regex=True).str.strip(" ")
+    return pd.Series(
+        [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t],
+        index=texts.index, dtype="object",
+    )
 
 
 def rolling_fingerprint(text: str, window: int = 16, mod_select: int = 8) -> list[int]:

@@ -10,9 +10,13 @@ Shuffle discipline (the thing that matters at 100 TB):
 - embedding near-dup: blocked by ``label`` (the blocking key) —
   groupby(label) then an in-group double-precision cosine matrix.
 
-Candidate verification here rejoins texts via a driver-side broadcast
-(fine up to ~10^6 docs of metadata); the documented scale path swaps the
-broadcast for two bucket_hash_joins (pipelines/joins.py) on doc_id.
+Candidate verification rejoins per-doc features (shingle sets / unit
+vectors / n-gram sets) to the candidate pairs with two bucket_hash_joins
+(pipelines/joins.py) on doc_id_a then doc_id_b — nothing is materialized
+on the driver, so verification scales with the shuffle, not driver RAM.
+The feature stage runs once per join side (twice total); features are
+recomputed rather than materialized mid-pipeline so the whole path stays
+streaming at 100 TB.
 """
 
 from __future__ import annotations
@@ -152,6 +156,58 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
     return distinct_rows(pairs, _PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"])
 
 
+def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
+                         score_batch, num_buckets: int = 16):
+    """Distributed candidate verification (the 100-TB shape).
+
+    ``cands``: Dataset of (doc_id_a, doc_id_b). ``make_feats()``: builds a
+    fresh Dataset of Arrow batches with columns exactly (doc_id, __feat) —
+    __feat MUST be a typed Arrow list column (a pandas object column of
+    numpy arrays would be re-encoded as Ray's tensor extension struct and
+    break the join-side cast). Called once per join side, so the feature
+    stage re-executes instead of materializing mid-pipeline.
+    ``score_batch(feat_a: Series, feat_b: Series) -> np.ndarray`` scores
+    each pair. Two bucket_hash_joins rejoin features to the pairs; the
+    driver never sees the corpus.
+    """
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    pair_schema = pa.schema([("doc_id_a", id_type), ("doc_id_b", id_type)])
+
+    def _side(side: str):
+        def _rename(b: pa.Table) -> pa.Table:
+            return b.select(["doc_id", "__feat"]).rename_columns(
+                [f"doc_id_{side}", f"__feat_{side}"])
+
+        return make_feats().map_batches(_rename, batch_format="pyarrow")
+
+    j1 = bucket_hash_join(
+        cands, _side("a"), on="doc_id_a",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("doc_id_a", id_type), ("__feat_a", feat_type)]),
+        num_buckets=num_buckets,
+    )
+    j2 = bucket_hash_join(
+        j1, _side("b"), on="doc_id_b",
+        left_schema=pa.schema([("doc_id_a", id_type), ("doc_id_b", id_type),
+                               ("__feat_a", feat_type)]),
+        right_schema=pa.schema([("doc_id_b", id_type), ("__feat_b", feat_type)]),
+        num_buckets=num_buckets,
+    )
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id_a": batch["doc_id_a"],
+            "doc_id_b": batch["doc_id_b"],
+            "score": score_batch(batch["__feat_a"], batch["__feat_b"]),
+        })
+        return out
+
+    return j2.map_batches(_score, batch_format="pandas")
+
+
 def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
                        num_perm: int = 64, num_bands: int = 16, k: int = 5):
     """(doc_id_a, doc_id_b) candidate near-dup pairs via MinHash banding."""
@@ -177,34 +233,47 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       num_bands: int = 16, k: int = 5):
     """Verified near-dup pairs: LSH candidates filtered by exact Jaccard ≥ t.
 
-    Verification broadcasts an id→shingle-set map (built in one driver pass
-    over the corpus — fine to ~10^6 docs of metadata); at 100 TB swap the
-    broadcast for two bucket_hash_joins on doc_id (pipelines/joins.py).
+    Verification rejoins shingle sets to the candidate pairs with two
+    bucket_hash_joins (see _pair_feature_verify) — fully distributed, no
+    driver-side corpus map.
     """
-    import ray
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of
+
+    id_type = _arrow_schema_of(ds).field(id_col).type
 
     cands = minhash_candidates(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, num_bands=num_bands, k=k,
     )
 
-    shingles: dict = {}
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
-        for did, text in zip(batch[id_col], batch[text_col]):
-            shingles[did] = char_shingle_set(text or "", k)
-    ref = ray.put(shingles)
+    def _feats():
+        def _sh(batch: pd.DataFrame) -> pa.Table:
+            feats = [char_shingle_set(t or "", k) for t in batch[text_col]]
+            return pa.Table.from_arrays(
+                [pa.Array.from_pandas(batch[id_col], type=id_type),
+                 pa.array(feats, type=pa.list_(pa.uint64()))],
+                names=["doc_id", "__feat"],
+            )
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(ref)
-        sims = [
-            jaccard(sh[a], sh[b])
-            for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])
-        ]
-        batch = batch.copy()
-        batch["jaccard"] = np.round(sims, 6)
-        return batch[batch["jaccard"] >= threshold]
+        return ds.map_batches(_sh, batch_format="pandas")
 
-    return cands.map_batches(_verify, batch_format="pandas")
+    def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
+        return np.round(
+            [jaccard(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+             for a, b in zip(fa, fb)], 6)
+
+    scored = _pair_feature_verify(
+        cands, _feats, id_type=id_type, feat_type=pa.list_(pa.uint64()),
+        score_batch=_score,
+    )
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"score": "jaccard"})
+        return b[b["jaccard"] >= threshold]
+
+    return scored.map_batches(_filter, batch_format="pandas")
 
 
 def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -282,18 +351,22 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
     return ds.groupby(block_col).map_groups(_block_pairs, batch_format="pandas")
 
 
-def duplicate_clusters(pairs_ds, *, max_rounds: int = 10):
+def duplicate_clusters(pairs_ds, *, max_rounds: int = 50,
+                       driver_max_edges: int = 2_000_000):
     """Connected components over near-dup pairs: (doc_id, cluster_id) with
     cluster_id = the component's minimum doc_id.
 
-    Min-label propagation: each round joins every node's current label
-    with its neighbors' and takes the min; converges in O(diameter)
-    rounds, and duplicate chains are short in practice (max_rounds=10 is
-    generous; stops early when nothing changes). The pair set is the
-    (small) LSH output so the rounds run driver-side in pandas; at a scale
-    where pairs don't fit the driver, each round becomes the same
-    edge⋈label bucket join + groupby-min over Datasets.
+    Min-label propagation to fixpoint (converges in O(diameter) rounds;
+    ``max_rounds`` is a hard cap with a convergence warning, never a
+    silent truncation). Pair sets that fit the driver
+    (≤ driver_max_edges) run in pandas; larger sets run each round
+    dataset-native: edge⋈label bucket_hash_join on src, hash-partitioned
+    groupby-min per dst, left bucket_hash_join back onto the label table.
+    Only the label table (two id columns over docs that appear in pairs)
+    is materialized per round; edges are materialized once.
     """
+    import logging
+
     import pandas as pd
 
     edges = pairs_ds.map_batches(
@@ -304,25 +377,114 @@ def duplicate_clusters(pairs_ds, *, max_rounds: int = 10):
         batch_format="pandas",
     ).materialize()
 
-    # labels start as self; kept driver-side as a (small) pair table —
-    # components only span docs that appear in pairs
-    edf = edges.to_pandas()
-    if edf.empty:
+    n_edges = edges.count()
+    if n_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_id": pd.Series(dtype="int64")})
-    labels = pd.DataFrame({"node": pd.unique(edf[["src", "dst"]].values.ravel())})
-    labels["label"] = labels["node"]
+
+    log = logging.getLogger(__name__)
+
+    if n_edges <= driver_max_edges:
+        # small-pairs fast path: the whole edge table on the driver
+        edf = edges.to_pandas()
+        labels = pd.DataFrame({"node": pd.unique(edf[["src", "dst"]].values.ravel())})
+        labels["label"] = labels["node"]
+        converged = False
+        for _ in range(max_rounds):
+            nbr = edf.merge(labels.rename(columns={"node": "src"}), on="src")
+            nbr = nbr.groupby("dst", as_index=False)["label"].min()
+            merged = labels.merge(nbr.rename(columns={"dst": "node"}),
+                                  on="node", how="left", suffixes=("", "_nbr"))
+            new = merged[["label", "label_nbr"]].min(axis=1)
+            if (new == labels["label"]).all():
+                converged = True
+                break
+            labels["label"] = new
+        if not converged:
+            log.warning("duplicate_clusters: not converged after %d rounds "
+                        "(chain diameter exceeds max_rounds); labels unfinished",
+                        max_rounds)
+        return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+    return _duplicate_clusters_native(edges, max_rounds=max_rounds)
+
+
+def _duplicate_clusters_native(edges, *, max_rounds: int = 50,
+                               num_buckets: int = 16):
+    """Dataset-native min-label propagation (see duplicate_clusters).
+
+    ``edges``: materialized symmetric (src, dst) Dataset. Returns a
+    Dataset of (doc_id, cluster_id). Per round: 2 bucket joins + 1
+    bucketed groupby-min; the only per-round materialization is the label
+    table.
+    """
+    import logging
+
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows, hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of, bucket_hash_join
+
+    id_type = _arrow_schema_of(edges).field("src").type
+    label_schema = pa.schema([("node", id_type), ("label", id_type)])
+
+    labels = distinct_rows(
+        edges.map_batches(lambda b: pd.DataFrame({"node": b["src"]}),
+                          batch_format="pandas"),
+        ["node"], num_buckets=num_buckets,
+    ).map_batches(lambda b: b.assign(label=b["node"]),
+                  batch_format="pandas").materialize()
+
+    converged = False
     for _ in range(max_rounds):
-        # neighbor labels: join edges to labels on src, min per dst
-        nbr = edf.merge(labels.rename(columns={"node": "src"}), on="src")
-        nbr = nbr.groupby("dst", as_index=False)["label"].min()
-        merged = labels.merge(nbr.rename(columns={"dst": "node"}),
-                              on="node", how="left", suffixes=("", "_nbr"))
-        new = merged[["label", "label_nbr"]].min(axis=1)
-        if (new == labels["label"]).all():
+        lab_src = labels.map_batches(
+            lambda b: b.rename(columns={"node": "src"}), batch_format="pandas")
+        nbr = bucket_hash_join(
+            edges, lab_src, on="src", num_buckets=num_buckets,
+            left_schema=pa.schema([("src", id_type), ("dst", id_type)]),
+            right_schema=pa.schema([("src", id_type), ("label", id_type)]),
+        )
+        nbr_min = hash_partition_aggregate(
+            nbr.map_batches(lambda b: b[["dst", "label"]], batch_format="pandas"),
+            ["dst"], {"nbr_label": ("label", "min")}, num_buckets=num_buckets,
+        )
+        joined = bucket_hash_join(
+            labels,
+            nbr_min.map_batches(lambda b: b.rename(columns={"dst": "node"}),
+                                batch_format="pandas"),
+            on="node", how="left", num_buckets=num_buckets,
+            left_schema=label_schema,
+            right_schema=pa.schema([("node", id_type), ("nbr_label", id_type)]),
+        )
+
+        def _update(b: pd.DataFrame) -> pd.DataFrame:
+            mask = b["nbr_label"].notna()
+            # null-safe compare (string labels: None < str raises)
+            take = mask & (b["nbr_label"].where(mask, b["label"]) < b["label"])
+            new = b["label"].where(~take, b["nbr_label"])
+            if new.dtype != b["label"].dtype and new.dtype.kind == "f":
+                new = new.astype(b["label"].dtype)
+            return pd.DataFrame({
+                "node": b["node"],
+                "label": new,
+                "__changed": take.astype("int64"),
+            })
+
+        flagged = joined.map_batches(_update, batch_format="pandas").materialize()
+        n_changed = flagged.sum("__changed")
+        labels = flagged.drop_columns(["__changed"]).materialize()
+        if not n_changed:
+            converged = True
             break
-        labels["label"] = new
-    return labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "duplicate_clusters: not converged after %d rounds", max_rounds)
+
+    return labels.map_batches(
+        lambda b: b.rename(columns={"node": "doc_id", "label": "cluster_id"}),
+        batch_format="pandas",
+    )
 
 
 def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id",
@@ -331,10 +493,10 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
     """Near-dup pairs by embedding cosine WITHOUT a blocking column — the
     scale path: random-hyperplane LSH buckets are the blocking key
     (vectors this similar collide in some table with high probability),
-    then candidates are verified with exact double-precision cosine
-    against a broadcast id→vector map (bucket joins at driver-breaking
-    scale, as with MinHash verification)."""
-    import ray
+    then candidates are verified with exact double-precision cosine by
+    rejoining unit vectors through two bucket_hash_joins
+    (_pair_feature_verify) — fully distributed, no driver-side vector map."""
+    import pyarrow as pa
 
     from ocr_agent_ray.functions.hashing import splitmix64
 
@@ -363,39 +525,65 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
 
         return _bands
 
-    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pandas")))
+    first = next(iter(ds.iter_batches(batch_size=1, batch_format="pandas")), None)
+    if first is None or len(first) == 0:
+        return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                             "vec_id_b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
     dim = len(first[vec_col].iloc[0])
     cands = _bucketed_band_pairs(
         ds.map_batches(_bands_factory(dim), batch_format="pandas"), id_col
     )
 
-    vectors: dict = {}
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
-        for vid, v in zip(batch[id_col], batch[vec_col]):
-            vec = np.asarray(v, dtype=np.float64)
-            n = np.linalg.norm(vec)
-            vectors[vid] = vec / n if n else vec
-    ref = ray.put(vectors)
+    # id type from the probe batch: ds.schema() can carry a Ray tensor
+    # dtype for the embedding column that has no direct Arrow mapping
+    id_type = pa.Array.from_pandas(first[id_col]).type
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        vs = ray.get(ref)
-        cos = [float(vs[a] @ vs[b])
-               for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
+    def _feats():
+        def _unit(batch: pd.DataFrame) -> pa.Table:
+            mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            return pa.Table.from_arrays(
+                [pa.Array.from_pandas(batch[id_col], type=id_type),
+                 pa.array(list(unit), type=pa.list_(pa.float64()))],
+                names=["doc_id", "__feat"],
+            )
+
+        return ds.map_batches(_unit, batch_format="pandas")
+
+    def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
+        if len(fa) == 0:
+            return np.empty(0, dtype=np.float64)
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in fa])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in fb])
+        return np.round((a * b).sum(axis=1), 6)
+
+    scored = _pair_feature_verify(
+        cands, _feats, id_type=id_type, feat_type=pa.list_(pa.float64()),
+        score_batch=_score,
+    )
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
-            "vec_id_a": batch["doc_id_a"],
-            "vec_id_b": batch["doc_id_b"],
-            "cosine": np.round(cos, 6),
+            "vec_id_a": b["doc_id_a"],
+            "vec_id_b": b["doc_id_b"],
+            "cosine": b["score"],
         })
         return out[out["cosine"] >= threshold]
 
-    return cands.map_batches(_verify, batch_format="pandas")
+    return scored.map_batches(_filter, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup pairs (LSH-free small-scale variant):
     candidates = docs sharing any n-gram hash band via minhash, verified on
-    word-ngram sets."""
+    word-ngram sets rejoined through two bucket_hash_joins."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of
 
     def _ngram_set(text: str) -> np.ndarray:
         from ocr_agent_ray.functions.hashing import rolling_hashes
@@ -409,20 +597,32 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             np.concatenate([rolling_hashes(g, len(g.encode())) for g in grams if g])
         )
 
-    import ray
-
+    id_type = _arrow_schema_of(ds).field(id_col).type
     cands = minhash_candidates(ds, text_col=text_col, id_col=id_col)
-    sets: dict = {}
-    for batch in ds.iter_batches(batch_format="pandas", batch_size=4096):
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sets[did] = _ngram_set(text)
-    ref = ray.put(sets)
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ss = ray.get(ref)
-        sims = [jaccard(ss[a], ss[b]) for a, b in zip(batch["doc_id_a"], batch["doc_id_b"])]
-        batch = batch.copy()
-        batch["jaccard"] = np.round(sims, 6)
-        return batch[batch["jaccard"] >= threshold]
+    def _feats():
+        def _sets(batch: pd.DataFrame) -> pa.Table:
+            feats = [_ngram_set(t) for t in batch[text_col]]
+            return pa.Table.from_arrays(
+                [pa.Array.from_pandas(batch[id_col], type=id_type),
+                 pa.array(feats, type=pa.list_(pa.uint64()))],
+                names=["doc_id", "__feat"],
+            )
 
-    return cands.map_batches(_verify, batch_format="pandas")
+        return ds.map_batches(_sets, batch_format="pandas")
+
+    def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
+        return np.round(
+            [jaccard(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+             for a, b in zip(fa, fb)], 6)
+
+    scored = _pair_feature_verify(
+        cands, _feats, id_type=id_type, feat_type=pa.list_(pa.uint64()),
+        score_batch=_score,
+    )
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"score": "jaccard"})
+        return b[b["jaccard"] >= threshold]
+
+    return scored.map_batches(_filter, batch_format="pandas")

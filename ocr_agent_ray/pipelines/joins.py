@@ -61,6 +61,23 @@ def stable_bucket_array(col: pa.ChunkedArray | pa.Array, num_buckets: int) -> pa
     )
 
 
+def _typed_table(df: pd.DataFrame, cols: list[str], types: dict[str, pa.DataType],
+                 schema: pa.Schema) -> pa.Table:
+    """pandas → Arrow with declared per-column types (int-with-null kept
+    integral even after a float64 NaN upcast; list columns kept as lists)."""
+    arrays = []
+    for c in cols:
+        col = df[c]
+        t = types[c]
+        if pa.types.is_integer(t) and col.dtype.kind == "f":
+            mask = col.isna().to_numpy()
+            vals = np.nan_to_num(col.to_numpy()).astype(np.int64)
+            arrays.append(pa.array(vals, pa.int64(), mask=mask).cast(t))
+        else:
+            arrays.append(pa.Array.from_pandas(col, type=t))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
 def broadcast_join(ds, small: pd.DataFrame, on: str | list[str], how: str = "inner"):
     """Map-side join: ``small`` enters the object store once; every batch
     does a local pandas merge. No shuffle."""
@@ -150,10 +167,17 @@ def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
     rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
     both = lt.union(rt)
 
-    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])
+
+    def _join_bucket(g: pd.DataFrame) -> pa.Table:
         lhs = g.loc[g["__side"] == "l", left_cols]
         rhs = g.loc[g["__side"] == "r", right_cols]
-        return lhs.merge(rhs, on=on, how=how, suffixes=("_l", "_r"))
+        merged = lhs.merge(rhs, on=on, how=how, suffixes=("_l", "_r"))
+        # emit Arrow with the declared join types: pandas upcasts
+        # null-filled int columns to float64 (outer/left joins), and Ray
+        # would re-encode list-of-array object columns as its tensor
+        # extension struct, breaking downstream list casts.
+        return _typed_table(merged, all_cols, types, out_schema)
 
     return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
 
@@ -219,16 +243,6 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
         # merge_asof upcasts unmatched right-side int columns to float64
         # (NaN fill); emit Arrow with the declared target types so integers
         # come back as int-with-null, matching the join's logical schema.
-        arrays = []
-        for c in all_cols:
-            col = merged[c]
-            t = types[c]
-            if pa.types.is_integer(t) and col.dtype.kind == "f":
-                mask = col.isna().to_numpy()
-                vals = np.nan_to_num(col.to_numpy()).astype(np.int64)
-                arrays.append(pa.array(vals, pa.int64(), mask=mask).cast(t))
-            else:
-                arrays.append(pa.Array.from_pandas(col, type=t))
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        return _typed_table(merged, all_cols, types, out_schema)
 
     return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")

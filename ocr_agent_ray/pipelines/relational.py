@@ -374,10 +374,13 @@ def hash_sample_documents(sf_dir: str):
     import hashlib
 
     def _sample(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = batch["doc_id"].map(
-            lambda i: hashlib.md5(str(i).encode()).hexdigest() < "2"
+        # md5 hex < "2" ⇔ first digest byte < 0x20; one C-level md5 per
+        # row in a comprehension, numpy compare (no Series.map)
+        first = np.fromiter(
+            (hashlib.md5(str(i).encode()).digest()[0] for i in batch["doc_id"]),
+            dtype=np.uint8, count=len(batch),
         )
-        return batch[keep][["doc_id", "source"]]
+        return batch[first < 0x20][["doc_id", "source"]]
 
     return read_table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         _sample, batch_format="pandas"

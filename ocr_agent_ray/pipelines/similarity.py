@@ -36,9 +36,14 @@ def _unit(mat: np.ndarray) -> np.ndarray:
 def _query_matrix(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    df = df[df["vec_id"] < num_queries].sort_values("vec_id")
+    # predicate pushed into the read: only query-row row-groups leave
+    # storage (at scale the embeddings table is the whole corpus; the
+    # query set is tiny)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", num_queries)],
+    )
+    df = t.to_pandas().sort_values("vec_id")
     return df["vec_id"].to_numpy(), _unit(np.stack(df["embedding"].to_numpy()))
 
 

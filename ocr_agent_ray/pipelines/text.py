@@ -8,6 +8,7 @@ loaded once per worker process, not per batch.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data as rd
@@ -77,15 +78,12 @@ def language_id(sf_dir: str):
     Not SQL-expressible — golden-tested on multilingual fixtures in pytest.
     """
 
+    from ocr_agent_ray.functions.textstats import detect_language_batch
+
     def _lid(batch: pd.DataFrame) -> pd.DataFrame:
-        pairs = batch["text"].map(detect_language)
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "lang_pred": pairs.map(lambda p: p[0]),
-                "lang_score": pairs.map(lambda p: p[1]),
-            }
-        )
+        out = detect_language_batch(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"])
+        return out
 
     return _read_documents(sf_dir).map_batches(_lid, batch_format="pandas")
 
@@ -109,12 +107,12 @@ def winnowing_fingerprints(sf_dir: str):
     the full sets feed near-dup detection). Rows-only oracle."""
 
     def _fp(batch: pd.DataFrame) -> pd.DataFrame:
-        sets = batch["text"].map(lambda t: rolling_fingerprint(t or ""))
+        counts = np.fromiter(
+            (len(rolling_fingerprint(t or "")) for t in batch["text"]),
+            dtype=np.int64, count=len(batch),
+        )
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_fingerprints": sets.map(len).astype("int64"),
-            }
+            {"doc_id": batch["doc_id"], "n_fingerprints": counts}
         )
 
     return _read_documents(sf_dir).map_batches(_fp, batch_format="pandas")

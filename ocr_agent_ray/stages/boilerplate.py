@@ -36,6 +36,10 @@ _BLOCK_TAGS = frozenset(
 )
 _HINT_WORDS = ("sidebar", "advert", "banner", "promo", "comment", "cookie",
                "share", "social", "related", "menu", "breadcrumb")
+_VOID_TAGS = frozenset(
+    {"br", "img", "hr", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
 
 MIN_BLOCK_CHARS = 20
 MAX_LINK_DENSITY = 0.4
@@ -59,7 +63,11 @@ class _Extractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = [_Block()]
         self._drop_depth = 0
-        self._hint_depth = 0
+        # hinted-subtree stack: [tag, open_count] — the subtree closes when
+        # the SAME tag that opened it balances out, so a hinted <span> (or
+        # any element type) closes correctly instead of eating the rest of
+        # the document
+        self._hint_stack: list[list] = []
         self._link_depth = 0
         self._heading: list[bool] = []
 
@@ -77,10 +85,15 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
-        if self._attrs_hint_boilerplate(attrs):
-            self._hint_depth += 1
+        if self._hint_stack:
+            # inside a hinted subtree: only track nesting of the tag that
+            # opened it so the matching endtag closes the right element
+            if tag == self._hint_stack[-1][0] and tag not in _VOID_TAGS:
+                self._hint_stack[-1][1] += 1
             return
-        if self._hint_depth:
+        if self._attrs_hint_boilerplate(attrs):
+            if tag not in _VOID_TAGS:
+                self._hint_stack.append([tag, 1])
             return
         if tag == "a":
             self._link_depth += 1
@@ -93,11 +106,11 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
-        if self._hint_depth:
-            # symmetric close for hinted subtrees: any endtag could close
-            # the hinted element; we track depth approximately via divs
-            if tag in ("div", "section", "aside", "ul", "table"):
-                self._hint_depth = max(0, self._hint_depth - 1)
+        if self._hint_stack:
+            if tag == self._hint_stack[-1][0]:
+                self._hint_stack[-1][1] -= 1
+                if self._hint_stack[-1][1] == 0:
+                    self._hint_stack.pop()
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
@@ -105,7 +118,7 @@ class _Extractor(HTMLParser):
             self.blocks.append(_Block())
 
     def handle_data(self, data):
-        if self._drop_depth or self._hint_depth:
+        if self._drop_depth or self._hint_stack:
             return
         if not data.strip():
             return

@@ -41,6 +41,35 @@ def test_extract_main_text_keeps_content_drops_chrome():
     assert "alert(1)" not in out       # script dropped
 
 
+def test_hinted_subtree_closes_by_matching_tag():
+    # a hinted inline element must close at ITS endtag, not a div heuristic
+    body = ('<p><span class="advert">BUY NOW</span>'
+            'after the ad the article keeps going with plenty of text</p>')
+    out = extract_main_text(f"<html><body>{body}</body></html>")
+    assert "after the ad the article keeps going" in out
+    assert "BUY NOW" not in out
+
+
+def test_hinted_subtree_nested_same_tag():
+    # nested <div> inside a hinted <div>: the inner close must not end
+    # the hinted subtree early
+    body = ('<div class="advert"><div>inner ad copy</div>more ad</div>'
+            '<p>real content after the advert block with enough length here</p>')
+    out = extract_main_text(f"<html><body>{body}</body></html>")
+    assert "real content after the advert block" in out
+    assert "inner ad copy" not in out
+    assert "more ad" not in out
+
+
+def test_hinted_void_element_does_not_swallow_document():
+    # a hinted void element (<img class="ad">) never gets an endtag; it
+    # must not open a hinted subtree at all
+    body = ('<p><img class="advert" src="x.png">the article text continues '
+            'here with enough length to pass the block filter</p>')
+    out = extract_main_text(f"<html><body>{body}</body></html>")
+    assert "the article text continues" in out
+
+
 def test_extract_handles_malformed_html():
     assert extract_main_text("<p>unclosed paragraph with sufficient length here") \
         .startswith("unclosed paragraph")

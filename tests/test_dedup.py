@@ -68,6 +68,27 @@ def test_minhash_finds_planted_pairs(ray_session, planted):
         assert abs(j - expect) < 1e-6
 
 
+def test_minhash_distributed_verify_medium_corpus(ray_session):
+    """5k-doc corpus: verification runs through the bucket-join rejoin
+    (no driver-side id→shingles map — a corpus this size per-driver would
+    already be unreasonable at the real doc lengths this models)."""
+    rng = np.random.default_rng(11)
+    words = BASE.split()
+    rows = [{"doc_id": i, "text": " ".join(rng.permutation(words))}
+            for i in range(5000)]
+    # plant 10 near-dup pairs at high ids
+    for i in range(10):
+        t = " ".join(rng.permutation(words))
+        rows.append({"doc_id": 10_000 + 2 * i, "text": t})
+        rows.append({"doc_id": 10_001 + 2 * i, "text": t.replace("summer", "winter")})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+    out = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    pairs = {frozenset((a, b)) for a, b in zip(out["doc_id_a"], out["doc_id_b"])}
+    found = sum(frozenset((10_000 + 2 * i, 10_001 + 2 * i)) in pairs
+                for i in range(10))
+    assert found >= 8  # LSH recall over the planted pairs
+
+
 def test_minhash_deterministic(ray_session, planted):
     a = minhash_lsh_dedup(rd.from_pandas(planted)).to_pandas()
     b = minhash_lsh_dedup(rd.from_pandas(planted)).to_pandas()

@@ -56,6 +56,35 @@ def test_detect_language_on_fixtures():
     assert detect_language("zzz qqq xxx")[0] == "und"
 
 
+def test_detect_language_batch_matches_scalar():
+    from ocr_agent_ray.functions.textstats import detect_language_batch
+
+    texts = [
+        "the cat and the dog were in the house with a friend of the family",
+        "der hund und die katze sind nicht mit einem freund in dem haus",
+        "le chien et les chats sont dans la maison avec un ami de la famille",
+        "el perro y los gatos no se encuentran en la casa con un amigo",
+        "il cane e il gatto sono nella casa con un amico della famiglia",
+        "", "zzz qqq xxx", "the der le el il",  # und / tie cases
+        "word " * 500,  # cap at 200 tokens
+    ]
+    out = detect_language_batch(pd.Series(texts))
+    for i, t in enumerate(texts):
+        pred, score = detect_language(t)
+        assert out["lang_pred"].iloc[i] == pred, (t[:30], pred, out["lang_pred"].iloc[i])
+        assert abs(out["lang_score"].iloc[i] - score) < 1e-12
+
+
+def test_md5_fingerprint_unicode_whitespace_ascii_pinned():
+    # NBSP and \x0b are NOT collapsed (RE2 \s is ASCII-only); regular
+    # ASCII whitespace is
+    s = pd.Series(["a\u00a0b", "a b", "a\tb", "a\x0bb"])
+    out = md5_fingerprint(s)
+    assert out[0] != out[1]          # NBSP preserved
+    assert out[2] == out[1]          # tab collapses to space
+    assert out[3] != out[1]          # vertical tab preserved (RE2 parity)
+
+
 def test_md5_fingerprint_normalization():
     s = pd.Series(["  Hello   World ", "hello world"])
     out = md5_fingerprint(s)
