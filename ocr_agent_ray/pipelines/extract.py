@@ -134,7 +134,14 @@ def run_extract_checkpointed(
     shard, not the hash partition."""
     from ocr_agent_ray.state.checkpoint import CheckpointStore
 
-    store = CheckpointStore(out_dir).initialize()
+    settings = settings or PipelineSettings()
+    post = post or PostProcessSettings()
+    run_meta = {
+        "num_partitions": settings.num_partitions,
+        "engine": getattr(engine_factory, "__name__", str(engine_factory)),
+        "math_style": post.math_delimiter_style,
+    }
+    store = CheckpointStore(out_dir).initialize(run_meta)
     already = store.committed_ids()
     pipe = build_extract_pipeline(
         docs_ds,

@@ -76,8 +76,14 @@ def discover_paths(input_paths: list[str]) -> DiscoveryReport:
             for root, _dirs, files in os.walk(p):
                 for name in files:
                     found.append(os.path.join(root, name))
-            # sorted full paths == the reference's sorted-rglob order
-            found = sorted(x for x in found if is_supported_path(x))
+            # the reference sorts Path objects (part-tuple order), not raw
+            # strings: for siblings like 'foo-bar/x.png' vs 'foo/y.png'
+            # string order and part order disagree ('-' < '/' in ASCII),
+            # so sort by path components for exact enqueue-order parity
+            found = sorted(
+                (x for x in found if is_supported_path(x)),
+                key=lambda x: x.split(os.sep),
+            )
             if not found:
                 report.empty_dirs.append(p)
             else:

@@ -46,9 +46,37 @@ class CheckpointStore:
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.metrics_dir = os.path.join(out_dir, "metrics")
 
-    def initialize(self) -> "CheckpointStore":
+    def initialize(self, run_meta: dict | None = None) -> "CheckpointStore":
+        """Create the store layout; optionally pin the run configuration.
+
+        ``run_meta`` (num_partitions, engine id, math style, ...) is
+        persisted to meta.json on first initialize. A later initialize
+        with a DIFFERENT run_meta refuses to resume: committed_ids()
+        reflects the old partitioning scheme, so resuming with e.g. a
+        different --num-partitions would skip wrong partitions and
+        silently drop documents.
+        """
         for d in (self.data_dir, self.manifest_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
+        if run_meta is not None:
+            mpath = os.path.join(self.out_dir, "meta.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    existing = json.load(f)
+                if existing != run_meta:
+                    diff = {
+                        k: {"checkpoint": existing.get(k), "run": run_meta.get(k)}
+                        for k in sorted(set(existing) | set(run_meta))
+                        if existing.get(k) != run_meta.get(k)
+                    }
+                    raise ValueError(
+                        f"checkpoint at {self.out_dir} was created with a "
+                        f"different run configuration ({diff}); resume with "
+                        "the original settings, reset the partitions, or use "
+                        "a fresh out_dir"
+                    )
+            else:
+                _atomic_write_json(mpath, run_meta)
         return self
 
     # --- commit path (called from inside write tasks) ---------------------
@@ -159,30 +187,45 @@ def _atomic_write_json(path: str, obj) -> None:
 class MetricsSpool:
     """Per-stage lineage/metrics writer usable from inside map stages.
 
-    Each append writes one small json file (atomic rename) under
-    ``<out_dir>/metrics``, named by stage/pid/sequence so concurrent tasks
-    never contend. ``CheckpointStore.load_metrics`` merges them with the
-    per-partition commit metrics. At production scale an actor would
-    buffer rows and flush per N batches; one file per batch is fine here
-    and keeps crash semantics trivial (metrics are observability, not
-    correctness — losing a spool file cannot corrupt a commit).
+    Bounded-file-count design: each spool instance owns a rotating json
+    file under ``<out_dir>/metrics`` that is atomically REWRITTEN with the
+    accumulated buffer on every append and sealed (rotated to a new
+    sequence number) at ``rows_per_file`` rows. So:
+
+    - totals are exact after every batch (nothing is held back waiting
+      for a flush — actor teardown runs no finalizer in Ray, measured),
+    - file count is ~total_rows/rows_per_file per actor, not one per
+      batch (millions of tiny files at real scale),
+    - a crash loses nothing (the last atomic rewrite holds every row up
+      to the last completed batch).
+
+    The instance id is assigned lazily in the worker (task-pool stages
+    deserialize the UDF per task; a driver-assigned id would collide).
+    ``CheckpointStore.load_metrics`` merges spool files with the
+    per-partition commit metrics.
     """
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, rows_per_file: int = 512) -> None:
         self.dir = os.path.join(out_dir, "metrics")
+        self.rows_per_file = rows_per_file
+        self._buf: list[dict] = []
+        self._seq = 0
+        self._uid: str | None = None
 
     def append(self, stage: str, rows: list[dict]) -> None:
         if not rows:
             return
-        import uuid
+        if self._uid is None:
+            import uuid
 
-        os.makedirs(self.dir, exist_ok=True)
-        # pid alone is NOT unique: task-pool stages deserialize the UDF
-        # instance per task, so an instance counter restarts inside one
-        # worker process and same-named files would silently overwrite —
-        # a random suffix makes every spool file unique
-        name = f"spool-{stage}-{os.getpid()}-{uuid.uuid4().hex[:12]}.json"
-        _atomic_write_json(os.path.join(self.dir, name), rows)
+            os.makedirs(self.dir, exist_ok=True)
+            self._uid = f"{os.getpid()}-{uuid.uuid4().hex[:12]}"
+        self._buf.extend(rows)
+        name = f"spool-{self._uid}-{self._seq:05d}.json"
+        _atomic_write_json(os.path.join(self.dir, name), self._buf)
+        if len(self._buf) >= self.rows_per_file:
+            self._seq += 1
+            self._buf = []
 
     def rows_for(self, stage: str, batch_partition_ids, wall_ms: int,
                  rows_out: int | None = None,

@@ -79,6 +79,32 @@ def test_metrics_spool_and_eta(tmp_path):
     assert compute_eta_seconds(pa.Table.from_pylist([]), 4) is None
 
 
+def test_metrics_spool_bounded_files_exact_totals(tmp_path):
+    """Rotating spool: every row durable after every append, file count
+    ~rows/rows_per_file instead of one per batch."""
+    import os
+
+    out = str(tmp_path / "spool")
+    CheckpointStore(out).initialize()
+    spool = MetricsSpool(out, rows_per_file=64)
+    total = 0
+    for batch in range(100):
+        rows = spool.rows_for("ocr", [batch % 7] * 10, wall_ms=5)
+        total += sum(r["rows_in"] for r in rows)
+        spool.append("ocr", rows)
+        # durability invariant: everything appended so far is on disk
+        if batch in (0, 13, 57):
+            m = CheckpointStore(out).load_metrics()
+            assert sum(r["rows_in"] for r in m.to_pylist()) == total
+
+    m = CheckpointStore(out).load_metrics().to_pylist()
+    assert sum(r["rows_in"] for r in m) == total == 1000
+    n_files = len([f for f in os.listdir(os.path.join(out, "metrics"))
+                   if f.startswith("spool-")])
+    n_rows = len(m)
+    assert n_files <= n_rows // 64 + 1   # bounded, NOT one per batch (100)
+
+
 def test_extract_run_spools_stage_metrics(ray_session, tmp_path):
     from ocr_agent_ray.pipelines.extract import run_extract_checkpointed
     from ocr_agent_ray.sources.corpus import generate_documents

@@ -118,3 +118,25 @@ def test_manifest_contents(ray_session, tmp_path):
             os.path.join(out_dir, "manifest", f"part-{m['partition_id']:05d}.json")
         ) as f:
             assert json.load(f)["partition_id"] == m["partition_id"]
+
+
+def test_resume_refuses_changed_run_config(ray_session, tmp_path):
+    """Resuming with a different num_partitions would mis-map committed_ids
+    onto a new partitioning scheme; the store must refuse (meta.json)."""
+    import pytest
+
+    corpus = generate_documents(30, seed=9)
+    out_dir = str(tmp_path / "ckpt3")
+    run_extract_checkpointed(rd.from_arrow(corpus), out_dir, settings=SETTINGS)
+    assert os.path.exists(os.path.join(out_dir, "meta.json"))
+
+    # same config resumes fine (no-op)
+    again = run_extract_checkpointed(rd.from_arrow(corpus), out_dir,
+                                     settings=SETTINGS)
+    assert again["partitions_processed"] == 0
+
+    with pytest.raises(ValueError, match="different run configuration"):
+        run_extract_checkpointed(
+            rd.from_arrow(corpus), out_dir,
+            settings=PipelineSettings(num_partitions=8, ocr_concurrency=2),
+        )

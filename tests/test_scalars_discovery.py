@@ -127,3 +127,19 @@ def test_cli_corpus(tmp_path):
     assert main(["corpus", "--out", out, "--num-docs", "20"]) == 0
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert files
+
+
+def test_discovery_part_order_matches_pathlib(tmp_path):
+    """Reference sorts Path objects (part tuples): 'foo/y.png' enqueues
+    BEFORE 'foo-bar/x.png' even though the raw strings sort the other way."""
+    import pathlib
+
+    (tmp_path / "foo-bar").mkdir()
+    (tmp_path / "foo").mkdir()
+    (tmp_path / "foo-bar" / "x.png").write_bytes(b"p")
+    (tmp_path / "foo" / "y.png").write_bytes(b"p")
+
+    report = discover_paths([str(tmp_path)])
+    expect = [str(p) for p in sorted(pathlib.Path(tmp_path).rglob("*.png"))]
+    assert report.supported == expect
+    assert report.supported[0].endswith(os.path.join("foo", "y.png"))
