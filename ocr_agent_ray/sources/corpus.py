@@ -157,8 +157,9 @@ def write_corpus_parquet_ray(path: str, num_docs: int, seed: int = 42,
 
 
 def read_documents(path: str, num_blocks: int | None = None):
-    """Read an interleaved-docs table as a Ray Dataset (parquet; a Lance
-    reader would slot in here via ray.data.read_lance when available).
+    """Read an interleaved-docs table as a Ray Dataset (Lance dataset dirs
+    via ray.data.read_lance when the package is available, else parquet —
+    sources/readers.py).
 
     Block count defaults to 4x the cluster CPUs: downstream actor-pool
     concurrency is bounded by input block count, so a handful of fat files
@@ -167,10 +168,14 @@ def read_documents(path: str, num_blocks: int | None = None):
     import ray
     import ray.data as rd
 
+    from ocr_agent_ray.sources.readers import is_lance_dataset, read_lance_table
+
     if num_blocks is None:
         try:
             cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             cpus = 8
         num_blocks = 4 * max(2, cpus)
+    if is_lance_dataset(path):
+        return read_lance_table(path, num_blocks=num_blocks)
     return rd.read_parquet(path, override_num_blocks=num_blocks)

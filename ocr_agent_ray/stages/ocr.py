@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import random
+from dataclasses import dataclass
 from typing import Any, Protocol, Sequence
 
 import pyarrow as pa
@@ -180,26 +181,139 @@ class MetadataOcrEngine:
         return out
 
 
-class DeepSeekOcr2Engine:
-    """GPU adapter skeleton (STUB — no CUDA/model in this container).
+@dataclass
+class DeepSeekOcr2Config:
+    """Model knobs (behavioral parity with the reference's
+    DeepSeekOcr2Settings, config.py:33-39; defaults are the public model
+    card's)."""
 
-    Faithful to the reference's load-once runner
-    (deepseek_ocr2_runner.py:78-120): tokenizer+model loaded in __init__,
-    bf16/fp16 pick, flash-attention fallback, batched infer in infer_batch.
-    The Ray-side plumbing (actor signature, batch flow) is real and tested
-    via MockOcrEngine; only the model call is stubbed.
+    model_name: str = "deepseek-ai/DeepSeek-OCR-2"
+    model_revision: str | None = None
+    markdown_prompt: str = "<image>\n<|grounding|>Convert the document to markdown."
+    base_size: int = 1024
+    image_size: int = 768
+    crop_mode: bool = True
+    result_filename: str = "result.mmd"
+    work_dir: str | None = None  # scratch root for per-image model output
+
+
+class DeepSeekOcr2Engine:
+    """Real GPU adapter, import-guarded (no CUDA/torch in this container —
+    the body is complete so a GPU deployment needs zero new code; pass
+    ``num_gpus=1`` in the actor-pool kwargs, pipelines/extract.py).
+
+    Behavioral parity with the reference runner
+    (deepseek_ocr2_runner.py:78-177), restated batch-first for Ray actors:
+
+    - tokenizer + model load lazily, exactly once per actor process,
+    - bf16 when the GPU supports it, else fp16,
+    - flash-attention-2 requested first; a ``TypeError`` from builds that
+      don't accept the argument falls back to the plain load,
+    - CUDA required (explicit RuntimeError otherwise),
+    - per image: ``model.infer(..., save_results=True)`` into a scratch
+      dir; the saved result file is preferred when non-empty because the
+      model may print output and return nothing; otherwise the raw return
+      value is handed to the stage normalizer,
+    - scratch dirs are deleted best-effort, never failing the row.
     """
 
-    def __init__(self, settings: Any = None) -> None:
-        raise NotImplementedError(
-            "DeepSeek-OCR-2 requires CUDA + model weights (reference "
-            "deepseek_ocr2_runner.py:92-94); unavailable in this environment. "
-            "Use MockOcrEngine, or implement infer_batch with "
-            "AutoModel.from_pretrained(...).eval().cuda() on a GPU node."
-        )
+    def __init__(self, config: DeepSeekOcr2Config | None = None,
+                 require_cuda: bool = True) -> None:
+        self.config = config or DeepSeekOcr2Config()
+        self.require_cuda = require_cuda
+        self._tokenizer: Any = None
+        self._model: Any = None
 
-    def infer_batch(self, media_refs, page_indices):  # pragma: no cover
-        raise NotImplementedError
+    # -- loading -----------------------------------------------------------
+
+    def _load_once(self) -> None:
+        if self._model is not None:
+            return
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+        except ImportError as exc:  # pragma: no cover - exercised on GPU nodes
+            raise NotImplementedError(
+                "DeepSeek-OCR-2 needs torch + transformers (and a CUDA GPU); "
+                "not installed in this container. Use MockOcrEngine / "
+                "MetadataOcrEngine here; this adapter is complete for GPU "
+                "deployments."
+            ) from exc
+
+        if self.require_cuda and not torch.cuda.is_available():
+            raise RuntimeError(
+                "CUDA GPU is not available; DeepSeek-OCR-2 targets GPU "
+                "execution (verify driver/passthrough with nvidia-smi)."
+            )
+
+        dtype = (
+            torch.bfloat16
+            if torch.cuda.is_available() and torch.cuda.is_bf16_supported()
+            else torch.float16
+        )
+        common: dict[str, Any] = dict(
+            trust_remote_code=True, use_safetensors=True, torch_dtype=dtype,
+        )
+        if self.config.model_revision is not None:
+            common["revision"] = self.config.model_revision
+
+        self._tokenizer = AutoTokenizer.from_pretrained(
+            self.config.model_name,
+            **{k: v for k, v in common.items()
+               if k in ("revision", "trust_remote_code")},
+        )
+        try:
+            model = AutoModel.from_pretrained(
+                self.config.model_name,
+                _attn_implementation="flash_attention_2",
+                **common,
+            )
+        except TypeError:
+            # this transformers build doesn't accept the attn argument
+            model = AutoModel.from_pretrained(self.config.model_name, **common)
+        model = model.eval()
+        if torch.cuda.is_available():
+            model = model.cuda()
+        self._model = model
+
+    # -- inference ---------------------------------------------------------
+
+    def _infer_one(self, image_path: str) -> Any:
+        import os
+        import shutil
+        import tempfile
+
+        if not os.path.exists(image_path):
+            raise FileNotFoundError(image_path)
+        self._load_once()
+        scratch = tempfile.mkdtemp(prefix="dsocr2-", dir=self.config.work_dir)
+        try:
+            raw = self._model.infer(
+                self._tokenizer,
+                prompt=self.config.markdown_prompt,
+                image_file=str(image_path),
+                output_path=scratch,
+                base_size=self.config.base_size,
+                image_size=self.config.image_size,
+                crop_mode=self.config.crop_mode,
+                save_results=True,
+            )
+            saved = os.path.join(scratch, self.config.result_filename)
+            if os.path.exists(saved):
+                with open(saved, encoding="utf-8") as f:
+                    text = f.read()
+                if text.strip():
+                    return text
+            return raw
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    def infer_batch(
+        self, media_refs: Sequence[str], page_indices: Sequence[int | None]
+    ) -> list[Any]:
+        # page_indices unused: upstream rasterization (stages/media.py)
+        # already turned pdf pages into per-page images
+        return [self._infer_one(ref) for ref in media_refs]
 
 
 class OcrFinalizeStage:

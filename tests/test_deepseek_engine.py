@@ -1,0 +1,162 @@
+"""DeepSeekOcr2Engine adapter behavior with a fake torch/transformers.
+
+No GPU in this container, so the load-once / dtype-pick / flash-attn
+fallback / result-file-preference logic (parity with reference
+deepseek_ocr2_runner.py:78-177) is exercised against stub modules.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pytest
+
+from ocr_agent_ray.stages.ocr import DeepSeekOcr2Config, DeepSeekOcr2Engine
+
+
+class _FakeCuda:
+    def __init__(self, available=True, bf16=True):
+        self._available = available
+        self._bf16 = bf16
+
+    def is_available(self):
+        return self._available
+
+    def is_bf16_supported(self):
+        return self._bf16
+
+
+def _fake_torch(available=True, bf16=True):
+    mod = types.ModuleType("torch")
+    mod.cuda = _FakeCuda(available, bf16)
+    mod.bfloat16 = "bf16"
+    mod.float16 = "fp16"
+    return mod
+
+
+class _FakeModel:
+    def __init__(self, result_text=None, returned=None):
+        self.result_text = result_text
+        self.returned = returned
+        self.eval_called = 0
+        self.cuda_called = 0
+        self.infer_calls = []
+
+    def eval(self):
+        self.eval_called += 1
+        return self
+
+    def cuda(self):
+        self.cuda_called += 1
+        return self
+
+    def infer(self, tokenizer, **kw):
+        self.infer_calls.append(kw)
+        assert kw["save_results"] is True
+        if self.result_text is not None:
+            with open(os.path.join(kw["output_path"], "result.mmd"), "w",
+                      encoding="utf-8") as f:
+                f.write(self.result_text)
+        return self.returned
+
+
+def _fake_transformers(model, *, flash_attn_ok=True, calls=None):
+    mod = types.ModuleType("transformers")
+    calls = calls if calls is not None else {"model": 0, "tok": 0, "attn": []}
+
+    class AutoTokenizer:
+        @staticmethod
+        def from_pretrained(name, **kw):
+            calls["tok"] += 1
+            return f"tokenizer:{name}"
+
+    class AutoModel:
+        @staticmethod
+        def from_pretrained(name, **kw):
+            if "_attn_implementation" in kw and not flash_attn_ok:
+                raise TypeError("unexpected keyword argument "
+                                "'_attn_implementation'")
+            calls["model"] += 1
+            calls["attn"].append(kw.get("_attn_implementation"))
+            calls["dtype"] = kw.get("torch_dtype")
+            return model
+
+    mod.AutoTokenizer = AutoTokenizer
+    mod.AutoModel = AutoModel
+    mod._calls = calls
+    return mod
+
+
+@pytest.fixture
+def image(tmp_path):
+    p = tmp_path / "page.png"
+    p.write_bytes(b"\x89PNG fake")
+    return str(p)
+
+
+def _install(monkeypatch, torch_mod, tf_mod):
+    monkeypatch.setitem(sys.modules, "torch", torch_mod)
+    monkeypatch.setitem(sys.modules, "transformers", tf_mod)
+
+
+def test_load_once_and_result_file_preferred(monkeypatch, image, tmp_path):
+    model = _FakeModel(result_text="# saved markdown", returned={"text": "ret"})
+    tf = _fake_transformers(model)
+    _install(monkeypatch, _fake_torch(), tf)
+
+    eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
+    out1 = eng.infer_batch([image], [None])
+    out2 = eng.infer_batch([image, image], [None, None])
+    # saved result.mmd wins over the returned dict
+    assert out1 == ["# saved markdown"]
+    assert out2 == ["# saved markdown"] * 2
+    # tokenizer+model loaded exactly once across three inferences
+    assert tf._calls["model"] == 1 and tf._calls["tok"] == 1
+    assert model.eval_called == 1 and model.cuda_called == 1
+    # bf16 picked when supported, flash-attn requested
+    assert tf._calls["dtype"] == "bf16"
+    assert tf._calls["attn"] == ["flash_attention_2"]
+    # scratch dirs cleaned up
+    assert not [d for d in os.listdir(tmp_path) if d.startswith("dsocr2-")]
+
+
+def test_flash_attn_typeerror_falls_back(monkeypatch, image, tmp_path):
+    model = _FakeModel(returned="plain return")
+    tf = _fake_transformers(model, flash_attn_ok=False)
+    _install(monkeypatch, _fake_torch(bf16=False), tf)
+
+    eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
+    out = eng.infer_batch([image], [None])
+    # empty/missing result file -> raw return value (stage normalizes later)
+    assert out == ["plain return"]
+    assert tf._calls["attn"] == [None]       # retried without the argument
+    assert tf._calls["dtype"] == "fp16"      # no bf16 support
+
+
+def test_empty_result_file_falls_back_to_return(monkeypatch, image, tmp_path):
+    model = _FakeModel(result_text="   \n", returned={"markdown": "from dict"})
+    _install(monkeypatch, _fake_torch(), _fake_transformers(model))
+    eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
+    assert eng.infer_batch([image], [None]) == [{"markdown": "from dict"}]
+
+
+def test_requires_cuda(monkeypatch, image, tmp_path):
+    model = _FakeModel(returned="x")
+    _install(monkeypatch, _fake_torch(available=False), _fake_transformers(model))
+    eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
+    with pytest.raises(RuntimeError, match="CUDA"):
+        eng.infer_batch([image], [None])
+    # opt-out for CPU smoke runs
+    eng2 = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)),
+                              require_cuda=False)
+    assert eng2.infer_batch([image], [None]) == ["x"]
+
+
+def test_missing_image_raises(monkeypatch, tmp_path):
+    model = _FakeModel(returned="x")
+    _install(monkeypatch, _fake_torch(), _fake_transformers(model))
+    eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
+    with pytest.raises(FileNotFoundError):
+        eng.infer_batch([str(tmp_path / "nope.png")], [None])
