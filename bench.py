@@ -67,15 +67,19 @@ def _run_flagship(work_ms: float | None = None) -> dict:
         ocr_concurrency=max(2, NUM_CPUS - 2),
         ocr_min_actors=max(2, NUM_CPUS - 2),  # pinned pool: no ramp-up
         ocr_batch_size=128,
-        fanout_batch_size=256,
+        # barrier-free granularity: fan-out fuses into the OCR actor op,
+        # so each actor task is a ~fanout_batch_size-doc bundle
+        fanout_batch_size=32,
         num_partitions=max(32, NUM_CPUS * 4),
-        balance_blocks=NUM_CPUS * 4,
+        balance_blocks=None,
     )
     t0 = time.monotonic()
     ds = build_extract_pipeline(
-        # few fat read blocks (per-task overhead is steep in this Ray
-        # build); granularity for the OCR pool comes from balance_blocks
-        read_documents(CORPUS_DIR, num_blocks=2 * NUM_CPUS),
+        # read blocks smaller than the fan-out bundle so bundling (which
+        # never splits a block) actually yields ~32-doc tasks; fractional
+        # read CPUs keep the read flowing beside the pinned actor pool
+        read_documents(CORPUS_DIR, num_blocks=max(64, BENCH_DOCS // 32),
+                       read_cpus=0.25),
         engine_factory=functools.partial(
             MockOcrEngine,
             work_ms=OCR_WORK_MS if work_ms is None else work_ms,
@@ -176,7 +180,10 @@ def main() -> None:
             "ocr_work_ms": OCR_WORK_MS,
             "ocr_actors": max(2, NUM_CPUS - 2),
             "ocr_batch_size": 128,
-            "balance_blocks": NUM_CPUS * 4,
+            "fanout_batch_size": 32,
+            "balance_blocks": None,   # barrier-free: no repartition
+            "merge_before_shuffle": True,
+            "read_cpus": 0.25,
             "num_partitions": max(32, NUM_CPUS * 4),
             "fuse_finalize": True,
         },

@@ -76,10 +76,25 @@ class PipelineSettings:
     ocr_num_cpus: float = 1.0          # reserved per actor (GPU adapter: num_gpus=1)
     fanout_batch_size: int = 512       # documents per fan-out batch
     num_partitions: int = 32           # checkpoint / output partitions
-    balance_blocks: int | None = None  # repartition work units into this
-                                       # many row-balanced blocks before OCR
-                                       # (cost leveling; units are ~equal
-                                       # cost after per-page fan-out)
+    balance_blocks: int | None = None  # EXPLICIT skew leveling: repartition
+                                       # work units into this many
+                                       # row-balanced blocks before OCR (an
+                                       # all-to-all barrier; units are
+                                       # ~equal cost after per-page fan-out
+                                       # so row-balance == cost-balance).
+                                       # Off by default: the barrier-free
+                                       # path gets OCR granularity from
+                                       # small fused fan-out tasks. Turn on
+                                       # for pathological per-doc skew
+                                       # (single multi-thousand-page docs).
+    merge_before_shuffle: bool = True  # streaming coalesce of OCR output
+                                       # blocks (one per OCR task) into few
+                                       # fat blocks before the assembly
+                                       # groupby — the sort shuffle pays
+                                       # ~per-block overhead, so feeding it
+                                       # hundreds of task-sized blocks
+                                       # dominates wall time
+    merge_batch_size: int = 8192       # rows per coalesced pre-shuffle block
     fail_fast: bool = False            # reference --fail-fast (cli.py:74-85)
     fuse_finalize: bool = True         # run post-processing inside the OCR
                                        # actor (one fewer operator); False

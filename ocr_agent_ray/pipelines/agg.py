@@ -76,7 +76,8 @@ def hash_partition_aggregate(ds, keys: list[str], spec: AggSpec,
         return _combine(g.drop(columns="__bucket"), keys, spec)
 
     return (
-        ds.map_batches(_partial_bucketed, batch_format="pandas")
+        ds.map_batches(_partial_bucketed, batch_format="pandas",
+                       batch_size=65536)
         .groupby("__bucket")
         .map_groups(_combine_bucket, batch_format="pandas")
     )
@@ -97,7 +98,7 @@ def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
         return b
 
     return (
-        ds.map_batches(_bucketed, batch_format="pandas")
+        ds.map_batches(_bucketed, batch_format="pandas", batch_size=65536)
         .groupby("__bucket")
         .map_groups(
             lambda g: g.drop(columns="__bucket").drop_duplicates(),

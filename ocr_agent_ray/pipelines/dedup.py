@@ -149,7 +149,9 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
         return out.drop_duplicates(_PAIR_COLS)
 
     pairs = (
-        band_rows.map_batches(_bucket, batch_format="pandas")
+        # coarse batches: few fat blocks into the bucket sort (fixed
+        # per-block shuffle cost dominates thin-block plans)
+        band_rows.map_batches(_bucket, batch_format="pandas", batch_size=131072)
         .groupby("__bucket")
         .map_groups(_pairs, batch_format="pandas")
     )
@@ -160,15 +162,21 @@ def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
                          score_batch, num_buckets: int = 16):
     """Distributed candidate verification (the 100-TB shape).
 
-    ``cands``: Dataset of (doc_id_a, doc_id_b). ``make_feats()``: builds a
-    fresh Dataset of Arrow batches with columns exactly (doc_id, __feat) —
-    __feat MUST be a typed Arrow list column (a pandas object column of
-    numpy arrays would be re-encoded as Ray's tensor extension struct and
-    break the join-side cast). Called once per join side, so the feature
-    stage re-executes instead of materializing mid-pipeline.
-    ``score_batch(feat_a: Series, feat_b: Series) -> np.ndarray`` scores
-    each pair. Two bucket_hash_joins rejoin features to the pairs; the
-    driver never sees the corpus.
+    ``cands``: Dataset of (doc_id_a, doc_id_b) — materialized here (it is
+    the verification working set and is consumed by both joins).
+    ``make_feats(candidate_ids)``: builds a fresh Dataset of Arrow batches
+    with columns exactly (doc_id, __feat), computing features ONLY for the
+    given candidate ids — __feat MUST be a typed Arrow list column (a
+    pandas object column of numpy arrays would be re-encoded as Ray's
+    tensor extension struct and break the join-side cast). Called once per
+    join side, so the feature stage re-executes instead of materializing
+    mid-pipeline. ``score_batch(feat_a, feat_b) -> np.ndarray`` scores
+    each pair.
+
+    Scale shape: the driver holds only the candidate-ID SET (8 B/id,
+    bounded by the pair count it must emit anyway — never texts/vectors);
+    features for those ids rejoin the pairs through two bucket_hash_joins,
+    so the heavy payloads only ever move through the bucketed shuffle.
     """
     import pyarrow as pa
 
@@ -176,12 +184,25 @@ def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
 
     pair_schema = pa.schema([("doc_id_a", id_type), ("doc_id_b", id_type)])
 
+    cands = cands.materialize()
+    ids: set = set()
+    for b in cands.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ids.update(b["doc_id_a"].to_pylist())
+        ids.update(b["doc_id_b"].to_pylist())
+    if not ids:
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.Table.from_arrays(
+            [pa.array([], id_type), pa.array([], id_type),
+             pa.array([], pa.float64())],
+            names=["doc_id_a", "doc_id_b", "score"]))
+
     def _side(side: str):
         def _rename(b: pa.Table) -> pa.Table:
             return b.select(["doc_id", "__feat"]).rename_columns(
                 [f"doc_id_{side}", f"__feat_{side}"])
 
-        return make_feats().map_batches(_rename, batch_format="pyarrow")
+        return make_feats(ids).map_batches(_rename, batch_format="pyarrow")
 
     j1 = bucket_hash_join(
         cands, _side("a"), on="doc_id_a",
@@ -248,7 +269,11 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         num_perm=num_perm, num_bands=num_bands, k=k,
     )
 
-    def _feats():
+    def _feats(cand_ids):
+        from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+        filtered = broadcast_semi_filter(ds, cand_ids, id_col)
+
         def _sh(batch: pd.DataFrame) -> pa.Table:
             feats = [char_shingle_set(t or "", k) for t in batch[text_col]]
             return pa.Table.from_arrays(
@@ -257,7 +282,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 names=["doc_id", "__feat"],
             )
 
-        return ds.map_batches(_sh, batch_format="pandas")
+        return filtered.map_batches(_sh, batch_format="pandas")
 
     def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
         return np.round(
@@ -539,8 +564,17 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
     # dtype for the embedding column that has no direct Arrow mapping
     id_type = pa.Array.from_pandas(first[id_col]).type
 
-    def _feats():
+    def _feats(cand_ids):
+        from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+        filtered = broadcast_semi_filter(ds, cand_ids, id_col)
+
         def _unit(batch: pd.DataFrame) -> pa.Table:
+            if len(batch) == 0:
+                return pa.Table.from_arrays(
+                    [pa.array([], id_type),
+                     pa.array([], pa.list_(pa.float64()))],
+                    names=["doc_id", "__feat"])
             mat = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -551,7 +585,7 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
                 names=["doc_id", "__feat"],
             )
 
-        return ds.map_batches(_unit, batch_format="pandas")
+        return filtered.map_batches(_unit, batch_format="pandas")
 
     def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
         if len(fa) == 0:
@@ -600,7 +634,11 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     id_type = _arrow_schema_of(ds).field(id_col).type
     cands = minhash_candidates(ds, text_col=text_col, id_col=id_col)
 
-    def _feats():
+    def _feats(cand_ids):
+        from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+        filtered = broadcast_semi_filter(ds, cand_ids, id_col)
+
         def _sets(batch: pd.DataFrame) -> pa.Table:
             feats = [_ngram_set(t) for t in batch[text_col]]
             return pa.Table.from_arrays(
@@ -609,7 +647,7 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 names=["doc_id", "__feat"],
             )
 
-        return ds.map_batches(_sets, batch_format="pandas")
+        return filtered.map_batches(_sets, batch_format="pandas")
 
     def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
         return np.round(

@@ -42,8 +42,16 @@ def build_extract_pipeline(
     settings = settings or PipelineSettings()
     post = post or PostProcessSettings()
 
-    # Instances (not classes) -> stateless Ray tasks; only the OCR stage
-    # below is an actor pool.
+    # Barrier-free task granularity (default): the fan-out map carries the
+    # pool's default resource spec, so Ray FUSES it into the OCR actor op —
+    # each actor task reads a ~fanout_batch_size-doc bundle, fans it out
+    # and OCRs it in place. OCR task granularity therefore equals the
+    # fan-out bundle (keep fanout_batch_size small and read blocks smaller
+    # than it), no repartition needed and the pipeline streams end-to-end.
+    # balance_blocks instead inserts an explicit cost-leveling repartition
+    # (an all-to-all barrier) between fan-out and OCR — the north-rule
+    # lever for pathological per-doc skew, where one multi-thousand-page
+    # doc must spread across many OCR tasks.
     units = docs_ds.map_batches(
         FanOutStage(num_partitions=settings.num_partitions),
         batch_format="pyarrow",
@@ -102,6 +110,21 @@ def build_extract_pipeline(
             FinalizeStage(math_style=post.math_delimiter_style, metrics_dir=out_dir),
             batch_format="pyarrow",
             batch_size=settings.ocr_batch_size,
+        )
+
+    if settings.merge_before_shuffle:
+        # Streaming coalesce: OCR emits one block per task (hundreds of
+        # small blocks) and the sort-based groupby below pays a fixed
+        # ~per-block cost, so merge them into few fat blocks first. A task
+        # map with a distinct fractional CPU so it can't fuse into the
+        # actor pool (fusion would keep the small output blocks) and can
+        # run beside a pinned pool.
+        def _coalesce(b: pa.Table) -> pa.Table:
+            return b
+
+        final = final.map_batches(
+            _coalesce, batch_format="pyarrow",
+            batch_size=settings.merge_batch_size, num_cpus=0.26,
         )
 
     assembler = PartitionAssembler(out_dir=out_dir)

@@ -121,7 +121,8 @@ def _arrow_schema_of(ds) -> pa.Schema:
 def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
                      how: str = "inner", left_cols=None, right_cols=None,
                      left_schema: pa.Schema | None = None,
-                     right_schema: pa.Schema | None = None):
+                     right_schema: pa.Schema | None = None,
+                     prep_batch_size: int = 32768):
     """Explicit partitioned hash join of two large Datasets (see module doc).
 
     Pass ``left_schema``/``right_schema`` when a side is a lazy pipeline:
@@ -163,8 +164,12 @@ def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
 
         return _fn
 
-    lt = left.select_columns(left_cols).map_batches(_prep("l", left_cols), batch_format="pyarrow")
-    rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
+    # coarse prep batches: the sort-based groupby below pays a fixed
+    # per-block cost, so feed it few fat blocks, not one per small task
+    lt = left.select_columns(left_cols).map_batches(
+        _prep("l", left_cols), batch_format="pyarrow", batch_size=prep_batch_size)
+    rt = right.select_columns(right_cols).map_batches(
+        _prep("r", right_cols), batch_format="pyarrow", batch_size=prep_batch_size)
     both = lt.union(rt)
 
     out_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])
@@ -185,7 +190,8 @@ def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
 def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
               num_buckets: int = 16,
               left_schema: pa.Schema | None = None,
-              right_schema: pa.Schema | None = None):
+              right_schema: pa.Schema | None = None,
+              prep_batch_size: int = 32768):
     """As-of join: for each left row, the latest right row with the same
     key and right_ts <= left_ts (backward search).
 
@@ -224,8 +230,10 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
 
         return _fn
 
-    lt = left.select_columns(left_cols).map_batches(_prep("l", left_cols), batch_format="pyarrow")
-    rt = right.select_columns(right_cols).map_batches(_prep("r", right_cols), batch_format="pyarrow")
+    lt = left.select_columns(left_cols).map_batches(
+        _prep("l", left_cols), batch_format="pyarrow", batch_size=prep_batch_size)
+    rt = right.select_columns(right_cols).map_batches(
+        _prep("r", right_cols), batch_format="pyarrow", batch_size=prep_batch_size)
     both = lt.union(rt)
 
     out_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])

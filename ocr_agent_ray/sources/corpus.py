@@ -156,7 +156,8 @@ def write_corpus_parquet_ray(path: str, num_docs: int, seed: int = 42,
     return ray.get(refs)
 
 
-def read_documents(path: str, num_blocks: int | None = None):
+def read_documents(path: str, num_blocks: int | None = None,
+                   read_cpus: float | None = None):
     """Read an interleaved-docs table as a Ray Dataset (Lance dataset dirs
     via ray.data.read_lance when the package is available, else parquet —
     sources/readers.py).
@@ -164,6 +165,11 @@ def read_documents(path: str, num_blocks: int | None = None):
     Block count defaults to 4x the cluster CPUs: downstream actor-pool
     concurrency is bounded by input block count, so a handful of fat files
     must split into enough blocks to keep every actor fed.
+
+    ``read_cpus``: fractional CPU request per read task (e.g. 0.25) so
+    reads keep flowing beside a pinned actor pool that reserves most of
+    the node — with default 1-CPU read tasks and an N-2-actor pool, reads
+    trickle 2-wide and starve the pipeline start.
     """
     import ray
     import ray.data as rd
@@ -176,6 +182,8 @@ def read_documents(path: str, num_blocks: int | None = None):
         except Exception:
             cpus = 8
         num_blocks = 4 * max(2, cpus)
+    remote_args = {"num_cpus": read_cpus} if read_cpus else None
     if is_lance_dataset(path):
         return read_lance_table(path, num_blocks=num_blocks)
-    return rd.read_parquet(path, override_num_blocks=num_blocks)
+    kwargs = {"ray_remote_args": remote_args} if remote_args else {}
+    return rd.read_parquet(path, override_num_blocks=num_blocks, **kwargs)
