@@ -196,9 +196,9 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # larger corpus for scaling runs: amortizes the per-run fixed cost
-        # (actor-pool spin-up, shuffle barriers) that a real long-running
-        # 100 TB job pays once
-        env.setdefault("GRAFT_BENCH_DOCS", "24000")
+        # (actor-pool spin-up, the assembly shuffle) that a real
+        # long-running 100 TB job pays once
+        env.setdefault("GRAFT_BENCH_DOCS", "36000")
         env.setdefault("GRAFT_BENCH_REPEATS", "2")  # best-of-2: the fixed
         # per-run pipeline cost has ±10% variance on a busy single node
         out = subprocess.run(
