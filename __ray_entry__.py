@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": text.fingerprints,
         "q_language_id": text.language_id,          # rows-only
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
+        "q_pii_scrub": text.pii_scrub,
+        "q_repetition_scores": text.repetition_scores,
+        "q_alnum_filter": text.alnum_filter,
+        "q_chars_quantiles_by_source": text.chars_quantiles_by_source,
+        "q_decontaminate": text.decontaminate,
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
@@ -123,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
+        "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
         "q_flagship_span_counts": interleave.flagship_span_counts,
         "q_grounding_detections": interleave.grounding_detection_counts,
@@ -133,6 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOP_LIST = "('the','a','and','of','to','in','is','on','for','with')"
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+# identical RE2 patterns as functions/textstats.PII_PATTERNS (order matters)
+_PII_EM = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+_PII_PH = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -311,6 +321,54 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(cos, 6) AS cosine FROM scored "
             "QUALIFY rank <= 5"
         ),
+        "q_pii_scrub": (
+            f"WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{_PII_EM}')) c1, "
+            f"regexp_replace(text, '{_PII_EM}', '<EMAIL>', 'g') t1 FROM documents), "
+            f"s2 AS (SELECT doc_id, c1, len(regexp_extract_all(t1, '{_PII_PH}')) c2, "
+            f"regexp_replace(t1, '{_PII_PH}', '<PHONE>', 'g') t2 FROM s1), "
+            f"s3 AS (SELECT doc_id, c1, c2, len(regexp_extract_all(t2, '{_PII_IP}')) c3, "
+            f"regexp_replace(t2, '{_PII_IP}', '<IP>', 'g') t3 FROM s2) "
+            "SELECT doc_id, t3 AS clean_text, "
+            "CAST(c1+c2+c3 AS BIGINT) AS n_redactions FROM s3"
+        ),
+        "q_repetition_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') t FROM documents), "
+            "ex AS (SELECT doc_id, unnest(t) w FROM toks), "
+            "counts AS (SELECT doc_id, w, COUNT(*) c FROM ex GROUP BY 1, 2), "
+            "per AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_words, "
+            "COUNT(*) dw, MAX(c) top FROM counts GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words, "
+            "ROUND(CASE WHEN COALESCE(p.n_words, 0) = 0 THEN 0 "
+            "ELSE 1 - CAST(p.dw AS DOUBLE)/p.n_words END, 6) AS dup_word_ratio, "
+            "ROUND(CASE WHEN COALESCE(p.n_words, 0) = 0 THEN 0 "
+            "ELSE CAST(p.top AS DOUBLE)/p.n_words END, 6) AS top_word_ratio "
+            "FROM documents d LEFT JOIN per p USING(doc_id)"
+        ),
+        "q_alnum_filter": (
+            "SELECT doc_id, alnum_ratio FROM ("
+            "SELECT doc_id, "
+            "ROUND(CAST(len(regexp_extract_all(text, '[0-9A-Za-z]')) AS DOUBLE) "
+            "/ GREATEST(length(text), 1), 6) AS alnum_ratio FROM documents) "
+            "WHERE alnum_ratio >= 0.8"
+        ),
+        "q_chars_quantiles_by_source": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "ROUND(quantile_cont(n_chars, 0.5), 6) AS median_chars, "
+            "ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "q_decontaminate": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') t FROM documents), "
+            "grams0 AS (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM toks), "
+            "grams AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g FROM grams0), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "cont AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b USING(g)) "
+            "SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated "
+            "FROM documents d LEFT JOIN cont c USING(doc_id)"
+        ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
-        # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_flagship_span_counts
+        # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
+        # q_flagship_span_counts
     }

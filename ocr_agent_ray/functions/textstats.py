@@ -12,6 +12,7 @@ half-even; :func:`round_half_away` reproduces DuckDB so value hashes match.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -189,6 +190,89 @@ def md5_fingerprint(texts: pd.Series, normalize: bool = True) -> pd.Series:
         [hashlib.md5(s.encode("utf-8")).hexdigest() for s in t],
         index=texts.index, dtype="object",
     )
+
+
+"""PII scrubbing + repetition-quality kernels (C4/Gopher-style filters).
+
+RE2-compatible patterns (no lookaheads/backrefs) so the DuckDB oracle
+applies the IDENTICAL regexes with regexp_replace(..., 'g').
+Order is load-bearing: emails before phones (an email's digits must not
+be half-eaten by the phone pattern).
+"""
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone",
+     r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+     "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+_PII_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS]
+
+
+def scrub_pii(texts: pd.Series) -> pd.DataFrame:
+    """Redact emails / phone numbers / IPv4s; returns (clean_text,
+    n_redactions). Vectorized pandas str.replace per pattern."""
+    t = texts.fillna("")
+    total = np.zeros(len(t), dtype=np.int64)
+    for _name, pat, repl in _PII_COMPILED:
+        total += t.str.count(pat).to_numpy(dtype=np.int64)
+        t = t.str.replace(pat, repl, regex=True)
+    return pd.DataFrame({"clean_text": t, "n_redactions": total},
+                        index=texts.index)
+
+
+def repetition_features(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc (all SQL-expressible):
+
+    - dup_word_ratio: 1 - distinct_words/words (0 when empty)
+    - top_word_ratio: most frequent word count / words (0 when empty)
+
+    Computed with explode + groupby (no per-row Python loop).
+    """
+    toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    toks.index = pd.RangeIndex(len(toks))
+    n = toks.str.len()
+    ex = toks.explode().dropna()
+    grp = ex.groupby(level=0)
+    distinct = grp.nunique().reindex(toks.index, fill_value=0)
+    top = (
+        ex.to_frame("w").groupby([ex.index, "w"]).size()
+        .groupby(level=0).max().reindex(toks.index, fill_value=0)
+    )
+    denom = n.clip(lower=1).to_numpy()
+    out = pd.DataFrame(
+        {
+            "n_words": n.to_numpy(dtype=np.int64),
+            "dup_word_ratio": round_half_away(
+                1.0 - distinct.to_numpy() / denom, 6) * (n.to_numpy() > 0),
+            "top_word_ratio": round_half_away(
+                top.to_numpy() / denom, 6),
+        },
+        index=texts.index,
+    )
+    return out
+
+
+def alnum_ratios(texts: pd.Series) -> pd.Series:
+    """Alphanumeric-character fraction of each doc (C4-ish signal)."""
+    t = texts.fillna("")
+    n_alnum = t.str.count(r"[0-9A-Za-z]")
+    return pd.Series(
+        round_half_away(n_alnum.to_numpy() / t.str.len().clip(lower=1).to_numpy(), 6),
+        index=texts.index,
+    )
+
+
+_TOKEN_COMPILED = re.compile(TOKEN_RE)
+
+
+def word_ngrams(text: str, n: int = 8) -> list[str]:
+    """Token n-grams as strings (decontamination unit); tokens are the
+    ASCII TOKEN_RE class so SQL tokenizes identically."""
+    toks = _TOKEN_COMPILED.findall((text or "").lower())
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
 def rolling_fingerprint(text: str, window: int = 16, mod_select: int = 8) -> list[int]:

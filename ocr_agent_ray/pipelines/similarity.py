@@ -171,3 +171,90 @@ def knn_lsh(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         .groupby("query_id")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def _ivf_centroids(sf_dir: str, num_lists: int, sample_rows: int = 4096,
+                   iters: int = 10) -> np.ndarray:
+    """Deterministic mini k-means over a pruned sample read: seeded
+    kmeans++-lite init (first k of a seeded shuffle), Lloyd iterations in
+    numpy. The sample is tiny and read once — the 100 TB analog trains
+    centroids on a fixed sample shard, never the full corpus."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", sample_rows)])
+    mat = _unit(np.stack(t["embedding"].to_pandas().to_numpy()))
+    rng = np.random.default_rng(424242)
+    init = rng.permutation(len(mat))[:num_lists]
+    cent = mat[init].copy()
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)          # cosine on unit vecs
+        for c in range(num_lists):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm:
+                    cent[c] = m / norm
+    return cent
+
+
+def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
+            num_lists: int = 16, nprobe: int = 4):
+    """Approximate top-k via an IVF (inverted-file) index: vectors are
+    assigned to their nearest of ``num_lists`` centroids; a query probes
+    only its ``nprobe`` closest lists. The scale path of SURVEY §2's ANN
+    entry alongside knn_lsh — at 100 TB the corpus is PARTITIONED by list
+    id (one partition family per centroid), so a probe reads
+    nprobe/num_lists of the data; here list assignment + probe filtering
+    run inside the same map_batches over the stream.
+
+    Deterministic (seeded centroids); recall vs exact brute force is
+    pytest-asserted. Rows-only for the driver (approximate by design).
+    """
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir, num_queries)
+    cent = _ivf_centroids(sf_dir, num_lists)
+    qlists = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((qids, qmat, cent, qlists))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        q_ids, q, c, ql = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        unit = _unit(np.stack(batch["embedding"].to_numpy()))
+        assign = (unit @ c.T).argmax(axis=1)
+        out = []
+        for qi in range(len(q_ids)):
+            match = np.isin(assign, ql[qi]) & (ids != q_ids[qi])
+            cand = np.nonzero(match)[0]
+            if cand.size == 0:
+                continue
+            s = unit[cand] @ q[qi]
+            order = cand[np.lexsort((ids[cand], -s))][:k]
+            out.append(pd.DataFrame({
+                "query_id": q_ids[qi], "vec_id": ids[order],
+                "cosine": unit[order] @ q[qi],
+            }))
+        if not out:
+            return pd.DataFrame(columns=["query_id", "vec_id", "cosine"])
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.round(g["cosine"], 6)
+        return g[["query_id", "vec_id", "rank", "cosine"]]
+
+    return (
+        _read_embeddings(sf_dir)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(_final, batch_format="pandas")
+    )

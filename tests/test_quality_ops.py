@@ -1,0 +1,118 @@
+"""Round-2 training-data-pipeline operators: PII scrub, repetition,
+alnum filter, decontamination, IVF ANN recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ocr_agent_ray.functions.textstats import (
+    alnum_ratios,
+    repetition_features,
+    scrub_pii,
+    word_ngrams,
+)
+
+
+def test_scrub_pii_planted():
+    s = pd.Series([
+        "contact alice.j+spam@ex-ample.org or bob@x.io today",
+        "call +1-555-123-4567 or (555) 987-6543 now",
+        "host 192.168.0.17 and 10.0.0.1 are down",
+        "clean text with no pii at all",
+        "",
+        None,
+    ])
+    out = scrub_pii(s)
+    assert out["clean_text"][0] == "contact <EMAIL> or <EMAIL> today"
+    assert out["n_redactions"][0] == 2
+    assert out["clean_text"][1] == "call <PHONE> or <PHONE> now"
+    assert out["n_redactions"][1] == 2
+    assert out["clean_text"][2] == "host <IP> and <IP> are down"
+    assert out["n_redactions"][2] == 2
+    assert out["n_redactions"][3] == 0
+    assert list(out["n_redactions"][4:]) == [0, 0]
+
+
+def test_scrub_pii_email_before_phone():
+    # the email's digits must not be half-eaten by the phone pattern
+    s = pd.Series(["mail 555-123-4567@corp.example.com please"])
+    out = scrub_pii(s)
+    assert out["clean_text"][0] == "mail <EMAIL> please"
+    assert out["n_redactions"][0] == 1
+
+
+def test_repetition_features_goldens():
+    out = repetition_features(pd.Series([
+        "a a a a",          # 1 distinct / 4 -> dup .75, top 1.0
+        "a b c d",          # all distinct
+        "spam spam eggs",   # top 2/3
+        "",
+    ]))
+    assert list(out["n_words"]) == [4, 4, 3, 0]
+    assert out["dup_word_ratio"][0] == 0.75
+    assert out["top_word_ratio"][0] == 1.0
+    assert out["dup_word_ratio"][1] == 0.0
+    assert out["top_word_ratio"][1] == 0.25
+    assert round(out["top_word_ratio"][2], 6) == 0.666667
+    assert out["dup_word_ratio"][3] == 0.0
+
+
+def test_alnum_ratios():
+    out = alnum_ratios(pd.Series(["abc123", "!!!", "ab!!", ""]))
+    assert list(out) == [1.0, 0.0, 0.5, 0.0]
+
+
+def test_word_ngrams():
+    assert word_ngrams("A b. c d e f g h i", 8) == [
+        "a b c d e f g h", "b c d e f g h i"]
+    assert word_ngrams("too short", 8) == []
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import decontaminate
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    bench_text = " ".join(words)  # doc 0 (doc_id % 97 == 0) is the benchmark
+    rows = [
+        {"doc_id": 0, "text": bench_text},
+        {"doc_id": 1, "text": "prefix " + bench_text + " suffix"},  # contains an 8-gram
+        {"doc_id": 2, "text": " ".join(reversed(words))},            # same words, no 8-gram
+        {"doc_id": 3, "text": "totally different content here entirely novel words only"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    out = decontaminate(str(tmp_path)).to_pandas().set_index("doc_id")["contaminated"]
+    assert bool(out[0]) is True    # benchmark doc overlaps itself
+    assert bool(out[1]) is True
+    assert bool(out[2]) is False
+    assert bool(out[3]) is False
+
+
+def test_knn_ivf_recall(ray_session):
+    from ocr_agent_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_bruteforce(sf, k=5, num_queries=8).to_pandas()
+    approx = knn_ivf(sf, k=5, num_queries=8, num_lists=16, nprobe=6).to_pandas()
+
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    got = {q: set(g["vec_id"]) for q, g in approx.groupby("query_id")}
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5  # nprobe=6/16 lists: recall well above chance
+
+    # reported cosines are exact for whatever it returns
+    merged = approx.merge(exact, on=["query_id", "vec_id"], suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_knn_ivf_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.similarity import knn_ivf
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
