@@ -117,6 +117,12 @@ QUERY_NAMES = [
     "q_latest_order_asof",
     "q_html_main_text",
     "q_language_id",
+    "q_pii_scrub",
+    "q_repetition_scores",
+    "q_alnum_filter",
+    "q_chars_quantiles_by_source",
+    "q_decontaminate",
+    "q_knn_ivf",
 ]
 
 
