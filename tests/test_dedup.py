@@ -134,3 +134,26 @@ def test_embedding_near_dup_matches_bruteforce(ray_session):
     for a, b, c in zip(out["vec_id_a"], out["vec_id_b"], out["cosine"]):
         ia, ib = ids.index(a), ids.index(b)
         assert abs(c - round(float(unit[ia] @ unit[ib]), 6)) <= 1e-6
+
+
+def test_dedup_empty_inputs(ray_session):
+    """Empty corpus flows through every dedup path without error."""
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.dedup import (
+        dedup_keep_first,
+        embedding_near_dup_lsh,
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                         "text": pd.Series(dtype="object")}))
+    assert len(minhash_lsh_dedup(empty).to_pandas()) == 0
+    assert len(ngram_jaccard_pairs(empty).to_pandas()) == 0
+    assert len(dedup_keep_first(empty).to_pandas()) == 0
+
+    empty_vec = rd.from_pandas(pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                             "embedding": pd.Series(dtype="object")}))
+    out = embedding_near_dup_lsh(empty_vec)
+    assert len(out) == 0
