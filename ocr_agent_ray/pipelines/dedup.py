@@ -168,10 +168,10 @@ def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
     with columns exactly (doc_id, __feat), computing features ONLY for the
     given candidate ids — __feat MUST be a typed Arrow list column (a
     pandas object column of numpy arrays would be re-encoded as Ray's
-    tensor extension struct and break the join-side cast). Called once per
-    join side, so the feature stage re-executes instead of materializing
-    mid-pipeline. ``score_batch(feat_a, feat_b) -> np.ndarray`` scores
-    each pair.
+    tensor extension struct and break the join-side cast). Called once
+    per join side — recomputing the (candidate-filtered) features streams
+    and overlaps with the join, measured faster than materializing them.
+    ``score_batch(feat_a, feat_b) -> np.ndarray`` scores each pair.
 
     Scale shape: the driver holds only the candidate-ID SET (8 B/id,
     bounded by the pair count it must emit anyway — never texts/vectors);
