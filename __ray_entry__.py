@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.minhash_lsh_dedup(_docs(sf))
         ),  # rows-only (iterative algorithm)
         "q_hash_sample": relational_hash_sample,
+        "q_stratified_sample": relational.stratified_sample_documents,
+        "q_top_words": relational.top_words,
+        "q_rollup_counts": relational.rollup_counts,
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
@@ -320,6 +323,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, "
             "ROUND(cos, 6) AS cosine FROM scored "
             "QUALIFY rank <= 5"
+        ),
+        "q_stratified_sample": (
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, row_number() OVER ("
+            "PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id"
+            ") AS rn FROM documents) WHERE rn <= 2"
+        ),
+        "q_top_words": (
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+        ),
+        "q_rollup_counts": (
+            "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY ROLLUP(source, lang)"
         ),
         "q_pii_scrub": (
             f"WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{_PII_EM}')) c1, "

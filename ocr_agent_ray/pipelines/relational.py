@@ -396,3 +396,75 @@ def distinct_segments(sf_dir: str):
         ["c_mktsegment"],
         num_buckets=4,
     )
+
+
+def stratified_sample_documents(sf_dir: str, per_group: int = 2):
+    """Deterministic stratified sample: the ``per_group`` docs with the
+    smallest md5(doc_id) per source — a pure function of the data
+    (reproducible across engines; exact SQL oracle), unlike seeded RNG.
+    Rank inside the per-source group; groups are small-cardinality here,
+    and at large cardinality the same shape hash-partitions by source."""
+    import hashlib
+
+    def _rank_key(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch["doc_id"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "source": batch["source"],
+                             "__key": keys})
+
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__key", "doc_id"], kind="mergesort").head(per_group)
+        return g[["doc_id", "source"]]
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(_rank_key, batch_format="pandas")
+        .groupby("source")
+        .map_groups(_head, batch_format="pandas")
+    )
+
+
+def top_words(sf_dir: str, k: int = 20):
+    """Corpus vocabulary top-k: per-batch partial counts (explode +
+    value_counts -> one row per word per batch), bucketed combine by word
+    hash, per-bucket top-k, tiny driver merge. The full vocabulary never
+    sits in one place."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
+
+    per_word = hash_partition_aggregate(
+        read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")},
+    )
+
+    def _bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "word"], ascending=[False, True]).head(k)
+
+    tops = per_word.map_batches(_bucket_topk, batch_format="pandas").to_pandas()
+    out = tops.sort_values(["n", "word"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): per-(source,lang) counts, per-source
+    subtotals, and the grand total, NULL-filled like SQL ROLLUP — three
+    pre-aggregated levels unioned; each level is a partial-combine, so no
+    level shuffles raw rows."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "lang"])
+    fine = combine_partials_driver(ds, ["source", "lang"], {"n": ("doc_id", "count")})
+    mid = fine.groupby("source", as_index=False)["n"].sum()
+    mid["lang"] = None
+    total = pd.DataFrame({"source": [None], "lang": [None],
+                          "n": [int(fine["n"].sum())]})
+    out = pd.concat([fine, mid[["source", "lang", "n"]], total],
+                    ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["source", "lang", "n"]]

@@ -116,3 +116,29 @@ def test_knn_ivf_deterministic(ray_session):
     a = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = knn_ivf(sf).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_sample_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.relational import stratified_sample_documents
+
+    sf = "/root/testdata/sf0.001"
+    a = stratified_sample_documents(sf).to_pandas()
+    b = stratified_sample_documents(sf).to_pandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(map(tuple, b.values.tolist()))
+    # exactly per_group per source
+    assert (a.groupby("source").size() == 2).all()
+
+
+def test_top_words_and_rollup(ray_session):
+    from ocr_agent_ray.pipelines.relational import rollup_counts, top_words
+
+    sf = "/root/testdata/sf0.001"
+    tw = top_words(sf, k=10)
+    assert len(tw) == 10
+    assert (tw["n"].to_numpy()[:-1] >= tw["n"].to_numpy()[1:]).all()  # sorted desc
+
+    ru = rollup_counts(sf)
+    total = ru[ru["source"].isna() & ru["lang"].isna()]["n"].iloc[0]
+    per_source = ru[ru["source"].notna() & ru["lang"].isna()]["n"].sum()
+    fine = ru[ru["source"].notna() & ru["lang"].notna()]["n"].sum()
+    assert total == per_source == fine == 500
