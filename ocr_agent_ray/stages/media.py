@@ -73,6 +73,12 @@ class DeterministicFakeCodec:
         v = rng.standard_normal(dim).astype(np.float32)
         return v / np.linalg.norm(v)
 
+    def decode_frame(self, media_ref: str, frame_index: int) -> tuple[bytes, int, int]:
+        seed = hashlib.blake2b(f"{media_ref}#frame{frame_index}".encode(),
+                               digest_size=16).digest()
+        w, h = 1280, 720
+        return seed + struct.pack("<ii", w, h), w, h
+
 
 class RealCodec:  # pragma: no cover - requires media libraries
     """Adapter point for PIL / pypdfium2 / ffmpeg in a real deployment."""
@@ -180,6 +186,43 @@ def frame_sample_indices(total_frames: int, every_n: int) -> list[int]:
     if total_frames <= 0 or every_n <= 0:
         return []
     return list(range(0, total_frames, every_n))
+
+
+class FrameSampleStage:
+    """Actor-pool 1→N flat map: video rows → one row per sampled frame.
+
+    Input rows: (media_ref: string, total_frames: int32). Output adds
+    (frame_index: int32, media_bytes: binary, width, height) with every
+    sampled frame decoded through the per-actor codec — the video analog
+    of the pdf page fan-out (vectorized repeat on the Arrow side; only
+    the codec call is per-frame, as it must be).
+    """
+
+    def __init__(self, codec_factory=DeterministicFakeCodec,
+                 every_n: int = 30) -> None:
+        self.codec = codec_factory()
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        totals = batch["total_frames"].to_pylist()
+        out_ref, out_idx, out_bytes, ws, hs = [], [], [], [], []
+        for ref, total in zip(refs, totals):
+            for fi in frame_sample_indices(int(total or 0), self.every_n):
+                payload, w, h = self.codec.decode_frame(ref, fi)
+                out_ref.append(ref)
+                out_idx.append(fi)
+                out_bytes.append(payload)
+                ws.append(w)
+                hs.append(h)
+        return pa.Table.from_arrays(
+            [pa.array(out_ref, pa.string()),
+             pa.array(out_idx, pa.int32()),
+             pa.array(out_bytes, pa.binary()),
+             pa.array(ws, pa.int32()),
+             pa.array(hs, pa.int32())],
+            names=["media_ref", "frame_index", "media_bytes", "width", "height"],
+        )
 
 
 def build_media_pipeline(units_ds, *, codec_factory=DeterministicFakeCodec,

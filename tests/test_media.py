@@ -75,3 +75,30 @@ def test_frame_sampling():
     assert frame_sample_indices(10, 3) == [0, 3, 6, 9]
     assert frame_sample_indices(0, 3) == []
     assert frame_sample_indices(5, 0) == []
+
+
+def test_frame_sample_stage(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_agent_ray.stages.media import FrameSampleStage
+
+    vids = rd.from_pandas(pd.DataFrame({
+        "media_ref": ["media://v/a.mp4", "media://v/b.mp4", "media://v/empty.mp4"],
+        "total_frames": [90, 31, 0],
+    }))
+    out = vids.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every_n": 30},
+        batch_format="pyarrow", batch_size=4, concurrency=2,
+    ).to_pandas()
+    # 90 frames -> 0,30,60 ; 31 -> 0,30 ; 0 -> none
+    got = out.groupby("media_ref")["frame_index"].apply(list).to_dict()
+    assert got["media://v/a.mp4"] == [0, 30, 60]
+    assert got["media://v/b.mp4"] == [0, 30]
+    assert "media://v/empty.mp4" not in got
+    # frames decoded deterministically, metadata typed
+    assert (out["width"] == 1280).all() and (out["height"] == 720).all()
+    a0 = out[(out["media_ref"] == "media://v/a.mp4") & (out["frame_index"] == 0)]
+    b0 = out[(out["media_ref"] == "media://v/b.mp4") & (out["frame_index"] == 0)]
+    assert a0["media_bytes"].iloc[0] != b0["media_bytes"].iloc[0]
