@@ -92,6 +92,8 @@ def cmd_run(args) -> int:
         ocr_concurrency=args.ocr_concurrency,
         num_partitions=args.num_partitions,
         fail_fast=args.fail_fast,
+        balance_blocks=args.balance_blocks,
+        fanout_batch_size=args.fanout_batch_size,
     )
     post = PostProcessSettings(math_delimiter_style=args.math_style)
     if args.engine == "metadata":
@@ -106,7 +108,7 @@ def cmd_run(args) -> int:
     else:
         engine_factory = functools.partial(MockOcrEngine, work_ms=args.ocr_work_ms)
     summary = run_extract_checkpointed(
-        read_documents(args.input),
+        read_documents(args.input, read_cpus=args.read_cpus),
         args.out,
         engine_factory=engine_factory,
         settings=settings,
@@ -197,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--num-partitions", type=int, default=32)
     r.add_argument("--math-style", default="dollar", choices=["dollar", "latex"])
     r.add_argument("--fail-fast", action="store_true")
+    r.add_argument("--balance-blocks", type=int, default=None,
+                   help="explicit cost-leveling repartition for pathological "
+                        "per-doc skew (barrier; default: barrier-free)")
+    r.add_argument("--fanout-batch-size", type=int, default=64,
+                   help="docs per fused fan-out+OCR task (task granularity)")
+    r.add_argument("--read-cpus", type=float, default=0.25,
+                   help="fractional CPUs per read task (keeps reads flowing "
+                        "beside the pinned actor pool)")
     r.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("status")
