@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_last_event_per_user": streaming.last_event_per_user,
         "q_error_top1": streaming.error_top1,
         "q_latest_order_asof": streaming.latest_order_asof,
+        "q_hopping_windows": streaming.hopping_window_counts,
+        "q_lineitems_shipped_30d": streaming.lineitems_shipped_within_30d,
+        "q_customers_no_urgent": streaming.customers_without_urgent_orders,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -323,6 +326,23 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, "
             "ROUND(cos, 6) AS cosine FROM scored "
             "QUALIFY rank <= 5"
+        ),
+        "q_hopping_windows": (
+            "WITH w AS (SELECT user_id, event_id, "
+            "date_trunc('hour', ts) - (k.i * INTERVAL 1 HOUR) AS window_start "
+            "FROM events, (SELECT unnest(range(0, 2)) AS i) k) "
+            "SELECT user_id, window_start, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM w GROUP BY user_id, window_start"
+        ),
+        "q_lineitems_shipped_30d": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY"
+        ),
+        "q_customers_no_urgent": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
         ),
         "q_stratified_sample": (
             "SELECT doc_id, source FROM ("

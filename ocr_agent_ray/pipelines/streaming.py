@@ -146,3 +146,106 @@ def error_top1(sf_dir: str):
         .sort(["ts", "event_id"], descending=[True, True])
         .limit(1)
     )
+
+
+def hopping_window_counts(sf_dir: str, *, size_hours: int = 2, hop_hours: int = 1):
+    """Hopping (sliding) windows: each event lands in size/hop overlapping
+    windows — a vectorized 1→N expansion inside map_batches (numpy repeat
+    over the hop offsets), then the same partial-aggregate + bucketed
+    combine as tumbling. Output: (user_id, window_start, n_events)."""
+    import numpy as np
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    k = size_hours // hop_hours  # windows containing each event
+
+    def _expand(batch: pd.DataFrame) -> pd.DataFrame:
+        base = batch["ts"].dt.floor(f"{hop_hours}h")
+        n = len(batch)
+        offs = np.arange(k, dtype=np.int64)
+        starts = (base.to_numpy()[:, None]
+                  - offs[None, :] * np.timedelta64(hop_hours, "h")).ravel()
+        return pd.DataFrame({
+            "user_id": np.repeat(batch["user_id"].to_numpy(), k),
+            "window_start": starts,
+            "event_id": np.repeat(batch["event_id"].to_numpy(), k),
+        })
+
+    agg = hash_partition_aggregate(
+        _read_events(sf_dir, columns=("event_id", "ts", "user_id")).map_batches(
+            _expand, batch_format="pandas"),
+        ["user_id", "window_start"],
+        {"n_events": ("event_id", "count")},
+        num_buckets=32,
+    )
+
+    def _finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return agg.map_batches(_finish, batch_format="pandas")
+
+
+def lineitems_shipped_within_30d(sf_dir: str):
+    """Equi + range join (a custom operator Ray Data lacks): line items
+    shipped within 30 days of their order's date. Bucketed by the equi
+    key (one union + one shuffle, bucket_hash_join shape); the range
+    predicate is a vectorized Arrow in-bucket filter after the per-bucket
+    equi merge — the general recipe for `a.key = b.key AND b.v BETWEEN
+    f(a)` joins. Output: (l_orderkey, l_linenumber, l_shipdate,
+    o_orderdate)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    joined = bucket_hash_join(
+        li, orders, on="l_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("l_linenumber", pa.int64()),
+                               ("l_shipdate", pa.timestamp("us"))]),
+        right_schema=pa.schema([("l_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+    )
+
+    def _range_filter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hi = pc.add(b["o_orderdate"],
+                    pa.scalar(pd.Timedelta(days=30).to_pytimedelta()))
+        return b.filter(pc.less_equal(b["l_shipdate"], hi)).select(
+            ["l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"])
+
+    return joined.map_batches(_range_filter, batch_format="pyarrow")
+
+
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti-join: customers who never placed a '1-URGENT' order. The
+    urgent-custkey set is first reduced DISTRIBUTED-side to distinct
+    values (bucketed distinct — the wire carries unique keys only), then
+    broadcast as an anti membership filter; flip to a bucketed anti merge
+    when even the distinct key set outgrows the object store."""
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+    from ocr_agent_ray.sources.readers import read_table
+
+    urgent = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    custkeys = distinct_rows(urgent, ["o_custkey"]).to_pandas()["o_custkey"]
+
+    customers = read_table(sf_dir, "customer",
+                           ["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_semi_filter(customers, custkeys, "c_custkey", keep=False)
