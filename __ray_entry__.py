@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users_per_type": relational.distinct_users_per_type,
         "q_hll_distinct_users": relational.hll_distinct_users,   # rows-only (sketch)
         "q_running_value_per_user": relational.running_value_per_user,
+        "q_nations_concat": relational.nations_per_region_concat,
+        "q_acctbal_histogram": relational.acctbal_histogram,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -326,6 +328,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, "
             "ROUND(cos, 6) AS cosine FROM scored "
             "QUALIFY rank <= 5"
+        ),
+        "q_nations_concat": (
+            "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, "
+            "CAST(COUNT(*) AS BIGINT) AS n_nations "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
+        "q_acctbal_histogram": (
+            # width_bucket semantics spelled out (no such fn in this DuckDB):
+            # lo=-1000, hi=10000, 11 bins of width 1000
+            "SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0 "
+            "WHEN c_acctbal >= 10000.0 THEN 12 "
+            "ELSE 1 + FLOOR((c_acctbal + 1000.0) / 1000.0) END AS BIGINT) "
+            "AS bucket, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer GROUP BY bucket"
         ),
         "q_hopping_windows": (
             "WITH w AS (SELECT user_id, event_id, "

@@ -468,3 +468,63 @@ def rollup_counts(sf_dir: str):
                     ignore_index=True)
     out["n"] = out["n"].astype("int64")
     return out[["source", "lang", "n"]]
+
+
+def nations_per_region_concat(sf_dir: str):
+    """Group-concat: comma-joined, name-sorted nation list per region —
+    order pinned inside the group so the string is deterministic (and
+    SQL-oracle-able via string_agg ORDER BY)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    nation = read_table(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    def _concat(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g["n_name"])
+        return pd.DataFrame({
+            "r_name": [g["r_name"].iloc[0]],
+            "nations": [",".join(names)],
+            "n_nations": [len(names)],
+        })
+
+    joined = broadcast_join(
+        nation, region.rename(columns={"r_regionkey": "n_regionkey"}),
+        on="n_regionkey")
+    out = joined.groupby("r_name").map_groups(_concat, batch_format="pandas")
+
+    def _typed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_nations"] = b["n_nations"].astype("int64")
+        return b
+
+    return out.map_batches(_typed, batch_format="pandas")
+
+
+def acctbal_histogram(sf_dir: str, *, lo: float = -1000.0, hi: float = 10000.0,
+                      num_bins: int = 11):
+    """Numeric histogram of customer account balances: equal-width bins
+    computed vectorized per batch (partial counts), then a tiny combine —
+    the classic distributed histogram. Bin semantics match DuckDB's
+    width_bucket (values below lo -> bucket 0, above hi -> num_bins+1)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    width = (hi - lo) / num_bins
+
+    def _bin(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["c_acctbal"].to_numpy(dtype=np.float64)
+        b = np.floor((v - lo) / width).astype(np.int64) + 1
+        b = np.clip(b, 0, num_bins + 1)
+        b[v < lo] = 0
+        b[v >= hi] = num_bins + 1
+        return pd.DataFrame({"bucket": b})
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "customer", ["c_acctbal"]).map_batches(
+            _bin, batch_format="pandas"),
+        ["bucket"],
+        {"n": ("bucket", "count")},
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
