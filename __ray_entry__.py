@@ -94,6 +94,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_value_per_user": relational.running_value_per_user,
         "q_nations_concat": relational.nations_per_region_concat,
         "q_acctbal_histogram": relational.acctbal_histogram,
+        "q_value_stats_by_type": relational.value_stats_by_type,
+        "q_corr_qty_price": relational.corr_qty_price,
+        "q_mode_segment_by_nation": relational.mode_segment_by_nation,
+        "q_orders_status_pivot": relational.orders_status_pivot,
+        "q_weekday_orders": relational.weekday_order_counts,
+        "q_urgent_customers": relational.urgent_customers,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -103,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_windows": streaming.hopping_window_counts,
         "q_lineitems_shipped_30d": streaming.lineitems_shipped_within_30d,
         "q_customers_no_urgent": streaming.customers_without_urgent_orders,
+        "q_event_deltas": streaming.event_deltas,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -127,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_counts": relational.rollup_counts,
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
+        "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
+        "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
+            dedup.ngram_jaccard_all_pairs(_docs(sf))
+        ),
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
             _emb(sf), threshold=0.3
         ),
@@ -151,6 +162,26 @@ _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 _PII_EM = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
 _PII_PH = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 _PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+# word-4-gram Jaccard all-pairs (threshold 0.5): tokenizer/rounding
+# identical to dedup.ngram_jaccard_all_pairs / _word_ngram_hashes
+_NGRAM_PAIRS_CTES = (
+    "toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z_]+') t "
+    "FROM documents), "
+    # DuckDB list slices are 1-based INCLUSIVE: t[i:i+3] is 4 tokens
+    "g0 AS (SELECT doc_id, t, unnest(range(1, len(t)-2)) i FROM toks "
+    "WHERE len(t) >= 4), "
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') g FROM g0), "
+    "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c FROM sh a "
+    "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a AS doc_id_a, id_b AS doc_id_b, "
+    "ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 6) AS jaccard FROM inter "
+    "JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+    "WHERE ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 6) >= 0.5)"
+)
+_NGRAM_PAIRS_SQL = "WITH " + _NGRAM_PAIRS_CTES + " "
 
 
 def oracle_sql() -> dict[str, str]:
@@ -422,6 +453,63 @@ def oracle_sql() -> dict[str, str]:
             "cont AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b USING(g)) "
             "SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated "
             "FROM documents d LEFT JOIN cont c USING(doc_id)"
+        ),
+        "q_value_stats_by_type": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "ROUND(SUM(value)/COUNT(*), 6) AS mean_value, "
+            "ROUND(stddev_samp(value), 6) AS stddev_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_corr_qty_price": (
+            "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar, "
+            "ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_coef "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "q_mode_segment_by_nation": (
+            "SELECT c_nationkey, c_mktsegment AS mode_segment, "
+            "CAST(n AS BIGINT) AS n FROM ("
+            "SELECT c_nationkey, c_mktsegment, COUNT(*) AS n, "
+            "row_number() OVER (PARTITION BY c_nationkey "
+            "ORDER BY COUNT(*) DESC, c_mktsegment) AS rn "
+            "FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1"
+        ),
+        "q_orders_status_pivot": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "q_weekday_orders": (
+            "SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1"
+        ),
+        "q_urgent_customers": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "q_event_deltas": (
+            "SELECT user_id, event_id, ts, "
+            "CAST(date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) "
+            "AS BIGINT) AS delta_us FROM events"
+        ),
+        "q_ngram_jaccard": _NGRAM_PAIRS_SQL + (
+            "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"
+        ),
+        "q_ngram_dup_clusters": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
+            "edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT a, a FROM edges"
+            "  UNION"
+            "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b) "
+            "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id"
         ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,

@@ -610,6 +610,98 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
     return scored.map_batches(_filter, batch_format="pandas")
 
 
+_WORD_RE = None
+
+
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct word n-grams of ``text`` as uint64 rolling hashes, using
+    the oracle's tokenizer ([0-9a-z_]+ over lowercased text) so the hashed
+    gram set is a faithful stand-in for the SQL gram-string set (64-bit
+    collisions are ~2^-64 per gram pair — immaterial to Jaccard)."""
+    global _WORD_RE
+    if _WORD_RE is None:
+        import re
+
+        _WORD_RE = re.compile(r"[0-9a-z_]+")
+    from ocr_agent_ray.functions.hashing import rolling_hashes
+
+    toks = _WORD_RE.findall((text or "").lower())
+    grams = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.concatenate([rolling_hashes(g, len(g.encode())) for g in grams])
+    )
+
+
+def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                            n: int = 4, threshold: float = 0.5):
+    """EXACT word-n-gram Jaccard near-dup pairs via an inverted index —
+    no LSH loss: every pair sharing at least one n-gram meets in that
+    gram's bucket, so recall is 1.0 by construction and the result is
+    SQL-oracle-able (q_ngram_jaccard). Any pair with Jaccard ≥ t > 0
+    shares a gram, so the index finds all of them.
+
+    Scale shape: band rows are (doc_id, hash(gram)); pair generation is
+    the usual bucketed self-merge (_bucketed_band_pairs). Ultra-common
+    grams above MAX_BUCKET are boilerplate (a gram shared by thousands of
+    docs contributes ~0 to Jaccard ≥ 0.5 pairs unless the docs also share
+    rare grams, which still collide elsewhere) — at this corpus size the
+    hottest gram touches 3 docs, so the result is exact. Verification
+    rejoins gram sets through two bucket_hash_joins (distributed)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of
+
+    id_type = _arrow_schema_of(ds).field(id_col).type
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = [_word_ngram_hashes(t, n) for t in batch[text_col]]
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+        keys = (np.concatenate(hs) if hs else np.empty(0, np.uint64))
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "band_key": keys.view(np.int64),
+        })
+
+    cands = _bucketed_band_pairs(
+        ds.map_batches(_bands, batch_format="pandas"), id_col
+    )
+
+    def _feats(cand_ids):
+        from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+        filtered = broadcast_semi_filter(ds, cand_ids, id_col)
+
+        def _sets(batch: pd.DataFrame) -> pa.Table:
+            feats = [_word_ngram_hashes(t, n) for t in batch[text_col]]
+            return pa.Table.from_arrays(
+                [pa.Array.from_pandas(batch[id_col], type=id_type),
+                 pa.array(feats, type=pa.list_(pa.uint64()))],
+                names=["doc_id", "__feat"],
+            )
+
+        return filtered.map_batches(_sets, batch_format="pandas")
+
+    def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
+        return round_half_away(
+            np.array([jaccard(np.asarray(a, dtype=np.uint64),
+                              np.asarray(b, dtype=np.uint64))
+                      for a, b in zip(fa, fb)]), 6)
+
+    scored = _pair_feature_verify(
+        cands, _feats, id_type=id_type, feat_type=pa.list_(pa.uint64()),
+        score_batch=_score,
+    )
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"score": "jaccard"})
+        return b[b["jaccard"] >= threshold]
+
+    return scored.map_batches(_filter, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup pairs (LSH-free small-scale variant):

@@ -501,6 +501,158 @@ def nations_per_region_concat(sf_dir: str):
     return out.map_batches(_typed, batch_format="pandas")
 
 
+def value_stats_by_type(sf_dir: str):
+    """Sample mean/stddev per event_type from mergeable MOMENT partials
+    (n, Σx, Σx²) — the distributed form of stddev_samp: each batch ships
+    three numbers per key, the driver finishes the algebra. Matches
+    DuckDB's stddev_samp to <1e-12 relative (verified), rounded to 6."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(v2=batch["value"] * batch["value"])
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            _derive, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("value", "count"), "s": ("value", "sum"), "ss": ("v2", "sum")},
+    )
+    n = out["n"].astype("int64")
+    var = (out["ss"] - out["s"] * out["s"] / n) / (n - 1)
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n_events": n,
+        "mean_value": round_half_away(out["s"] / n, 6),
+        "stddev_value": round_half_away(np.sqrt(var), 6),
+    })
+
+
+def corr_qty_price(sf_dir: str):
+    """Pearson correlation + sample covariance of quantity vs price per
+    returnflag via six-moment partials (n, Σx, Σy, Σx², Σy², Σxy) — corr
+    and covar as single-pass mergeable aggregates (no per-group second
+    scan, unlike the textbook two-pass formula)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"]
+        y = batch["l_extendedprice"]
+        return pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y,
+        })
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "lineitem",
+                   ["l_returnflag", "l_quantity", "l_extendedprice"]).map_batches(
+            _derive, batch_format="pandas"),
+        ["l_returnflag"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"), "sxy": ("xy", "sum")},
+    )
+    n = out["n"].astype("int64")
+    cov = (out["sxy"] - out["sx"] * out["sy"] / n) / (n - 1)
+    vx = (out["sxx"] - out["sx"] * out["sx"] / n) / (n - 1)
+    vy = (out["syy"] - out["sy"] * out["sy"] / n) / (n - 1)
+    return pd.DataFrame({
+        "l_returnflag": out["l_returnflag"],
+        "n_items": n,
+        "covar": round_half_away(cov.to_numpy(), 4),
+        "corr_coef": round_half_away((cov / np.sqrt(vx * vy)).to_numpy(), 6),
+    })
+
+
+def mode_segment_by_nation(sf_dir: str):
+    """MODE with a deterministic tie-break: the most frequent market
+    segment per nation (ties -> lexicographically smallest segment).
+    Partial counts per (nation, segment) — a tiny table — then a
+    vectorized argmax on the driver."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    counts = combine_partials_driver(
+        read_table(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]),
+        ["c_nationkey", "c_mktsegment"],
+        {"n": ("c_mktsegment", "count")},
+    )
+    top = (counts.sort_values(["n", "c_mktsegment"], ascending=[False, True],
+                              kind="mergesort")
+                 .groupby("c_nationkey", as_index=False).head(1))
+    return pd.DataFrame({
+        "c_nationkey": top["c_nationkey"].to_numpy(),
+        "mode_segment": top["c_mktsegment"].to_numpy(),
+        "n": top["n"].astype("int64").to_numpy(),
+    })
+
+
+def orders_status_pivot(sf_dir: str):
+    """PIVOT: order counts per priority spread across one column per
+    status (F/O/P) plus a total — conditional indicator columns summed as
+    partials, so the pivot is just an aggregate spec, no reshape shuffle."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        st = batch["o_orderstatus"]
+        return pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"],
+            "f": (st == "F").astype("int64"),
+            "o": (st == "O").astype("int64"),
+            "p": (st == "P").astype("int64"),
+        })
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]).map_batches(
+            _derive, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"n_f": ("f", "sum"), "n_o": ("o", "sum"), "n_p": ("p", "sum"),
+         "n_total": ("f", "count")},
+    )
+    for c in ("n_f", "n_o", "n_p", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def weekday_order_counts(sf_dir: str):
+    """Date-part extraction + grouped count: orders per ISO weekday
+    (Mon=1..Sun=7), the date-scalar-function family (§2.8) vectorized via
+    pandas .dt on the batch."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _dow(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"isodow": (batch["o_orderdate"].dt.dayofweek + 1).astype("int64")}
+        )
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            _dow, batch_format="pandas"),
+        ["isodow"],
+        {"n_orders": ("isodow", "count")},
+    )
+    out["isodow"] = out["isodow"].astype("int64")
+    return out
+
+
+def urgent_customers(sf_dir: str):
+    """SEMI join twin of customers_without_urgent_orders: customers with
+    at least one '1-URGENT' order. Distinct keys reduced distributed-side
+    first, then a broadcast membership filter (keep=True)."""
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+    urgent = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    custkeys = distinct_rows(urgent, ["o_custkey"]).to_pandas()["o_custkey"]
+
+    customers = read_table(sf_dir, "customer",
+                           ["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_semi_filter(customers, custkeys, "c_custkey", keep=True)
+
+
 def acctbal_histogram(sf_dir: str, *, lo: float = -1000.0, hi: float = 10000.0,
                       num_bins: int = 11):
     """Numeric histogram of customer account balances: equal-width bins

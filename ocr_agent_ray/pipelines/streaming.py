@@ -227,6 +227,28 @@ def lineitems_shipped_within_30d(sf_dir: str):
     return joined.map_batches(_range_filter, batch_format="pyarrow")
 
 
+def event_deltas(sf_dir: str):
+    """LAG window analog: per-user gap to the previous event in
+    microseconds (NULL for each user's first event). Partition by user,
+    mergesort by (ts, event_id) inside the group, vectorized int64 diff;
+    the nullable gap column is emitted as pandas Int64 so unmatched rows
+    stay integer-with-null (not float) through Arrow."""
+
+    def _delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        out = g[["user_id", "event_id", "ts"]].copy()
+        # keep the nullable-int Series (not .to_numpy(): that yields an
+        # object array that Arrow re-types as double)
+        out["delta_us"] = g["ts"].astype("int64").diff().astype("Int64")
+        return out
+
+    return (
+        _read_events(sf_dir, ("event_id", "ts", "user_id"))
+        .groupby("user_id")
+        .map_groups(_delta, batch_format="pandas")
+    )
+
+
 def customers_without_urgent_orders(sf_dir: str):
     """Anti-join: customers who never placed a '1-URGENT' order. The
     urgent-custkey set is first reduced DISTRIBUTED-side to distinct

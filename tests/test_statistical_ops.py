@@ -1,0 +1,144 @@
+"""Statistical / window / pivot / exact-Jaccard operator wave:
+moment-partial stddev+corr, mode with tie-break, pivot, lag deltas,
+inverted-index n-gram Jaccard (exact recall) and its cluster round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_value_stats_moments_match_two_pass(ray_session):
+    from ocr_agent_ray.pipelines.relational import value_stats_by_type
+
+    got = value_stats_by_type(SF).sort_values("event_type").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    want = ev.groupby("event_type")["value"].agg(["count", "mean", "std"])
+    want = want.sort_index()
+    assert list(got["event_type"]) == list(want.index)
+    np.testing.assert_allclose(got["mean_value"], want["mean"], atol=5e-7)
+    np.testing.assert_allclose(got["stddev_value"], want["std"], atol=5e-7)
+    assert got["n_events"].dtype == np.int64
+
+
+def test_corr_partials_match_numpy(ray_session):
+    from ocr_agent_ray.pipelines.relational import corr_qty_price
+
+    got = corr_qty_price(SF).set_index("l_returnflag")
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).to_pandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        want = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        assert abs(got.loc[flag, "corr_coef"] - want) < 5e-7
+        want_cov = np.cov(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        assert abs(got.loc[flag, "covar"] - want_cov) < 5e-5
+
+
+def test_mode_tie_break_is_lexicographic(ray_session):
+    from ocr_agent_ray.pipelines.relational import mode_segment_by_nation
+
+    got = mode_segment_by_nation(SF)
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_nationkey", "c_mktsegment"]).to_pandas()
+    counts = cust.groupby(["c_nationkey", "c_mktsegment"]).size().reset_index(name="n")
+    for _, row in got.iterrows():
+        sub = counts[counts["c_nationkey"] == row["c_nationkey"]]
+        best_n = sub["n"].max()
+        ties = sorted(sub[sub["n"] == best_n]["c_mktsegment"])
+        assert row["mode_segment"] == ties[0]
+        assert row["n"] == best_n
+
+
+def test_pivot_rows_sum_to_total(ray_session):
+    from ocr_agent_ray.pipelines.relational import orders_status_pivot
+
+    got = orders_status_pivot(SF)
+    assert (got["n_f"] + got["n_o"] + got["n_p"] == got["n_total"]).all()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderpriority"]).to_pandas()
+    assert got["n_total"].sum() == len(orders)
+
+
+def test_event_deltas_lag_semantics(ray_session):
+    from ocr_agent_ray.pipelines.streaming import event_deltas
+
+    got = event_deltas(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    # one NULL per user (the first event), everything else a positive gap
+    assert got["delta_us"].isna().sum() == ev["user_id"].nunique()
+    assert (got["delta_us"].dropna() >= 0).all()
+    # spot-check one user against a plain pandas shift
+    u = int(ev["user_id"].iloc[0])
+    sub = ev[ev["user_id"] == u].sort_values(["ts", "event_id"])
+    want = sub["ts"].astype("int64").diff().dropna().astype("int64").to_numpy()
+    g = got[got["user_id"] == u].sort_values(["ts", "event_id"])
+    np.testing.assert_array_equal(
+        g["delta_us"].dropna().astype("int64").to_numpy(), want)
+
+
+def _brute_jaccard_pairs(docs: pd.DataFrame, n: int, threshold: float):
+    import re
+
+    tok = re.compile(r"[0-9a-z_]+")
+    sets = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = tok.findall((text or "").lower())
+        sets[did] = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    ids = sorted(sets)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            j = round(inter / (len(sa) + len(sb) - inter), 6)
+            if j >= threshold:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+def test_ngram_jaccard_all_pairs_exact_recall(ray_session):
+    from ocr_agent_ray.pipelines.dedup import ngram_jaccard_all_pairs
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = _brute_jaccard_pairs(docs, n=4, threshold=0.5)
+    got = ngram_jaccard_all_pairs(
+        rd.from_pandas(docs), n=4, threshold=0.5
+    ).to_pandas()
+    got_pairs = sorted(
+        (int(a), int(b), float(j))
+        for a, b, j in zip(got["doc_id_a"], got["doc_id_b"], got["jaccard"])
+    )
+    assert got_pairs == want  # recall AND precision: identical pair set
+
+
+def test_ngram_clusters_are_transitive(ray_session):
+    from ocr_agent_ray.pipelines.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_all_pairs,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_all_pairs(docs).materialize()
+    labels = duplicate_clusters(pairs)
+    lab = dict(zip(labels["doc_id"], labels["cluster_id"]))
+    for a, b in zip(*(pairs.to_pandas()[c] for c in ("doc_id_a", "doc_id_b"))):
+        assert lab[a] == lab[b]
+    # every cluster_id is the min doc_id of its member set
+    by_cluster = pd.DataFrame(
+        {"doc_id": list(lab), "cluster_id": list(lab.values())}
+    ).groupby("cluster_id")["doc_id"].min()
+    assert (by_cluster.index == by_cluster.to_numpy()).all()
