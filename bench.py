@@ -123,6 +123,11 @@ QUERY_NAMES = [
     "q_chars_quantiles_by_source",
     "q_decontaminate",
     "q_knn_ivf",
+    "q_corr_qty_price",
+    "q_value_stats_by_type",
+    "q_event_deltas",
+    "q_ngram_jaccard",
+    "q_ngram_dup_clusters",
 ]
 
 

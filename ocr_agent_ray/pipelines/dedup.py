@@ -99,7 +99,8 @@ def dedup_keep_first(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = None,
-                         num_buckets: int = 32):
+                         num_buckets: int = 32, pair_filter=None,
+                         distinct_cols: list[str] | None = None):
     """band rows (id, band_key[, extras]) → distinct candidate pairs.
 
     Shuffle shape: ONE groupby over ``band_key % B`` buckets (not one group
@@ -136,7 +137,8 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
         sizes = g["band_key"].map(counts)
         g = g[(sizes >= 2) & (sizes <= MAX_BUCKET)]
         if g.empty:
-            return pd.DataFrame(columns=_PAIR_COLS + extra_cols)
+            return pd.DataFrame(
+                columns=_PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"])
         m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = pd.DataFrame({
@@ -146,6 +148,11 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
         for c in extra_cols:
             out[f"{c}_a"] = m[f"{c}_a"].to_numpy()
             out[f"{c}_b"] = m[f"{c}_b"].to_numpy()
+        if pair_filter is not None:
+            # in-bucket prefilter (e.g. signature-estimated similarity):
+            # discards junk candidates BEFORE the distinct shuffle, so the
+            # wire only carries plausible pairs
+            out = pair_filter(out)
         return out.drop_duplicates(_PAIR_COLS)
 
     pairs = (
@@ -155,7 +162,9 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
         .groupby("__bucket")
         .map_groups(_pairs, batch_format="pandas")
     )
-    return distinct_rows(pairs, _PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"])
+    if distinct_cols is None:
+        distinct_cols = _PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"]
+    return distinct_rows(pairs, distinct_cols)
 
 
 def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
@@ -230,33 +239,69 @@ def _pair_feature_verify(cands, make_feats, *, id_type, feat_type,
 
 
 def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                       num_perm: int = 64, num_bands: int = 16, k: int = 5):
-    """(doc_id_a, doc_id_b) candidate near-dup pairs via MinHash banding."""
+                       num_perm: int = 64, num_bands: int = 16, k: int = 5,
+                       est_threshold: float | None = None):
+    """(doc_id_a, doc_id_b) candidate near-dup pairs via MinHash banding.
+
+    With ``est_threshold`` set, each band row also carries the full
+    signature (num_perm × u64 as one binary cell) and candidate pairs are
+    prefiltered IN the pair-gen bucket by signature-estimated Jaccard
+    (matching-perm fraction) before the distinct shuffle. On boilerplate-
+    heavy corpora banding emits orders of magnitude more J≈0.2 junk pairs
+    than real near-dups; the estimate discards them for the price of one
+    vectorized matrix compare, so the distinct + verify stages only ever
+    see plausible pairs. (Set the cutoff a few σ = sqrt(t(1-t)/num_perm)
+    below the verify threshold: estimation is unbiased, so a true pair
+    above threshold clears the cutoff w.p. 1 - Φ(-margin/σ).)"""
+
+    with_sig = est_threshold is not None
 
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_key = [], []
+        rows_id, rows_key, rows_sig = [], [], []
         for did, text in zip(batch[id_col], batch[text_col]):
             sig = minhash_signature(char_shingle_set(text or "", k), num_perm)
+            sig_bytes = sig.tobytes() if with_sig else None
             for key in lsh_band_keys(sig, num_bands):
                 rows_id.append(did)
                 rows_key.append(key)
-        return pd.DataFrame(
+                if with_sig:
+                    rows_sig.append(sig_bytes)
+        out = pd.DataFrame(
             {id_col: rows_id, "band_key": np.array(rows_key, dtype=np.int64)}
         )
+        if with_sig:
+            out["sig"] = rows_sig
+        return out
+
+    def _est_filter(pairs: pd.DataFrame) -> pd.DataFrame:
+        if pairs.empty:
+            return pairs[_PAIR_COLS]
+        a = np.frombuffer(b"".join(pairs["sig_a"]), dtype=np.uint64)
+        b = np.frombuffer(b"".join(pairs["sig_b"]), dtype=np.uint64)
+        est = (a.reshape(len(pairs), -1) == b.reshape(len(pairs), -1)).mean(axis=1)
+        return pairs.loc[est >= est_threshold, _PAIR_COLS]
 
     return _bucketed_band_pairs(
-        ds.map_batches(_bands, batch_format="pandas"), id_col
+        ds.map_batches(_bands, batch_format="pandas"), id_col,
+        extra_cols=["sig"] if with_sig else None,
+        pair_filter=_est_filter if with_sig else None,
+        distinct_cols=_PAIR_COLS if with_sig else None,
     )
 
 
 def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64,
-                      num_bands: int = 16, k: int = 5):
+                      num_bands: int = 16, k: int = 5,
+                      est_margin: float = 0.25):
     """Verified near-dup pairs: LSH candidates filtered by exact Jaccard ≥ t.
 
-    Verification rejoins shingle sets to the candidate pairs with two
-    bucket_hash_joins (see _pair_feature_verify) — fully distributed, no
-    driver-side corpus map.
+    Candidates are prefiltered by signature-estimated Jaccard at
+    threshold − est_margin (see minhash_candidates — 0.25 ≈ 4.4σ at 64
+    perms, so a true ≥-threshold pair survives w.p. ≈ 1-1e-5; strictly
+    MORE exact than the signature-only verification that Spark MinHashLSH
+    performs). Verification then rejoins shingle sets to the surviving
+    pairs with two bucket_hash_joins (see _pair_feature_verify) — fully
+    distributed, no driver-side corpus map.
     """
     import pyarrow as pa
 
@@ -267,6 +312,7 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     cands = minhash_candidates(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, num_bands=num_bands, k=k,
+        est_threshold=max(0.0, threshold - est_margin),
     )
 
     def _feats(cand_ids):
@@ -611,27 +657,43 @@ def embedding_near_dup_lsh(ds, *, threshold: float = 0.9, id_col: str = "vec_id"
 
 
 _WORD_RE = None
+_NGRAM_BASE = np.uint64(1099511628211)  # FNV prime as polynomial base
 
 
-def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Distinct word n-grams of ``text`` as uint64 rolling hashes, using
-    the oracle's tokenizer ([0-9a-z_]+ over lowercased text) so the hashed
-    gram set is a faithful stand-in for the SQL gram-string set (64-bit
-    collisions are ~2^-64 per gram pair — immaterial to Jaccard)."""
+def _word_ngram_hash_sets(texts, n: int) -> list[np.ndarray]:
+    """Distinct word n-grams per text as uint64 hashes, for a whole batch.
+
+    Tokenizer matches the SQL oracle ([0-9a-z_]+ over lowercased text);
+    the hashed gram set is a faithful stand-in for the gram-string set
+    (64-bit collisions ~2^-64 per gram pair — immaterial to Jaccard).
+    Vectorized: ONE deterministic siphash pass over all of the batch's
+    tokens (pandas hash_array, fixed key — stable across processes), then
+    an n-term polynomial combine per doc with uint64 wraparound."""
     global _WORD_RE
     if _WORD_RE is None:
         import re
 
         _WORD_RE = re.compile(r"[0-9a-z_]+")
-    from ocr_agent_ray.functions.hashing import rolling_hashes
+    from pandas.util import hash_array
 
-    toks = _WORD_RE.findall((text or "").lower())
-    grams = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(
-        np.concatenate([rolling_hashes(g, len(g.encode())) for g in grams])
-    )
+    tok_lists = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    flat = [w for toks in tok_lists for w in toks]
+    th = (hash_array(np.array(flat, dtype=object), categorize=False)
+          if flat else np.empty(0, np.uint64))
+    out: list[np.ndarray] = []
+    pos = 0
+    for toks in tok_lists:
+        t = th[pos:pos + len(toks)]
+        pos += len(toks)
+        m = len(toks) - n + 1
+        if m <= 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _NGRAM_BASE + t[j:j + m]
+        out.append(np.unique(acc))
+    return out
 
 
 def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -657,7 +719,7 @@ def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
     id_type = _arrow_schema_of(ds).field(id_col).type
 
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        hs = [_word_ngram_hashes(t, n) for t in batch[text_col]]
+        hs = _word_ngram_hash_sets(batch[text_col], n)
         lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
         keys = (np.concatenate(hs) if hs else np.empty(0, np.uint64))
         return pd.DataFrame({
@@ -675,7 +737,7 @@ def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
         filtered = broadcast_semi_filter(ds, cand_ids, id_col)
 
         def _sets(batch: pd.DataFrame) -> pa.Table:
-            feats = [_word_ngram_hashes(t, n) for t in batch[text_col]]
+            feats = _word_ngram_hash_sets(batch[text_col], n)
             return pa.Table.from_arrays(
                 [pa.Array.from_pandas(batch[id_col], type=id_type),
                  pa.array(feats, type=pa.list_(pa.uint64()))],
