@@ -71,6 +71,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return html_main_text(sf_dir)
 
+    def _topk_sketch(sf_dir: str):
+        from ocr_agent_ray.functions.sketch import topk_words_sketch
+
+        return topk_words_sketch(_docs(sf_dir))
+
     relational_hash_sample = relational.hash_sample_documents
 
     return {
@@ -100,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_status_pivot": relational.orders_status_pivot,
         "q_weekday_orders": relational.weekday_order_counts,
         "q_urgent_customers": relational.urgent_customers,
+        "q_props_key_stats": relational.props_key_stats,
+        "q_orders_page": relational.orders_page,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -122,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_alnum_filter": text.alnum_filter,
         "q_chars_quantiles_by_source": text.chars_quantiles_by_source,
         "q_decontaminate": text.decontaminate,
+        "q_tfidf_top_terms": text.tfidf_top_terms,
+        "q_topk_sketch": _topk_sketch,       # rows-only (Misra-Gries sketch)
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
@@ -511,7 +520,33 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b) "
             "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id"
         ),
+        "q_props_key_stats": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "ROUND(CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE)"
+            "/COUNT(*), 6) AS mean_k "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_orders_page": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"
+        ),
+        "q_tfidf_top_terms": (
+            "WITH tfd AS (SELECT doc_id, source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "tfc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM tfd GROUP BY 1, 2), "
+            "dfc AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tfd GROUP BY 1), "
+            "nd AS (SELECT COUNT(*) AS n FROM documents), "
+            "scored AS (SELECT source, word, "
+            "ROUND(tf * ln(CAST(n AS DOUBLE)/df), 6) AS tfidf "
+            "FROM tfc JOIN dfc USING(word) CROSS JOIN nd), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY source "
+            "ORDER BY tfidf DESC, word) AS rn FROM scored) "
+            "SELECT source, word, tfidf FROM ranked WHERE rn <= 5"
+        ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
-        # q_flagship_span_counts
+        # q_flagship_span_counts, q_topk_sketch
     }

@@ -112,3 +112,44 @@ def hll_distinct(ds, column: str, p: int = 12) -> float:
         for blob in b["sketch"]:
             merged = merged.merge(HyperLogLog.deserialize(blob, p))
     return float(merged.estimate())
+
+
+def topk_words_sketch(ds, text_col: str = "text", *, k: int = 20,
+                      capacity: int = 512):
+    """Approximate heavy hitters (corpus top-k words) via mergeable
+    Misra-Gries summaries (Misra & Gries '82): each batch keeps at most
+    ``capacity`` counters; summaries merge by counter addition followed by
+    a decrement-by-(capacity+1)th-count prune, preserving the guarantee
+    |approx - true| <= n_words / capacity. The wire carries one
+    capacity-sized summary per batch instead of the vocabulary — the
+    shuffle-free alternative to the exact bucketed top_words when the
+    vocabulary no longer fits a shuffle."""
+    import pandas as pd
+
+    def _summary(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        if len(counts) > capacity:
+            # Misra-Gries prune: subtract the (capacity+1)-th count so at
+            # most `capacity` counters stay positive
+            cut = int(counts.iloc[capacity])
+            counts = (counts - cut)[:capacity]
+            counts = counts[counts > 0]
+        return pd.DataFrame({"word": counts.index.to_numpy(dtype=object),
+                             "n": counts.to_numpy()})
+
+    merged: dict = {}
+    for b in ds.map_batches(_summary, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=65536
+    ):
+        for w, n in zip(b["word"], b["n"]):
+            merged[w] = merged.get(w, 0) + int(n)
+        if len(merged) > capacity:
+            cut = sorted(merged.values(), reverse=True)[capacity]
+            merged = {w: n - cut for w, n in merged.items() if n - cut > 0}
+
+    out = pd.DataFrame({"word": list(merged), "approx_n": list(merged.values())})
+    out = out.sort_values(["approx_n", "word"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    out["approx_n"] = out["approx_n"].astype("int64")
+    return out.reset_index(drop=True)

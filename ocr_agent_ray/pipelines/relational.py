@@ -680,3 +680,46 @@ def acctbal_histogram(sf_dir: str, *, lo: float = -1000.0, hi: float = 10000.0,
     out["bucket"] = out["bucket"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column and aggregate per event_type (n, sum, mean). The
+    parse is a vectorized regex fast-path pinned to the stable
+    '{"k": <int>}' shape — the standard trick for schema-stable JSON
+    columns where a per-row json.loads would dominate the stage."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _extract(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "k": pd.to_numeric(k).astype("int64"),
+        })
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "props"]).map_batches(
+            _extract, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("k", "count"), "sum_k": ("k", "sum")},
+    )
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "sum_k": out["sum_k"].astype("int64"),
+        "mean_k": round_half_away(out["sum_k"] / out["n"], 6),
+    })
+
+
+def orders_page(sf_dir: str, *, page_size: int = 10, page: int = 3):
+    """Pagination (ORDER BY ... LIMIT k OFFSET (page-1)·k): distributed
+    top-(page·k) via sort+limit — only page·k rows ever reach the driver,
+    where the first (page-1)·k are sliced off. The OFFSET never shuffles
+    more than the prefix it needs."""
+    top = (
+        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(page_size * page)
+        .to_pandas()
+    )
+    return top.iloc[page_size * (page - 1):].reset_index(drop=True)

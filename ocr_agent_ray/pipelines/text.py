@@ -217,3 +217,81 @@ def decontaminate(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97):
         })
 
     return docs.map_batches(_flag, batch_format="pandas")
+
+
+def tfidf_top_terms(sf_dir: str, *, k: int = 5):
+    """Per-source top-k TF-IDF terms — the classic corpus-weighting
+    pipeline, every shuffle bucketed by word:
+
+    - TF: per-(source, word) counts via hash_partition_aggregate
+      (map-side value_counts partials, one bucketed combine);
+    - DF: distinct (word, doc_id) then per-word counts — document
+      frequency, again bucketed by word;
+    - score: TF ⋈ DF bucket_hash_join on word, tfidf = tf·ln(N/df);
+    - top-k: per-source rank over the (small) scored table.
+
+    N (total docs) is one count; nothing materializes the vocabulary in
+    one place until the final per-source top-k (k×sources rows)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (
+        distinct_rows,
+        hash_partition_aggregate,
+    )
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    docs = _read_documents(sf_dir, columns=("doc_id", "source", "text"))
+    n_docs = read_table(sf_dir, "documents", ["doc_id"]).count()
+
+    def _tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"], "source": batch["source"], "word": toks,
+        }).explode("word").dropna(subset=["word"])
+        return out
+
+    tokens = docs.map_batches(_tokens, batch_format="pandas")
+
+    def _tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["source", "word"], as_index=False, sort=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    tf = hash_partition_aggregate(
+        tokens.map_batches(_tf_partial, batch_format="pandas",
+                           batch_size=65536),
+        ["word", "source"], {"tf": ("tf", "sum")},
+    )
+
+    df_pairs = distinct_rows(
+        tokens.map_batches(lambda b: b[["word", "doc_id"]],
+                           batch_format="pandas"),
+        ["word", "doc_id"],
+    )
+    df = hash_partition_aggregate(
+        df_pairs, ["word"], {"df": ("doc_id", "count")},
+    )
+
+    scored = bucket_hash_join(
+        tf, df, on="word",
+        left_schema=pa.schema([("word", pa.string()), ("source", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("word", pa.string()), ("df", pa.int64())]),
+    )
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log(float(n_docs) / batch["df"].to_numpy(dtype=np.float64))
+        batch = batch.assign(
+            tfidf=round_half_away(batch["tf"].to_numpy(dtype=np.float64) * idf, 6)
+        )
+        return batch[["source", "word", "tfidf"]]
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["tfidf", "word"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    return (
+        scored.map_batches(_score, batch_format="pandas")
+        .groupby("source")
+        .map_groups(_topk, batch_format="pandas")
+    )

@@ -142,3 +142,53 @@ def test_ngram_clusters_are_transitive(ray_session):
         {"doc_id": list(lab), "cluster_id": list(lab.values())}
     ).groupby("cluster_id")["doc_id"].min()
     assert (by_cluster.index == by_cluster.to_numpy()).all()
+
+
+def test_topk_sketch_contains_exact_heavy_hitters(ray_session):
+    from ocr_agent_ray.functions.sketch import topk_words_sketch
+    from ocr_agent_ray.pipelines.relational import top_words
+
+    exact = top_words(SF, k=10)
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    approx = topk_words_sketch(docs, k=20, capacity=512)
+    # Misra-Gries guarantee: every true heavy hitter survives the sketch
+    assert set(exact["word"]) <= set(approx["word"])
+    # approx counts within n_words/capacity of the exact counts
+    n_words = int(
+        pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        .to_pandas()["text"].str.lower().str.findall(r"[0-9a-z_]+")
+        .str.len().sum())
+    err = n_words / 512
+    merged = exact.merge(approx, on="word")
+    assert ((merged["n"] - merged["approx_n"]).abs() <= err).all()
+    # approximate counts never exceed true counts (MG only decrements)
+    assert (merged["approx_n"] <= merged["n"]).all()
+
+
+def test_tfidf_ranks_rare_terms_over_ubiquitous(ray_session):
+    from ocr_agent_ray.pipelines.text import tfidf_top_terms
+
+    out = tfidf_top_terms(SF, k=5).to_pandas()
+    assert set(out.columns) == {"source", "word", "tfidf"}
+    assert (out.groupby("source").size() <= 5).all()
+    # a word present in every document has idf=0 and can never outrank a
+    # positive-idf term; 'the'-like ubiquitous tokens must score 0 if present
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    in_all = docs["text"].str.lower().str.contains("data").all()
+    if in_all:
+        assert (out.loc[out["word"] == "data", "tfidf"] == 0).all()
+    assert (out["tfidf"] >= 0).all()
+
+
+def test_props_key_stats_extraction(ray_session):
+    import json
+
+    from ocr_agent_ray.pipelines.relational import props_key_stats
+
+    got = props_key_stats(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "props"]).to_pandas()
+    ev["k"] = ev["props"].map(lambda s: json.loads(s)["k"])
+    want = ev.groupby("event_type")["k"].sum()
+    got_sum = got.set_index("event_type")["sum_k"]
+    assert got_sum.sort_index().equals(want.sort_index().astype("int64"))
