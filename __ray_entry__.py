@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_urgent_customers": relational.urgent_customers,
         "q_props_key_stats": relational.props_key_stats,
         "q_orders_page": relational.orders_page,
+        "q_purchasers_no_error": relational.purchasers_without_errors,
+        "q_purchasers_with_error": relational.purchasers_with_errors,
+        "q_revenue_by_nation": relational.revenue_by_nation,
+        "q_priciest_part_per_brand": relational.priciest_part_per_brand,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -530,6 +534,31 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_page": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"
+        ),
+        "q_purchasers_no_error": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "q_purchasers_with_error": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "q_revenue_by_nation": (
+            "SELECT n_name, "
+            "ROUND(SUM(rev), 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM (SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem GROUP BY l_orderkey) r "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "q_priciest_part_per_brand": (
+            "SELECT p_brand, p_partkey, p_name, ROUND(p_retailprice, 2) "
+            "AS p_retailprice FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY p_brand "
+            "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
+            "WHERE rn = 1"
         ),
         "q_tfidf_top_terms": (
             "WITH tfd AS (SELECT doc_id, source, "

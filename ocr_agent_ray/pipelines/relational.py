@@ -723,3 +723,127 @@ def orders_page(sf_dir: str, *, page_size: int = 10, page: int = 3):
         .to_pandas()
     )
     return top.iloc[page_size * (page - 1):].reset_index(drop=True)
+
+
+def _distinct_users_of(sf_dir: str, event_type: str):
+    """Distinct user_ids having an event of ``event_type`` (bucketed)."""
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], event_type))
+                   .select(["user_id"]),
+        batch_format="pyarrow")
+    return distinct_rows(ev, ["user_id"], num_buckets=8)
+
+
+def purchasers_without_errors(sf_dir: str):
+    """Set EXCEPT: users with a purchase event and no error event.
+    Both sides reduce to distinct keys distributed-side; the (small)
+    error-key set then broadcasts as an anti membership filter over the
+    purchase-key set — EXCEPT as dedup + anti-semi, no row-level shuffle."""
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+    purchasers = _distinct_users_of(sf_dir, "purchase")
+    error_keys = _distinct_users_of(sf_dir, "error").to_pandas()["user_id"]
+    out = broadcast_semi_filter(purchasers, error_keys, "user_id", keep=False)
+    # the result is a distinct-key set (driver-bounded by construction);
+    # emit typed pandas so an EMPTY result still carries its schema (on
+    # this events log every purchaser also errored, so EXCEPT is empty —
+    # a Dataset.to_pandas() of zero blocks drops the columns)
+    df = out.to_pandas()
+    if "user_id" not in df.columns:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64")})
+    return df[["user_id"]].astype({"user_id": "int64"})
+
+
+def purchasers_with_errors(sf_dir: str):
+    """Set INTERSECT: users with BOTH a purchase and an error event —
+    same shape as EXCEPT with keep=True."""
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+    purchasers = _distinct_users_of(sf_dir, "purchase")
+    error_keys = _distinct_users_of(sf_dir, "error").to_pandas()["user_id"]
+    out = broadcast_semi_filter(purchasers, error_keys, "user_id", keep=True)
+    return out.to_pandas()[["user_id"]].astype({"user_id": "int64"})
+
+
+def revenue_by_nation(sf_dir: str):
+    """Three-table join chain (lineitem ⋈ orders ⋈ customer → nation):
+    revenue pre-aggregated per orderkey BEFORE any join (the wire never
+    carries raw lineitem rows), one bucket-hash shuffle to attach
+    o_custkey, customer→nation as a broadcast map, then a tiny grouped
+    combine per nation name — TPC-H Q5's shape with one explicit shuffle."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        hash_partition_aggregate,
+    )
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            revenue=batch["l_extendedprice"] * (1 - batch["l_discount"]))
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_derive, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": ("revenue", "sum")}, num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = bucket_hash_join(
+        rev, orders, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+    )
+
+    # customer -> nation-name dimension map, broadcast (small side)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+
+    out = combine_partials_driver(
+        broadcast_join(joined, dim, on="o_custkey"),
+        ["n_name"],
+        {"revenue": ("revenue", "sum"), "n_orders": ("revenue", "count")},
+    )
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["n_name", "revenue", "n_orders"]]
+
+
+def priciest_part_per_brand(sf_dir: str):
+    """ARG-MAX aggregate (max_by with a deterministic tie-break): the
+    part with the highest retail price per brand, ties -> smallest
+    partkey. Per-batch argmax partials (one candidate row per brand per
+    batch) then a driver combine over the tiny candidate table — the
+    mergeable form of max_by."""
+    cols = ["p_brand", "p_partkey", "p_name", "p_retailprice"]
+
+    def _argmax(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True], kind="mergesort")
+        return b.groupby("p_brand", as_index=False).head(1)[cols]
+
+    cands = read_table(sf_dir, "part", cols).map_batches(
+        _argmax, batch_format="pandas")
+    pooled = [b for b in cands.iter_batches(batch_format="pandas",
+                                            batch_size=65536)]
+    allc = pd.concat(pooled, ignore_index=True) if pooled else pd.DataFrame(
+        columns=cols)
+    top = (allc.sort_values(["p_retailprice", "p_partkey"],
+                            ascending=[False, True], kind="mergesort")
+               .groupby("p_brand", as_index=False).head(1))
+    top = top.sort_values("p_brand").reset_index(drop=True)
+    top["p_retailprice"] = round_half_away(top["p_retailprice"].to_numpy(), 2)
+    return top[cols]

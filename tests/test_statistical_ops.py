@@ -192,3 +192,55 @@ def test_props_key_stats_extraction(ray_session):
     want = ev.groupby("event_type")["k"].sum()
     got_sum = got.set_index("event_type")["sum_k"]
     assert got_sum.sort_index().equals(want.sort_index().astype("int64"))
+
+
+def test_priciest_part_argmax_tiebreak(ray_session):
+    from ocr_agent_ray.pipelines.relational import priciest_part_per_brand
+
+    got = priciest_part_per_brand(SF)
+    part = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    for _, row in got.iterrows():
+        sub = part[part["p_brand"] == row["p_brand"]]
+        best = sub["p_retailprice"].max()
+        ties = sub[sub["p_retailprice"] == best]["p_partkey"].min()
+        assert row["p_partkey"] == ties
+        assert abs(row["p_retailprice"] - round(best, 2)) < 1e-9
+
+
+def test_set_ops_partition_purchasers(ray_session):
+    from ocr_agent_ray.pipelines.relational import (
+        purchasers_with_errors,
+        purchasers_without_errors,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type"]).to_pandas()
+    p = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    e = set(ev.loc[ev["event_type"] == "error", "user_id"])
+    without = set(purchasers_without_errors(SF)["user_id"])
+    with_ = set(purchasers_with_errors(SF)["user_id"])
+    assert without == p - e
+    assert with_ == p & e
+    assert without.isdisjoint(with_) and (without | with_) == p
+
+
+def test_revenue_by_nation_matches_pandas(ray_session):
+    from ocr_agent_ray.pipelines.relational import revenue_by_nation
+
+    got = revenue_by_nation(SF).set_index("n_name").sort_index()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_extendedprice", "l_discount"]).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+    per_order = li.groupby("l_orderkey", as_index=False)["rev"].sum()
+    j = (per_order.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+                  .merge(cust, left_on="o_custkey", right_on="c_custkey")
+                  .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    want = j.groupby("n_name")["rev"].agg(["sum", "size"]).sort_index()
+    np.testing.assert_allclose(got["revenue"], want["sum"].round(2), atol=0.011)
+    np.testing.assert_array_equal(got["n_orders"], want["size"])
