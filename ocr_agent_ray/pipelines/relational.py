@@ -847,3 +847,47 @@ def priciest_part_per_brand(sf_dir: str):
     top = top.sort_values("p_brand").reset_index(drop=True)
     top["p_retailprice"] = round_half_away(top["p_retailprice"].to_numpy(), 2)
     return top[cols]
+
+
+def priority_share(sf_dir: str):
+    """Ratio-to-report window (n / SUM(n) OVER ()): each priority's share
+    of all orders. Counts come from partials; the grand total is the sum
+    of the (tiny) partial table — no second pass."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderpriority"]),
+        ["o_orderpriority"],
+        {"n": ("o_orderpriority", "count")},
+    )
+    out["n"] = out["n"].astype("int64")
+    out["share"] = round_half_away(out["n"] / out["n"].sum(), 6)
+    return out[["o_orderpriority", "n", "share"]]
+
+
+def monthly_cum_revenue(sf_dir: str):
+    """Cumulative time series: revenue per order month plus the running
+    total — monthly partials distributed, the cumsum over the few dozen
+    month rows on the driver (a time-series' outer loop is as long as its
+    calendar, not its data)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _month(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": batch["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+            "rev": batch["o_totalprice"],
+        })
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            _month, batch_format="pandas"),
+        ["month"],
+        {"rev": ("rev", "sum")},
+    ).sort_values("month").reset_index(drop=True)
+    cum = out["rev"].cumsum()
+    return pd.DataFrame({
+        # to_period().to_timestamp() yields ns; the table dialect is us
+        "month": out["month"].astype("datetime64[us]"),
+        "revenue": round_half_away(out["rev"].to_numpy(), 2),
+        "cum_revenue": round_half_away(cum.to_numpy(), 2),
+    })

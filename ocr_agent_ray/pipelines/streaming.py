@@ -271,3 +271,64 @@ def customers_without_urgent_orders(sf_dir: str):
     customers = read_table(sf_dir, "customer",
                            ["c_custkey", "c_name", "c_acctbal"])
     return broadcast_semi_filter(customers, custkeys, "c_custkey", keep=False)
+
+
+def view_purchase_funnel(sf_dir: str, *, within_minutes: int = 60):
+    """Funnel / event-sequence analysis: per user, how many 'view' events
+    convert to a 'purchase' within the window. Partition by user, sort by
+    time in the group, then one vectorized searchsorted of view-times
+    against purchase-times — the distributed form of the self-join
+    `p.ts in (v.ts, v.ts + w]` without materializing the pair blowup."""
+    import numpy as np
+
+    win_us = within_minutes * 60 * 1_000_000
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64")
+        views = us[g["event_type"] == "view"].to_numpy()
+        if not len(views):  # purchase-only users have no funnel entry
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_views": pd.Series(dtype="int64"),
+                                 "n_conversions": pd.Series(dtype="int64")})
+        buys = np.sort(us[g["event_type"] == "purchase"].to_numpy())
+        # a view converts iff any purchase lands in (view_ts, view_ts + w]
+        lo = np.searchsorted(buys, views, side="right")
+        hi = np.searchsorted(buys, views + win_us, side="right")
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_views": [int(len(views))],
+            "n_conversions": [int((hi > lo).sum())],
+        })
+
+    ev = _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+    filtered = ev.map_batches(
+        lambda b: b[b["event_type"].isin(["view", "purchase"])],
+        batch_format="pandas")
+    out = filtered.groupby("user_id").map_groups(_funnel, batch_format="pandas")
+
+    def _typed(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"user_id": "int64", "n_views": "int64",
+                         "n_conversions": "int64"})
+
+    return out.map_batches(_typed, batch_format="pandas")
+
+
+def daily_active_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct users per calendar day — the
+    per-batch (day, user) dedup shrinks the wire, the bucketed global
+    distinct dedups across batches, and the final per-day count is a
+    partial combine."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].dt.floor("D"),
+                             "user_id": batch["user_id"]})
+
+    pairs = distinct_rows(
+        _read_events(sf_dir, ("ts", "user_id")).map_batches(
+            _day, batch_format="pandas"),
+        ["day", "user_id"], num_buckets=8,
+    )
+    out = combine_partials_driver(pairs, ["day"], {"dau": ("user_id", "count")})
+    out["dau"] = out["dau"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

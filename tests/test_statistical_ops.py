@@ -244,3 +244,50 @@ def test_revenue_by_nation_matches_pandas(ray_session):
     want = j.groupby("n_name")["rev"].agg(["sum", "size"]).sort_index()
     np.testing.assert_allclose(got["revenue"], want["sum"].round(2), atol=0.011)
     np.testing.assert_array_equal(got["n_orders"], want["size"])
+
+
+def test_funnel_counts_conversions_within_window(ray_session):
+    from ocr_agent_ray.pipelines.streaming import view_purchase_funnel
+
+    got = view_purchase_funnel(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    # brute-force oracle
+    for _, row in got.head(20).iterrows():
+        sub = ev[ev["user_id"] == row["user_id"]]
+        views = sub.loc[sub["event_type"] == "view", "ts"]
+        buys = sub.loc[sub["event_type"] == "purchase", "ts"]
+        conv = sum(
+            ((buys > v) & (buys <= v + pd.Timedelta(hours=1))).any()
+            for v in views)
+        assert row["n_views"] == len(views)
+        assert row["n_conversions"] == conv
+    assert (got["n_conversions"] <= got["n_views"]).all()
+    assert (got["n_views"] > 0).all()  # purchase-only users are excluded
+
+
+def test_dau_and_shares(ray_session):
+    from ocr_agent_ray.pipelines.relational import priority_share
+    from ocr_agent_ray.pipelines.streaming import daily_active_users
+
+    dau = daily_active_users(SF)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    want = (ev.assign(day=ev["ts"].dt.floor("D"))
+              .groupby("day")["user_id"].nunique())
+    assert dau.set_index("day")["dau"].sort_index().equals(
+        want.sort_index().astype("int64"))
+
+    share = priority_share(SF)
+    assert abs(share["share"].sum() - 1.0) < 1e-4
+    assert share["n"].sum() == len(
+        pq.read_table(f"{SF}/orders.parquet", columns=["o_orderpriority"]))
+
+
+def test_monthly_cum_revenue_monotone(ray_session):
+    from ocr_agent_ray.pipelines.relational import monthly_cum_revenue
+
+    out = monthly_cum_revenue(SF)
+    assert out["month"].is_monotonic_increasing
+    assert out["cum_revenue"].is_monotonic_increasing
+    assert abs(out["cum_revenue"].iloc[-1] - out["revenue"].sum()) < 0.05
