@@ -76,6 +76,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return topk_words_sketch(_docs(sf_dir))
 
+    def _quantile_sketch(sf_dir: str):
+        import ray.data as rd
+
+        from ocr_agent_ray.functions.sketch import quantile_sketch
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+        return quantile_sketch(ev, "value")
+
     relational_hash_sample = relational.hash_sample_documents
 
     return {
@@ -139,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": text.decontaminate,
         "q_tfidf_top_terms": text.tfidf_top_terms,
         "q_topk_sketch": _topk_sketch,       # rows-only (Misra-Gries sketch)
+        "q_quantile_sketch": _quantile_sketch,  # rows-only (centroid digest)
+        "q_decontaminate_bloom": text.decontaminate_bloom,  # rows-only (bloom scale path)
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),

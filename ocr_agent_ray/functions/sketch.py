@@ -153,3 +153,82 @@ def topk_words_sketch(ds, text_col: str = "text", *, k: int = 20,
                           kind="mergesort").head(k)
     out["approx_n"] = out["approx_n"].astype("int64")
     return out.reset_index(drop=True)
+
+
+class CentroidDigest:
+    """Mergeable equal-weight centroid digest for approximate quantiles
+    (a simplified t-digest, Dunning & Ertl '19 without the tail bias):
+    at most ``capacity`` (mean, count) centroids; building and merging
+    re-chunk the weight-sorted centroids into equal-weight groups, so the
+    rank error of any quantile is bounded by ~n/capacity. Centroids are
+    two small numpy arrays — constant-size regardless of input, the
+    100-TB path where exact quantile_cont would need a global sort."""
+
+    def __init__(self, means=None, counts=None, capacity: int = 256):
+        self.capacity = capacity
+        self.means = np.asarray([] if means is None else means, dtype=np.float64)
+        self.counts = np.asarray([] if counts is None else counts, dtype=np.float64)
+
+    @classmethod
+    def from_values(cls, values, capacity: int = 256) -> "CentroidDigest":
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        v = v[~np.isnan(v)]
+        return cls(v, np.ones(len(v)), capacity)._compress()
+
+    def _compress(self) -> "CentroidDigest":
+        if len(self.means) <= self.capacity:
+            return self
+        order = np.argsort(self.means, kind="mergesort")
+        m, c = self.means[order], self.counts[order]
+        total = c.sum()
+        # equal-weight chunking: centroid i goes to the bucket its
+        # midpoint weight falls in
+        cum_before = np.cumsum(c) - c / 2
+        bucket = np.minimum((cum_before / total * self.capacity).astype(np.int64),
+                            self.capacity - 1)
+        w = np.bincount(bucket, weights=c, minlength=self.capacity)
+        wm = np.bincount(bucket, weights=c * m, minlength=self.capacity)
+        keep = w > 0
+        return CentroidDigest(wm[keep] / w[keep], w[keep], self.capacity)
+
+    def merge(self, other: "CentroidDigest") -> "CentroidDigest":
+        return CentroidDigest(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.counts, other.counts]),
+            self.capacity,
+        )._compress()
+
+    def quantile(self, q: float) -> float:
+        if not len(self.means):
+            return float("nan")
+        order = np.argsort(self.means, kind="mergesort")
+        m, c = self.means[order], self.counts[order]
+        cum_mid = np.cumsum(c) - c / 2
+        target = q * c.sum()
+        return float(np.interp(target, cum_mid, m))
+
+
+def quantile_sketch(ds, column: str, *, quantiles=(0.5, 0.9),
+                    capacity: int = 256):
+    """Approximate quantiles of ``column`` via one CentroidDigest per
+    batch merged on the driver (constant bytes per batch on the wire)."""
+    import pandas as pd
+
+    def _sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        d = CentroidDigest.from_values(batch[column].to_numpy(), capacity)
+        return pd.DataFrame({"means": [d.means.tobytes()],
+                             "counts": [d.counts.tobytes()]})
+
+    merged = CentroidDigest(capacity=capacity)
+    for b in ds.map_batches(_sketch, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for mb, cb in zip(b["means"], b["counts"]):
+            merged = merged.merge(CentroidDigest(
+                np.frombuffer(mb, np.float64), np.frombuffer(cb, np.float64),
+                capacity))
+
+    return pd.DataFrame({
+        "quantile": list(quantiles),
+        "value": [round(merged.quantile(q), 6) for q in quantiles],
+    })

@@ -712,16 +712,27 @@ def props_key_stats(sf_dir: str):
 
 
 def orders_page(sf_dir: str, *, page_size: int = 10, page: int = 3):
-    """Pagination (ORDER BY ... LIMIT k OFFSET (page-1)·k): distributed
-    top-(page·k) via sort+limit — only page·k rows ever reach the driver,
-    where the first (page-1)·k are sliced off. The OFFSET never shuffles
-    more than the prefix it needs."""
-    top = (
-        read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(page_size * page)
-        .to_pandas()
-    )
+    """Pagination (ORDER BY ... LIMIT k OFFSET (page-1)·k) WITHOUT a
+    global sort: each batch keeps its own top-(page·k) candidates (a
+    top-k is a partial-aggregable reduction), the driver merges
+    page·k × n_blocks candidate rows and slices the page. No all-to-all
+    exchange — the shuffle a naive sort+limit would pay is gone."""
+    need = page_size * page
+
+    def _partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["o_totalprice", "o_orderkey"],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(need)
+
+    cands = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(_partial_topk, batch_format="pandas")
+    pooled = [b for b in cands.iter_batches(batch_format="pandas",
+                                            batch_size=65536)]
+    allc = (pd.concat(pooled, ignore_index=True) if pooled
+            else pd.DataFrame(columns=["o_orderkey", "o_totalprice"]))
+    top = allc.sort_values(["o_totalprice", "o_orderkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(need)
     return top.iloc[page_size * (page - 1):].reset_index(drop=True)
 
 

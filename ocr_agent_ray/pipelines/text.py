@@ -295,3 +295,54 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 5):
         .groupby("source")
         .map_groups(_topk, batch_format="pandas")
     )
+
+
+def decontaminate_bloom(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97,
+                        log2_bits: int = 20, k_hashes: int = 4):
+    """Decontamination's 100-TB path: the benchmark n-gram set broadcasts
+    as a BLOOM FILTER (a 2^log2_bits-bit numpy array — constant size no
+    matter how many benchmark grams) instead of an exact Python set.
+    One-sided error by construction: NO false negatives (every truly
+    contaminated doc is flagged); false positives over-flag clean docs at
+    the filter's FPR (~(1-e^{-kn/m})^k — property-tested). Gram hashing
+    reuses the vectorized batch hasher from the dedup module; the k bloom
+    probes derive from the gram hash via splitmix64(h + i)."""
+    import ray
+
+    from ocr_agent_ray.functions.hashing import splitmix64
+    from ocr_agent_ray.pipelines.dedup import _word_ngram_hash_sets
+
+    bits = 1 << log2_bits
+    mask = np.uint64(bits - 1)
+
+    def _positions(h: np.ndarray) -> np.ndarray:
+        # k probe positions per gram hash: (len(h), k)
+        offs = np.arange(1, k_hashes + 1, dtype=np.uint64)
+        return (splitmix64((h[:, None] + offs[None, :]).ravel()) & mask
+                ).reshape(len(h), k_hashes)
+
+    docs = _read_documents(sf_dir)
+    bench = docs.map_batches(
+        lambda b: b[b["doc_id"] % benchmark_mod == 0], batch_format="pandas")
+    bloom = np.zeros(bits, dtype=bool)
+    for b in bench.iter_batches(batch_format="pandas", batch_size=4096):
+        for h in _word_ngram_hash_sets(b["text"], n):
+            if len(h):
+                bloom[_positions(h).ravel()] = True
+    ref = ray.put(np.packbits(bloom))
+
+    def _flag(batch: pd.DataFrame) -> pd.DataFrame:
+        filt = np.unpackbits(ray.get(ref)).view(bool)
+        flags = []
+        for h in _word_ngram_hash_sets(batch["text"], n):
+            if not len(h):
+                flags.append(False)
+                continue
+            hits = filt[_positions(h)].all(axis=1)  # gram in filter ⇔ all k bits
+            flags.append(bool(hits.any()))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "contaminated": pd.array(flags, dtype="bool"),
+        })
+
+    return docs.map_batches(_flag, batch_format="pandas")

@@ -44,3 +44,53 @@ def test_hll_distinct_over_dataset(ray_session):
     # deterministic across runs / batchings
     est2 = hll_distinct(rd.from_pandas(df).repartition(7), "user_id")
     assert est == est2
+
+
+def test_centroid_digest_quantiles_within_rank_error(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.sketch import quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet", columns=["value"])
+    got = quantile_sketch(ev, "value", quantiles=(0.5, 0.9), capacity=256)
+    exact = np.sort(
+        pq.read_table(f"{sf}/events.parquet", columns=["value"])
+        .to_pandas()["value"].to_numpy())
+    n = len(exact)
+    for q, v in zip(got["quantile"], got["value"]):
+        # the approx value's RANK must be within ~2·n/capacity of q·n
+        rank = np.searchsorted(exact, v)
+        assert abs(rank - q * n) <= 2 * n / 256 + 2, (q, v, rank)
+
+
+def test_centroid_digest_merge_associative():
+    import numpy as np
+
+    from ocr_agent_ray.functions.sketch import CentroidDigest
+
+    rng = np.random.default_rng(3)
+    a, b, c = (rng.normal(size=5000) for _ in range(3))
+    d1 = CentroidDigest.from_values(a).merge(
+        CentroidDigest.from_values(b)).merge(CentroidDigest.from_values(c))
+    d2 = CentroidDigest.from_values(np.concatenate([a, b, c]))
+    for q in (0.1, 0.5, 0.9):
+        assert abs(d1.quantile(q) - d2.quantile(q)) < 0.05
+
+
+def test_bloom_decontaminate_no_false_negatives(ray_session):
+    from ocr_agent_ray.pipelines.text import decontaminate, decontaminate_bloom
+
+    sf = "/root/testdata/sf0.001"
+    exact = decontaminate(sf).to_pandas().set_index("doc_id")["contaminated"]
+    bloom = decontaminate_bloom(sf).to_pandas().set_index("doc_id")["contaminated"]
+    exact, bloom = exact.sort_index(), bloom.sort_index()
+    # one-sided error: everything exact flags, bloom flags too
+    assert bool((bloom[exact] == True).all())  # noqa: E712
+    # false-positive rate on the clean docs stays small
+    clean = ~exact
+    fpr = float((bloom[clean]).mean()) if clean.any() else 0.0
+    assert fpr <= 0.02, fpr
