@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_sketch": _topk_sketch,       # rows-only (Misra-Gries sketch)
         "q_quantile_sketch": _quantile_sketch,  # rows-only (centroid digest)
         "q_decontaminate_bloom": text.decontaminate_bloom,  # rows-only (bloom scale path)
+        "q_doc_length_zscore": text.doc_length_zscore,
+        "q_rare_word_docs": text.rare_word_docs,
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
@@ -602,6 +604,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
             "FROM events GROUP BY 1"
+        ),
+        "q_doc_length_zscore": (
+            "SELECT doc_id, source, "
+            "ROUND((n_chars - AVG(n_chars) OVER w) / "
+            "stddev_samp(n_chars) OVER w, 6) AS z_chars "
+            "FROM documents WINDOW w AS (PARTITION BY source)"
+        ),
+        "q_rare_word_docs": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "counts AS (SELECT word, COUNT(*) AS n FROM toks GROUP BY 1), "
+            "rare AS (SELECT word FROM counts ORDER BY n, word LIMIT 3), "
+            "dw AS (SELECT DISTINCT doc_id, word FROM toks) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rare_words "
+            "FROM dw JOIN rare USING(word) GROUP BY doc_id"
         ),
         "q_tfidf_top_terms": (
             "WITH tfd AS (SELECT doc_id, source, "

@@ -346,3 +346,85 @@ def decontaminate_bloom(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97,
         })
 
     return docs.map_batches(_flag, batch_format="pandas")
+
+
+def doc_length_zscore(sf_dir: str):
+    """Per-group feature standardization: z-score of doc length within
+    its source — the training-data feature-prep pattern. Group moments
+    (n, Σx, Σx²) come from partials; the per-source (mean, std) map is
+    tiny and broadcasts into a second vectorized pass. No window shuffle:
+    a window aggregate whose partition stats fit a dict needs none."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ds = _read_documents(sf_dir, columns=("doc_id", "source", "n_chars"))
+
+    stats = combine_partials_driver(
+        ds.map_batches(
+            lambda b: b.assign(x2=b["n_chars"].astype("float64") ** 2),
+            batch_format="pandas"),
+        ["source"],
+        {"n": ("n_chars", "count"), "s": ("n_chars", "sum"),
+         "ss": ("x2", "sum")},
+    )
+    n = stats["n"].astype("float64")
+    mean = stats["s"] / n
+    std = np.sqrt((stats["ss"] - stats["s"] ** 2 / n) / (n - 1))
+    mean_map = dict(zip(stats["source"], mean))
+    std_map = dict(zip(stats["source"], std))
+
+    def _z(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["source"].map(mean_map).to_numpy(dtype=np.float64)
+        s = batch["source"].map(std_map).to_numpy(dtype=np.float64)
+        z = (batch["n_chars"].to_numpy(dtype=np.float64) - m) / s
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "source": batch["source"],
+                             "z_chars": round_half_away(z, 6)})
+
+    return ds.map_batches(_z, batch_format="pandas")
+
+
+def rare_word_docs(sf_dir: str, *, k_rarest: int = 3):
+    """Inverse lookup by corpus-rare tokens: docs containing any of the
+    corpus's ``k_rarest`` least-frequent words (ties broken by word), with
+    the distinct-rare-word count per doc — the 'flag documents with
+    hapax/noise tokens' quality filter. Corpus word counts are bucketed
+    (hash_partition_aggregate); the bottom-k set is tiny by construction
+    and broadcasts as a membership probe."""
+    import ray
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    docs = _read_documents(sf_dir)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
+
+    counts = hash_partition_aggregate(
+        docs.map_batches(_partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")},
+    )
+    # bottom-k per bucket, then a tiny driver merge (mirror of top_words)
+    def _bucket_bottomk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "word"], kind="mergesort").head(k_rarest)
+
+    pooled = [b for b in counts.map_batches(
+        _bucket_bottomk, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=65536)]
+    allc = pd.concat(pooled, ignore_index=True) if pooled else pd.DataFrame(
+        columns=["word", "n"])
+    rare = set(allc.sort_values(["n", "word"], kind="mergesort")
+                   .head(k_rarest)["word"])
+    ref = ray.put(rare)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        rset = ray.get(ref)
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        n_rare = [len(set(t) & rset) for t in toks]
+        out = pd.DataFrame({"doc_id": batch["doc_id"],
+                            "n_rare_words": pd.array(n_rare, dtype="int64")})
+        return out[out["n_rare_words"] > 0]
+
+    return docs.map_batches(_probe, batch_format="pandas")

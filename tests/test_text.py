@@ -99,3 +99,46 @@ def test_rolling_fingerprint_properties():
     assert rolling_fingerprint("") == []
     b = rolling_fingerprint("a completely different document body" * 3)
     assert set(a) != set(b)
+
+
+def test_doc_length_zscore_properties(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import doc_length_zscore
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_length_zscore(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"]).to_pandas()
+    assert len(got) == len(docs)
+    # z-scores are standardized within every source: mean ~0, std ~1
+    g = got.groupby("source")["z_chars"]
+    assert (g.mean().abs() < 1e-4).all()
+    assert ((g.std() - 1).abs() < 1e-3).all()
+    # spot-check one doc against the two-pass formula
+    row = docs.iloc[0]
+    sub = docs[docs["source"] == row["source"]]["n_chars"]
+    want = (row["n_chars"] - sub.mean()) / sub.std()
+    gotv = float(got.loc[got["doc_id"] == row["doc_id"], "z_chars"].iloc[0])
+    assert abs(gotv - want) < 1e-5
+
+
+def test_rare_word_docs_bottom_k(ray_session):
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import rare_word_docs
+
+    sf = "/root/testdata/sf0.001"
+    got = rare_word_docs(sf, k_rarest=3).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs["text"].str.lower().str.findall(r"[0-9a-z_]+")
+    counts = toks.explode().value_counts()
+    rare = set(counts.reset_index().sort_values(
+        ["count", "text"], kind="mergesort").head(3)["text"])
+    want = {
+        did: len(set(t) & rare)
+        for did, t in zip(docs["doc_id"], toks) if set(t) & rare
+    }
+    assert dict(zip(got["doc_id"], got["n_rare_words"])) == want
