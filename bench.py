@@ -128,6 +128,13 @@ QUERY_NAMES = [
     "q_event_deltas",
     "q_ngram_jaccard",
     "q_ngram_dup_clusters",
+    "q_tfidf_top_terms",
+    "q_revenue_by_nation",
+    "q_view_purchase_funnel",
+    "q_daily_active_users",
+    "q_doc_length_zscore",
+    "q_quantile_sketch",
+    "q_decontaminate_bloom",
 ]
 
 

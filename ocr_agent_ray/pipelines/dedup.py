@@ -292,7 +292,7 @@ def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
 def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.7, num_perm: int = 64,
                       num_bands: int = 16, k: int = 5,
-                      est_margin: float = 0.25):
+                      est_margin: float | None = 0.25):
     """Verified near-dup pairs: LSH candidates filtered by exact Jaccard ≥ t.
 
     Candidates are prefiltered by signature-estimated Jaccard at
@@ -312,7 +312,8 @@ def minhash_lsh_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     cands = minhash_candidates(
         ds, text_col=text_col, id_col=id_col,
         num_perm=num_perm, num_bands=num_bands, k=k,
-        est_threshold=max(0.0, threshold - est_margin),
+        est_threshold=(None if est_margin is None
+                       else max(0.0, threshold - est_margin)),
     )
 
     def _feats(cand_ids):
