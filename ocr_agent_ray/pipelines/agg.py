@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Mapping
 
+import numpy as np
 import pandas as pd
 
 from ocr_agent_ray.pipelines.joins import stable_bucket_array
@@ -84,17 +85,20 @@ def hash_partition_aggregate(ds, keys: list[str], spec: AggSpec,
 
 
 def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
-    """Distributed DISTINCT over ``cols``: bucket by first col, vectorized
-    drop_duplicates per bucket (no per-key Python)."""
-    import pyarrow as pa
+    """Distributed DISTINCT over ``cols``: bucket by the hash of the FULL
+    row (identical rows land together, so per-bucket drop_duplicates is
+    global dedup), vectorized per bucket. Hashing the whole row instead
+    of the first column is the hot-key guard: a low-cardinality or skewed
+    leading column (e.g. 5 event types) would otherwise flood one bucket
+    with the hot key's entire row set."""
 
     def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[cols].drop_duplicates()
-        tbl = pa.Table.from_pandas(b[cols[0]].to_frame(), preserve_index=False)
+        # deterministic across processes: pandas hash_pandas_object uses a
+        # fixed siphash key (unlike python hash())
+        row_hash = pd.util.hash_pandas_object(b, index=False).to_numpy()
         b = b.copy()
-        b["__bucket"] = stable_bucket_array(
-            tbl.column(0).combine_chunks(), num_buckets
-        ).to_numpy(zero_copy_only=False)
+        b["__bucket"] = (row_hash % np.uint64(num_buckets)).astype(np.int32)
         return b
 
     return (
