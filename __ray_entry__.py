@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_priciest_part_per_brand": relational.priciest_part_per_brand,
         "q_priority_share": relational.priority_share,
         "q_monthly_cum_revenue": relational.monthly_cum_revenue,
+        "q_events_customer_skew_join": relational.events_customer_skew_join,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -575,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY p_brand "
             "ORDER BY p_retailprice DESC, p_partkey) AS rn FROM part) "
             "WHERE rn = 1"
+        ),
+        "q_events_customer_skew_join": (
+            "SELECT event_id, user_id, c_name FROM events "
+            "JOIN customer ON user_id = c_custkey"
         ),
         "q_priority_share": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "

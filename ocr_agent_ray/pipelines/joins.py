@@ -254,3 +254,77 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
         return _typed_table(merged, all_cols, types, out_schema)
 
     return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")
+
+
+def skew_join(left, right, *, on: str, num_buckets: int = 16,
+              how: str = "inner",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None,
+              hot_keys=None, hot_share: float = 0.05,
+              sample_rows: int = 100_000):
+    """Skew-aware large-large join — the 'salt hot keys' strategy.
+
+    A plain bucketed hash join routes every row of a key to ONE bucket, so
+    a key holding 50% of the left side serializes half the join in one
+    reducer. Here hot keys take the broadcast path instead: their (few,
+    bounded) right-side rows pin in the object store once and every
+    left-side batch merges map-side — hot keys cost zero shuffle — while
+    the remaining cold keys run the normal bucket_hash_join. The two
+    streams union.
+
+    ``hot_keys``: pass explicitly when known; otherwise detected from a
+    bounded ``sample_rows``-row prefix of the left side (keys with sampled
+    share ≥ ``hot_share``). Assumes the RIGHT side's rows for the hot keys
+    fit the object store (the classic case: a popular dimension value) —
+    a hot key that is also heavy on the right needs pair-blowup handling
+    no join strategy fixes. ``how``: 'inner' or 'left'."""
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+
+    lschema = left_schema if left_schema is not None else _arrow_schema_of(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema_of(right)
+
+    if hot_keys is None:
+        sample = left.limit(sample_rows).select_columns([on]).to_pandas()
+        counts = sample[on].value_counts(normalize=True)
+        hot_keys = list(counts[counts >= hot_share].index)
+    hot_keys = list(hot_keys)
+    if not hot_keys:
+        return bucket_hash_join(left, right, on=on, num_buckets=num_buckets,
+                                how=how, left_schema=lschema,
+                                right_schema=rschema)
+
+    key_set = pa.array(sorted(set(hot_keys)))
+
+    def _split(ds, keep_hot: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[on], value_set=key_set)
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    # hot path: right-side hot rows are bounded by assumption -> broadcast
+    right_hot = _split(right, True).to_pandas()
+    hot_out = broadcast_join(_split(left, True), right_hot, on=on, how=how)
+
+    # align the broadcast output to the join's typed Arrow schema so the
+    # union's blocks agree (pandas would re-infer dtypes per batch)
+    types: dict[str, pa.DataType] = {}
+    all_cols: list[str] = []
+    for f in list(lschema) + list(rschema):
+        if f.name not in types:
+            types[f.name] = f.type
+            all_cols.append(f.name)
+    out_schema = pa.schema([pa.field(c, types[c]) for c in all_cols])
+
+    def _retype(batch: pd.DataFrame) -> pa.Table:
+        return _typed_table(batch, all_cols, types, out_schema)
+
+    hot_out = hot_out.map_batches(_retype, batch_format="pandas")
+
+    cold_out = bucket_hash_join(
+        _split(left, False), _split(right, False), on=on,
+        num_buckets=num_buckets, how=how,
+        left_schema=lschema, right_schema=rschema,
+    )
+    return hot_out.union(cold_out)

@@ -914,3 +914,24 @@ def monthly_cum_revenue(sf_dir: str):
         "revenue": round_half_away(out["rev"].to_numpy(), 2),
         "cum_revenue": round_half_away(cum.to_numpy(), 2),
     })
+
+
+def events_customer_skew_join(sf_dir: str):
+    """skew_join under oracle: events ⋈ customer on user key with the
+    busiest users pinned as hot keys — those route through the broadcast
+    path, the rest through the bucketed hash join; the result must equal
+    a plain SQL join regardless of routing."""
+    from ocr_agent_ray.pipelines.joins import skew_join
+
+    ev = read_table(sf_dir, "events", ["event_id", "user_id"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "user_id"}),
+        batch_format="pandas")
+    return skew_join(
+        ev, cust, on="user_id",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("c_name", pa.string())]),
+        hot_keys=[0, 1, 2],
+    )

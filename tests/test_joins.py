@@ -78,3 +78,63 @@ def test_semi_and_anti_filter(ray_session, tables):
     assert set(semi["k"]) <= set(keys)
     assert set(anti["k"]).isdisjoint(keys)
     assert len(semi) + len(anti) == len(left)
+
+
+def test_skew_join_matches_pandas_under_hot_key(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import skew_join
+
+    rng = np.random.default_rng(21)
+    n = 50_000
+    # 90% of left rows share key 7; right has a handful of rows per key
+    left = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.9, 7, rng.integers(0, 200, n)).astype("int64"),
+        "lv": np.arange(n, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": np.arange(0, 200, dtype=np.int64),
+        "rv": np.arange(1000, 1200, dtype=np.int64),
+    })
+
+    got = skew_join(
+        rd.from_pandas(left).repartition(8),
+        rd.from_pandas(right).repartition(2),
+        on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        hot_share=0.05, sample_rows=10_000,
+    ).to_pandas()
+    want = left.merge(right, on="k")
+    got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    want = want.sort_values(["k", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_skew_join_left_keeps_unmatched(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import skew_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 1, 2, 3], "lv": range(6)})
+    left = left.astype({"k": "int64", "lv": "int64"})
+    right = pd.DataFrame({"k": [1, 2], "rv": [10, 20]}).astype("int64")
+
+    got = skew_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="left",
+        left_schema=pa.schema([("k", pa.int64()), ("lv", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("rv", pa.int64())]),
+        hot_keys=[1],
+    ).to_pandas()
+    want = left.merge(right, on="k", how="left")
+    got = got.sort_values(["k", "lv"]).reset_index(drop=True)
+    # unmatched right ints stay integral-with-null through the typed path
+    assert got["rv"].isna().sum() == 1
+    assert list(got["k"]) == list(want.sort_values(["k", "lv"])["k"])
