@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": streaming.event_deltas,
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
+        "q_late_events": streaming.late_events,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -609,6 +610,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
             "FROM events GROUP BY 1"
+        ),
+        "q_late_events": (
+            "SELECT event_id, ts, "
+            "MAX(ts) OVER w AS watermark, "
+            "(ts < MAX(ts) OVER w - INTERVAL 5 MINUTE) AS late "
+            "FROM events WINDOW w AS (ORDER BY event_id ROWS UNBOUNDED PRECEDING)"
         ),
         "q_doc_length_zscore": (
             "SELECT doc_id, source, "

@@ -332,3 +332,56 @@ def daily_active_users(sf_dir: str):
     out = combine_partials_driver(pairs, ["day"], {"dau": ("user_id", "count")})
     out["dau"] = out["dau"].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,
+                range_size: int = 1024):
+    """Event-time watermark + late-data tagging — a distributed PREFIX
+    SCAN (running max over arrival order) without a global sort:
+
+    1. range-partition by the dense arrival key (event_id // range_size);
+    2. pass 1: per-range max(ts) — a tiny table — and an EXCLUSIVE prefix
+       max over the range maxima on the driver (the scan's carry, one row
+       per range);
+    3. pass 2: per range, sort by event_id, vectorized cummax, combine
+       with the carried offset.
+
+    watermark(e) = max ts seen up to and including e in arrival order;
+    an event is late iff its ts trails the watermark by more than
+    ``allowed_late_minutes`` (it arrived after newer data). The same
+    two-pass shape computes any associative scan (running sums, session
+    carries) at any scale — the wire carries one carry value per range."""
+    import numpy as np
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("event_id", "ts"))
+
+    def _bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__rb=(b["event_id"] // range_size).astype("int64"))
+
+    bucketed = ev.map_batches(_bucket, batch_format="pandas")
+
+    stats = combine_partials_driver(bucketed, ["__rb"], {"mx": ("ts", "max")})
+    stats = stats.sort_values("__rb").reset_index(drop=True)
+    # exclusive prefix max: the carry entering each range
+    carry_vals = stats["mx"].cummax().shift(1)
+    carries = {int(rb): (None if pd.isna(c) else c.to_datetime64())
+               for rb, c in zip(stats["__rb"], carry_vals)}
+
+    late_us = np.timedelta64(allowed_late_minutes * 60 * 1_000_000, "us")
+
+    def _scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+        wm = g["ts"].cummax().to_numpy()
+        carry = carries.get(int(g["__rb"].iloc[0]))
+        if carry is not None:
+            wm = np.maximum(wm, np.datetime64(carry, "us"))
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "ts": g["ts"],
+            "watermark": wm,
+            "late": pd.array(g["ts"].to_numpy() < wm - late_us, dtype="bool"),
+        })
+
+    return bucketed.groupby("__rb").map_groups(_scan, batch_format="pandas")

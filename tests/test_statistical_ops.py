@@ -291,3 +291,20 @@ def test_monthly_cum_revenue_monotone(ray_session):
     assert out["month"].is_monotonic_increasing
     assert out["cum_revenue"].is_monotonic_increasing
     assert abs(out["cum_revenue"].iloc[-1] - out["revenue"].sum()) < 0.05
+
+
+def test_late_events_prefix_scan(ray_session):
+    from ocr_agent_ray.pipelines.streaming import late_events
+
+    # small range_size forces many ranges, exercising the carry chain
+    got = late_events(SF, range_size=64).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts"]).to_pandas().sort_values(
+        "event_id").reset_index(drop=True)
+    want_wm = ev["ts"].cummax()
+    np.testing.assert_array_equal(got["watermark"].to_numpy(),
+                                  want_wm.to_numpy())
+    want_late = ev["ts"] < want_wm - pd.Timedelta(minutes=5)
+    np.testing.assert_array_equal(got["late"].to_numpy(),
+                                  want_late.to_numpy())
