@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only (LSH-blocked scale path; recall-tested in pytest)
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
+        "q_label_centroids": similarity.label_centroids,
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
         "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
@@ -390,6 +391,12 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank, "
             "ROUND(cos, 6) AS cosine FROM scored "
             "QUALIFY rank <= 5"
+        ),
+        "q_label_centroids": (
+            "SELECT label, CAST(i AS BIGINT) AS dim, ROUND(AVG(v), 6) AS mean_v "
+            "FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+            "GROUP BY label, i"
         ),
         "q_nations_concat": (
             "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, "

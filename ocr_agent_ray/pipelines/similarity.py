@@ -258,3 +258,59 @@ def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         .groupby("query_id")
         .map_groups(_final, batch_format="pandas")
     )
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroids — the k-means/IVF training step as a
+    vector aggregation: each batch stacks its vectors into one matrix and
+    emits per-label (sum-vector, count) partials; the driver combines the
+    tiny (labels × dim) table. Emitted long-form (label, dim, mean_v) so
+    the SQL oracle can express it via unnest + ordinality."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float32) for v in batch["embedding"]])
+        mat = mat.astype(np.float64)
+        out = []
+        for lab, idx in batch.groupby("label").indices.items():
+            out.append((lab, mat[idx].sum(axis=0), len(idx)))
+        return pd.DataFrame({
+            "label": [o[0] for o in out],
+            "vsum": [o[1].tobytes() for o in out],
+            "n": [o[2] for o in out],
+        })
+
+    sums: dict = {}
+    counts: dict = {}
+    for b in ds.map_batches(_partial, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=4096
+    ):
+        for lab, vs, n in zip(b["label"], b["vsum"], b["n"]):
+            v = np.frombuffer(vs, dtype=np.float64)
+            if lab in sums:
+                sums[lab] = sums[lab] + v
+                counts[lab] += int(n)
+            else:
+                sums[lab] = v.copy()
+                counts[lab] = int(n)
+
+    rows_l, rows_d, rows_v = [], [], []
+    for lab in sorted(sums):
+        mean = sums[lab] / counts[lab]
+        dim = len(mean)
+        rows_l.extend([lab] * dim)
+        rows_d.extend(range(1, dim + 1))          # 1-based like SQL subscripts
+        rows_v.extend(round_half_away(mean, 6))
+    return pd.DataFrame({
+        "label": pd.array(rows_l, dtype="int32"),
+        "dim": pd.array(rows_d, dtype="int64"),
+        "mean_v": rows_v,
+    })

@@ -249,3 +249,87 @@ def build_media_pipeline(units_ds, *, codec_factory=DeterministicFakeCodec,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+ROUTED_MEDIA_SCHEMA = pa.schema([
+    pa.field("media_ref", pa.string()),
+    pa.field("kind", pa.string()),
+    pa.field("frame_index", pa.int32()),   # null for still media
+    pa.field("media_bytes", pa.binary()),
+    pa.field("width", pa.int32()),
+    pa.field("height", pa.int32()),
+])
+
+
+def route_media_pipeline(units_ds, *, codec_factory=DeterministicFakeCodec,
+                         dpi: int = 200, target_pixels: int = 768,
+                         every_n: int = 30, concurrency: int = 4,
+                         batch_size: int = 16):
+    """Modality ROUTER: one mixed-kind media stream (image / pdf_page /
+    video rows) fans into per-modality actor-pool branches — stills
+    through RasterizeStage, videos through the FrameSampleStage 1→N
+    fan-out — then unions back into ONE typed stream
+    (ROUTED_MEDIA_SCHEMA) for the shared resize → embed tail. The union
+    is schema-aligned Arrow, so downstream stages see a single stream and
+    the actor pools per modality size independently (a GPU video decoder
+    pool can be 2 wide while the image pool is 16 wide).
+
+    ``units_ds`` feeds two branch filters (two plan consumers): pass a
+    cheap-to-recompute or materialized Dataset, exactly like the dedup
+    verify sides."""
+    import pyarrow.compute as pc
+
+    still_kinds = pa.array(["image", "pdf_page"])
+
+    def _stills(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["kind"], value_set=still_kinds))
+
+    def _videos(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["kind"], "video"))
+
+    def _align_still(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["media_ref"], b["kind"],
+             pa.array([None] * len(b), pa.int32()),
+             b["media_bytes"], b["width"], b["height"]],
+            schema=ROUTED_MEDIA_SCHEMA)
+
+    def _align_video(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["media_ref"], pa.array(["video"] * len(b), pa.string()),
+             b["frame_index"], b["media_bytes"], b["width"], b["height"]],
+            schema=ROUTED_MEDIA_SCHEMA)
+
+    still_out = (
+        units_ds.map_batches(_stills, batch_format="pyarrow")
+        .map_batches(RasterizeStage,
+                     fn_constructor_kwargs={"codec_factory": codec_factory,
+                                            "dpi": dpi},
+                     batch_format="pyarrow", batch_size=batch_size,
+                     concurrency=(1, concurrency))
+        .map_batches(_align_still, batch_format="pyarrow")
+    )
+    video_out = (
+        units_ds.map_batches(_videos, batch_format="pyarrow")
+        .map_batches(FrameSampleStage,
+                     fn_constructor_kwargs={"codec_factory": codec_factory,
+                                            "every_n": every_n},
+                     batch_format="pyarrow", batch_size=batch_size,
+                     concurrency=(1, max(1, concurrency // 2)))
+        .map_batches(_align_video, batch_format="pyarrow")
+    )
+
+    merged = still_out.union(video_out)
+    resized = merged.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"codec_factory": codec_factory,
+                               "target_pixels": target_pixels},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+    return resized.map_batches(
+        MediaEmbedStage,
+        fn_constructor_kwargs={"codec_factory": codec_factory},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )

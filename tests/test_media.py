@@ -102,3 +102,33 @@ def test_frame_sample_stage(ray_session):
     a0 = out[(out["media_ref"] == "media://v/a.mp4") & (out["frame_index"] == 0)]
     b0 = out[(out["media_ref"] == "media://v/b.mp4") & (out["frame_index"] == 0)]
     assert a0["media_bytes"].iloc[0] != b0["media_bytes"].iloc[0]
+
+
+def test_route_media_pipeline_mixed_modalities(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_agent_ray.stages.media import route_media_pipeline
+
+    units = pa.table({
+        "media_ref": [f"m{i}" for i in range(12)],
+        "kind": (["image"] * 4 + ["pdf_page"] * 4 + ["video"] * 4),
+        "page_index": pa.array([None] * 4 + [0, 1, 2, 3] + [None] * 4,
+                               pa.int32()),
+        "total_frames": pa.array([None] * 8 + [90, 60, 30, 0], pa.int32()),
+    })
+    out = route_media_pipeline(
+        rd.from_arrow(units).materialize(), every_n=30,
+        concurrency=2, batch_size=4,
+    ).to_pandas()
+    # 8 stills + sampled frames: 90->3, 60->2, 30->1, 0->0
+    assert len(out) == 8 + 3 + 2 + 1
+    assert set(out["kind"]) == {"image", "pdf_page", "video"}
+    # stills carry null frame_index; video rows carry their frame
+    assert out.loc[out["kind"] != "video", "frame_index"].isna().all()
+    assert sorted(out.loc[out["media_ref"] == "m8", "frame_index"]) == [0, 30, 60]
+    # every routed row came out decoded + embedded through the shared tail
+    assert out["media_bytes"].notna().all()
+    assert out["embedding"].notna().all()
+    assert {len(v) for v in out["embedding"]} == {64}
