@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_label_centroids": similarity.label_centroids,
+        "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
         "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
         # --- flagship extraction (north rule; rows-only vs pytest goldens)

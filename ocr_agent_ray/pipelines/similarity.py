@@ -314,3 +314,81 @@ def label_centroids(sf_dir: str):
         "dim": pd.array(rows_d, dtype="int64"),
         "mean_v": rows_v,
     })
+
+
+def kmeans_embeddings(sf_dir: str, *, k: int = 8, iters: int = 5):
+    """Lloyd's k-means over the embedding column — the iterative-algorithm
+    pattern on Ray Data: per round, ONE streaming pass assigns each batch
+    to centroids (vectorized argmin over a broadcast (k × dim) matrix)
+    and emits per-cluster (sum, count, sse) partials; the driver updates
+    the tiny centroid table. Initialization is deterministic (the k
+    lowest vec_ids), so runs are reproducible. Returns one row per
+    cluster: (cluster, size, inertia) after ``iters`` rounds.
+
+    Scale shape: the data is read per round but never shuffled; the only
+    driver state is k × dim floats. Empty clusters keep their previous
+    centroid (standard Lloyd fallback)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    # deterministic seeds: the k lowest vec_ids, pruned at the read
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in seed_tbl["embedding"]])
+
+    def _partials_fn(cref):
+        def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            mat = np.stack([np.asarray(v, dtype=np.float32)
+                            for v in batch["embedding"]]).astype(np.float64)
+            # pairwise squared distances via the expansion trick
+            d2 = ((mat * mat).sum(1)[:, None] - 2 * mat @ c.T
+                  + (c * c).sum(1)[None, :])
+            assign = d2.argmin(axis=1)
+            sse = d2[np.arange(len(mat)), assign]
+            rows = []
+            for cl in np.unique(assign):
+                m = assign == cl
+                rows.append((int(cl), mat[m].sum(axis=0).tobytes(),
+                             int(m.sum()), float(sse[m].sum())))
+            return pd.DataFrame({
+                "cluster": [r[0] for r in rows],
+                "vsum": [r[1] for r in rows],
+                "n": [r[2] for r in rows],
+                "sse": [r[3] for r in rows],
+            })
+
+        return _partials
+
+    sizes = np.zeros(k, dtype=np.int64)
+    inertia = np.zeros(k, dtype=np.float64)
+    for _ in range(iters):
+        cref = ray.put(centroids)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+        sums = np.zeros_like(centroids)
+        sizes = np.zeros(k, dtype=np.int64)
+        inertia = np.zeros(k, dtype=np.float64)
+        for b in ds.map_batches(_partials_fn(cref),
+                                batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=4096
+        ):
+            for cl, vs, n, sse in zip(b["cluster"], b["vsum"], b["n"], b["sse"]):
+                sums[cl] += np.frombuffer(vs, dtype=np.float64)
+                sizes[cl] += int(n)
+                inertia[cl] += float(sse)
+        nonempty = sizes > 0
+        centroids[nonempty] = sums[nonempty] / sizes[nonempty, None]
+
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "size": sizes,
+        "inertia": np.round(inertia, 4),
+    })

@@ -51,3 +51,21 @@ def test_knn_lsh_recall(ray_session, oracle_knn):
     bf = knn_bruteforce(SF, k=500).to_pandas()  # superset scores
     merged = out.merge(bf, on=["query_id", "vec_id"], suffixes=("_lsh", "_bf"))
     assert (merged["cosine_lsh"] == merged["cosine_bf"]).all()
+
+
+def test_kmeans_inertia_decreases_and_partitions(ray_session):
+    import numpy as np
+
+    from ocr_agent_ray.pipelines.similarity import kmeans_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    one = kmeans_embeddings(sf, k=4, iters=1)
+    five = kmeans_embeddings(sf, k=4, iters=5)
+    # all points assigned every round
+    assert one["size"].sum() == five["size"].sum() > 0
+    # Lloyd's algorithm never increases total inertia
+    assert five["inertia"].sum() <= one["inertia"].sum() + 1e-6
+    # deterministic across runs (fixed seed init + order-free partials)
+    again = kmeans_embeddings(sf, k=4, iters=5)
+    assert list(five["size"]) == list(again["size"])
+    assert np.allclose(five["inertia"], again["inertia"], atol=1e-4)
