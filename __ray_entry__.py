@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
         "q_late_events": streaming.late_events,
+        "q_rolling_avg_value": streaming.rolling_avg_value,
+        "q_customer_name_ids": relational.customer_name_ids,
         # --- text analysis ------------------------------------------------
         "q_quality_scores": text.quality_scores,
         "q_token_count_by_source": text.token_count_total,
@@ -618,6 +620,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
             "FROM events GROUP BY 1"
+        ),
+        "q_rolling_avg_value": (
+            "SELECT user_id, event_id, ts, "
+            "ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7_value "
+            "FROM events"
+        ),
+        "q_customer_name_ids": (
+            "SELECT c_custkey, "
+            "CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS name_id "
+            "FROM customer"
         ),
         "q_late_events": (
             "SELECT event_id, ts, "

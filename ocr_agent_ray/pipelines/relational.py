@@ -935,3 +935,19 @@ def events_customer_skew_join(sf_dir: str):
                                 ("c_name", pa.string())]),
         hot_keys=[0, 1, 2],
     )
+
+
+def customer_name_ids(sf_dir: str):
+    """String-parse extraction: pull the numeric suffix out of
+    'Customer#000000001'-style names (vectorized regex capture) and emit
+    it typed — the scalar-function family (§2.8) under an exact oracle."""
+
+    def _parse(batch: pd.DataFrame) -> pd.DataFrame:
+        name_id = batch["c_name"].str.extract(r"#(\d+)", expand=False)
+        return pd.DataFrame({
+            "c_custkey": batch["c_custkey"],
+            "name_id": pd.to_numeric(name_id).astype("int64"),
+        })
+
+    return read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        _parse, batch_format="pandas")

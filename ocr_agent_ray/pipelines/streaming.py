@@ -385,3 +385,26 @@ def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,
         })
 
     return bucketed.groupby("__rb").map_groups(_scan, batch_format="pandas")
+
+
+def rolling_avg_value(sf_dir: str, *, window: int = 7):
+    """Trailing moving average per user (ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW): partition by user, mergesort by (ts, event_id),
+    vectorized pandas rolling mean inside the group."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        avg = g["value"].rolling(window, min_periods=1).mean()
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "ts": g["ts"],
+            "avg7_value": round_half_away(avg.to_numpy(), 6),
+        })
+
+    return (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
+        .groupby("user_id")
+        .map_groups(_roll, batch_format="pandas")
+    )

@@ -143,3 +143,28 @@ def test_discovery_part_order_matches_pathlib(tmp_path):
     expect = [str(p) for p in sorted(pathlib.Path(tmp_path).rglob("*.png"))]
     assert report.supported == expect
     assert report.supported[0].endswith(os.path.join("foo", "y.png"))
+
+
+def test_csv_and_json_source_roundtrip(ray_session, tmp_path):
+    """Source-format coverage beyond parquet: the same relational result
+    must come back from CSV and JSONL copies of the events table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    want = ev.groupby("event_type").size().sort_index()
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    rd.from_pandas(ev).repartition(3).write_csv(csv_dir)
+    rd.from_pandas(ev).repartition(3).write_json(json_dir)
+
+    for ds in (rd.read_csv(csv_dir), rd.read_json(json_dir)):
+        got = (ds.map_batches(
+            lambda b: b.groupby("event_type", as_index=False).size(),
+            batch_format="pandas").to_pandas()
+            .groupby("event_type")["size"].sum().sort_index())
+        assert got.equals(want)
