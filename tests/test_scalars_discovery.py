@@ -168,3 +168,30 @@ def test_csv_and_json_source_roundtrip(ray_session, tmp_path):
             batch_format="pandas").to_pandas()
             .groupby("event_type")["size"].sum().sort_index())
         assert got.equals(want)
+
+
+def test_hive_partitioned_write_and_pruned_read(ray_session, tmp_path):
+    """Partitioned parquet layout (one directory per key) + filter
+    pushdown on the read — the resumable-output shape at the Ray API
+    level (the checkpoint store implements its own atomic variant)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "by_source")
+    rd.read_parquet(f"{sf}/documents.parquet",
+                    columns=["doc_id", "source", "n_chars"]) \
+        .write_parquet(out, partition_cols=["source"])
+    # one directory per source value
+    parts = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    want_sources = sorted(set(
+        pq.read_table(f"{sf}/documents.parquet", columns=["source"])
+        .column(0).to_pylist()))
+    assert parts == [f"source={s}" for s in want_sources]
+    # partition-pruned read sees only the one directory's rows
+    one = rd.read_parquet(f"{out}/source={want_sources[0]}")
+    full = pq.read_table(f"{sf}/documents.parquet", columns=["source"]).to_pandas()
+    assert one.count() == int((full["source"] == want_sources[0]).sum())
