@@ -76,6 +76,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return topk_words_sketch(_docs(sf_dir))
 
+    def _hll_per_type(sf_dir: str):
+        import ray.data as rd
+
+        from ocr_agent_ray.functions.sketch import hll_distinct_by_key
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        return hll_distinct_by_key(ev, "event_type", "user_id")
+
     def _quantile_sketch(sf_dir: str):
         import ray.data as rd
 
@@ -104,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_union_error_purchase": relational.union_error_purchase_counts,
         "q_distinct_users_per_type": relational.distinct_users_per_type,
         "q_hll_distinct_users": relational.hll_distinct_users,   # rows-only (sketch)
+        "q_hll_users_per_type": _hll_per_type,                   # rows-only (sketch)
         "q_running_value_per_user": relational.running_value_per_user,
         "q_nations_concat": relational.nations_per_region_concat,
         "q_acctbal_histogram": relational.acctbal_histogram,

@@ -232,3 +232,40 @@ def quantile_sketch(ds, column: str, *, quantiles=(0.5, 0.9),
         "quantile": list(quantiles),
         "value": [round(merged.quantile(q), 6) for q in quantiles],
     })
+
+
+def hll_distinct_by_key(ds, key: str, column: str, p: int = 12):
+    """Per-key approximate COUNT(DISTINCT): one HLL per (key, batch)
+    merged per key on the driver — sketches compose with GROUP BY, which
+    is the 100-TB path for per-key distincts (the exact variant must
+    shuffle every (key, value) pair; this ships 2^p bytes per key per
+    batch and never moves values). Driver state: |keys| sketches."""
+    import pandas as pd
+
+    def _sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        rows_k, rows_s = [], []
+        for k, idx in batch.groupby(key).indices.items():
+            hll = HyperLogLog(p)
+            col = batch[column].iloc[idx]
+            if col.dtype.kind in "iu":
+                hll.add_ints(col.to_numpy())
+            else:
+                hll.add_strings(col.tolist())
+            rows_k.append(k)
+            rows_s.append(hll.serialize())
+        return pd.DataFrame({key: rows_k, "sketch": rows_s})
+
+    merged: dict = {}
+    for b in ds.map_batches(_sketch, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for k, blob in zip(b[key], b["sketch"]):
+            s = HyperLogLog.deserialize(blob, p)
+            merged[k] = merged[k].merge(s) if k in merged else s
+
+    out = pd.DataFrame({
+        key: list(merged),
+        "approx_distinct": [int(round(s.estimate())) for s in merged.values()],
+    }).sort_values(key).reset_index(drop=True)
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    return out

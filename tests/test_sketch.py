@@ -94,3 +94,23 @@ def test_bloom_decontaminate_no_false_negatives(ray_session):
     clean = ~exact
     fpr = float((bloom[clean]).mean()) if clean.any() else 0.0
     assert fpr <= 0.02, fpr
+
+
+def test_hll_per_key_within_tolerance(ray_session):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.sketch import hll_distinct_by_key
+
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "user_id"])
+    got = hll_distinct_by_key(ev, "event_type", "user_id")
+    exact = (pq.read_table(f"{sf}/events.parquet",
+                           columns=["event_type", "user_id"]).to_pandas()
+             .groupby("event_type")["user_id"].nunique())
+    assert set(got["event_type"]) == set(exact.index)
+    for _, row in got.iterrows():
+        true = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - true) <= max(2, 0.05 * true)
