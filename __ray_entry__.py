@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_priority_share": relational.priority_share,
         "q_monthly_cum_revenue": relational.monthly_cum_revenue,
         "q_events_customer_skew_join": relational.events_customer_skew_join,
+        "q_yearly_order_growth": relational.yearly_order_growth,
+        "q_weekly_retention": relational.weekly_retention,
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
@@ -601,6 +603,26 @@ def oracle_sql() -> dict[str, str]:
         "q_events_customer_skew_join": (
             "SELECT event_id, user_id, c_name FROM events "
             "JOIN customer ON user_id = c_custkey"
+        ),
+        "q_yearly_order_growth": (
+            "WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS year, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1) "
+            "SELECT year, n_orders, "
+            "lag(n_orders) OVER (ORDER BY year) AS prev_n, "
+            "n_orders - lag(n_orders) OVER (ORDER BY year) AS delta FROM y"
+        ),
+        "q_weekly_retention": (
+            "WITH wu AS (SELECT DISTINCT "
+            "CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, user_id "
+            "FROM events), "
+            "ret AS (SELECT a.week, COUNT(*) AS retained_users FROM wu a "
+            "JOIN wu b ON b.user_id = a.user_id "
+            "AND b.week = a.week + INTERVAL 7 DAY GROUP BY a.week), "
+            "act AS (SELECT week, COUNT(*) AS active_users FROM wu GROUP BY 1) "
+            "SELECT act.week, CAST(act.active_users AS BIGINT) AS active_users, "
+            "CAST(COALESCE(ret.retained_users, 0) AS BIGINT) AS retained_users "
+            "FROM act LEFT JOIN ret USING(week) "
+            "WHERE act.week < (SELECT MAX(week) FROM wu)"
         ),
         "q_priority_share": (
             "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "

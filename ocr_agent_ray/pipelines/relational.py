@@ -951,3 +951,65 @@ def customer_name_ids(sf_dir: str):
 
     return read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
         _parse, batch_format="pandas")
+
+
+def yearly_order_growth(sf_dir: str):
+    """Year-over-year growth: orders per year plus the delta vs the
+    previous year — a LAG window over an AGGREGATED time series (year
+    partials distributed, the lag over the handful of year rows on the
+    driver). prev_n/delta are nullable Int64 for the first year."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _year(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"year": batch["o_orderdate"].dt.year.astype("int64")})
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            _year, batch_format="pandas"),
+        ["year"], {"n_orders": ("year", "count")},
+    ).sort_values("year").reset_index(drop=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    prev = out["n_orders"].shift(1).astype("Int64")
+    return pd.DataFrame({
+        "year": out["year"],
+        "n_orders": out["n_orders"],
+        "prev_n": prev,
+        "delta": (out["n_orders"] - prev).astype("Int64"),
+    })
+
+
+def weekly_retention(sf_dir: str):
+    """Week-over-week retention: users active in week w who are also
+    active in w+1 — the cohort metric. Distinct (week, user) pairs are
+    reduced distributed-side (bucketed by full-row hash); the retention
+    join is a self-merge of the small distinct table shifted one week.
+    Weeks start Monday, matching SQL date_trunc('week')."""
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+
+    def _wu(batch: pd.DataFrame) -> pd.DataFrame:
+        monday = (batch["ts"].dt.normalize()
+                  - pd.to_timedelta(batch["ts"].dt.dayofweek, unit="D"))
+        return pd.DataFrame({
+            "week": monday.astype("datetime64[us]"),
+            "user_id": batch["user_id"],
+        })
+
+    pairs = distinct_rows(
+        read_table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            _wu, batch_format="pandas"),
+        ["week", "user_id"], num_buckets=8,
+    ).to_pandas()  # |weeks| × |users| upper bound — driver-sized
+
+    nxt = pairs.copy()
+    nxt["week"] = (nxt["week"] - pd.Timedelta(days=7)).astype("datetime64[us]")
+    retained = pairs.merge(nxt, on=["week", "user_id"])
+    active = pairs.groupby("week").size().sort_index()
+    kept = retained.groupby("week").size()
+    weeks = active.index[:-1] if len(active) else active.index
+    return pd.DataFrame({
+        "week": weeks,
+        "active_users": active.loc[weeks].astype("int64").to_numpy(),
+        "retained_users": kept.reindex(weeks, fill_value=0)
+                              .astype("int64").to_numpy(),
+    })
