@@ -308,3 +308,21 @@ def test_late_events_prefix_scan(ray_session):
     want_late = ev["ts"] < want_wm - pd.Timedelta(minutes=5)
     np.testing.assert_array_equal(got["late"].to_numpy(),
                                   want_late.to_numpy())
+
+
+def test_growth_and_retention_invariants(ray_session):
+    from ocr_agent_ray.pipelines.relational import (
+        weekly_retention,
+        yearly_order_growth,
+    )
+
+    g = yearly_order_growth(SF)
+    assert g["year"].is_monotonic_increasing
+    assert g["prev_n"].isna().sum() == 1            # only the first year
+    assert (g["n_orders"].iloc[1:].to_numpy()
+            - g["n_orders"].iloc[:-1].to_numpy()
+            == g["delta"].iloc[1:].to_numpy()).all()
+
+    r = weekly_retention(SF)
+    assert (r["retained_users"] <= r["active_users"]).all()
+    assert r["week"].is_monotonic_increasing
