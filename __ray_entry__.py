@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate_bloom": text.decontaminate_bloom,  # rows-only (bloom scale path)
         "q_doc_length_zscore": text.doc_length_zscore,
         "q_rare_word_docs": text.rare_word_docs,
+        "q_gopher_quality": text.gopher_quality,
+        "q_c4_clean": text.c4_clean,
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
@@ -700,6 +702,53 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT *, row_number() OVER (PARTITION BY source "
             "ORDER BY tfidf DESC, word) AS rn FROM scored) "
             "SELECT source, word, tfidf FROM ranked WHERE rn <= 5"
+        ),
+        "q_gopher_quality": (
+            "WITH base AS (SELECT doc_id, "
+            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_words, "
+            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]')) AS word_chars, "
+            "LEN(regexp_extract_all(text, '#')) "
+            "+ LEN(regexp_extract_all(text, '\\.\\.\\.')) AS symbols, "
+            "LEN(string_split(text, chr(10))) AS n_lines, "
+            "LEN(regexp_extract_all(text, '(?m)^[ \\t]*[-*\u2022]')) AS bullet_lines, "
+            "LEN(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis_lines, "
+            "LEN(list_filter(regexp_extract_all(text, '[0-9A-Za-z_]+'), "
+            "    w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words "
+            "FROM documents), "
+            "r AS (SELECT doc_id, n_words, "
+            "ROUND(CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len, "
+            "ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS symbol_ratio, "
+            "ROUND(CAST(bullet_lines AS DOUBLE) / n_lines, 6) AS bullet_ratio, "
+            "ROUND(CAST(ellipsis_lines AS DOUBLE) / n_lines, 6) AS ellipsis_ratio, "
+            "ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_word_ratio "
+            "FROM base) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio, "
+            "ellipsis_ratio, alpha_word_ratio, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len >= 3 AND mean_word_len <= 10 "
+            "AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9 "
+            "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8) AS keep "
+            "FROM r"
+        ),
+        "q_c4_clean": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS idx "
+            "FROM documents), "
+            "k AS (SELECT doc_id, line, idx, "
+            "(regexp_matches(line, '[.!?\"]$') "
+            " AND LEN(regexp_extract_all(line, '[0-9A-Za-z_]+')) >= 5) AS keep "
+            "FROM l), "
+            "agg AS (SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY idx) "
+            "         FILTER (WHERE keep), '') AS clean_text, "
+            "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines FROM k GROUP BY doc_id) "
+            "SELECT d.doc_id, a.clean_text, a.n_kept_lines, a.n_lines, "
+            "contains(d.text, '{') AS has_brace, "
+            "contains(lower(d.text), 'lorem ipsum') AS has_lorem, "
+            "contains(lower(d.text), 'javascript') AS has_javascript "
+            "FROM documents d JOIN agg a ON d.doc_id = a.doc_id"
         ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,

@@ -265,6 +265,100 @@ def alnum_ratios(texts: pd.Series) -> pd.Series:
     )
 
 
+def gopher_features(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) document-quality signals, all
+    SQL-expressible so the DuckDB oracle checks them exactly:
+
+    - n_words: TOKEN_RE tokens;
+    - mean_word_len: word chars / n_words (word chars == sum of token
+      lengths because every ``[0-9A-Za-z_]`` char is in exactly one token);
+    - symbol_ratio: ('#' count + non-overlapping '...' count) / n_words;
+    - bullet_ratio / ellipsis_ratio: fraction of lines starting with a
+      bullet / ending with '...';
+    - alpha_word_ratio: fraction of words containing >= 1 [A-Za-z];
+    - keep: the Gopher rule conjunction over the ROUNDED ratios (both
+      sides compare the same 6-dp values, so the boundary is stable).
+    """
+    t = texts.fillna("")
+    n_words = t.str.count(TOKEN_RE).astype("int64")
+    denom_w = n_words.clip(lower=1).to_numpy(dtype=np.float64)
+    word_chars = t.str.count(r"[0-9A-Za-z_]").to_numpy(dtype=np.float64)
+    mean_word_len = round_half_away(word_chars / denom_w, 6)
+    symbols = (t.str.count("#") + t.str.count(r"\.\.\.")).to_numpy(np.float64)
+    symbol_ratio = round_half_away(symbols / denom_w, 6)
+    n_lines = (t.str.count("\n") + 1).to_numpy(dtype=np.float64)
+    bullet_lines = t.str.count(r"(?m)^[ \t]*[-*•]").to_numpy(np.float64)
+    ellipsis_lines = t.str.count(r"(?m)\.\.\.$").to_numpy(np.float64)
+    bullet_ratio = round_half_away(bullet_lines / n_lines, 6)
+    ellipsis_ratio = round_half_away(ellipsis_lines / n_lines, 6)
+
+    # words containing at least one letter (explode + contains + regroup)
+    toks = t.str.findall(TOKEN_RE)
+    toks.index = pd.RangeIndex(len(toks))
+    ex = toks.explode().dropna()
+    if len(ex):
+        alpha = ex.str.contains(r"[A-Za-z]").groupby(level=0).sum()
+        alpha = alpha.reindex(toks.index, fill_value=0).to_numpy(np.float64)
+    else:
+        alpha = np.zeros(len(toks), dtype=np.float64)
+    alpha_word_ratio = round_half_away(alpha / denom_w, 6)
+
+    nw = n_words.to_numpy()
+    keep = (
+        (nw >= 50) & (nw <= 100_000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ellipsis_ratio <= 0.3)
+        & (alpha_word_ratio >= 0.8)
+    )
+    return pd.DataFrame(
+        {
+            "n_words": n_words.to_numpy(),
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "bullet_ratio": bullet_ratio,
+            "ellipsis_ratio": ellipsis_ratio,
+            "alpha_word_ratio": alpha_word_ratio,
+            "keep": pd.array(keep, dtype="bool"),
+        },
+        index=texts.index,
+    )
+
+
+def c4_line_filter(texts: pd.Series, min_words: int = 5) -> pd.DataFrame:
+    """C4-style (Raffel et al. 2020, §2.2) line-level cleaning: keep only
+    lines that end in terminal punctuation ([.!?"]) AND have >= min_words
+    tokens; rebuild clean_text; flag docs containing '{', 'lorem ipsum' or
+    'javascript' (case-insensitive). All SQL-expressible (string_split +
+    generate_subscripts + ordered string_agg in DuckDB)."""
+    t = texts.fillna("")
+    lines = t.str.split("\n")
+    lines.index = pd.RangeIndex(len(lines))
+    ex = lines.explode()
+    mask = ex.str.contains(r'[.!?"]$', regex=True, na=False) & (
+        ex.str.count(TOKEN_RE) >= min_words
+    )
+    kept = ex[mask]
+    clean = kept.groupby(level=0).agg("\n".join).reindex(
+        lines.index, fill_value="")
+    n_kept = mask.groupby(level=0).sum().reindex(lines.index, fill_value=0)
+    low = t.str.lower()
+    return pd.DataFrame(
+        {
+            "clean_text": clean.to_numpy(dtype=object),
+            "n_kept_lines": n_kept.to_numpy(dtype=np.int64),
+            "n_lines": lines.str.len().to_numpy(dtype=np.int64),
+            "has_brace": pd.array(t.str.contains("{", regex=False), dtype="bool"),
+            "has_lorem": pd.array(
+                low.str.contains("lorem ipsum", regex=False), dtype="bool"),
+            "has_javascript": pd.array(
+                low.str.contains("javascript", regex=False), dtype="bool"),
+        },
+        index=texts.index,
+    )
+
+
 _TOKEN_COMPILED = re.compile(TOKEN_RE)
 
 

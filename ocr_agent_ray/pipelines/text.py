@@ -428,3 +428,31 @@ def rare_word_docs(sf_dir: str, *, k_rarest: int = 3):
         return out[out["n_rare_words"] > 0]
 
     return docs.map_batches(_probe, batch_format="pandas")
+
+
+def gopher_quality(sf_dir: str):
+    """Gopher-rule document quality table (doc_id + signals + keep flag);
+    pure per-doc map, streams at any scale. Oracle: the identical rule set
+    in DuckDB list/regex SQL."""
+    from ocr_agent_ray.functions.textstats import gopher_features
+
+    def _g(batch: pd.DataFrame) -> pd.DataFrame:
+        out = gopher_features(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"])
+        return out
+
+    return _read_documents(sf_dir).map_batches(_g, batch_format="pandas")
+
+
+def c4_clean(sf_dir: str):
+    """C4-style line-level cleaning per doc (clean_text + line counts +
+    blocklist flags). Pure per-doc map — no shuffle; the whole C4 cleaning
+    pass streams block-by-block at 100 TB."""
+    from ocr_agent_ray.functions.textstats import c4_line_filter
+
+    def _c(batch: pd.DataFrame) -> pd.DataFrame:
+        out = c4_line_filter(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"])
+        return out
+
+    return _read_documents(sf_dir).map_batches(_c, batch_format="pandas")

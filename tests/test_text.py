@@ -142,3 +142,55 @@ def test_rare_word_docs_bottom_k(ray_session):
         for did, t in zip(docs["doc_id"], toks) if set(t) & rare
     }
     assert dict(zip(got["doc_id"], got["n_rare_words"])) == want
+
+
+def test_gopher_features_edge_cases():
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import gopher_features
+
+    texts = pd.Series([
+        "",                                    # empty doc
+        "- one\n* two\n• three\nplain",  # bullets incl unicode
+        "wait...\nmore...\nok",                # ellipsis line endings
+        "### #tags # everywhere",              # symbol-heavy
+        " ".join(["word"] * 60),               # passes every gopher rule
+    ])
+    out = gopher_features(texts)
+    assert out.loc[0, "n_words"] == 0
+    assert out.loc[0, "mean_word_len"] == 0.0
+    assert not out.loc[0, "keep"]
+    assert out.loc[1, "bullet_ratio"] == 0.75   # 3 of 4 lines
+    assert out.loc[2, "ellipsis_ratio"] == round(2 / 3, 6)
+    # '###' is 3 symbols + '#tags' 1 + '#' 1 = 5 over 2 words (tags, everywhere)
+    assert out.loc[3, "symbol_ratio"] == 2.5
+    assert not out.loc[3, "keep"]
+    assert out.loc[4, "n_words"] == 60
+    assert out.loc[4, "alpha_word_ratio"] == 1.0
+    assert bool(out.loc[4, "keep"])
+
+
+def test_c4_line_filter_edge_cases():
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import c4_line_filter
+
+    texts = pd.Series([
+        "",
+        "This line has enough words to keep.\nshort.\nno terminal punct here",
+        'He said "five words are here."\nAnother good sentence stays here!',
+        "function() { lorem ipsum JavaScript }",
+    ])
+    out = c4_line_filter(texts)
+    assert out.loc[0, "clean_text"] == ""
+    assert out.loc[0, "n_lines"] == 1 and out.loc[0, "n_kept_lines"] == 0
+    # only the first line survives: ends in '.', >=5 tokens
+    assert out.loc[1, "clean_text"] == "This line has enough words to keep."
+    assert out.loc[1, "n_kept_lines"] == 1 and out.loc[1, "n_lines"] == 3
+    # quote-terminated line kept; both lines survive, joined in order
+    assert out.loc[2, "clean_text"].count("\n") == 1
+    assert out.loc[2, "n_kept_lines"] == 2
+    assert bool(out.loc[3, "has_brace"])
+    assert bool(out.loc[3, "has_lorem"])
+    assert bool(out.loc[3, "has_javascript"])
+    assert not bool(out.loc[2, "has_brace"])
