@@ -61,11 +61,20 @@ def supported_path_filter(sf_dir: str):
     filter: synthesize a path per doc (source/doc_id + extension cycling by
     doc_id % 4), keep only supported image/pdf paths."""
 
+    from ocr_agent_ray.functions.kernels import (
+        SUPPORTED_IMAGE_EXTENSIONS, SUPPORTED_PDF_EXTENSIONS)
+
+    supported = tuple(SUPPORTED_IMAGE_EXTENSIONS | SUPPORTED_PDF_EXTENSIONS)
+
     def _paths(batch: pd.DataFrame) -> pd.DataFrame:
-        ext = batch["doc_id"].map(lambda i: _EXTS[i % 4])
+        ext = pd.Series(np.array(_EXTS, dtype=object)[batch["doc_id"] % 4],
+                        index=batch.index)
         path = batch["source"] + "/" + batch["doc_id"].astype(str) + ext
         out = pd.DataFrame({"doc_id": batch["doc_id"], "path": path})
-        return out[path.map(is_supported_path)]
+        # vectorized is_supported_path: basename suffix (dotfiles excluded
+        # by construction here — every synthesized name has '<id>.<ext>')
+        suffix = ("." + path.str.rsplit(".", n=1).str[-1]).str.lower()
+        return out[suffix.isin(supported)]
 
     return (
         read_table(sf_dir, "documents", ["doc_id", "source"])
