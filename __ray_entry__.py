@@ -169,6 +169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rare_word_docs": text.rare_word_docs,
         "q_gopher_quality": text.gopher_quality,
         "q_c4_clean": text.c4_clean,
+        "q_line_dedup": text.line_dedup,
+        "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
+        "q_mixture_sample": relational.mixture_sample_documents,
+        "q_shuffle_order": relational.shuffle_order,
+        "q_length_ntile": relational.length_ntile,
+        "q_dup_gram_spans": lambda sf: dedup.duplicate_gram_spans(_docs(sf)),
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_dedup_keep_first": lambda sf: dedup.dedup_keep_first(_docs(sf)),
@@ -750,7 +756,65 @@ def oracle_sql() -> dict[str, str]:
             "contains(lower(d.text), 'javascript') AS has_javascript "
             "FROM documents d JOIN agg a ON d.doc_id = a.doc_id"
         ),
+        "q_line_dedup": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS idx "
+            "FROM documents), "
+            "k AS (SELECT doc_id, line, idx, "
+            "(row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) = 1) "
+            "AS keep FROM l) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY idx) "
+            "         FILTER (WHERE keep), '') AS clean_text, "
+            "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM k GROUP BY doc_id"
+        ),
+        "q_mixture_sample": (
+            # rate (src_num % 5 + 1)/10 as a 4-hex-digit md5-prefix
+            # threshold: floor(65536 * rate) in hex — lexicographic
+            # compare of equal-length lowercase hex == numeric compare
+            "SELECT doc_id, source FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+            "CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5 "
+            "WHEN 0 THEN '1999' WHEN 1 THEN '3333' WHEN 2 THEN '4ccc' "
+            "WHEN 3 THEN '6666' ELSE '8000' END"
+        ),
+        "q_shuffle_order": (
+            "SELECT doc_id, CAST(row_number() OVER ("
+            "ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) "
+            "AS BIGINT) AS shuffle_pos FROM documents"
+        ),
+        "q_length_ntile": (
+            "SELECT doc_id, n_chars, CAST(ntile(4) OVER ("
+            "ORDER BY n_chars, doc_id) AS BIGINT) AS tile FROM documents"
+        ),
+        "q_dup_gram_spans": (
+            # 8-gram duplicate spans; DuckDB list slice t[i:i+7] is
+            # 1-based INCLUSIVE = 8 tokens; starts i = 1..len-7
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') t FROM documents), "
+            "g0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks), "
+            "grams AS (SELECT doc_id, i AS idx, "
+            "array_to_string(t[i:i+7], ' ') AS g FROM g0), "
+            "gc AS (SELECT g FROM grams GROUP BY g "
+            "HAVING COUNT(DISTINCT doc_id) >= 2), "
+            "dup AS (SELECT doc_id, idx FROM grams JOIN gc USING(g)), "
+            "runs AS (SELECT doc_id, idx - row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY idx) AS grp FROM dup), "
+            "rl AS (SELECT doc_id, COUNT(*) AS run_len FROM runs "
+            "GROUP BY doc_id, grp), "
+            "per AS (SELECT doc_id, CAST(SUM(run_len) AS BIGINT) AS n_dup, "
+            "CAST(MAX(run_len) AS BIGINT) AS max_run FROM rl GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, "
+            "CAST(GREATEST(len(t) - 7, 0) AS BIGINT) AS n_grams FROM toks) "
+            "SELECT t.doc_id, t.n_grams, "
+            "CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams, "
+            "CAST(COALESCE(p.max_run, 0) AS BIGINT) AS max_dup_run "
+            "FROM tot t LEFT JOIN per p USING(doc_id)"
+        ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
-        # q_flagship_span_counts, q_topk_sketch
+        # q_flagship_span_counts, q_topk_sketch, q_pack_sequences
     }

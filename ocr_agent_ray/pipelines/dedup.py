@@ -819,3 +819,121 @@ def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return b[b["jaccard"] >= threshold]
 
     return scored.map_batches(_filter, batch_format="pandas")
+
+
+def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id", num_buckets: int = 32):
+    """Exact duplicate-substring detection (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better', the
+    approximate-suffix-array pass re-expressed relationally): for every
+    doc, how many of its word ``n``-grams also appear in ANOTHER doc, and
+    the longest consecutive run of such grams (= the longest duplicated
+    span, in grams). Repeats WITHIN one doc don't count — a gram is
+    duplicated iff its distinct-doc count >= 2.
+
+    Scale shape:
+    - gram construction is vectorized: tokens explode once per batch,
+      grams come from n-1 shifted string concats (no per-row Python);
+    - ONE content-keyed shuffle of (gram, doc_id, idx) adjudicates
+      duplication per gram bucket; only DUP occurrences (normally a tiny
+      fraction) reshuffle by doc for the run-length scan;
+    - per-doc gram totals come from a second column-pruned scan of the
+      input rather than reshuffling the full occurrence table by doc —
+      at 100 TB a second streaming read is cheaper than a second
+      all-to-all of |tokens| rows.
+
+    Returns (doc_id, n_grams, n_dup_grams, max_dup_run) for every doc.
+    """
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    _TOKEN_RE = r"[0-9a-z_]+"
+
+    def _occurrences(batch: pd.DataFrame) -> pd.DataFrame:
+        tokens = batch[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+        counts = tokens.str.len().to_numpy(dtype=np.int64)
+        nonempty = tokens[counts > 0]
+        if not len(nonempty):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "idx": pd.Series([], dtype="int64"),
+                                 "gram": pd.Series([], dtype="object"),
+                                 "__bucket": pd.Series([], dtype="int32")})
+        ex_doc = np.repeat(batch[id_col].to_numpy(), counts)
+        ex_tok = nonempty.explode().to_numpy()
+        starts = np.cumsum(counts) - counts
+        ex_pos = (np.arange(len(ex_doc), dtype=np.int64)
+                  - np.repeat(starts, counts))
+        m = len(ex_tok) - (n - 1)
+        if m <= 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "idx": pd.Series([], dtype="int64"),
+                                 "gram": pd.Series([], dtype="object"),
+                                 "__bucket": pd.Series([], dtype="int32")})
+        # a start position is valid iff its n-th token is still in-doc
+        valid = ex_doc[:m] == ex_doc[n - 1:]
+        gram = pd.Series(ex_tok[:m], dtype="object")
+        for j in range(1, n):
+            gram = gram + " " + pd.Series(ex_tok[j:m + j], dtype="object")
+        out = pd.DataFrame({
+            "doc_id": ex_doc[:m], "idx": ex_pos[:m], "gram": gram.to_numpy(),
+        })[valid]
+        ghash = pd.util.hash_pandas_object(out["gram"], index=False)
+        out["__bucket"] = (ghash.to_numpy() % np.uint64(num_buckets)
+                           ).astype(np.int32)
+        return out
+
+    occ = ds.map_batches(_occurrences, batch_format="pandas",
+                         batch_size=65536)
+
+    def _flag_dup(g: pd.DataFrame) -> pd.DataFrame:
+        dc = g[["gram", "doc_id"]].drop_duplicates()["gram"].value_counts()
+        dup = dc.index[dc.to_numpy() >= 2]
+        out = g[g["gram"].isin(dup)][["doc_id", "idx"]].copy()
+        out["__db"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    dup_occ = occ.groupby("__bucket").map_groups(
+        _flag_dup, batch_format="pandas")
+
+    def _runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "idx"], kind="mergesort")
+        new_run = ((g["doc_id"].diff() != 0) | (g["idx"].diff() != 1))
+        rid = new_run.cumsum()
+        rl = g.groupby(rid, sort=False).agg(
+            doc_id=("doc_id", "first"), run_len=("idx", "size"))
+        per = rl.groupby("doc_id", sort=False).agg(
+            n_dup_grams=("run_len", "sum"), max_dup_run=("run_len", "max"))
+        return per.reset_index()
+
+    dup_stats = dup_occ.groupby("__db").map_groups(
+        _runs, batch_format="pandas")
+
+    def _totals(batch: pd.DataFrame) -> pd.DataFrame:
+        n_tok = (batch[text_col].fillna("").str.lower()
+                 .str.findall(_TOKEN_RE).str.len().to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "doc_id": batch[id_col],
+            "n_grams": np.maximum(n_tok - (n - 1), 0),
+        })
+
+    totals = ds.map_batches(_totals, batch_format="pandas")
+
+    joined = bucket_hash_join(
+        totals, dup_stats, on="doc_id", how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_grams", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_dup_grams", pa.int64()),
+                                ("max_dup_run", pa.int64())]),
+    )
+
+    def _fill(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_grams": batch["n_grams"].astype("int64"),
+            "n_dup_grams": batch["n_dup_grams"].fillna(0).astype("int64"),
+            "max_dup_run": batch["max_dup_run"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(_fill, batch_format="pandas")

@@ -408,6 +408,124 @@ def hash_sample_documents(sf_dir: str):
     )
 
 
+def mixture_sample_documents(sf_dir: str):
+    """Weighted per-source mixture sampling — the training-data 'mix
+    sources at different rates' step (e.g. upsample wiki, downsample
+    crawl). Deterministic: keep a doc iff the first 16 bits of
+    md5(doc_id) fall below its source's rate threshold, so the sample is
+    a pure function of the data (re-runnable, exactly oracle-checkable,
+    and stable under repartitioning — unlike seeded RNG sampling whose
+    result depends on row order). Rates here derive from the source name
+    ((src_num % 5 + 1)/10 -> 0.1..0.5); a production pipeline would pass
+    a rate dict. Pure map filter — streams at any scale."""
+    import hashlib
+
+    # rate k -> threshold floor(65536 * (k+1)/10) as 4 lowercase hex chars;
+    # comparing the md5 hex prefix against it lexicographically == numeric
+    thresholds = np.array(
+        [65536 * (k + 1) // 10 for k in range(5)], dtype=np.uint32)
+
+    def _sample(batch: pd.DataFrame) -> pd.DataFrame:
+        first2 = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:2], "big")
+             for i in batch["doc_id"]),
+            dtype=np.uint32, count=len(batch),
+        )
+        src_num = batch["source"].str.slice(3).astype(np.int64) % 5
+        thr = thresholds[src_num.to_numpy()]
+        return batch[first2 < thr][["doc_id", "source"]]
+
+    return read_table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        _sample, batch_format="pandas"
+    )
+
+
+def shuffle_order(sf_dir: str, *, seed: str = "42", num_ranges: int = 256):
+    """Seeded deterministic global shuffle order for training — every doc
+    gets a dense 1-based position in the order of md5(seed:doc_id). This
+    is the scale shape for 'shuffle the corpus once, reproducibly':
+
+    1. map: shuffle key = md5 hex; range = first key byte (uniform by
+       construction — the key IS a hash, so ranges can't skew);
+    2. per-range counts -> driver exclusive prefix sum (256 ints, the
+       only driver state);
+    3. per range: sort by (key, doc_id), position = range offset + rank.
+
+    No global sort operator, no driver materialization; the output can
+    feed write_parquet partitioned by range for resumable epochs."""
+    import hashlib
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _key(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                for i in batch["doc_id"]]
+        rb = np.fromiter((int(k[:2], 16) for k in keys), dtype=np.int64,
+                         count=len(keys))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "__key": keys,
+            "__rb": rb % num_ranges if num_ranges != 256 else rb,
+        })
+
+    keyed = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        _key, batch_format="pandas", batch_size=65536)
+
+    stats = combine_partials_driver(keyed, ["__rb"], {"n": ("doc_id", "count")})
+    stats = stats.sort_values("__rb").reset_index(drop=True)
+    offsets = dict(zip(stats["__rb"],
+                       stats["n"].cumsum().shift(1, fill_value=0)))
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__key", "doc_id"], kind="mergesort")
+        off = int(offsets[int(g["__rb"].iloc[0])])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "shuffle_pos": off + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    return keyed.groupby("__rb").map_groups(_rank, batch_format="pandas")
+
+
+def length_ntile(sf_dir: str, *, k: int = 4, range_width: int = 64):
+    """NTILE(k) over (n_chars, doc_id) — equal-frequency length buckets
+    for curriculum/bucketed batching. Same distributed-rank machinery as
+    shuffle_order but range-partitioned by the VALUE (n_chars //
+    range_width): per-range counts -> driver prefix sum -> in-range sort
+    gives the exact global rank, then the NTILE remainder formula. The
+    wire never carries a global sort; driver state is one count per
+    range."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda b: b.assign(__rb=(b["n_chars"] // range_width).astype("int64")),
+        batch_format="pandas", batch_size=65536)
+
+    stats = combine_partials_driver(ds, ["__rb"], {"n": ("doc_id", "count")})
+    stats = stats.sort_values("__rb").reset_index(drop=True)
+    offsets = dict(zip(stats["__rb"],
+                       stats["n"].cumsum().shift(1, fill_value=0)))
+    total = int(stats["n"].sum())
+    base, rem = divmod(total, k)
+    boundary = rem * (base + 1)
+
+    def _tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        rn = int(offsets[int(g["__rb"].iloc[0])]) + np.arange(
+            1, len(g) + 1, dtype=np.int64)
+        tile = np.where(
+            rn <= boundary,
+            (rn - 1) // (base + 1) + 1,
+            rem + (rn - boundary - 1) // max(base, 1) + 1,
+        )
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_chars": g["n_chars"],
+            "tile": tile.astype(np.int64),
+        })
+
+    return ds.groupby("__rb").map_groups(_tile, batch_format="pandas")
+
+
 def distinct_segments(sf_dir: str):
     """DISTINCT via per-batch dedup + bucketed global dedup."""
     from ocr_agent_ray.pipelines.agg import distinct_rows

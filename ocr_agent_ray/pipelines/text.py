@@ -444,6 +444,132 @@ def gopher_quality(sf_dir: str):
     return _read_documents(sf_dir).map_batches(_g, batch_format="pandas")
 
 
+def line_dedup(sf_dir: str, *, num_buckets: int = 32):
+    """Cross-document exact LINE dedup — the C4/RefinedWeb 'remove lines
+    duplicated anywhere in the corpus' pass. A line occurrence survives
+    iff it is the corpus-global FIRST occurrence of that exact line text
+    (first = min (doc_id, line_idx)). Two bucketed shuffles, both
+    content-keyed:
+
+    1. explode docs to (doc_id, idx, line) and bucket by the line's
+       deterministic hash — identical lines co-locate, so the
+       first-occurrence decision is a local vectorized flag per bucket
+       (sort by (line, doc_id, idx), keep = ~duplicated(line)). Hot
+       documents don't skew this shuffle; only one single line repeated
+       across a large corpus fraction would, and its occurrence list is
+       exactly what the operator must adjudicate.
+    2. reshuffle ALL occurrences (keep flag attached) by doc_id and
+       reassemble clean_text in line order — docs whose every line was
+       deduped away still emit a row with clean_text = ''.
+
+    Returns (doc_id, clean_text, n_kept_lines, n_lines)."""
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch["text"].fillna("").str.split("\n")
+        counts = lists.str.len().to_numpy(dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        out = pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
+            "idx": idx,
+            "line": lists.explode().to_numpy(),
+            "n_lines": np.repeat(counts, counts),
+        })
+        line_hash = pd.util.hash_pandas_object(out["line"], index=False)
+        out["__bucket"] = (line_hash.to_numpy() % np.uint64(num_buckets)
+                           ).astype(np.int32)
+        return out
+
+    def _first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
+        g = g.assign(keep=~g.duplicated("line"))
+        g["__db"] = (g["doc_id"].to_numpy() % num_buckets).astype(np.int32)
+        return g[["doc_id", "idx", "line", "n_lines", "keep", "__db"]]
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "idx"], kind="mergesort")
+        agg = g.groupby("doc_id", sort=True).agg(
+            n_kept_lines=("keep", "sum"), n_lines=("n_lines", "first"))
+        joined = (g[g["keep"]].groupby("doc_id", sort=True)["line"]
+                  .agg("\n".join))
+        out = agg.join(joined.rename("clean_text"))
+        out["clean_text"] = out["clean_text"].fillna("")
+        out = out.reset_index()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"],
+            "clean_text": out["clean_text"],
+            "n_kept_lines": out["n_kept_lines"].astype("int64"),
+            "n_lines": out["n_lines"].astype("int64"),
+        })
+
+    return (
+        _read_documents(sf_dir)
+        .map_batches(_explode, batch_format="pandas", batch_size=65536)
+        .groupby("__bucket")
+        .map_groups(_first_occurrence, batch_format="pandas")
+        .groupby("__db")
+        .map_groups(_assemble, batch_format="pandas")
+    )
+
+
+def pack_sequences(sf_dir: str, *, budget: int = 256, group: int = 64):
+    """Greedy sequence packing for training: concatenate consecutive docs
+    (doc_id order) into fixed token-budget packs, next-fit. Packing is
+    restricted to groups of ``group`` consecutive doc_ids so the operator
+    is embarrassingly parallel — groups pack independently and pack_ids
+    are globally unique by construction (group_id * group + bin). This is
+    the standard at-scale relaxation: global next-fit would serialize the
+    corpus for ~zero packing-density gain.
+
+    A doc longer than the budget gets its own pack (never split).
+    Per-group bin assignment is a bounded O(group) loop; token counting
+    and everything else is vectorized. Rows-only (next-fit is iterative,
+    not SQL-expressible); invariants are pytest-checked.
+
+    Returns (doc_id, n_tokens, pack_id, pack_pos)."""
+    from ocr_agent_ray.functions.textstats import token_counts
+
+    def _tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": token_counts(batch["text"]).astype("int64"),
+            "__grp": (batch["doc_id"] // group).astype("int64"),
+        })
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy()
+        bins = np.empty(len(g), dtype=np.int64)
+        pos = np.empty(len(g), dtype=np.int64)
+        b = 0
+        used = 0
+        p = 0
+        for i, t in enumerate(toks):
+            if used > 0 and used + t > budget:
+                b += 1
+                used = 0
+                p = 0
+            bins[i] = b
+            pos[i] = p
+            used += t
+            p += 1
+        grp = int(g["__grp"].iloc[0])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "pack_id": grp * group + bins,
+            "pack_pos": pos,
+        })
+
+    return (
+        _read_documents(sf_dir)
+        .map_batches(_tokens, batch_format="pandas", batch_size=65536)
+        .groupby("__grp")
+        .map_groups(_pack, batch_format="pandas")
+    )
+
+
 def c4_clean(sf_dir: str):
     """C4-style line-level cleaning per doc (clean_text + line counts +
     blocklist flags). Pure per-doc map — no shuffle; the whole C4 cleaning

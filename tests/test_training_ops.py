@@ -1,0 +1,167 @@
+"""Third-session training-data operators: corpus-wide line dedup,
+sequence packing, mixture sampling, deterministic shuffle order, NTILE
+length bucketing, duplicate n-gram span detection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, df: pd.DataFrame) -> str:
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_line_dedup_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha\nshared line\nbeta",
+            "shared line\ngamma\nshared line",   # dup of doc1 + internal dup
+            "gamma\ndelta",                       # 'gamma' first seen in doc2
+            "shared line",                        # everything deduped away
+        ],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = line_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["clean_text"]) == [
+        "alpha\nshared line\nbeta",  # doc1: all first occurrences
+        "gamma",                     # doc2: both 'shared line's lose to doc1
+        "delta",                     # doc3: 'gamma' lost to doc2
+        "",                          # doc4: nothing survives
+    ]
+    assert list(got["n_kept_lines"]) == [3, 1, 1, 0]
+    assert list(got["n_lines"]) == [3, 3, 2, 1]
+
+
+def test_line_dedup_whole_corpus_conservation(ray_session):
+    from ocr_agent_ray.pipelines.text import line_dedup
+
+    got = line_dedup(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assert len(got) == len(docs)
+    # every distinct line survives exactly once corpus-wide
+    n_distinct = docs["text"].str.split("\n").explode().nunique()
+    assert int(got["n_kept_lines"].sum()) == n_distinct
+    assert (got["n_kept_lines"] <= got["n_lines"]).all()
+
+
+def test_pack_sequences_invariants(ray_session):
+    from ocr_agent_ray.functions.textstats import token_counts
+    from ocr_agent_ray.pipelines.text import pack_sequences
+
+    budget, group = 256, 64
+    got = pack_sequences(SF, budget=budget, group=group).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    # every doc exactly once, token counts match the scalar kernel
+    assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+    want_tokens = dict(zip(docs["doc_id"], token_counts(docs["text"])))
+    assert all(want_tokens[d] == t
+               for d, t in zip(got["doc_id"], got["n_tokens"]))
+    # packs respect the budget unless a single doc overflows it
+    per = got.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                     n=("doc_id", "size"))
+    over = per[per["total"] > budget]
+    assert (over["n"] == 1).all()
+    # pack_pos is dense 0..k-1 in doc_id order within each pack
+    for _, g in got.groupby("pack_id"):
+        g = g.sort_values("doc_id")
+        assert list(g["pack_pos"]) == list(range(len(g)))
+    # packing never crosses a group boundary
+    assert ((got["doc_id"] // group) == (got["pack_id"] // group)).all()
+    # deterministic
+    again = pack_sequences(SF, budget=budget, group=group).to_pandas()
+    merged = got.merge(again, on="doc_id", suffixes=("", "_b"))
+    assert (merged["pack_id"] == merged["pack_id_b"]).all()
+    assert (merged["pack_pos"] == merged["pack_pos_b"]).all()
+
+
+def test_mixture_sample_matches_python(ray_session):
+    from ocr_agent_ray.pipelines.relational import mixture_sample_documents
+
+    got = mixture_sample_documents(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    thresholds = [65536 * (k + 1) // 10 for k in range(5)]
+    want = {
+        int(d) for d, s in zip(docs["doc_id"], docs["source"])
+        if int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+        < thresholds[int(s[3:]) % 5]
+    }
+    assert set(got["doc_id"]) == want
+    # higher-rate sources keep more: rate is (src_num % 5 + 1)/10
+    rates = (got["source"].str.slice(3).astype(int) % 5).value_counts()
+    assert rates.loc[4] > rates.loc[0]
+
+
+def test_shuffle_order_is_seeded_permutation(ray_session):
+    from ocr_agent_ray.pipelines.relational import shuffle_order
+
+    got = shuffle_order(SF).to_pandas()
+    n = len(got)
+    assert sorted(got["shuffle_pos"]) == list(range(1, n + 1))
+    by_key = sorted(
+        got["doc_id"],
+        key=lambda d: (hashlib.md5(f"42:{d}".encode()).hexdigest(), d))
+    want = {d: i + 1 for i, d in enumerate(by_key)}
+    assert all(want[d] == p
+               for d, p in zip(got["doc_id"], got["shuffle_pos"]))
+    # a different seed produces a different permutation
+    other = shuffle_order(SF, seed="7").to_pandas()
+    merged = got.merge(other, on="doc_id", suffixes=("", "_b"))
+    assert (merged["shuffle_pos"] != merged["shuffle_pos_b"]).any()
+
+
+def test_length_ntile_equal_frequency(ray_session):
+    from ocr_agent_ray.pipelines.relational import length_ntile
+
+    k = 4
+    got = length_ntile(SF, k=k).to_pandas()
+    sizes = got["tile"].value_counts()
+    assert set(sizes.index) == set(range(1, k + 1))
+    assert sizes.max() - sizes.min() <= 1
+    # tiles are monotone in the (n_chars, doc_id) order
+    g = got.sort_values(["n_chars", "doc_id"], kind="mergesort")
+    assert (np.diff(g["tile"].to_numpy()) >= 0).all()
+
+
+def test_dup_gram_spans_planted(ray_session):
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import duplicate_gram_spans
+
+    shared = "one two three four five six seven eight nine ten"  # 10 tokens
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"intro words here {shared} outro tail",
+            f"{shared} and something else entirely different now",
+            "alpha beta gamma delta " * 4,   # internal repeats only
+            "too short",
+        ],
+    })
+    got = (duplicate_gram_spans(rd.from_pandas(df), n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # docs 1 and 2 share a 10-token span = 3 consecutive 8-grams
+    assert list(got["n_dup_grams"][:2]) == [3, 3]
+    assert list(got["max_dup_run"][:2]) == [3, 3]
+    # internal repetition is NOT cross-doc duplication
+    assert got.loc[2, "n_dup_grams"] == 0
+    # short doc: zero grams, zero dups
+    assert got.loc[3, "n_grams"] == 0
+    assert got.loc[3, "max_dup_run"] == 0
+    # totals: n_grams = n_tokens - 7
+    toks = df["text"].str.lower().str.findall(r"[0-9a-z_]+").str.len()
+    assert list(got["n_grams"]) == [max(int(t) - 7, 0) for t in toks]
