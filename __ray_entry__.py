@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
+        "q_price_bands": relational.price_band_lookup,
+        "q_partition_checksums": relational.partition_checksums,
+        "q_value_percent_rank": streaming.value_percent_rank,
         "q_dup_gram_spans": lambda sf: dedup.duplicate_gram_spans(_docs(sf)),
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -789,6 +792,28 @@ def oracle_sql() -> dict[str, str]:
         "q_length_ntile": (
             "SELECT doc_id, n_chars, CAST(ntile(4) OVER ("
             "ORDER BY n_chars, doc_id) AS BIGINT) AS tile FROM documents"
+        ),
+        "q_price_bands": (
+            "SELECT band, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "ROUND(SUM(l_extendedprice), 2) AS total_price "
+            "FROM lineitem JOIN (VALUES "
+            "('budget', 0.0, 5000.0), ('economy', 5000.0, 20000.0), "
+            "('mid', 20000.0, 50000.0), ('premium', 50000.0, 90000.0), "
+            "('luxury', 90000.0, 1e12)) AS b(band, lo, hi) "
+            "ON l_extendedprice >= lo AND l_extendedprice < hi "
+            "GROUP BY band"
+        ),
+        "q_partition_checksums": (
+            "WITH f AS (SELECT doc_id, doc_id // 64 AS part, md5(text) AS fp "
+            "FROM documents) "
+            "SELECT part, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || fp, '|' "
+            "ORDER BY doc_id)) AS checksum "
+            "FROM f GROUP BY part"
+        ),
+        "q_value_percent_rank": (
+            "SELECT event_id, value, ROUND(percent_rank() OVER ("
+            "ORDER BY value, event_id), 6) AS pct_rank FROM events"
         ),
         "q_dup_gram_spans": (
             # 8-gram duplicate spans; DuckDB list slice t[i:i+7] is

@@ -84,6 +84,38 @@ def hash_partition_aggregate(ds, keys: list[str], spec: AggSpec,
     )
 
 
+def ranged_global_rank(keyed, sort_cols: list[str], *,
+                       rank_col: str = "__rank"):
+    """Exact dense 1-based GLOBAL rank without a global sort.
+
+    ``keyed`` must carry an int64 ``__rb`` range column that is
+    ORDER-CONSISTENT with ``sort_cols``: every row in range r sorts
+    before every row in range r+1 (e.g. a leading-byte range of a hash
+    key, or value // width for a value sort). The scan is then:
+    per-range counts -> driver exclusive prefix sum (one int per range,
+    the only driver state) -> in-range vectorized sort + arange.
+
+    Returns ``(total_rows, Dataset with rank_col appended)``. The
+    upstream pipeline executes twice (once for counts, once ranked) —
+    at scale, feed it a materialized/cheap source, not a deep plan.
+    """
+    stats = combine_partials_driver(keyed, ["__rb"],
+                                    {"n": (sort_cols[0], "count")})
+    stats = stats.sort_values("__rb").reset_index(drop=True)
+    offsets = dict(zip(stats["__rb"],
+                       stats["n"].cumsum().shift(1, fill_value=0)))
+    total = int(stats["n"].sum())
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        off = int(offsets[int(g["__rb"].iloc[0])])
+        g[rank_col] = off + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return total, keyed.groupby("__rb").map_groups(_rank,
+                                                   batch_format="pandas")
+
+
 def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
     """Distributed DISTINCT over ``cols``: bucket by the hash of the FULL
     row (identical rows land together, so per-bucket drop_duplicates is

@@ -455,7 +455,7 @@ def shuffle_order(sf_dir: str, *, seed: str = "42", num_ranges: int = 256):
     feed write_parquet partitioned by range for resumable epochs."""
     import hashlib
 
-    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.agg import ranged_global_rank
 
     def _key(batch: pd.DataFrame) -> pd.DataFrame:
         keys = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
@@ -470,20 +470,10 @@ def shuffle_order(sf_dir: str, *, seed: str = "42", num_ranges: int = 256):
     keyed = read_table(sf_dir, "documents", ["doc_id"]).map_batches(
         _key, batch_format="pandas", batch_size=65536)
 
-    stats = combine_partials_driver(keyed, ["__rb"], {"n": ("doc_id", "count")})
-    stats = stats.sort_values("__rb").reset_index(drop=True)
-    offsets = dict(zip(stats["__rb"],
-                       stats["n"].cumsum().shift(1, fill_value=0)))
-
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["__key", "doc_id"], kind="mergesort")
-        off = int(offsets[int(g["__rb"].iloc[0])])
-        return pd.DataFrame({
-            "doc_id": g["doc_id"],
-            "shuffle_pos": off + np.arange(1, len(g) + 1, dtype=np.int64),
-        })
-
-    return keyed.groupby("__rb").map_groups(_rank, batch_format="pandas")
+    _, ranked = ranged_global_rank(keyed, ["__key", "doc_id"],
+                                   rank_col="shuffle_pos")
+    return ranked.map_batches(lambda b: b[["doc_id", "shuffle_pos"]],
+                              batch_format="pandas")
 
 
 def length_ntile(sf_dir: str, *, k: int = 4, range_width: int = 64):
@@ -494,36 +484,106 @@ def length_ntile(sf_dir: str, *, k: int = 4, range_width: int = 64):
     gives the exact global rank, then the NTILE remainder formula. The
     wire never carries a global sort; driver state is one count per
     range."""
-    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.agg import ranged_global_rank
 
     ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         lambda b: b.assign(__rb=(b["n_chars"] // range_width).astype("int64")),
         batch_format="pandas", batch_size=65536)
 
-    stats = combine_partials_driver(ds, ["__rb"], {"n": ("doc_id", "count")})
-    stats = stats.sort_values("__rb").reset_index(drop=True)
-    offsets = dict(zip(stats["__rb"],
-                       stats["n"].cumsum().shift(1, fill_value=0)))
-    total = int(stats["n"].sum())
+    total, ranked = ranged_global_rank(ds, ["n_chars", "doc_id"])
     base, rem = divmod(total, k)
     boundary = rem * (base + 1)
 
-    def _tile(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
-        rn = int(offsets[int(g["__rb"].iloc[0])]) + np.arange(
-            1, len(g) + 1, dtype=np.int64)
+    def _tile(b: pd.DataFrame) -> pd.DataFrame:
+        rn = b["__rank"].to_numpy()
         tile = np.where(
             rn <= boundary,
             (rn - 1) // (base + 1) + 1,
             rem + (rn - boundary - 1) // max(base, 1) + 1,
         )
         return pd.DataFrame({
-            "doc_id": g["doc_id"],
-            "n_chars": g["n_chars"],
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
             "tile": tile.astype(np.int64),
         })
 
-    return ds.groupby("__rb").map_groups(_tile, batch_format="pandas")
+    return ranked.map_batches(_tile, batch_format="pandas")
+
+
+# irregular price bands for the broadcast interval-lookup join below;
+# lo inclusive, hi exclusive
+_PRICE_BANDS = [
+    ("budget", 0.0), ("economy", 5000.0), ("mid", 20000.0),
+    ("premium", 50000.0), ("luxury", 90000.0),
+]
+
+
+def price_band_lookup(sf_dir: str):
+    """Broadcast interval-lookup join — classify every lineitem into an
+    IRREGULAR price band (a small interval table, the IP→geo / tiered-
+    pricing shape). The band table broadcasts as a sorted breakpoint
+    array; each batch classifies with one np.searchsorted — no shuffle
+    for the join itself, then a tiny keyed combine. This is the range
+    join where the small side is intervals, complementing the equi+range
+    join (streaming.lineitems_shipped_within_30d) and asof_join."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    names = np.array([b[0] for b in _PRICE_BANDS], dtype=object)
+    bounds = np.array([b[1] for b in _PRICE_BANDS], dtype=np.float64)
+
+    def _classify(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(bounds, batch["l_extendedprice"].to_numpy(),
+                              side="right") - 1
+        return pd.DataFrame({
+            "band": names[idx],
+            "l_extendedprice": batch["l_extendedprice"],
+        })
+
+    agg = combine_partials_driver(
+        read_table(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+            _classify, batch_format="pandas"),
+        ["band"],
+        {"n_items": ("band", "count"), "total_price": ("l_extendedprice", "sum")},
+    )
+    agg["total_price"] = round_half_away(agg["total_price"], 2)
+    return agg
+
+
+def partition_checksums(sf_dir: str, *, part_size: int = 64):
+    """Per-partition content checksums — the output-validation /
+    anti-entropy operator a resumable 100-TB run needs: one md5 over the
+    ordered (doc_id:fingerprint) stream per doc_id range. Comparing two
+    runs' checksum tables localizes any divergence to a partition without
+    moving data. Fingerprints are computed map-side; the per-partition
+    fold shuffles only (part, doc_id, fp) rows, and doc_ids are
+    contiguous within a range so the shuffle is near-local."""
+    import hashlib
+
+    def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+               for t in batch["text"]]
+        return pd.DataFrame({
+            "part": (batch["doc_id"] // part_size).astype("int64"),
+            "doc_id": batch["doc_id"],
+            "fp": fps,
+        })
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        payload = "|".join(f"{d}:{f}" for d, f in zip(g["doc_id"], g["fp"]))
+        return pd.DataFrame({
+            "part": [int(g["part"].iloc[0])],
+            "n_docs": np.array([len(g)], dtype=np.int64),
+            "checksum": [hashlib.md5(payload.encode("utf-8")).hexdigest()],
+        })
+
+    return (
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_fp, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(_fold, batch_format="pandas")
+    )
 
 
 def distinct_segments(sf_dir: str):

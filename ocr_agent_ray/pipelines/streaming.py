@@ -408,3 +408,32 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
         .groupby("user_id")
         .map_groups(_roll, batch_format="pandas")
     )
+
+
+def value_percent_rank(sf_dir: str, *, range_width: float = 8.0):
+    """PERCENT_RANK() OVER (ORDER BY value, event_id) — the global-window
+    rank for score normalization, computed with the range-partition +
+    driver-prefix-sum machinery (agg.ranged_global_rank): ranges come
+    from value // range_width (order-consistent with the sort), counts
+    fold on the driver, ranks are vectorized in-range. No global sort."""
+    import numpy as np
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import ranged_global_rank
+
+    keyed = _read_events(sf_dir, ("event_id", "value")).map_batches(
+        lambda b: b.assign(__rb=(b["value"] // range_width).astype("int64")),
+        batch_format="pandas", batch_size=65536)
+
+    total, ranked = ranged_global_rank(keyed, ["value", "event_id"])
+    denom = max(total - 1, 1)
+
+    def _pr(b: pd.DataFrame) -> pd.DataFrame:
+        pr = (b["__rank"].to_numpy(dtype=np.float64) - 1.0) / denom
+        return pd.DataFrame({
+            "event_id": b["event_id"],
+            "value": b["value"],
+            "pct_rank": round_half_away(pr, 6),
+        })
+
+    return ranked.map_batches(_pr, batch_format="pandas")

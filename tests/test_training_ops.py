@@ -165,3 +165,46 @@ def test_dup_gram_spans_planted(ray_session):
     # totals: n_grams = n_tokens - 7
     toks = df["text"].str.lower().str.findall(r"[0-9a-z_]+").str.len()
     assert list(got["n_grams"]) == [max(int(t) - 7, 0) for t in toks]
+
+
+def test_price_band_lookup_partitions_everything(ray_session):
+    from ocr_agent_ray.pipelines.relational import price_band_lookup
+
+    got = price_band_lookup(SF)
+    li = pq.read_metadata(f"{SF}/lineitem.parquet").num_rows
+    assert int(got["n_items"].sum()) == li
+    assert set(got["band"]) == {"budget", "economy", "mid", "premium",
+                                "luxury"}
+
+
+def test_partition_checksums_localize_divergence(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import partition_checksums
+
+    base = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"document body {i}" for i in range(200)],
+    })
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a = _write_docs(tmp_path / "a", base)
+    changed = base.copy()
+    changed.loc[changed["doc_id"] == 130, "text"] = "tampered"
+    b = _write_docs(tmp_path / "b", changed)
+
+    ca = partition_checksums(a).to_pandas().set_index("part")["checksum"]
+    cb = partition_checksums(b).to_pandas().set_index("part")["checksum"]
+    diff = ca.compare(cb)
+    assert list(diff.index) == [130 // 64]
+    # deterministic across runs
+    again = partition_checksums(a).to_pandas().set_index("part")["checksum"]
+    assert ca.equals(again)
+
+
+def test_value_percent_rank_bounds(ray_session):
+    from ocr_agent_ray.pipelines.streaming import value_percent_rank
+
+    got = value_percent_rank(SF).to_pandas()
+    assert got["pct_rank"].min() == 0.0
+    assert got["pct_rank"].max() == 1.0
+    g = got.sort_values(["value", "event_id"], kind="mergesort")
+    assert (np.diff(g["pct_rank"].to_numpy()) >= 0).all()
