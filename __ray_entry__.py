@@ -93,6 +93,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return quantile_sketch(ev, "value")
 
+    def _profile_columns(sf_dir: str):
+        from ocr_agent_ray.pipelines.profiling import profile_columns
+
+        return profile_columns(sf_dir)
+
+    def _check_constraints(sf_dir: str):
+        from ocr_agent_ray.pipelines.profiling import check_constraints
+
+        return check_constraints(sf_dir)
+
     relational_hash_sample = relational.hash_sample_documents
 
     return {
@@ -177,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_bands": relational.price_band_lookup,
         "q_partition_checksums": relational.partition_checksums,
         "q_value_percent_rank": streaming.value_percent_rank,
+        "q_profile_columns": _profile_columns,
+        "q_check_constraints": _check_constraints,
         "q_dup_gram_spans": lambda sf: dedup.duplicate_gram_spans(_docs(sf)),
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -814,6 +826,39 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_profile_columns": (
+            "SELECT 'o_custkey' AS \"column\", "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls, "
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct, "
+            "CAST(MIN(o_custkey) AS VARCHAR) AS min_v, "
+            "CAST(MAX(o_custkey) AS VARCHAR) AS max_v FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT), "
+            "CAST(MIN(o_orderstatus) AS VARCHAR), "
+            "CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT), "
+            "CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT), "
+            "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), "
+            "CAST(MIN(o_orderpriority) AS VARCHAR), "
+            "CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders"
+        ),
+        "q_check_constraints": (
+            "SELECT 'orders_orderkey_unique' AS rule, "
+            "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) "
+            "AS n_violations, "
+            "(COUNT(*) = COUNT(DISTINCT o_orderkey)) AS passed FROM orders "
+            "UNION ALL SELECT 'orders_custkey_fk', "
+            "CAST(COUNT(*) AS BIGINT), COUNT(*) = 0 FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "UNION ALL SELECT 'lineitem_orderkey_fk', "
+            "CAST(COUNT(*) AS BIGINT), COUNT(*) = 0 FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) "
+            "UNION ALL SELECT 'events_value_nonneg', "
+            "CAST(COUNT(*) AS BIGINT), COUNT(*) = 0 FROM events "
+            "WHERE value < 0"
         ),
         "q_dup_gram_spans": (
             # 8-gram duplicate spans; DuckDB list slice t[i:i+7] is

@@ -135,6 +135,11 @@ QUERY_NAMES = [
     "q_doc_length_zscore",
     "q_quantile_sketch",
     "q_decontaminate_bloom",
+    "q_line_dedup",
+    "q_dup_gram_spans",
+    "q_shuffle_order",
+    "q_pack_sequences",
+    "q_partition_checksums",
 ]
 
 

@@ -208,3 +208,54 @@ def test_value_percent_rank_bounds(ray_session):
     assert got["pct_rank"].max() == 1.0
     g = got.sort_values(["value", "event_id"], kind="mergesort")
     assert (np.diff(g["pct_rank"].to_numpy()) >= 0).all()
+
+
+def test_profile_columns_matches_table(ray_session):
+    from ocr_agent_ray.pipelines.profiling import profile_columns
+
+    got = profile_columns(SF).set_index("column")
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    for col in got.index:
+        assert got.loc[col, "n_rows"] == len(orders)
+        assert got.loc[col, "n_nulls"] == int(orders[col].isna().sum())
+        assert got.loc[col, "n_distinct"] == orders[col].nunique()
+        assert got.loc[col, "min_v"] == str(orders[col].min())
+        assert got.loc[col, "max_v"] == str(orders[col].max())
+
+
+def _write(dirpath, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(dirpath / f"{name}.parquet"))
+
+
+def test_check_constraints_planted_violations(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.profiling import check_constraints
+
+    _write(tmp_path, "customer", pd.DataFrame({"c_custkey": [1, 2, 3]}))
+    _write(tmp_path, "orders", pd.DataFrame({
+        # orderkey 10 duplicated; custkey 99 not a customer
+        "o_orderkey": [10, 10, 11, 12],
+        "o_custkey": [1, 2, 99, 3],
+    }))
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        # orderkey 77 has no parent order, twice
+        "l_orderkey": [10, 11, 77, 77, 12],
+    }))
+    _write(tmp_path, "events", pd.DataFrame({
+        "event_id": [1, 2, 3], "value": [1.0, -0.5, 2.0],
+    }))
+
+    got = check_constraints(str(tmp_path)).set_index("rule")
+    assert got.loc["orders_orderkey_unique", "n_violations"] == 1
+    assert got.loc["orders_custkey_fk", "n_violations"] == 1
+    assert got.loc["lineitem_orderkey_fk", "n_violations"] == 2
+    assert got.loc["events_value_nonneg", "n_violations"] == 1
+    assert not got["passed"].any()
+
+
+def test_check_constraints_clean_corpus(ray_session):
+    from ocr_agent_ray.pipelines.profiling import check_constraints
+
+    got = check_constraints(SF)
+    assert got["passed"].all()
+    assert (got["n_violations"] == 0).all()
