@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_percent_rank": streaming.value_percent_rank,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
+        "q_cube_counts": relational.cube_counts,
+        "q_customer_event_outer": relational.customer_event_outer,
         "q_dup_gram_spans": lambda sf: dedup.duplicate_gram_spans(_docs(sf)),
         # --- dedup ---------------------------------------------------------
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -826,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_cube_counts": (
+            "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY CUBE(source, lang)"
+        ),
+        "q_customer_event_outer": (
+            "WITH ec AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY user_id) "
+            "SELECT COALESCE(ec.user_id, c.c_custkey) AS user_id, "
+            "ec.n_events, c.c_name "
+            "FROM ec FULL OUTER JOIN customer c ON ec.user_id = c.c_custkey"
         ),
         "q_profile_columns": (
             "SELECT 'o_custkey' AS \"column\", "

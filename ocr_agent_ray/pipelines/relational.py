@@ -669,6 +669,56 @@ def rollup_counts(sf_dir: str):
     return out[["source", "lang", "n"]]
 
 
+def cube_counts(sf_dir: str):
+    """GROUP BY CUBE(source, lang): all four aggregation levels derived
+    from ONE partial-combine of the finest level — the coarser levels are
+    re-aggregations of the (tiny) fine result, so raw rows cross the wire
+    exactly once no matter how many cube levels."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "source", "lang"])
+    fine = combine_partials_driver(ds, ["source", "lang"],
+                                   {"n": ("doc_id", "count")})
+    by_source = fine.groupby("source", as_index=False)["n"].sum()
+    by_source["lang"] = None
+    by_lang = fine.groupby("lang", as_index=False)["n"].sum()
+    by_lang["source"] = None
+    total = pd.DataFrame({"source": [None], "lang": [None],
+                          "n": [int(fine["n"].sum())]})
+    out = pd.concat(
+        [fine, by_source[["source", "lang", "n"]],
+         by_lang[["source", "lang", "n"]], total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["source", "lang", "n"]]
+
+
+def customer_event_outer(sf_dir: str):
+    """FULL OUTER JOIN of per-user event counts with the customer table —
+    'all customers and all active users, matched where possible'. The
+    event side pre-aggregates to |users| rows before the join (never join
+    raw facts when a count is what travels); one bucketed shuffle with
+    pandas outer merge per bucket, typed Arrow out (n_events stays int64
+    with nulls, not float)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    counts = hash_partition_aggregate(
+        read_table(sf_dir, "events", ["user_id"]),
+        ["user_id"], {"n_events": ("user_id", "count")},
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "user_id"}),
+        batch_format="pandas")
+    return bucket_hash_join(
+        counts, cust, on="user_id", how="outer",
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("n_events", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("c_name", pa.string())]),
+    )
+
+
 def nations_per_region_concat(sf_dir: str):
     """Group-concat: comma-joined, name-sorted nation list per region —
     order pinned inside the group so the string is deterministic (and

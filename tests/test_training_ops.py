@@ -259,3 +259,34 @@ def test_check_constraints_clean_corpus(ray_session):
     got = check_constraints(SF)
     assert got["passed"].all()
     assert (got["n_violations"] == 0).all()
+
+
+def test_cube_counts_levels_consistent(ray_session):
+    from ocr_agent_ray.pipelines.relational import cube_counts
+
+    got = cube_counts(SF)
+    fine = got[got["source"].notna() & got["lang"].notna()]
+    by_source = got[got["source"].notna() & got["lang"].isna()]
+    by_lang = got[got["source"].isna() & got["lang"].notna()]
+    total = got[got["source"].isna() & got["lang"].isna()]
+    n = int(fine["n"].sum())
+    assert int(by_source["n"].sum()) == n
+    assert int(by_lang["n"].sum()) == n
+    assert int(total["n"].iloc[0]) == n
+    assert len(got) == len(fine) + len(by_source) + len(by_lang) + 1
+
+
+def test_customer_event_outer_covers_both_sides(ray_session):
+    from ocr_agent_ray.pipelines.relational import customer_event_outer
+
+    got = customer_event_outer(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    assert set(got["user_id"]) == set(ev["user_id"]) | set(cust["c_custkey"])
+    # matched rows have both sides; unmatched keep typed nulls
+    matched = got[got["n_events"].notna() & got["c_name"].notna()]
+    assert set(matched["user_id"]) == set(ev["user_id"]) & set(cust["c_custkey"])
+    counts = ev["user_id"].value_counts()
+    sub = got[got["n_events"].notna()].set_index("user_id")["n_events"]
+    assert all(int(sub.loc[u]) == int(c) for u, c in counts.items())
