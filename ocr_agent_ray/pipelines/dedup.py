@@ -832,8 +832,13 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
     duplicated iff its distinct-doc count >= 2.
 
     Scale shape:
-    - gram construction is vectorized: tokens explode once per batch,
-      grams come from n-1 shifted string concats (no per-row Python);
+    - grams travel as 64-BIT POLYNOMIAL HASHES, not strings: one
+      deterministic siphash pass over the batch's tokens (pandas
+      hash_array, fixed key), one n-term polynomial combine over the
+      whole flat token array (no per-doc loop), splitmix64 finalize —
+      ~8 bytes/gram on the wire vs ~n·8 for the string. Collisions
+      falsely merge two grams at ~2^-64 per pair — immaterial here;
+      at true 10^12-gram scale swap in a 128-bit finalize;
     - ONE content-keyed shuffle of (gram, doc_id, idx) adjudicates
       duplication per gram bucket; only DUP occurrences (normally a tiny
       fraction) reshuffle by doc for the run-length scan;
@@ -845,20 +850,25 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
     Returns (doc_id, n_grams, n_dup_grams, max_dup_run) for every doc.
     """
     import pyarrow as pa
+    from pandas.util import hash_array
 
+    from ocr_agent_ray.functions.hashing import splitmix64
     from ocr_agent_ray.pipelines.joins import bucket_hash_join
 
     _TOKEN_RE = r"[0-9a-z_]+"
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "idx": pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype="uint64"),
+                             "__bucket": pd.Series([], dtype="int32")})
 
     def _occurrences(batch: pd.DataFrame) -> pd.DataFrame:
         tokens = batch[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
         counts = tokens.str.len().to_numpy(dtype=np.int64)
         nonempty = tokens[counts > 0]
         if not len(nonempty):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "idx": pd.Series([], dtype="int64"),
-                                 "gram": pd.Series([], dtype="object"),
-                                 "__bucket": pd.Series([], dtype="int32")})
+            return _empty()
         ex_doc = np.repeat(batch[id_col].to_numpy(), counts)
         ex_tok = nonempty.explode().to_numpy()
         starts = np.cumsum(counts) - counts
@@ -866,20 +876,18 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
                   - np.repeat(starts, counts))
         m = len(ex_tok) - (n - 1)
         if m <= 0:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "idx": pd.Series([], dtype="int64"),
-                                 "gram": pd.Series([], dtype="object"),
-                                 "__bucket": pd.Series([], dtype="int32")})
+            return _empty()
         # a start position is valid iff its n-th token is still in-doc
         valid = ex_doc[:m] == ex_doc[n - 1:]
-        gram = pd.Series(ex_tok[:m], dtype="object")
-        for j in range(1, n):
-            gram = gram + " " + pd.Series(ex_tok[j:m + j], dtype="object")
+        th = hash_array(ex_tok, categorize=False)
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc = acc * _NGRAM_BASE + th[j:m + j]
+        gram = splitmix64(acc)
         out = pd.DataFrame({
-            "doc_id": ex_doc[:m], "idx": ex_pos[:m], "gram": gram.to_numpy(),
+            "doc_id": ex_doc[:m], "idx": ex_pos[:m], "gram": gram,
         })[valid]
-        ghash = pd.util.hash_pandas_object(out["gram"], index=False)
-        out["__bucket"] = (ghash.to_numpy() % np.uint64(num_buckets)
+        out["__bucket"] = (out["gram"].to_numpy() % np.uint64(num_buckets)
                            ).astype(np.int32)
         return out
 
