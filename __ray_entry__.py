@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
         "q_flagship_span_counts": interleave.flagship_span_counts,
+        "q_media_manifest": interleave.media_manifest,
         "q_grounding_detections": interleave.grounding_detection_counts,
         "q_layout_blocks": interleave.layout_blocks,  # rows-only (layout parse)
         "q_html_main_text": _html_main_text,  # rows-only (DOM heuristic)
@@ -828,6 +829,19 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_media_manifest": (
+            # the interleave adapter derives spans as a pure function of
+            # doc_id (interleave.py:23-42): 3 text chunks always, a figure
+            # iff doc_id % 3 == 0, a pdf run of doc_id % 4 + 2 pages iff
+            # doc_id % 5 == 0
+            "SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS doc_id, "
+            "CAST(3 AS BIGINT) AS n_text_spans, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS n_image, "
+            "CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id % 4 + 2 ELSE 0 END "
+            "AS BIGINT) AS n_pdf_pages "
+            "FROM documents"
         ),
         "q_cube_counts": (
             "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "

@@ -131,6 +131,33 @@ def layout_blocks(sf_dir: str):
     return flagship_extract(sf_dir).map_batches(_blocks, batch_format="pyarrow")
 
 
+def media_manifest(sf_dir: str):
+    """Per-doc media composition of the INTERLEAVED corpus — the
+    multimodal bookkeeping query (how many text chunks / figures / pdf
+    pages does each document carry), computed Arrow-native over the
+    nested spans column: list_flatten + list_parent_indices + bincount,
+    no per-row Python and no row explosion leaving the batch. Exactly
+    SQL-oracle-able because the interleave derivation is a pure function
+    of doc_id (interleave.py:23-42)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = pc.list_flatten(spans).field("kind")
+        cols = [batch["doc_id"]]
+        for kind in ("text", "image", "pdf_page"):
+            mask = pc.equal(kinds, kind).to_numpy(zero_copy_only=False)
+            cols.append(pa.array(
+                np.bincount(parent[mask], minlength=len(batch)).astype(np.int64)))
+        return pa.Table.from_arrays(
+            cols, names=["doc_id", "n_text_spans", "n_image", "n_pdf_pages"])
+
+    return documents_to_interleaved(sf_dir).map_batches(
+        _counts, batch_format="pyarrow")
+
+
 def flagship_span_counts(sf_dir: str):
     """Flat summary of the flagship output for driver row-count checks:
     (doc_id, n_spans)."""

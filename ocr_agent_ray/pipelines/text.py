@@ -484,6 +484,9 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
     def _first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
         g = g.assign(keep=~g.duplicated("line"))
+        # dropped occurrences only contribute counts downstream — blank
+        # their text so the doc-keyed reshuffle ships survivors' bytes only
+        g.loc[~g["keep"], "line"] = ""
         g["__db"] = (g["doc_id"].to_numpy() % num_buckets).astype(np.int32)
         return g[["doc_id", "idx", "line", "n_lines", "keep", "__db"]]
 

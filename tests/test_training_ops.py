@@ -290,3 +290,14 @@ def test_customer_event_outer_covers_both_sides(ray_session):
     counts = ev["user_id"].value_counts()
     sub = got[got["n_events"].notna()].set_index("user_id")["n_events"]
     assert all(int(sub.loc[u]) == int(c) for u, c in counts.items())
+
+
+def test_media_manifest_matches_derivation(ray_session):
+    from ocr_agent_ray.pipelines.interleave import media_manifest
+
+    got = media_manifest(SF).to_pandas()
+    ids = got["doc_id"].str.slice(4).astype(int)
+    assert (got["n_text_spans"] == 3).all()
+    assert (got["n_image"] == (ids % 3 == 0).astype(int)).all()
+    want_pages = np.where(ids % 5 == 0, ids % 4 + 2, 0)
+    assert (got["n_pdf_pages"].to_numpy() == want_pages).all()
