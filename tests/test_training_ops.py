@@ -301,3 +301,26 @@ def test_media_manifest_matches_derivation(ray_session):
     assert (got["n_image"] == (ids % 3 == 0).astype(int)).all()
     want_pages = np.where(ids % 5 == 0, ids % 4 + 2, 0)
     assert (got["n_pdf_pages"].to_numpy() == want_pages).all()
+
+
+def test_new_ops_empty_input(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import (
+        length_ntile,
+        mixture_sample_documents,
+        partition_checksums,
+        shuffle_order,
+    )
+    from ocr_agent_ray.pipelines.text import line_dedup, pack_sequences
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "text": pd.Series([], dtype="object"),
+        "source": pd.Series([], dtype="object"),
+        "n_chars": pd.Series([], dtype="int64"),
+    })
+    sf = _write_docs(tmp_path, empty)
+    for op in (line_dedup, pack_sequences, shuffle_order, length_ntile,
+               mixture_sample_documents, partition_checksums):
+        out = op(sf)
+        n = len(out.to_pandas()) if hasattr(out, "to_pandas") else len(out)
+        assert n == 0, op.__name__
