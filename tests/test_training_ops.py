@@ -324,3 +324,80 @@ def test_new_ops_empty_input(ray_session, tmp_path):
         out = op(sf)
         n = len(out.to_pandas()) if hasattr(out, "to_pandas") else len(out)
         assert n == 0, op.__name__
+
+
+def test_line_dedup_random_differential(ray_session, tmp_path):
+    """200 random docs (shared line pool + empty/whitespace/dup lines,
+    duplicate whole docs) vs an exact sequential reference."""
+    from ocr_agent_ray.pipelines.text import line_dedup
+
+    rng = np.random.default_rng(3)
+    pool = ([f"shared line {i}" for i in range(30)]
+            + ["", " ", "\t", "x", "shared line 0"])
+    docs = []
+    for d in range(200):
+        n = int(rng.integers(0, 8))
+        docs.append("\n".join(pool[int(rng.integers(0, len(pool)))]
+                              for _ in range(n)))
+    # plus exact duplicate docs
+    docs[150] = docs[10]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sf = _write_docs(tmp_path, df)
+
+    got = (line_dedup(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    seen: set[str] = set()
+    want_rows = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        lines = t.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want_rows.append((d, "\n".join(kept), len(kept), len(lines)))
+    want = pd.DataFrame(want_rows, columns=["doc_id", "clean_text",
+                                            "n_kept_lines", "n_lines"])
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False)
+
+
+def test_dup_gram_spans_random_differential(ray_session):
+    """150 random docs over a 12-word vocab (forcing heavy cross-doc
+    gram collisions) vs an exact sequential reference."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import duplicate_gram_spans
+
+    rng = np.random.default_rng(9)
+    vocab = "a b c d e f g h i j k l".split()
+    n = 4
+    docs = [" ".join(vocab[int(rng.integers(0, len(vocab)))]
+                     for _ in range(int(rng.integers(0, 20))))
+            for _ in range(150)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    got = (duplicate_gram_spans(rd.from_pandas(df), n=n)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    import re
+    tok = [re.findall(r"[0-9a-z_]+", t.lower()) for t in docs]
+    grams = [[" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+             for t in tok]
+    owners: dict[str, set[int]] = {}
+    for d, gs in enumerate(grams):
+        for g in gs:
+            owners.setdefault(g, set()).add(d)
+    rows = []
+    for d, gs in enumerate(grams):
+        dup = [i for i, g in enumerate(gs) if len(owners[g]) >= 2]
+        runs, best, cur, prev = 0, 0, 0, None
+        for i in dup:
+            cur = cur + 1 if prev is not None and i == prev + 1 else 1
+            best = max(best, cur)
+            prev = i
+        rows.append((d, len(gs), len(dup), best))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_grams",
+                                       "n_dup_grams", "max_dup_run"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
