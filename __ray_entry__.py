@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return quantile_sketch(ev, "value")
 
+    def _curation_funnel(sf_dir: str):
+        from ocr_agent_ray.pipelines.curate import curation_funnel
+
+        return curation_funnel(sf_dir)
+
     def _profile_columns(sf_dir: str):
         from ocr_agent_ray.pipelines.profiling import profile_columns
 
@@ -179,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rare_word_docs": text.rare_word_docs,
         "q_gopher_quality": text.gopher_quality,
         "q_c4_clean": text.c4_clean,
+        "q_curation_funnel": _curation_funnel,
         "q_line_dedup": text.line_dedup,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_mixture_sample": relational.mixture_sample_documents,
@@ -231,6 +237,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOP_LIST = "('the','a','and','of','to','in','is','on','for','with')"
 _FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+# Gopher-rule CTE bodies, shared verbatim by q_gopher_quality and the
+# composed q_curation_funnel oracle
+_GOPHER_CTES = (
+    "base AS (SELECT doc_id, "
+    "LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_words, "
+    "LEN(regexp_extract_all(text, '[0-9A-Za-z_]')) AS word_chars, "
+    "LEN(regexp_extract_all(text, '#')) "
+    "+ LEN(regexp_extract_all(text, '\\.\\.\\.')) AS symbols, "
+    "LEN(string_split(text, chr(10))) AS n_lines, "
+    "LEN(regexp_extract_all(text, '(?m)^[ \\t]*[-*\u2022]')) AS bullet_lines, "
+    "LEN(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis_lines, "
+    "LEN(list_filter(regexp_extract_all(text, '[0-9A-Za-z_]+'), "
+    "    w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words "
+    "FROM documents), "
+    "r AS (SELECT doc_id, n_words, "
+    "ROUND(CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len, "
+    "ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS symbol_ratio, "
+    "ROUND(CAST(bullet_lines AS DOUBLE) / n_lines, 6) AS bullet_ratio, "
+    "ROUND(CAST(ellipsis_lines AS DOUBLE) / n_lines, 6) AS ellipsis_ratio, "
+    "ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_word_ratio "
+    "FROM base)"
+)
+_GOPHER_KEEP = (
+    "(n_words >= 50 AND n_words <= 100000 "
+    "AND mean_word_len >= 3 AND mean_word_len <= 10 "
+    "AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9 "
+    "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8)"
+)
 # identical RE2 patterns as functions/textstats.PII_PATTERNS (order matters)
 _PII_EM = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
 _PII_PH = r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
@@ -728,31 +763,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, word, tfidf FROM ranked WHERE rn <= 5"
         ),
         "q_gopher_quality": (
-            "WITH base AS (SELECT doc_id, "
-            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_words, "
-            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]')) AS word_chars, "
-            "LEN(regexp_extract_all(text, '#')) "
-            "+ LEN(regexp_extract_all(text, '\\.\\.\\.')) AS symbols, "
-            "LEN(string_split(text, chr(10))) AS n_lines, "
-            "LEN(regexp_extract_all(text, '(?m)^[ \\t]*[-*\u2022]')) AS bullet_lines, "
-            "LEN(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS ellipsis_lines, "
-            "LEN(list_filter(regexp_extract_all(text, '[0-9A-Za-z_]+'), "
-            "    w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words "
-            "FROM documents), "
-            "r AS (SELECT doc_id, n_words, "
-            "ROUND(CAST(word_chars AS DOUBLE) / GREATEST(n_words, 1), 6) AS mean_word_len, "
-            "ROUND(CAST(symbols AS DOUBLE) / GREATEST(n_words, 1), 6) AS symbol_ratio, "
-            "ROUND(CAST(bullet_lines AS DOUBLE) / n_lines, 6) AS bullet_ratio, "
-            "ROUND(CAST(ellipsis_lines AS DOUBLE) / n_lines, 6) AS ellipsis_ratio, "
-            "ROUND(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1), 6) AS alpha_word_ratio "
-            "FROM base) "
+            "WITH " + _GOPHER_CTES + " "
             "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio, "
             "ellipsis_ratio, alpha_word_ratio, "
-            "(n_words >= 50 AND n_words <= 100000 "
-            "AND mean_word_len >= 3 AND mean_word_len <= 10 "
-            "AND symbol_ratio < 0.1 AND bullet_ratio <= 0.9 "
-            "AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8) AS keep "
-            "FROM r"
+            + _GOPHER_KEEP + " AS keep FROM r"
+        ),
+        "q_curation_funnel": (
+            # the composed funnel: every stage reuses the SAME SQL bodies
+            # as its standalone oracle (gopher CTEs, _FP fingerprint,
+            # mixture thresholds), so this checks stage INTERACTION
+            "WITH " + _GOPHER_CTES + ", "
+            "k AS (SELECT doc_id, " + _GOPHER_KEEP + " AS keep FROM r), "
+            "s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d "
+            "JOIN k USING(doc_id) WHERE k.keep), "
+            f"s2 AS (SELECT doc_id, source FROM s1 QUALIFY row_number() "
+            f"OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1), "
+            "s3 AS (SELECT doc_id, source FROM s2 "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < "
+            "CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5 "
+            "WHEN 0 THEN '1999' WHEN 1 THEN '3333' WHEN 2 THEN '4ccc' "
+            "WHEN 3 THEN '6666' ELSE '8000' END) "
+            "SELECT 'all' AS stage, source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source "
+            "UNION ALL SELECT 'gopher', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s1 GROUP BY source "
+            "UNION ALL SELECT 'exact_dedup', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s2 GROUP BY source "
+            "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s3 GROUP BY source"
         ),
         "q_c4_clean": (
             "WITH l AS (SELECT doc_id, "

@@ -1,0 +1,76 @@
+"""Composed corpus-curation funnel — the end-to-end training-data
+pipeline built from the individually-oracled stages:
+
+    documents → Gopher quality filter → corpus-global exact dedup
+              → weighted source-mixture sampling
+
+The deliverable is the per-stage, per-source funnel table
+(stage, source, n_docs) — the report every curation run ships with —
+and the whole composition has ONE exact DuckDB oracle
+(``q_curation_funnel``), so stage interaction (not just each stage in
+isolation) is value-checked.
+
+Scale shape: the filter stages are pure streaming maps; exact dedup is
+the one content-keyed shuffle (bucket by fingerprint, first-wins within
+bucket — min doc_id globally because identical fingerprints co-locate).
+Counting each stage here re-executes the lazy prefix (4 passes at most);
+a production run would count on the write path instead (the checkpoint
+store's partition metrics do exactly that for the flagship).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ocr_agent_ray.functions.textstats import gopher_features, md5_fingerprint
+from ocr_agent_ray.sources.readers import read_table
+
+
+def curation_funnel(sf_dir: str, *, num_buckets: int = 32) -> pd.DataFrame:
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.relational import mixture_keep_mask
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _gopher_keep(b: pd.DataFrame) -> pd.DataFrame:
+        keep = gopher_features(b["text"])["keep"]
+        return b[keep.to_numpy(dtype=bool)]
+
+    survivors = docs.map_batches(_gopher_keep, batch_format="pandas")
+
+    def _fp(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "fingerprint": md5_fingerprint(b["text"]),
+        })
+        fh = pd.util.hash_pandas_object(out["fingerprint"], index=False)
+        out["__bucket"] = (fh.to_numpy() % np.uint64(num_buckets)
+                           ).astype(np.int32)
+        return out
+
+    def _first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fingerprint", "doc_id"], kind="mergesort")
+        return g[~g.duplicated("fingerprint")][["doc_id", "source"]]
+
+    deduped = (
+        survivors.map_batches(_fp, batch_format="pandas", batch_size=65536)
+        .groupby("__bucket")
+        .map_groups(_first_wins, batch_format="pandas")
+    )
+
+    def _mix(b: pd.DataFrame) -> pd.DataFrame:
+        return b[mixture_keep_mask(b["doc_id"], b["source"])]
+
+    mixed = deduped.map_batches(_mix, batch_format="pandas")
+
+    parts = []
+    for stage, ds in (("all", docs), ("gopher", survivors),
+                      ("exact_dedup", deduped), ("mixture", mixed)):
+        c = combine_partials_driver(ds, ["source"],
+                                    {"n_docs": ("source", "count")})
+        c.insert(0, "stage", stage)
+        parts.append(c[["stage", "source", "n_docs"]])
+    out = pd.concat(parts, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out

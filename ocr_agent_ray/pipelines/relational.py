@@ -408,32 +408,42 @@ def hash_sample_documents(sf_dir: str):
     )
 
 
+# rate k -> threshold floor(65536 * (k+1)/10); comparing the first two
+# md5 bytes (equivalently the 4-hex-char prefix, lexicographically)
+# against it == numeric compare
+_MIXTURE_THRESHOLDS = np.array(
+    [65536 * (k + 1) // 10 for k in range(5)], dtype=np.uint32)
+
+
+def mixture_keep_mask(doc_ids, sources) -> np.ndarray:
+    """Deterministic mixture-sampling predicate: keep iff the first 16
+    bits of md5(doc_id) fall below the source's rate threshold
+    ((src_num % 5 + 1)/10). Shared by mixture_sample_documents and the
+    curation funnel so both stay bit-identical to the SQL oracle."""
+    import hashlib
+
+    first2 = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:2], "big")
+         for i in doc_ids),
+        dtype=np.uint32, count=len(doc_ids),
+    )
+    src_num = sources.str.slice(3).astype(np.int64) % 5
+    return first2 < _MIXTURE_THRESHOLDS[src_num.to_numpy()]
+
+
 def mixture_sample_documents(sf_dir: str):
     """Weighted per-source mixture sampling — the training-data 'mix
     sources at different rates' step (e.g. upsample wiki, downsample
-    crawl). Deterministic: keep a doc iff the first 16 bits of
-    md5(doc_id) fall below its source's rate threshold, so the sample is
-    a pure function of the data (re-runnable, exactly oracle-checkable,
-    and stable under repartitioning — unlike seeded RNG sampling whose
-    result depends on row order). Rates here derive from the source name
-    ((src_num % 5 + 1)/10 -> 0.1..0.5); a production pipeline would pass
-    a rate dict. Pure map filter — streams at any scale."""
-    import hashlib
-
-    # rate k -> threshold floor(65536 * (k+1)/10) as 4 lowercase hex chars;
-    # comparing the md5 hex prefix against it lexicographically == numeric
-    thresholds = np.array(
-        [65536 * (k + 1) // 10 for k in range(5)], dtype=np.uint32)
+    crawl). Deterministic: the sample is a pure function of the data
+    (re-runnable, exactly oracle-checkable, and stable under
+    repartitioning — unlike seeded RNG sampling whose result depends on
+    row order). Rates here derive from the source name; a production
+    pipeline would pass a rate dict. Pure map filter — streams at any
+    scale."""
 
     def _sample(batch: pd.DataFrame) -> pd.DataFrame:
-        first2 = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:2], "big")
-             for i in batch["doc_id"]),
-            dtype=np.uint32, count=len(batch),
-        )
-        src_num = batch["source"].str.slice(3).astype(np.int64) % 5
-        thr = thresholds[src_num.to_numpy()]
-        return batch[first2 < thr][["doc_id", "source"]]
+        mask = mixture_keep_mask(batch["doc_id"], batch["source"])
+        return batch[mask][["doc_id", "source"]]
 
     return read_table(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         _sample, batch_format="pandas"

@@ -401,3 +401,19 @@ def test_dup_gram_spans_random_differential(ray_session):
     want = pd.DataFrame(rows, columns=["doc_id", "n_grams",
                                        "n_dup_grams", "max_dup_run"])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_curation_funnel_monotone(ray_session):
+    from ocr_agent_ray.pipelines.curate import curation_funnel
+
+    got = curation_funnel(SF)
+    order = ["all", "gopher", "exact_dedup", "mixture"]
+    wide = (got.pivot(index="source", columns="stage", values="n_docs")
+            .reindex(columns=order).fillna(0))
+    # every stage only removes docs, per source
+    for a, b in zip(order, order[1:]):
+        assert (wide[b] <= wide[a]).all()
+    # sanity: the funnel actually filters something at each stage overall
+    totals = wide.sum()
+    assert totals["gopher"] < totals["all"]
+    assert totals["mixture"] < totals["exact_dedup"]
