@@ -448,69 +448,93 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
     """Cross-document exact LINE dedup — the C4/RefinedWeb 'remove lines
     duplicated anywhere in the corpus' pass. A line occurrence survives
     iff it is the corpus-global FIRST occurrence of that exact line text
-    (first = min (doc_id, line_idx)). Two bucketed shuffles, both
-    content-keyed:
+    (first = min (doc_id, line_idx)).
 
-    1. explode docs to (doc_id, idx, line) and bucket by the line's
-       deterministic hash — identical lines co-locate, so the
-       first-occurrence decision is a local vectorized flag per bucket
-       (sort by (line, doc_id, idx), keep = ~duplicated(line)). Hot
-       documents don't skew this shuffle; only one single line repeated
-       across a large corpus fraction would, and its occurrence list is
-       exactly what the operator must adjudicate.
-    2. reshuffle ALL occurrences (keep flag attached) by doc_id and
-       reassemble clean_text in line order — docs whose every line was
-       deduped away still emit a row with clean_text = ''.
+    Scale shape — line TEXT never crosses the wire:
 
-    Returns (doc_id, clean_text, n_kept_lines, n_lines)."""
+    1. explode docs to (doc_id, idx, h) where h is the line's 64-bit
+       deterministic siphash (pandas hash_array, fixed key; collisions
+       falsely merge two lines at ~2^-64 per pair — swap a 128-bit hash
+       at true corpus scale), bucketed by h. Identical lines co-locate,
+       so the first-occurrence decision is a vectorized flag per bucket.
+       The hot-line hazard (an empty/boilerplate line present in half
+       the corpus floods its bucket) costs 24 bytes per occurrence here,
+       not the line text;
+    2. only KEPT (doc_id, idx) rows — the survivors — reshuffle by doc
+       and meet a SECOND column-pruned read of the documents in the same
+       doc-keyed groupby (union of two streams, bucket_hash_join style);
+       each doc re-splits locally and keeps its surviving indices. A
+       second streaming read beats reshuffling every line's text.
 
-    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+    Returns (doc_id, clean_text, n_kept_lines, n_lines) for every doc
+    (clean_text = '' when nothing survives)."""
+    from pandas.util import hash_array
+
+    def _occ(batch: pd.DataFrame) -> pd.DataFrame:
         lists = batch["text"].fillna("").str.split("\n")
         counts = lists.str.len().to_numpy(dtype=np.int64)
         starts = np.cumsum(counts) - counts
         total = int(counts.sum())
         idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-        out = pd.DataFrame({
+        h = hash_array(lists.explode().to_numpy(), categorize=False)
+        return pd.DataFrame({
             "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
             "idx": idx,
-            "line": lists.explode().to_numpy(),
-            "n_lines": np.repeat(counts, counts),
+            "h": h,
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
         })
-        line_hash = pd.util.hash_pandas_object(out["line"], index=False)
-        out["__bucket"] = (line_hash.to_numpy() % np.uint64(num_buckets)
-                           ).astype(np.int32)
-        return out
 
-    def _first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["line", "doc_id", "idx"], kind="mergesort")
-        g = g.assign(keep=~g.duplicated("line"))
-        # dropped occurrences only contribute counts downstream — blank
-        # their text so the doc-keyed reshuffle ships survivors' bytes only
-        g.loc[~g["keep"], "line"] = ""
-        g["__db"] = (g["doc_id"].to_numpy() % num_buckets).astype(np.int32)
-        return g[["doc_id", "idx", "line", "n_lines", "keep", "__db"]]
+    def _winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id", "idx"], kind="mergesort")
+        k = g[~g.duplicated("h")]
+        return pd.DataFrame({
+            "doc_id": k["doc_id"],
+            "idx": k["idx"],
+            "text": pd.Series([None] * len(k), dtype="object",
+                              index=k.index),
+            "__db": (k["doc_id"].to_numpy() % num_buckets).astype(np.int32),
+        })
+
+    kept = (
+        _read_documents(sf_dir)
+        .map_batches(_occ, batch_format="pandas", batch_size=65536)
+        .groupby("__bucket")
+        .map_groups(_winners, batch_format="pandas")
+    )
+
+    def _doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "idx": np.full(len(batch), -1, dtype=np.int64),
+            "text": batch["text"].fillna("").astype("object"),
+            "__db": (batch["doc_id"].to_numpy() % num_buckets
+                     ).astype(np.int32),
+        })
+
+    doc_rows = _read_documents(sf_dir).map_batches(
+        _doc_rows, batch_format="pandas", batch_size=65536)
 
     def _assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "idx"], kind="mergesort")
-        agg = g.groupby("doc_id", sort=True).agg(
-            n_kept_lines=("keep", "sum"), n_lines=("n_lines", "first"))
-        joined = (g[g["keep"]].groupby("doc_id", sort=True)["line"]
-                  .agg("\n".join))
-        out = agg.join(joined.rename("clean_text"))
-        out["clean_text"] = out["clean_text"].fillna("")
-        out = out.reset_index()
-        return pd.DataFrame({
-            "doc_id": out["doc_id"],
-            "clean_text": out["clean_text"],
-            "n_kept_lines": out["n_kept_lines"].astype("int64"),
-            "n_lines": out["n_lines"].astype("int64"),
-        })
+        texts = g[g["idx"] < 0]
+        kept_idx = g[g["idx"] >= 0].sort_values(
+            ["doc_id", "idx"], kind="mergesort")
+        by_doc = {d: sub["idx"].to_numpy()
+                  for d, sub in kept_idx.groupby("doc_id", sort=False)}
+        rows = []
+        for d, t in zip(texts["doc_id"], texts["text"]):
+            lines = t.split("\n")
+            ki = by_doc.get(d)
+            kept_lines = [lines[i] for i in ki] if ki is not None else []
+            rows.append((d, "\n".join(kept_lines), len(kept_lines),
+                         len(lines)))
+        out = pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                          "n_kept_lines", "n_lines"])
+        out["n_kept_lines"] = out["n_kept_lines"].astype("int64")
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out
 
     return (
-        _read_documents(sf_dir)
-        .map_batches(_explode, batch_format="pandas", batch_size=65536)
-        .groupby("__bucket")
-        .map_groups(_first_occurrence, batch_format="pandas")
+        doc_rows.union(kept)
         .groupby("__db")
         .map_groups(_assemble, batch_format="pandas")
     )
