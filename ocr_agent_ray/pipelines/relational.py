@@ -472,9 +472,12 @@ def shuffle_order(sf_dir: str, *, seed: str = "42", num_ranges: int = 256):
                 for i in batch["doc_id"]]
         rb = np.fromiter((int(k[:2], 16) for k in keys), dtype=np.int64,
                          count=len(keys))
+        # order-preserving contraction of the 256 leading-byte ranges
+        # (NOT modulo, which would interleave key ranges and break the
+        # rank machinery's order-consistency requirement)
         return pd.DataFrame({
             "doc_id": batch["doc_id"], "__key": keys,
-            "__rb": rb % num_ranges if num_ranges != 256 else rb,
+            "__rb": rb * num_ranges // 256,
         })
 
     keyed = read_table(sf_dir, "documents", ["doc_id"]).map_batches(

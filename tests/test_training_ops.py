@@ -417,3 +417,35 @@ def test_curation_funnel_monotone(ray_session):
     totals = wide.sum()
     assert totals["gopher"] < totals["all"]
     assert totals["mixture"] < totals["exact_dedup"]
+
+
+def test_shuffle_order_nondefault_ranges(ray_session):
+    # num_ranges != 256 must still produce the exact same permutation
+    # (regression: modulo-range assignment interleaved key ranges)
+    from ocr_agent_ray.pipelines.relational import shuffle_order
+
+    base = shuffle_order(SF).to_pandas()
+    alt = shuffle_order(SF, num_ranges=16).to_pandas()
+    merged = base.merge(alt, on="doc_id", suffixes=("", "_b"))
+    assert (merged["shuffle_pos"] == merged["shuffle_pos_b"]).all()
+
+
+def test_line_dedup_hot_line_skew(ray_session, tmp_path):
+    # a boilerplate line present in EVERY doc (the 100-TB hot-key case):
+    # exactly one occurrence survives, everything else is untouched
+    from ocr_agent_ray.pipelines.text import line_dedup
+
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": range(n),
+        "text": [f"unique head {i}\nHOT BOILERPLATE LINE\nunique tail {i}"
+                 for i in range(n)],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = line_dedup(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "clean_text"] == (
+        "unique head 0\nHOT BOILERPLATE LINE\nunique tail 0")
+    rest = got.iloc[1:]
+    assert (rest["clean_text"] == [
+        f"unique head {i}\nunique tail {i}" for i in range(1, n)]).all()
+    assert int(got["n_kept_lines"].sum()) == 2 * n + 1
