@@ -220,6 +220,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(
             _emb(sf), threshold=0.3
         ),  # rows-only (LSH-blocked scale path; recall-tested in pytest)
+        "q_semantic_dedup": lambda sf: dedup.semantic_dedup(
+            _emb(sf), threshold=0.3
+        ),
+        "q_semantic_dedup_kmeans": lambda sf: dedup.semantic_dedup_kmeans(
+            sf, threshold=0.3
+        ),  # rows-only (k-means clusters; invariants pytest-checked)
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_label_centroids": similarity.label_centroids,
@@ -456,6 +462,17 @@ def oracle_sql() -> dict[str, str]:
             "ON a.label = b.label AND a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.3"
+        ),
+        "q_semantic_dedup": (
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "p AS (SELECT a.vec_id AS vid, MIN(b.vec_id) AS dup_of "
+            "FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.3 "
+            "GROUP BY a.vec_id) "
+            "SELECT e.vec_id, e.label AS cluster_id, "
+            "p.vid IS NULL AS keep, p.dup_of AS dup_of "
+            "FROM e LEFT JOIN p ON p.vid = e.vec_id"
         ),
         "q_knn_bruteforce": (
             "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "

@@ -423,6 +423,95 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
     return ds.groupby(block_col).map_groups(_block_pairs, batch_format="pandas")
 
 
+def _semantic_group_kernel(threshold: float, id_col: str, vec_col: str,
+                           cluster_col: str):
+    """Shared per-cluster kernel for semantic_dedup: mark every vector
+    that has an EARLIER (lower-id) same-cluster neighbor with cosine >=
+    threshold as a duplicate of its FIRST such neighbor.
+
+    The 'earlier near neighbor' rule (instead of SemDeDup's greedy
+    keep-set scan) makes the semantics order-free and SQL-expressible:
+    keep(v) depends only on the pairwise cosine matrix, never on which
+    other rows were already pruned, so the DuckDB oracle is a plain
+    self-join. dup_of may itself be a duplicate (chains are allowed)."""
+
+    def _group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        near = (unit @ unit.T) >= threshold
+        near &= np.tri(len(ids), k=-1, dtype=bool)   # j < i only
+        dup = near.any(axis=1)
+        first = near.argmax(axis=1)                  # first True per row
+        dup_of = pd.array(
+            [int(ids[j]) if d else None for d, j in zip(dup, first)],
+            dtype="Int64")
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": g[cluster_col].to_numpy(),
+            "keep": ~dup,
+            "dup_of": dup_of,
+        })
+
+    return _group
+
+
+def semantic_dedup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", cluster_col: str = "label"):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition the embedding space into clusters, then prune near-duplicate
+    vectors WITHIN each cluster only — cross-cluster pairs are never
+    compared, which is the whole scale trick (O(sum n_c^2 d), not O(n^2 d)).
+
+    One row per input vector: (vec_id, cluster_id, keep, dup_of). Here the
+    cluster is the pre-assigned ``label`` column, so the result is exactly
+    SQL-checkable; ``semantic_dedup_kmeans`` is the self-clustering variant.
+
+    Scale shape: one groupby(cluster) shuffle; the in-group cost is a
+    dense cosine matrix, so cluster size must be bounded (SemDeDup uses
+    k ~ sqrt(n) clusters for this reason) — a hot cluster needs a larger
+    k upstream, not a bigger group kernel."""
+    kern = _semantic_group_kernel(threshold, id_col, vec_col, cluster_col)
+    return ds.groupby(cluster_col).map_groups(kern, batch_format="pandas")
+
+
+def semantic_dedup_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
+                          threshold: float = 0.95):
+    """semantic_dedup with self-trained clusters: a few Lloyd rounds
+    (same broadcast-centroid pattern as ``similarity.kmeans_embeddings``)
+    produce a (k × dim) centroid table; ONE streaming pass assigns each
+    vector its argmin cluster; then the shared within-cluster prune runs
+    per cluster. Rows-only (k-means clusters are not SQL-expressible);
+    invariants are pytest-checked against the label-blocked oracle path."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocr_agent_ray.pipelines.similarity import train_kmeans_centroids
+
+    centroids = train_kmeans_centroids(sf_dir, k=k, iters=iters)
+    cref = ray.put(centroids)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        d2 = ((mat * mat).sum(1)[:, None] - 2 * mat @ c.T
+              + (c * c).sum(1)[None, :])
+        out = batch[["vec_id", "embedding"]].copy()
+        out["cluster"] = d2.argmin(axis=1).astype(np.int64)
+        return out
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(_assign, batch_format="pandas")
+    kern = _semantic_group_kernel(threshold, "vec_id", "embedding", "cluster")
+    return assigned.groupby("cluster").map_groups(kern, batch_format="pandas")
+
+
 def duplicate_clusters(pairs_ds, *, max_rounds: int = 50,
                        driver_max_edges: int = 2_000_000):
     """Connected components over near-dup pairs: (doc_id, cluster_id) with

@@ -342,6 +342,31 @@ def kmeans_embeddings(sf_dir: str, *, k: int = 8, iters: int = 5):
     ).to_pandas().sort_values("vec_id")
     centroids = np.stack([np.asarray(v, dtype=np.float64)
                           for v in seed_tbl["embedding"]])
+    return _lloyd_rounds(sf_dir, centroids, k, iters)[1]
+
+
+def train_kmeans_centroids(sf_dir: str, *, k: int = 8,
+                           iters: int = 3) -> "np.ndarray":
+    """Run the same deterministic Lloyd rounds and return the (k × dim)
+    centroid matrix itself — the training half of SemDeDup / IVF."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    centroids = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in seed_tbl["embedding"]])
+    return _lloyd_rounds(sf_dir, centroids, k, iters)[0]
+
+
+def _lloyd_rounds(sf_dir: str, centroids, k: int, iters: int):
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
 
     def _partials_fn(cref):
         def _partials(batch: pd.DataFrame) -> pd.DataFrame:
@@ -387,7 +412,7 @@ def kmeans_embeddings(sf_dir: str, *, k: int = 8, iters: int = 5):
         nonempty = sizes > 0
         centroids[nonempty] = sums[nonempty] / sizes[nonempty, None]
 
-    return pd.DataFrame({
+    return centroids, pd.DataFrame({
         "cluster": np.arange(k, dtype=np.int64),
         "size": sizes,
         "inertia": np.round(inertia, 4),

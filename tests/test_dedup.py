@@ -136,6 +136,69 @@ def test_embedding_near_dup_matches_bruteforce(ray_session):
         assert abs(c - round(float(unit[ia] @ unit[ib]), 6)) <= 1e-6
 
 
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup keep-rule: a vector with an earlier near-identical
+    neighbor in the same cluster is pruned (dup_of = that neighbor);
+    cross-cluster near-dups are NOT compared."""
+    from ocr_agent_ray.pipelines.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((10, 16)).astype(np.float32)
+    vecs = list(base)
+    ids = list(range(10))
+    labels = [0] * 10
+    # 100 ~ 3, same cluster -> pruned, dup_of=3
+    vecs.append(base[3] + 0.001 * rng.standard_normal(16).astype(np.float32))
+    ids.append(100); labels.append(0)
+    # 101 ~ 4 but DIFFERENT cluster -> kept
+    vecs.append(base[4] + 0.001 * rng.standard_normal(16).astype(np.float32))
+    ids.append(101); labels.append(1)
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [v.astype(np.float32) for v in vecs],
+                       "label": pd.array(labels, dtype="int32")})
+    out = semantic_dedup(rd.from_pandas(df), threshold=0.99).to_pandas()
+    out = out.set_index("vec_id")
+    assert not out.loc[100, "keep"] and out.loc[100, "dup_of"] == 3
+    assert out.loc[101, "keep"] and pd.isna(out.loc[101, "dup_of"])
+    assert len(out) == len(df)  # one row per input vector
+
+
+def test_semantic_dedup_matches_pair_operator(ray_session):
+    """Cross-operator invariant on real testdata: keep(v) is False
+    exactly when v appears as vec_id_b in embedding_near_dup's pair set
+    at the same threshold and blocking key."""
+    from ocr_agent_ray.pipelines.dedup import semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    pairs = embedding_near_dup(emb, threshold=0.3).to_pandas()
+    kept = semantic_dedup(
+        rd.read_parquet(f"{sf}/embeddings.parquet"), threshold=0.3
+    ).to_pandas()
+    dropped = set(kept.loc[~kept["keep"], "vec_id"])
+    assert dropped == set(pairs["vec_id_b"])
+    # dup_of = the MINIMUM earlier near neighbor
+    first_nbr = pairs.groupby("vec_id_b")["vec_id_a"].min()
+    got = kept.loc[~kept["keep"]].set_index("vec_id")["dup_of"]
+    assert got.sort_index().astype("int64").equals(
+        first_nbr.sort_index().astype("int64").rename("dup_of"))
+
+
+def test_semantic_dedup_kmeans_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.dedup import semantic_dedup_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    a = semantic_dedup_kmeans(sf, threshold=0.3).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    b = semantic_dedup_kmeans(sf, threshold=0.3).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    nk = ~a["keep"]
+    assert (a.loc[nk, "dup_of"] < a.loc[nk, "vec_id"]).all()
+    assert a.loc[a["keep"], "dup_of"].isna().all()
+    assert nk.any()  # threshold 0.3 prunes something on this corpus
+
+
 def test_dedup_empty_inputs(ray_session):
     """Empty corpus flows through every dedup path without error."""
     import pandas as pd
