@@ -187,12 +187,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curation_funnel": _curation_funnel,
         "q_line_dedup": text.line_dedup,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
+        "q_chunk_documents": text.chunk_documents,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
         "q_price_bands": relational.price_band_lookup,
         "q_partition_checksums": relational.partition_checksums,
         "q_value_percent_rank": streaming.value_percent_rank,
+        "q_event_window_ranks": streaming.event_window_ranks,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
         "q_cube_counts": relational.cube_counts,
@@ -809,6 +811,18 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
         ),
+        "q_chunk_documents": (
+            # chunk i covers chars [i*150, i*150+200); n = max(1,
+            # ceil((len-50)/150)) — identical arithmetic to text.chunk_documents
+            "WITH n AS (SELECT doc_id, text, GREATEST(1, "
+            "CAST(CEIL((length(text) - 50) / 150.0) AS BIGINT)) AS n_chunks "
+            "FROM documents), "
+            "ex AS (SELECT doc_id, text, n_chunks, "
+            "unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM n) "
+            "SELECT doc_id, chunk_id, "
+            "substring(text, 1 + chunk_id * 150, 200) AS chunk_text, "
+            "n_chunks FROM ex"
+        ),
         "q_c4_clean": (
             "WITH l AS (SELECT doc_id, "
             "unnest(string_split(text, chr(10))) AS line, "
@@ -884,6 +898,14 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_event_window_ranks": (
+            "SELECT event_id, event_type, value, "
+            "ROW_NUMBER() OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS row_num, "
+            "RANK() OVER (PARTITION BY event_type ORDER BY value) AS rnk, "
+            "DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value) "
+            "AS dense_rnk FROM events"
         ),
         "q_media_manifest": (
             # the interleave adapter derives spans as a pure function of

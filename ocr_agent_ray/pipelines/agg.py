@@ -116,6 +116,73 @@ def ranged_global_rank(keyed, sort_cols: list[str], *,
                                                    batch_format="pandas")
 
 
+def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
+                             tiebreak_col: str):
+    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY part ORDER BY
+    value, tiebreak) without per-partition gathering — the window-function
+    family done range-parallel.
+
+    Like ranged_global_rank, ``keyed`` carries an int64 ``__rb`` range
+    column order-consistent with ``value_col``. A partition's rows are
+    spread across MANY ranges (so a hot partition never funnels into one
+    task); cross-range offsets per (range, partition) are the only driver
+    state: row counts fold via mergeable partials, distinct-value counts
+    via a per-batch drop_duplicates partial + per-range exact dedup (a
+    value always lands in exactly one range, so per-range distinct counts
+    sum cleanly). Ties never span ranges for the same reason.
+
+    Returns a Dataset with row_num / rnk / dense_rnk appended (int64)."""
+    stats = combine_partials_driver(keyed, ["__rb", part_col],
+                                    {"n": (value_col, "count")})
+
+    def _dvals(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["__rb", part_col, value_col]].drop_duplicates()
+
+    def _ndistinct(g: pd.DataFrame) -> pd.DataFrame:
+        nd = (g.drop_duplicates()
+               .groupby(part_col, sort=False).size().reset_index(name="nd"))
+        nd.insert(0, "__rb", g["__rb"].iloc[0])
+        return nd
+
+    nd_tbl = (keyed.map_batches(_dvals, batch_format="pandas",
+                                batch_size=65536)
+              .groupby("__rb").map_groups(_ndistinct, batch_format="pandas")
+              .to_pandas())
+
+    row_off: dict = {}
+    dense_off: dict = {}
+    for pk, sub in stats.groupby(part_col):
+        sub = sub.sort_values("__rb")
+        for rb, off in zip(sub["__rb"],
+                           sub["n"].cumsum().shift(1, fill_value=0)):
+            row_off[(int(rb), pk)] = int(off)
+    for pk, sub in nd_tbl.groupby(part_col):
+        sub = sub.sort_values("__rb")
+        for rb, off in zip(sub["__rb"],
+                           sub["nd"].cumsum().shift(1, fill_value=0)):
+            dense_off[(int(rb), pk)] = int(off)
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["__rb"].iloc[0])
+        parts = []
+        for pk, sub in g.groupby(part_col, sort=False):
+            sub = sub.sort_values([value_col, tiebreak_col],
+                                  kind="mergesort").reset_index(drop=True)
+            vals = sub[value_col].to_numpy()
+            ro = row_off[(rb, pk)]
+            first = np.searchsorted(vals, vals, side="left")
+            newv = np.r_[True, vals[1:] != vals[:-1]] if len(vals) else (
+                np.zeros(0, dtype=bool))
+            parts.append(sub.assign(
+                row_num=ro + np.arange(1, len(sub) + 1, dtype=np.int64),
+                rnk=ro + first + 1,
+                dense_rnk=dense_off[(rb, pk)] + np.cumsum(newv),
+            ))
+        return pd.concat(parts, ignore_index=True)
+
+    return keyed.groupby("__rb").map_groups(_rank, batch_format="pandas")
+
+
 def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
     """Distributed DISTINCT over ``cols``: bucket by the hash of the FULL
     row (identical rows land together, so per-bucket drop_duplicates is

@@ -410,6 +410,25 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def event_window_ranks(sf_dir: str, *, range_width: float = 8.0):
+    """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY event_type
+    ORDER BY value, event_id) — the per-partition window-rank family via
+    agg.ranged_partitioned_ranks: rows range-partition on value (a hot
+    event_type stays spread across all ranges), offsets per
+    (range, event_type) fold on the driver, ranks are vectorized
+    searchsorted/cumsum in-range."""
+    from ocr_agent_ray.pipelines.agg import ranged_partitioned_ranks
+
+    keyed = _read_events(sf_dir, ("event_id", "event_type", "value")).map_batches(
+        lambda b: b.assign(__rb=(b["value"] // range_width).astype("int64")),
+        batch_format="pandas", batch_size=65536)
+    ranked = ranged_partitioned_ranks(keyed, "event_type", "value", "event_id")
+    return ranked.map_batches(
+        lambda b: b[["event_id", "event_type", "value",
+                     "row_num", "rnk", "dense_rnk"]],
+        batch_format="pandas")
+
+
 def value_percent_rank(sf_dir: str, *, range_width: float = 8.0):
     """PERCENT_RANK() OVER (ORDER BY value, event_id) — the global-window
     rank for score normalization, computed with the range-partition +

@@ -597,6 +597,45 @@ def pack_sequences(sf_dir: str, *, budget: int = 256, group: int = 64):
     )
 
 
+def chunk_documents(sf_dir: str, *, chunk_chars: int = 200,
+                    overlap: int = 50):
+    """Fixed-size context chunking with overlap — the standard LLM
+    pre-training / RAG windowing op as a 1→N flat map. Chunk i of a doc
+    covers characters [i*stride, i*stride + chunk_chars) with
+    stride = chunk_chars - overlap; n_chunks = max(1,
+    ceil((len - overlap) / stride)) so the final chunk still reaches the
+    end of the text and every character is covered by >= 1 chunk.
+
+    Pure per-batch map, no shuffle: chunk counts/offsets are computed
+    vectorized (np.repeat + cumsum); only the final slice is a Python
+    comprehension over C-speed string slicing (variable per-row offsets
+    have no Arrow kernel). Output rows ~ input chars / stride — chunk
+    boundaries never cross batch edges, so blocks stay bounded."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+
+    def _chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].to_numpy()
+        lens = batch["text"].str.len().to_numpy(dtype=np.int64)
+        n = np.maximum(1, np.ceil((lens - overlap) / stride)).astype(np.int64)
+        doc_ids = np.repeat(batch["doc_id"].to_numpy(), n)
+        idx = np.arange(int(n.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(n) - n, n)
+        starts = idx * stride
+        rep = np.repeat(texts, n)
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "chunk_id": idx,
+            "chunk_text": [t[s:s + chunk_chars]
+                           for t, s in zip(rep, starts)],
+            "n_chunks": np.repeat(n, n),
+        })
+
+    return _read_documents(sf_dir).map_batches(
+        _chunk, batch_format="pandas", batch_size=8192)
+
+
 def c4_clean(sf_dir: str):
     """C4-style line-level cleaning per doc (clean_text + line counts +
     blocklist flags). Pure per-doc map — no shuffle; the whole C4 cleaning

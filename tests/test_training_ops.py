@@ -449,3 +449,50 @@ def test_line_dedup_hot_line_skew(ray_session, tmp_path):
     assert (rest["clean_text"] == [
         f"unique head {i}\nunique tail {i}" for i in range(1, n)]).all()
     assert int(got["n_kept_lines"].sum()) == 2 * n + 1
+
+
+def test_chunk_documents_covers_text(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x" * 199,            # just under one chunk
+                 "ab" * 250,           # 500 chars -> 3 chunks (stride 150)
+                 "short"],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = chunk_documents(sf).to_pandas().sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+    by_doc = {d: g for d, g in got.groupby("doc_id")}
+    assert len(by_doc[1]) == 1 and by_doc[1]["chunk_text"].iloc[0] == "x" * 199
+    assert len(by_doc[3]) == 1 and by_doc[3]["chunk_text"].iloc[0] == "short"
+    g2 = by_doc[2]
+    assert len(g2) == 3 and list(g2["n_chunks"]) == [3, 3, 3]
+    text = "ab" * 250
+    # chunk i = text[i*150 : i*150+200]; consecutive chunks overlap by 50
+    for i, row in g2.reset_index(drop=True).iterrows():
+        assert row["chunk_text"] == text[i * 150:i * 150 + 200]
+    # reassembly: chunk 0 + tail(150) of later chunks == original text prefix
+    rebuilt = g2["chunk_text"].iloc[0] + "".join(
+        c[50:] for c in g2["chunk_text"].iloc[1:])
+    assert rebuilt == text[:len(rebuilt)] and len(rebuilt) >= len(text)
+
+
+def test_event_window_ranks_planted_ties(ray_session, tmp_path):
+    """RANK keeps gaps and DENSE_RANK doesn't, partitions rank
+    independently, and ranks are correct when one partition's rows span
+    multiple value ranges."""
+    from ocr_agent_ray.pipelines.streaming import event_window_ranks
+
+    df = pd.DataFrame({
+        "event_id": range(1, 8),
+        "event_type": ["a", "a", "a", "a", "b", "b", "b"],
+        "value": [5.0, 5.0, 7.0, 30.0, 5.0, 9.0, 9.0],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = event_window_ranks(str(tmp_path), range_width=8.0).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    assert list(got["row_num"]) == [1, 2, 3, 4, 1, 2, 3]
+    assert list(got["rnk"]) == [1, 1, 3, 4, 1, 2, 2]
+    assert list(got["dense_rnk"]) == [1, 1, 2, 3, 1, 2, 2]
