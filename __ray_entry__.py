@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_dedup": text.line_dedup,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_chunk_documents": text.chunk_documents,
+        "q_winsorize_lengths": text.winsorize_doc_lengths,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
@@ -810,6 +811,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY source "
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
+        ),
+        "q_winsorize_lengths": (
+            "WITH q AS (SELECT source, "
+            "percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo, "
+            "percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars) AS hi "
+            "FROM documents GROUP BY source) "
+            "SELECT d.doc_id, d.source, d.n_chars, "
+            "ROUND(CAST(LEAST(GREATEST(d.n_chars, q.lo), q.hi) AS DOUBLE), 6) "
+            "AS winsorized FROM documents d JOIN q USING (source)"
         ),
         "q_chunk_documents": (
             # chunk i covers chars [i*150, i*150+200); n = max(1,

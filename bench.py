@@ -140,6 +140,10 @@ QUERY_NAMES = [
     "q_shuffle_order",
     "q_pack_sequences",
     "q_partition_checksums",
+    "q_semantic_dedup",
+    "q_chunk_documents",
+    "q_event_window_ranks",
+    "q_curation_funnel",
 ]
 
 

@@ -225,6 +225,17 @@ def _suffix_lower(path: str) -> str:
     return name[dot:].lower()
 
 
+def suffix_lower_series(paths) -> "pd.Series":
+    """Vectorized _suffix_lower over a path Series: lower-cased extension
+    WITH the dot, '' for dotfiles / extension-less names (rfind('.') <= 0
+    in the basename, same rule as the scalar)."""
+    import pandas as pd  # noqa: F811 (vectorized twin of _suffix_lower)
+
+    base = paths.str.rsplit("/", n=1).str[-1]
+    ext = ("." + base.str.rsplit(".", n=1).str[-1]).str.lower()
+    return ext.where(base.str.rfind(".") > 0, "")
+
+
 def is_supported_image_path(path: str) -> bool:
     return _suffix_lower(path) in SUPPORTED_IMAGE_EXTENSIONS
 

@@ -99,4 +99,7 @@ def sanitize_filenames(s: pd.Series) -> pd.Series:
 
 
 def mime_types(s: pd.Series) -> pd.Series:
-    return s.fillna("").map(infer_image_mime_type)
+    from ocr_agent_ray.functions.kernels import suffix_lower_series
+
+    ext = suffix_lower_series(s.fillna("")).str[1:]   # drop the dot
+    return ext.map(_MIME_BY_EXT).fillna("application/octet-stream")

@@ -59,22 +59,31 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30):
     keyed log; salt by day for pathological hot users).
     """
     gap = pd.Timedelta(minutes=gap_minutes)
+    num_buckets = 64
+
+    def _key(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.assign(
+            __b=(batch["user_id"] % num_buckets).astype("int32"))
 
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap).fillna(True)
+        # whole-bucket vectorization: ONE sort + diff/cumsum over every
+        # user in the bucket (a per-user map_groups pays ~10ms of pandas
+        # per-group overhead — 1000x the actual work at high user counts)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new = g["user_id"].ne(g["user_id"].shift()) | (g["ts"].diff() > gap)
         sid = new.cumsum()
-        out = g.groupby(sid).agg(
+        out = g.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         return out.reset_index(drop=True)
 
     return (
         _read_events(sf_dir, columns=("event_id", "ts", "user_id"))
-        .groupby("user_id")
+        .map_batches(_key, batch_format="pandas", batch_size=65536)
+        .groupby("__b")
         .map_groups(_sessions, batch_format="pandas")
     )
 
@@ -85,12 +94,19 @@ def last_event_per_user(sf_dir: str):
     event_id descending."""
 
     def _last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
-        return g[["user_id", "event_id", "ts", "event_type"]]
+        # whole-bucket: one sort, drop_duplicates(keep="last") == per-user
+        # max-(ts, event_id) row; a per-batch pre-reduction shrinks the
+        # shuffle to <= users-per-batch rows
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        keep = g.drop_duplicates("user_id", keep="last")
+        return keep[["user_id", "event_id", "ts", "event_type"]]
 
     return (
         _read_events(sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
-        .groupby("user_id")
+        .map_batches(lambda b: _last(b).assign(
+            __b=lambda d: (d["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
         .map_groups(_last, batch_format="pandas")
     )
 
@@ -235,16 +251,24 @@ def event_deltas(sf_dir: str):
     stay integer-with-null (not float) through Arrow."""
 
     def _delta(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        # whole-bucket: one sort over every user in the bucket; the diff
+        # at each user boundary is masked back to NULL
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
         out = g[["user_id", "event_id", "ts"]].copy()
         # keep the nullable-int Series (not .to_numpy(): that yields an
         # object array that Arrow re-types as double)
-        out["delta_us"] = g["ts"].astype("int64").diff().astype("Int64")
+        delta = g["ts"].astype("int64").diff().astype("Int64")
+        delta[g["user_id"].ne(g["user_id"].shift())] = pd.NA
+        out["delta_us"] = delta
         return out
 
     return (
         _read_events(sf_dir, ("event_id", "ts", "user_id"))
-        .groupby("user_id")
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
         .map_groups(_delta, batch_format="pandas")
     )
 
@@ -284,33 +308,39 @@ def view_purchase_funnel(sf_dir: str, *, within_minutes: int = 60):
     win_us = within_minutes * 60 * 1_000_000
 
     def _funnel(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].astype("int64")
-        views = us[g["event_type"] == "view"].to_numpy()
-        if not len(views):  # purchase-only users have no funnel entry
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "n_views": pd.Series(dtype="int64"),
-                                 "n_conversions": pd.Series(dtype="int64")})
-        buys = np.sort(us[g["event_type"] == "purchase"].to_numpy())
-        # a view converts iff any purchase lands in (view_ts, view_ts + w]
-        lo = np.searchsorted(buys, views, side="right")
-        hi = np.searchsorted(buys, views + win_us, side="right")
+        # whole-bucket: one sort; per user only two numpy searchsorteds
+        # (a per-user map_groups built one DataFrame per user)
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        is_view = (g["event_type"] == "view").to_numpy()
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(uid))
+        out_u, out_v, out_c = [], [], []
+        for i in range(len(users)):
+            s, e = bounds[i], bounds[i + 1]
+            views = us[s:e][is_view[s:e]]
+            if not len(views):  # purchase-only users have no funnel entry
+                continue
+            buys = us[s:e][~is_view[s:e]]   # ts-sorted within user
+            # a view converts iff any purchase lands in (view_ts, view_ts+w]
+            lo = np.searchsorted(buys, views, side="right")
+            hi = np.searchsorted(buys, views + win_us, side="right")
+            out_u.append(int(users[i]))
+            out_v.append(len(views))
+            out_c.append(int((hi > lo).sum()))
         return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_views": [int(len(views))],
-            "n_conversions": [int((hi > lo).sum())],
+            "user_id": pd.array(out_u, dtype="int64"),
+            "n_views": pd.array(out_v, dtype="int64"),
+            "n_conversions": pd.array(out_c, dtype="int64"),
         })
 
     ev = _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
     filtered = ev.map_batches(
-        lambda b: b[b["event_type"].isin(["view", "purchase"])],
-        batch_format="pandas")
-    out = filtered.groupby("user_id").map_groups(_funnel, batch_format="pandas")
-
-    def _typed(b: pd.DataFrame) -> pd.DataFrame:
-        return b.astype({"user_id": "int64", "n_views": "int64",
-                         "n_conversions": "int64"})
-
-    return out.map_batches(_typed, batch_format="pandas")
+        lambda b: b[b["event_type"].isin(["view", "purchase"])].assign(
+            __b=lambda d: (d["user_id"] % 64).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    return filtered.groupby("__b").map_groups(_funnel, batch_format="pandas")
 
 
 def daily_active_users(sf_dir: str):
@@ -394,18 +424,25 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     from ocr_agent_ray.functions.textstats import round_half_away
 
     def _roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort").reset_index(drop=True)
-        avg = g["value"].rolling(window, min_periods=1).mean()
+        # whole-bucket: one sort, C-speed groupby-rolling across all the
+        # bucket's users (per-user map_groups pays pandas per-group setup)
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        avg = (g.groupby("user_id", sort=False)["value"]
+               .rolling(window, min_periods=1).mean().to_numpy())
         return pd.DataFrame({
             "user_id": g["user_id"],
             "event_id": g["event_id"],
             "ts": g["ts"],
-            "avg7_value": round_half_away(avg.to_numpy(), 6),
+            "avg7_value": round_half_away(avg, 6),
         })
 
     return (
         _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
-        .groupby("user_id")
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
         .map_groups(_roll, batch_format="pandas")
     )
 

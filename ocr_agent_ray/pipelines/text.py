@@ -184,6 +184,52 @@ def chars_quantiles_by_source(sf_dir: str):
     )
 
 
+def winsorize_doc_lengths(sf_dir: str, *, lo: float = 0.05, hi: float = 0.95):
+    """Per-source winsorization (outlier clipping) of document length —
+    the robust-stats normalization step before length-based quality
+    filters. Two phases: (1) exact per-source p05/p95 via the same
+    groupby-quantile shape as chars_quantiles_by_source, collected to a
+    tiny (sources × 2) driver table; (2) a broadcast clip map over the
+    corpus (dict lookup per batch, no second shuffle). Linear
+    interpolation == DuckDB percentile_cont."""
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "lo": [float(np.quantile(v, lo))],
+            "hi": [float(np.quantile(v, hi))],
+        })
+
+    bounds = (
+        _read_documents(sf_dir, columns=("source", "n_chars"))
+        .groupby("source")
+        .map_groups(_q, batch_format="pandas")
+        .to_pandas()
+    )
+    lo_map = dict(zip(bounds["source"], bounds["lo"]))
+    hi_map = dict(zip(bounds["source"], bounds["hi"]))
+
+    def _clip(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["n_chars"].to_numpy(dtype=np.float64)
+        l = batch["source"].map(lo_map).to_numpy(dtype=np.float64)
+        h = batch["source"].map(hi_map).to_numpy(dtype=np.float64)
+        from ocr_agent_ray.functions.textstats import round_half_away
+
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            # round to 6: np.quantile and percentile_cont interpolate the
+            # same value up to float ulp, which rounding absorbs
+            "winsorized": round_half_away(np.clip(v, l, h), 6),
+        })
+
+    return _read_documents(
+        sf_dir, columns=("doc_id", "source", "n_chars")
+    ).map_batches(_clip, batch_format="pandas", batch_size=65536)
+
+
 def decontaminate(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97):
     """Training-set decontamination: drop docs sharing any word n-gram
     with a benchmark set (here: docs with doc_id % benchmark_mod == 0,

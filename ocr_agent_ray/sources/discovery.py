@@ -120,11 +120,15 @@ def build_manifest_dataset(input_paths: list[str]):
 
 def classify_paths_batch(batch: pd.DataFrame, path_col: str = "path") -> pd.DataFrame:
     """Vectorized classification of a path column (S3/S4 as a map stage)."""
-    paths = batch[path_col].fillna("")
+    from ocr_agent_ray.functions.kernels import (
+        SUPPORTED_IMAGE_EXTENSIONS,
+        SUPPORTED_PDF_EXTENSIONS,
+        suffix_lower_series,
+    )
+
+    suffix = suffix_lower_series(batch[path_col].fillna(""))
     batch = batch.copy()
-    batch["is_image"] = paths.map(is_supported_image_path)
-    batch["is_pdf"] = paths.map(is_supported_pdf_path)
     batch["kind"] = ""
-    batch.loc[batch["is_image"], "kind"] = "image"
-    batch.loc[batch["is_pdf"], "kind"] = "pdf"
-    return batch.drop(columns=["is_image", "is_pdf"])
+    batch.loc[suffix.isin(SUPPORTED_IMAGE_EXTENSIONS), "kind"] = "image"
+    batch.loc[suffix.isin(SUPPORTED_PDF_EXTENSIONS), "kind"] = "pdf"
+    return batch

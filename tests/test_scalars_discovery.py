@@ -195,3 +195,28 @@ def test_hive_partitioned_write_and_pruned_read(ray_session, tmp_path):
     one = rd.read_parquet(f"{out}/source={want_sources[0]}")
     full = pq.read_table(f"{sf}/documents.parquet", columns=["source"]).to_pandas()
     assert one.count() == int((full["source"] == want_sources[0]).sum())
+
+
+def test_vectorized_path_kernels_match_scalars():
+    """suffix_lower_series / mime_types are exact vectorized twins of the
+    per-path scalar functions (incl. dotfiles, trailing dots, no-ext)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.functions.kernels import (
+        _suffix_lower,
+        suffix_lower_series,
+    )
+    from ocr_agent_ray.functions.scalars import (
+        infer_image_mime_type,
+        mime_types,
+    )
+
+    rng = np.random.default_rng(0)
+    parts = ["a", "b.PNG", ".hidden", "x.y.JpG", "noext", "dir.d/file",
+             "f.pdf", "f.", "", ".", "..", "a..png", "q.tiff", "z.webm"]
+    paths = ["/".join(rng.choice(parts, size=rng.integers(1, 4)))
+             for _ in range(500)]
+    s = pd.Series(paths)
+    assert list(suffix_lower_series(s)) == [_suffix_lower(p) for p in paths]
+    assert list(mime_types(s)) == [infer_image_mime_type(p) for p in paths]
