@@ -93,6 +93,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return quantile_sketch(ev, "value")
 
+    def _quantile_sketch_by_type(sf_dir: str):
+        import ray.data as rd
+
+        from ocr_agent_ray.functions.sketch import quantile_sketch_by_key
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        return quantile_sketch_by_key(ev, "event_type", "value")
+
     def _curation_funnel(sf_dir: str):
         from ocr_agent_ray.pipelines.curate import curation_funnel
 
@@ -179,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_top_terms": text.tfidf_top_terms,
         "q_topk_sketch": _topk_sketch,       # rows-only (Misra-Gries sketch)
         "q_quantile_sketch": _quantile_sketch,  # rows-only (centroid digest)
+        "q_quantile_sketch_by_type": _quantile_sketch_by_type,  # rows-only
         "q_decontaminate_bloom": text.decontaminate_bloom,  # rows-only (bloom scale path)
         "q_doc_length_zscore": text.doc_length_zscore,
         "q_rare_word_docs": text.rare_word_docs,
@@ -189,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_chunk_documents": text.chunk_documents,
         "q_winsorize_lengths": text.winsorize_doc_lengths,
+        "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
@@ -811,6 +822,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY source "
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
+        ),
+        "q_top_collocations": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS tok, "
+            "generate_subscripts(regexp_extract_all(lower(text), "
+            "'[0-9a-z_]+'), 1) AS pos FROM documents), "
+            "uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu "
+            "FROM toks GROUP BY tok), "
+            "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks), "
+            "big AS (SELECT a.tok AS w1, b.tok AS w2, "
+            "CAST(COUNT(*) AS BIGINT) AS pair_count FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1, 2), "
+            "btot AS (SELECT CAST(SUM(pair_count) AS DOUBLE) AS nb FROM big) "
+            "SELECT w1, w2, pair_count, "
+            "ROUND(LN((pair_count / nb) / ((u1.cu / n) * (u2.cu / n))), 6) "
+            "AS pmi FROM big CROSS JOIN btot CROSS JOIN tot "
+            "JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok "
+            "WHERE pair_count >= 5 "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 15"
         ),
         "q_winsorize_lengths": (
             "WITH q AS (SELECT source, "

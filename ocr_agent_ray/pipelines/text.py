@@ -184,6 +184,102 @@ def chars_quantiles_by_source(sf_dir: str):
     )
 
 
+def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    (PMI) — the phrase-mining step of corpus analysis. Multi-stage
+    distributed shape:
+
+    1. per-batch partial counts: vectorized tokenize (str.findall), a
+       shift-compare pairs consecutive tokens within each doc, pandas
+       value_counts — one row per distinct unigram/bigram per batch;
+    2. two hash_partition_aggregate combines (vocab and bigram tables
+       never sit in one place);
+    3. two bucket_hash_joins rejoin unigram counts to the bigram table;
+    4. PMI = ln((c/NB) / ((c1/N)(c2/N))) vectorized, min_count filter,
+       per-batch partial top-k, tiny driver merge.
+
+    Totals N / NB fold from the aggregated count tables (materialized —
+    they are post-aggregation, bounded by vocab size not corpus size)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    docs = _read_documents(sf_dir, columns=("doc_id", "text"))
+
+    def _uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
+
+    def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        words = flat.to_numpy()
+        doc = flat.index.to_numpy()
+        if len(words) < 2:
+            return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        same = doc[1:] == doc[:-1]          # pairs never cross documents
+        pairs = pd.DataFrame({"w1": words[:-1][same], "w2": words[1:][same]})
+        counts = pairs.value_counts()
+        out = counts.index.to_frame(index=False)
+        out["c"] = counts.to_numpy()
+        return out
+
+    uni = hash_partition_aggregate(
+        docs.map_batches(_uni_partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")}).materialize()
+    big = hash_partition_aggregate(
+        docs.map_batches(_big_partial, batch_format="pandas"),
+        ["w1", "w2"], {"c": ("c", "sum")}).materialize()
+    n_uni = int(uni.sum("n"))
+    n_big = int(big.sum("c"))
+
+    u1 = uni.map_batches(
+        lambda b: b.rename(columns={"word": "w1", "n": "c1"}),
+        batch_format="pandas")
+    u2 = uni.map_batches(
+        lambda b: b.rename(columns={"word": "w2", "n": "c2"}),
+        batch_format="pandas")
+    s = pa.string()
+    j1 = bucket_hash_join(
+        big, u1, on="w1",
+        left_schema=pa.schema([("w1", s), ("w2", s), ("c", pa.int64())]),
+        right_schema=pa.schema([("w1", s), ("c1", pa.int64())]))
+    j2 = bucket_hash_join(
+        j1, u2, on="w2",
+        left_schema=pa.schema([("w1", s), ("w2", s), ("c", pa.int64()),
+                               ("c1", pa.int64())]),
+        right_schema=pa.schema([("w2", s), ("c2", pa.int64())]))
+
+    def _pmi_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["c"] >= min_count]
+        if not len(b):
+            return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "pair_count": pd.Series(dtype="int64"),
+                                 "pmi": pd.Series(dtype="float64")})
+        p_xy = b["c"].to_numpy(dtype=np.float64) / n_big
+        p_x = b["c1"].to_numpy(dtype=np.float64) / n_uni
+        p_y = b["c2"].to_numpy(dtype=np.float64) / n_uni
+        out = pd.DataFrame({
+            "w1": b["w1"], "w2": b["w2"],
+            "pair_count": b["c"].astype("int64"),
+            "pmi": round_half_away(np.log(p_xy / (p_x * p_y)), 6),
+        })
+        return out.sort_values(["pmi", "w1", "w2"],
+                               ascending=[False, True, True]).head(k)
+
+    tops = j2.map_batches(_pmi_topk, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    return (tops.sort_values(["pmi", "w1", "w2"],
+                             ascending=[False, True, True])
+            .head(k).reset_index(drop=True))
+
+
 def winsorize_doc_lengths(sf_dir: str, *, lo: float = 0.05, hi: float = 0.95):
     """Per-source winsorization (outlier clipping) of document length —
     the robust-stats normalization step before length-based quality

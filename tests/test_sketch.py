@@ -114,3 +114,36 @@ def test_hll_per_key_within_tolerance(ray_session):
     for _, row in got.iterrows():
         true = exact[row["event_type"]]
         assert abs(row["approx_distinct"] - true) <= max(2, 0.05 * true)
+
+
+def test_quantile_sketch_by_key_accuracy(ray_session):
+    """Per-key digest quantiles within 2% relative error of exact
+    per-key quantiles on the events table."""
+    import duckdb
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.sketch import quantile_sketch_by_key
+
+    sf = "/root/testdata/sf0.01"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "value"])
+    got = quantile_sketch_by_key(ev, "event_type", "value",
+                                 quantiles=(0.5, 0.9, 0.99))
+    exact = duckdb.sql(
+        "WITH g AS (SELECT event_type, "
+        "percentile_cont(0.5)  WITHIN GROUP (ORDER BY value) AS q50, "
+        "percentile_cont(0.9)  WITHIN GROUP (ORDER BY value) AS q90, "
+        "percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS q99 "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1) "
+        "SELECT event_type, 0.5 AS quantile, q50 AS exact_v FROM g "
+        "UNION ALL SELECT event_type, 0.9, q90 FROM g "
+        "UNION ALL SELECT event_type, 0.99, q99 FROM g").df()
+    m = got.merge(exact, on=["event_type", "quantile"])
+    assert len(m) == len(got) > 0
+    rel = ((m["value"] - m["exact_v"]).abs()
+           / m["exact_v"].abs().clip(lower=1e-9))
+    # the equal-weight digest has no tail-bias correction, so allow more
+    # slack at p99 (rank error ~ n/capacity concentrates in the tails)
+    tol = np.where(m["quantile"] >= 0.99, 0.05, 0.02)
+    assert (rel < tol).all(), m[rel >= tol]

@@ -194,3 +194,42 @@ def test_c4_line_filter_edge_cases():
     assert bool(out.loc[3, "has_lorem"])
     assert bool(out.loc[3, "has_javascript"])
     assert not bool(out.loc[2, "has_brace"])
+
+
+def test_top_collocations_planted(ray_session, tmp_path):
+    """'new york' occurs as an adjacent pair in every doc while both words
+    are rare elsewhere -> highest PMI; counts match a sequential oracle."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import top_collocations
+
+    rng = np.random.default_rng(5)
+    filler = "the of and to a in is it you that".split()
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(filler, size=30))
+        words[10:10] = ["new", "york"]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = top_collocations(str(tmp_path), k=5, min_count=5)
+    assert (got["w1"].iloc[0], got["w2"].iloc[0]) == ("new", "york")
+
+    # sequential oracle over the same corpus
+    uni = collections.Counter()
+    big = collections.Counter()
+    for t in df["text"]:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n, nb = sum(uni.values()), sum(big.values())
+    for _, r in got.iterrows():
+        c = big[(r["w1"], r["w2"])]
+        assert c == r["pair_count"]
+        pmi = math.log((c / nb) / ((uni[r["w1"]] / n) * (uni[r["w2"]] / n)))
+        assert abs(pmi - r["pmi"]) < 1e-6
