@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only (k-means clusters; invariants pytest-checked)
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
+        "q_embedding_norms": similarity.embedding_norms,
+        "q_token_entropy": text.token_entropy,
         "q_label_centroids": similarity.label_centroids,
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
@@ -822,6 +824,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY source "
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
+        ),
+        "q_embedding_norms": (
+            "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+            "ROUND(sqrt(list_sum(list_transform("
+            "CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm, "
+            "ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) "
+            "AS mean_v FROM embeddings"
+        ),
+        "q_token_entropy": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS tok "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS nd FROM cnt GROUP BY 1) "
+            "SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens, "
+            "t.nd AS n_distinct, "
+            "ROUND(-SUM((c / t.n) * LN(c / t.n)), 6) AS entropy "
+            "FROM cnt JOIN tot t USING (doc_id) GROUP BY t.doc_id, t.n, t.nd"
         ),
         "q_top_collocations": (
             "WITH toks AS (SELECT doc_id, "

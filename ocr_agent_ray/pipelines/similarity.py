@@ -260,6 +260,33 @@ def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
     )
 
 
+def embedding_norms(sf_dir: str):
+    """Per-vector L2 norm / mean — list-column compute parity (the
+    embedding-hygiene pass before cosine ops: zero-norm and out-of-scale
+    vectors surface here). Pure per-batch map: stack to a matrix, two
+    vectorized reductions, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _norms(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"],
+            "dim": np.full(len(batch), mat.shape[1], dtype=np.int64),
+            "l2_norm": round_half_away(np.sqrt((mat * mat).sum(axis=1)), 6),
+            "mean_v": round_half_away(mat.mean(axis=1), 6),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).map_batches(
+        _norms, batch_format="pandas")
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroids — the k-means/IVF training step as a
     vector aggregation: each batch stacks its vectors into one matrix and

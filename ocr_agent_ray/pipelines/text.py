@@ -184,6 +184,41 @@ def chars_quantiles_by_source(sf_dir: str):
     )
 
 
+def token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the lexical-diversity quality signal. Pure per-batch map, no shuffle:
+    explode tokens, count per (row, token) with one C-speed groupby,
+    entropy = -Σ p ln p vectorized. Docs with zero tokens are excluded
+    (same as the SQL side, where they produce no unnested rows)."""
+
+    def _entropy(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        if not len(flat):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "n_distinct": pd.Series(dtype="int64"),
+                                 "entropy": pd.Series(dtype="float64")})
+        cnt = (pd.DataFrame({"i": flat.index, "tok": flat.to_numpy()})
+               .groupby(["i", "tok"], sort=False).size())
+        n = cnt.groupby(level=0).transform("sum").to_numpy(dtype=np.float64)
+        p = cnt.to_numpy(dtype=np.float64) / n
+        ent = pd.Series(-(p * np.log(p)),
+                        index=cnt.index.get_level_values(0)).groupby(level=0).sum()
+        per_doc = cnt.groupby(level=0)
+        from ocr_agent_ray.functions.textstats import round_half_away
+        idx = ent.index.to_numpy()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].loc[idx].to_numpy(),
+            "n_tokens": per_doc.sum().to_numpy(dtype=np.int64),
+            "n_distinct": per_doc.size().to_numpy(dtype=np.int64),
+            "entropy": round_half_away(ent.to_numpy(), 6),
+        })
+
+    return _read_documents(sf_dir).map_batches(
+        _entropy, batch_format="pandas", batch_size=8192)
+
+
 def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
     """Top-k adjacent-bigram collocations by pointwise mutual information
     (PMI) — the phrase-mining step of corpus analysis. Multi-stage

@@ -233,3 +233,30 @@ def test_top_collocations_planted(ray_session, tmp_path):
         assert c == r["pair_count"]
         pmi = math.log((c / nb) / ((uni[r["w1"]] / n) * (uni[r["w2"]] / n)))
         assert abs(pmi - r["pmi"]) < 1e-6
+
+
+def test_token_entropy_known_values(ray_session, tmp_path):
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import token_entropy
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d",          # uniform over 4 -> ln(4)
+                 "x x x x",          # single token -> 0
+                 "a a b",            # -(2/3 ln 2/3 + 1/3 ln 1/3)
+                 "..."],             # no tokens -> excluded
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = token_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(got.index) == {1, 2, 3}
+    assert abs(got.loc[1, "entropy"] - math.log(4)) < 1e-6
+    assert got.loc[2, "entropy"] == 0.0
+    expected = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(got.loc[3, "entropy"] - expected) < 1e-6
+    assert got.loc[1, "n_tokens"] == 4 and got.loc[1, "n_distinct"] == 4
+    assert got.loc[2, "n_tokens"] == 4 and got.loc[2, "n_distinct"] == 1
