@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_partition_checksums": relational.partition_checksums,
         "q_value_percent_rank": streaming.value_percent_rank,
         "q_event_window_ranks": streaming.event_window_ranks,
+        "q_daily_counts_gapfilled": streaming.daily_counts_gapfilled,
+        "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
         "q_cube_counts": relational.cube_counts,
@@ -961,6 +963,28 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_daily_counts_gapfilled": (
+            "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1), "
+            "spine AS (SELECT unnest(generate_series("
+            "(SELECT MIN(day) FROM c), (SELECT MAX(day) FROM c), "
+            "INTERVAL 1 DAY)) AS day) "
+            "SELECT s.day, COALESCE(c.n_events, 0) AS n_events "
+            "FROM spine s LEFT JOIN c USING (day)"
+        ),
+        "q_trailing_week_active": (
+            "WITH p AS (SELECT DISTINCT "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id "
+            "FROM events), "
+            "b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p), "
+            "ex AS (SELECT p.day + i * INTERVAL 1 DAY AS report_day, "
+            "p.user_id FROM p, "
+            "(SELECT unnest(generate_series(0, 6)) AS i) t) "
+            "SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS wau FROM ex, b WHERE report_day BETWEEN b.lo AND b.hi "
+            "GROUP BY report_day"
         ),
         "q_event_window_ranks": (
             "SELECT event_id, event_type, value, "

@@ -10,6 +10,7 @@ pre-aggregate pattern (partials per batch, then a small groupby).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data as rd
@@ -362,6 +363,78 @@ def daily_active_users(sf_dir: str):
     out = combine_partials_driver(pairs, ["day"], {"dau": ("user_id", "count")})
     out["dau"] = out["dau"].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def daily_counts_gapfilled(sf_dir: str):
+    """Sparse → dense time series: event counts per calendar day with
+    missing days filled as zero (the gap-fill/densify ETL op). Counts
+    fold as mergeable partials; the dense day spine is generated on the
+    driver from the tiny (min_day, max_day) aggregate — spine length is
+    calendar span, never data size — and left-merged against the counts."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].dt.floor("D"),
+                             "event_id": batch["event_id"]})
+
+    counts = combine_partials_driver(
+        _read_events(sf_dir, ("ts", "event_id")).map_batches(
+            _day, batch_format="pandas", batch_size=65536),
+        ["day"], {"n_events": ("event_id", "count")})
+    spine = pd.DataFrame({
+        "day": pd.date_range(counts["day"].min(), counts["day"].max(),
+                             freq="D")})
+    out = spine.merge(counts, on="day", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype("int64")
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def trailing_week_active_users(sf_dir: str, *, window_days: int = 7):
+    """Rolling COUNT(DISTINCT) — users active in the trailing 7 days, per
+    day. Shape: dedup to distinct (day, user) pairs (bucketed, global),
+    flat-map each pair onto the ``window_days`` report days it supports
+    (a bounded ×7 row expansion of the already-deduped pairs, NOT of raw
+    events), then a second bucketed distinct + per-day partial count.
+    Report days are clamped to the observed [min_day, max_day] span."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": batch["ts"].dt.floor("D"),
+                             "user_id": batch["user_id"]})
+
+    pairs = distinct_rows(
+        _read_events(sf_dir, ("ts", "user_id")).map_batches(
+            _day, batch_format="pandas", batch_size=65536),
+        ["day", "user_id"], num_buckets=8,
+    ).materialize()
+
+    # min/max day: tiny driver fold over the deduped pairs
+    bounds = pairs.map_batches(
+        lambda b: pd.DataFrame({"lo": [b["day"].min()],
+                                "hi": [b["day"].max()]}),
+        batch_format="pandas").to_pandas()
+    lo, hi = bounds["lo"].min(), bounds["hi"].max()
+
+    def _expand(batch: pd.DataFrame) -> pd.DataFrame:
+        day = batch["day"].to_numpy().astype("datetime64[D]")
+        user = batch["user_id"].to_numpy()
+        rep_day = (np.repeat(day, window_days)
+                   + np.tile(np.arange(window_days), len(batch)))
+        rep_user = np.repeat(user, window_days)
+        keep = rep_day <= np.datetime64(hi, "D")
+        return pd.DataFrame({
+            "report_day": rep_day[keep].astype("datetime64[us]"),
+            "user_id": rep_user[keep]})
+
+    active = distinct_rows(
+        pairs.map_batches(_expand, batch_format="pandas", batch_size=65536),
+        ["report_day", "user_id"], num_buckets=8)
+    out = combine_partials_driver(active, ["report_day"],
+                                  {"wau": ("user_id", "count")})
+    out["wau"] = out["wau"].astype("int64")
+    out = out[out["report_day"] >= pd.Timestamp(lo)]
+    return out.sort_values("report_day").reset_index(drop=True)
 
 
 def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,

@@ -496,3 +496,37 @@ def test_event_window_ranks_planted_ties(ray_session, tmp_path):
     assert list(got["row_num"]) == [1, 2, 3, 4, 1, 2, 3]
     assert list(got["rnk"]) == [1, 1, 3, 4, 1, 2, 2]
     assert list(got["dense_rnk"]) == [1, 1, 2, 3, 1, 2, 2]
+
+
+def test_daily_counts_gapfilled_planted_gap(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.streaming import daily_counts_gapfilled
+
+    ts = pd.to_datetime(["2024-01-01 03:00", "2024-01-01 17:00",
+                         "2024-01-04 09:00"]).astype("datetime64[us]")
+    df = pd.DataFrame({"event_id": [1, 2, 3], "ts": ts,
+                       "user_id": [1, 2, 3], "event_type": ["a"] * 3,
+                       "value": [1.0] * 3, "props": ["{}"] * 3})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = daily_counts_gapfilled(str(tmp_path))
+    assert list(got["n_events"]) == [2, 0, 0, 1]   # Jan 2+3 filled as zero
+    assert got["day"].dt.day.tolist() == [1, 2, 3, 4]
+
+
+def test_trailing_week_active_matches_pandas_oracle(ray_session):
+    from ocr_agent_ray.pipelines.streaming import trailing_week_active_users
+
+    sf = "/root/testdata/sf0.001"
+    got = trailing_week_active_users(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["ts", "user_id"])
+    pairs = (ev.assign(day=ev["ts"].dt.floor("D"))[["day", "user_id"]]
+             .drop_duplicates())
+    days = pd.date_range(pairs["day"].min(), pairs["day"].max(), freq="D")
+    want = {
+        d: pairs.loc[(pairs["day"] > d - pd.Timedelta(days=7))
+                     & (pairs["day"] <= d), "user_id"].nunique()
+        for d in days
+    }
+    assert len(got) == len(days)
+    for _, r in got.iterrows():
+        assert want[r["report_day"]] == r["wau"], r
