@@ -222,11 +222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only (iterative algorithm)
         "q_hash_sample": relational_hash_sample,
         "q_stratified_sample": relational.stratified_sample_documents,
+        "q_budget_sample": relational.budget_sample_by_source,
         "q_top_words": relational.top_words,
         "q_rollup_counts": relational.rollup_counts,
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
+        "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
             dedup.ngram_jaccard_all_pairs(_docs(sf))
         ),
@@ -659,6 +661,25 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b) "
             "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id"
+        ),
+        "q_budget_sample": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "QUALIFY SUM(n_chars) OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 4000"
+        ),
+        "q_ngram_dedup_apply": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
+            "edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT a, a FROM edges"
+            "  UNION"
+            "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b), "
+            "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id "
+            "FROM reach GROUP BY id) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+            "WHERE cl.doc_id IS NULL OR cl.doc_id = cl.cluster_id"
         ),
         "q_props_key_stats": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -512,6 +512,30 @@ def semantic_dedup_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
     return assigned.groupby("cluster").map_groups(kern, batch_format="pandas")
 
 
+def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
+    """End-to-end near-dup dedup APPLICATION: exact n-gram Jaccard pairs
+    → connected components → keep one representative (the component's
+    min doc_id) → emit the surviving corpus rows. The whole chain is
+    SQL-checkable because the exact-Jaccard pair oracle composes with the
+    recursive-CTE component oracle.
+
+    Scale shape: the cluster table is bounded by the number of DOCS THAT
+    HAVE A NEAR-DUP (not corpus size), so the drop set rides a broadcast
+    anti filter; swap for a bucketed anti join if a corpus ever has a
+    majority of its docs in dup clusters."""
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+    from ocr_agent_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    clusters = duplicate_clusters(pairs)
+    cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
+    drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"]
+
+    out = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return broadcast_semi_filter(out, drop, "doc_id", keep=False)
+
+
 def duplicate_clusters(pairs_ds, *, max_rounds: int = 50,
                        driver_max_edges: int = 2_000_000):
     """Connected components over near-dup pairs: (doc_id, cluster_id) with

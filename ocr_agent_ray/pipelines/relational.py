@@ -489,6 +489,61 @@ def shuffle_order(sf_dir: str, *, seed: str = "42", num_ranges: int = 256):
                               batch_format="pandas")
 
 
+def budget_sample_by_source(sf_dir: str, *, budget_chars: int = 4000,
+                            num_ranges: int = 64):
+    """Token-budget mixture construction: per source, take docs in
+    deterministic md5-hash order until the cumulative character budget is
+    reached (cumsum INCLUDING the current doc must stay ≤ budget) — the
+    distributed form of QUALIFY SUM(n_chars) OVER (PARTITION BY source
+    ORDER BY hash) <= B.
+
+    Same range-parallel prefix-sum machinery as shuffle_order, but the
+    driver folds per-(range, source) CHARACTER SUMS instead of row
+    counts: a source's docs stay spread across all hash ranges (no
+    per-source gather), and the only driver state is ranges × sources
+    running totals."""
+    import hashlib
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _key(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch["doc_id"]]
+        rb = np.fromiter((int(k[:2], 16) for k in keys), dtype=np.int64,
+                         count=len(keys))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"], "source": batch["source"],
+            "n_chars": batch["n_chars"], "__key": keys,
+            "__rb": rb * num_ranges // 256,
+        })
+
+    keyed = read_table(sf_dir, "documents",
+                       ["doc_id", "source", "n_chars"]).map_batches(
+        _key, batch_format="pandas", batch_size=65536)
+
+    stats = combine_partials_driver(keyed, ["__rb", "source"],
+                                    {"chars": ("n_chars", "sum")})
+    offsets: dict = {}
+    for src, sub in stats.groupby("source"):
+        sub = sub.sort_values("__rb")
+        for rb, off in zip(sub["__rb"],
+                           sub["chars"].cumsum().shift(1, fill_value=0)):
+            offsets[(int(rb), src)] = int(off)
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["__rb"].iloc[0])
+        parts = []
+        for src, sub in g.groupby("source", sort=False):
+            sub = sub.sort_values(["__key", "doc_id"], kind="mergesort")
+            cum = sub["n_chars"].cumsum() + offsets[(rb, src)]
+            parts.append(sub[cum <= budget_chars])
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else g.iloc[0:0])
+        return out[["doc_id", "source", "n_chars"]]
+
+    return keyed.groupby("__rb").map_groups(_cut, batch_format="pandas")
+
+
 def length_ntile(sf_dir: str, *, k: int = 4, range_width: int = 64):
     """NTILE(k) over (n_chars, doc_id) — equal-frequency length buckets
     for curriculum/bucketed batching. Same distributed-rank machinery as

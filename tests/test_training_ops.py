@@ -530,3 +530,43 @@ def test_trailing_week_active_matches_pandas_oracle(ray_session):
     assert len(got) == len(days)
     for _, r in got.iterrows():
         assert want[r["report_day"]] == r["wau"], r
+
+
+def test_budget_sample_maximal_per_source(ray_session):
+    from ocr_agent_ray.pipelines.relational import budget_sample_by_source
+
+    sf = "/root/testdata/sf0.001"
+    budget = 4000
+    got = budget_sample_by_source(sf, budget_chars=budget).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+    docs["key"] = [hashlib.md5(str(i).encode()).hexdigest()
+                   for i in docs["doc_id"]]
+    for src, sub in docs.groupby("source"):
+        sub = sub.sort_values(["key", "doc_id"])
+        keep = sub[sub["n_chars"].cumsum() <= budget]
+        mine = got[got["source"] == src]
+        assert set(mine["doc_id"]) == set(keep["doc_id"]), src
+        assert mine["n_chars"].sum() <= budget
+
+
+def test_ngram_dedup_apply_keeps_representatives(ray_session):
+    from ocr_agent_ray.pipelines.dedup import (
+        duplicate_clusters,
+        ngram_dedup_apply,
+        ngram_jaccard_all_pairs,
+    )
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    clusters = duplicate_clusters(ngram_jaccard_all_pairs(docs))
+    cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
+    survivors = set(ngram_dedup_apply(sf).to_pandas()["doc_id"])
+    all_ids = set(pd.read_parquet(f"{sf}/documents.parquet",
+                                  columns=["doc_id"])["doc_id"])
+    reps = set(cl.loc[cl["doc_id"] == cl["cluster_id"], "doc_id"])
+    members = set(cl["doc_id"])
+    assert survivors == (all_ids - members) | reps
+    assert len(members - reps) > 0          # something was actually dropped
