@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_embedding_norms": similarity.embedding_norms,
         "q_token_entropy": text.token_entropy,
+        "q_email_domains": text.email_domain_counts,
+        "q_embedding_covariance": similarity.embedding_covariance,
         "q_label_centroids": similarity.label_centroids,
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
@@ -847,6 +849,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY source "
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
+        ),
+        "q_email_domains": (
+            "WITH m AS (SELECT unnest(regexp_extract_all(text, "
+            "'[0-9A-Za-z._%+-]+@([0-9A-Za-z.-]+\\.[A-Za-z]{2,})', 1)) "
+            "AS d FROM documents) "
+            "SELECT lower(d) AS domain, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM m GROUP BY 1"
+        ),
+        "q_embedding_covariance": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "a AS (SELECT vec_id, unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS i FROM e), "
+            "b AS (SELECT vec_id, unnest(v) AS y, "
+            "generate_subscripts(v, 1) AS j FROM e) "
+            "SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j, "
+            "ROUND(AVG(a.x * b.y) - AVG(a.x) * AVG(b.y), 6) AS cov "
+            "FROM a JOIN b USING (vec_id) GROUP BY a.i, b.j"
         ),
         "q_embedding_norms": (
             "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "

@@ -287,6 +287,57 @@ def embedding_norms(sf_dir: str):
         _norms, batch_format="pandas")
 
 
+def embedding_covariance(sf_dir: str):
+    """Covariance matrix of the embedding columns — the distributed
+    linear-algebra fold behind whitening / PCA preprocessing: each batch
+    contributes (Σx, Σ x xᵀ, n) partials (one matmul per batch); the
+    driver combines k·(dim² + dim) floats regardless of corpus size.
+    Emitted long-form (i, j, cov) with 1-based dims so the SQL oracle can
+    express it via double unnest; population covariance (divide by n)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        return pd.DataFrame({
+            "xtx": [(mat.T @ mat).tobytes()],
+            "xsum": [mat.sum(axis=0).tobytes()],
+            "n": [len(mat)],
+            "dim": [mat.shape[1]],
+        })
+
+    xtx = None
+    xsum = None
+    n = 0
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    for b in ds.map_batches(_partial, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for tb, sb, bn, dim in zip(b["xtx"], b["xsum"], b["n"], b["dim"]):
+            t = np.frombuffer(tb, np.float64).reshape(dim, dim)
+            s = np.frombuffer(sb, np.float64)
+            xtx = t if xtx is None else xtx + t
+            xsum = s if xsum is None else xsum + s
+            n += int(bn)
+
+    mean = xsum / n
+    cov = xtx / n - np.outer(mean, mean)
+    d = len(mean)
+    ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                         indexing="ij")
+    return pd.DataFrame({
+        "i": ii.ravel().astype("int64"),
+        "j": jj.ravel().astype("int64"),
+        "cov": round_half_away(cov.ravel(), 6),
+    })
+
+
 def label_centroids(sf_dir: str):
     """Per-label embedding centroids — the k-means/IVF training step as a
     vector aggregation: each batch stacks its vectors into one matrix and

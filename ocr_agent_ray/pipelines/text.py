@@ -184,6 +184,31 @@ def chars_quantiles_by_source(sf_dir: str):
     )
 
 
+def email_domain_counts(sf_dir: str):
+    """Frequency table of email DOMAINS found in document text — the
+    PII-audit companion to scrub_pii (same RE2-safe email pattern, with a
+    capture group on the domain). Per-batch vectorized findall +
+    value_counts partials, small-key driver combine (domain cardinality
+    is bounded); flip to hash_partition_aggregate if a corpus ever has
+    web-scale domain cardinality."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    pat = r"[0-9A-Za-z._%+-]+@([0-9A-Za-z.-]+\.[A-Za-z]{2,})"
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        doms = (batch["text"].fillna("").str.findall(pat)
+                .explode().dropna().str.lower())
+        counts = doms.value_counts()
+        return pd.DataFrame({"domain": counts.index,
+                             "n": counts.to_numpy()})
+
+    out = combine_partials_driver(
+        _read_documents(sf_dir).map_batches(_partial, batch_format="pandas"),
+        ["domain"], {"n": ("n", "sum")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def token_entropy(sf_dir: str):
     """Per-document Shannon entropy of the token distribution (nats) —
     the lexical-diversity quality signal. Pure per-batch map, no shuffle:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -69,3 +70,19 @@ def test_kmeans_inertia_decreases_and_partitions(ray_session):
     again = kmeans_embeddings(sf, k=4, iters=5)
     assert list(five["size"]) == list(again["size"])
     assert np.allclose(five["inertia"], again["inertia"], atol=1e-4)
+
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    from ocr_agent_ray.pipelines.similarity import embedding_covariance
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_covariance(sf)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")["embedding"]
+    mat = np.stack([np.asarray(v, dtype=np.float32) for v in emb]).astype(
+        np.float64)
+    want = np.cov(mat, rowvar=False, bias=True)   # population covariance
+    d = mat.shape[1]
+    assert len(got) == d * d
+    grid = got.pivot(index="i", columns="j", values="cov").to_numpy()
+    assert np.allclose(grid, want, atol=1e-6)
+    assert np.allclose(grid, grid.T, atol=1e-12)  # symmetric

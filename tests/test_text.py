@@ -260,3 +260,22 @@ def test_token_entropy_known_values(ray_session, tmp_path):
     assert abs(got.loc[3, "entropy"] - expected) < 1e-6
     assert got.loc[1, "n_tokens"] == 4 and got.loc[1, "n_distinct"] == 4
     assert got.loc[2, "n_tokens"] == 4 and got.loc[2, "n_distinct"] == 1
+
+
+def test_email_domain_counts_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import email_domain_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["contact Bob@Example.COM or alice@mail.example.org now",
+                 "x bob@example.com y carol@test.net",
+                 "no addresses here @ not-an-email"],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = email_domain_counts(str(tmp_path)).set_index("domain")["n"]
+    assert got.to_dict() == {"example.com": 2, "mail.example.org": 1,
+                             "test.net": 1}
