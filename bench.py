@@ -144,6 +144,13 @@ QUERY_NAMES = [
     "q_chunk_documents",
     "q_event_window_ranks",
     "q_curation_funnel",
+    "q_token_entropy",
+    "q_top_collocations",
+    "q_winsorize_lengths",
+    "q_trailing_week_active",
+    "q_budget_sample",
+    "q_ngram_dedup_apply",
+    "q_embedding_covariance",
 ]
 
 

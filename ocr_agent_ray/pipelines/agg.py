@@ -149,6 +149,9 @@ def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
               .groupby("__rb").map_groups(_ndistinct, batch_format="pandas")
               .to_pandas())
 
+    if nd_tbl.empty:          # empty input: map_groups emits no columns
+        nd_tbl = pd.DataFrame(columns=["__rb", part_col, "nd"])
+
     row_off: dict = {}
     dense_off: dict = {}
     for pk, sub in stats.groupby(part_col):

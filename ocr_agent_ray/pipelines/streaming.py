@@ -381,6 +381,9 @@ def daily_counts_gapfilled(sf_dir: str):
         _read_events(sf_dir, ("ts", "event_id")).map_batches(
             _day, batch_format="pandas", batch_size=65536),
         ["day"], {"n_events": ("event_id", "count")})
+    if counts.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="datetime64[us]"),
+                             "n_events": pd.Series(dtype="int64")})
     spine = pd.DataFrame({
         "day": pd.date_range(counts["day"].min(), counts["day"].max(),
                              freq="D")})
@@ -532,11 +535,14 @@ def event_window_ranks(sf_dir: str, *, range_width: float = 8.0):
     keyed = _read_events(sf_dir, ("event_id", "event_type", "value")).map_batches(
         lambda b: b.assign(__rb=(b["value"] // range_width).astype("int64")),
         batch_format="pandas", batch_size=65536)
+    cols = ["event_id", "event_type", "value",
+            "row_num", "rnk", "dense_rnk"]
+    empty = pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+        cols, ["int64", "object", "float64", "int64", "int64", "int64"])})
+
     ranked = ranged_partitioned_ranks(keyed, "event_type", "value", "event_id")
     return ranked.map_batches(
-        lambda b: b[["event_id", "event_type", "value",
-                     "row_num", "rnk", "dense_rnk"]],
-        batch_format="pandas")
+        lambda b: b[cols] if len(b) else empty, batch_format="pandas")
 
 
 def value_percent_rank(sf_dir: str, *, range_width: float = 8.0):

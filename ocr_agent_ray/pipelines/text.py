@@ -363,8 +363,11 @@ def winsorize_doc_lengths(sf_dir: str, *, lo: float = 0.05, hi: float = 0.95):
         .map_groups(_q, batch_format="pandas")
         .to_pandas()
     )
-    lo_map = dict(zip(bounds["source"], bounds["lo"]))
-    hi_map = dict(zip(bounds["source"], bounds["hi"]))
+    if bounds.empty:          # empty input: map_groups emits no columns
+        lo_map, hi_map = {}, {}
+    else:
+        lo_map = dict(zip(bounds["source"], bounds["lo"]))
+        hi_map = dict(zip(bounds["source"], bounds["hi"]))
 
     def _clip(batch: pd.DataFrame) -> pd.DataFrame:
         v = batch["n_chars"].to_numpy(dtype=np.float64)

@@ -570,3 +570,56 @@ def test_ngram_dedup_apply_keeps_representatives(ray_session):
     members = set(cl["doc_id"])
     assert survivors == (all_ids - members) | reps
     assert len(members - reps) > 0          # something was actually dropped
+
+
+def test_new_ops_empty_inputs(ray_session, tmp_path):
+    """Empty documents/events/embeddings tables flow through the
+    fourth-session operators without error."""
+    from ocr_agent_ray.pipelines.relational import budget_sample_by_source
+    from ocr_agent_ray.pipelines.similarity import embedding_norms
+    from ocr_agent_ray.pipelines.streaming import (
+        daily_counts_gapfilled,
+        event_window_ranks,
+        sessionize,
+    )
+    from ocr_agent_ray.pipelines.text import (
+        chunk_documents,
+        email_domain_counts,
+        token_entropy,
+        winsorize_doc_lengths,
+    )
+
+    docs = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                         "text": pd.Series(dtype="object"),
+                         "lang": pd.Series(dtype="object"),
+                         "source": pd.Series(dtype="object"),
+                         "n_chars": pd.Series(dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    ev = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                       "ts": pd.Series(dtype="datetime64[us]"),
+                       "user_id": pd.Series(dtype="int64"),
+                       "event_type": pd.Series(dtype="object"),
+                       "value": pd.Series(dtype="float64"),
+                       "props": pd.Series(dtype="object")})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    emb = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                        "embedding": pd.Series(dtype="object"),
+                        "label": pd.Series(dtype="int32")})
+    pq.write_table(
+        pa.Table.from_pandas(emb, preserve_index=False).cast(
+            pa.schema([("vec_id", pa.int64()),
+                       ("embedding", pa.list_(pa.float32())),
+                       ("label", pa.int32())])),
+        str(tmp_path / "embeddings.parquet"))
+
+    sf = str(tmp_path)
+    for fn in [chunk_documents, token_entropy, email_domain_counts,
+               winsorize_doc_lengths, budget_sample_by_source,
+               sessionize, event_window_ranks, daily_counts_gapfilled]:
+        out = fn(sf)
+        n = len(out) if isinstance(out, pd.DataFrame) else out.count()
+        assert n == 0, (fn.__name__, n)
+    out = embedding_norms(sf)
+    assert out.count() == 0
