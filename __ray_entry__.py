@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corr_qty_price": relational.corr_qty_price,
         "q_mode_segment_by_nation": relational.mode_segment_by_nation,
         "q_orders_status_pivot": relational.orders_status_pivot,
+        "q_orders_status_unpivot": relational.orders_status_unpivot,
         "q_weekday_orders": relational.weekday_order_counts,
         "q_urgent_customers": relational.urgent_customers,
         "q_props_key_stats": relational.props_key_stats,
@@ -208,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_percent_rank": streaming.value_percent_rank,
         "q_event_window_ranks": streaming.event_window_ranks,
         "q_daily_counts_gapfilled": streaming.daily_counts_gapfilled,
+        "q_event_transitions": streaming.event_transitions,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -627,6 +629,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY COUNT(*) DESC, c_mktsegment) AS rn "
             "FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1"
         ),
+        "q_orders_status_unpivot": (
+            "SELECT o_orderpriority, s.status, "
+            "CAST(COUNT(*) FILTER (WHERE o_orderstatus = s.status) "
+            "AS BIGINT) AS n FROM orders "
+            "CROSS JOIN (SELECT unnest(['F', 'O', 'P']) AS status) s "
+            "GROUP BY 1, 2"
+        ),
         "q_orders_status_pivot": (
             "SELECT o_orderpriority, "
             "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, "
@@ -1004,6 +1013,14 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_type, event_type AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2"
         ),
         "q_daily_counts_gapfilled": (
             "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "

@@ -928,6 +928,22 @@ def orders_status_pivot(sf_dir: str):
     return out
 
 
+def orders_status_unpivot(sf_dir: str):
+    """UNPIVOT: the wide pivot table melted back to long
+    (o_orderpriority, status, n) — wide→long is a pure per-row reshape,
+    so it rides the pivot's partial-combine output (a |priorities|-row
+    table) and a vectorized pd.melt; no extra shuffle."""
+    wide = orders_status_pivot(sf_dir)
+    long = wide.melt(
+        id_vars=["o_orderpriority"],
+        value_vars=["n_f", "n_o", "n_p"],
+        var_name="status", value_name="n")
+    long["status"] = long["status"].str[-1].str.upper()
+    long["n"] = long["n"].astype("int64")
+    return long.sort_values(["o_orderpriority", "status"]).reset_index(
+        drop=True)
+
+
 def weekday_order_counts(sf_dir: str):
     """Date-part extraction + grouped count: orders per ISO weekday
     (Mon=1..Sun=7), the date-scalar-function family (§2.8) vectorized via

@@ -365,6 +365,43 @@ def daily_active_users(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov/sequence-mining
+    matrix: how often does a 'view' lead to a 'purchase'?). Same bucketed
+    whole-bucket shape as the window family: ONE sort per bucket, a shift
+    compare pairs consecutive events within each user, pandas
+    value_counts folds the bucket's transitions; tiny per-bucket partial
+    tables combine on the driver (|event_type|² keys)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        pairs = pd.DataFrame({
+            "prev_type": g["event_type"].shift()[same],
+            "next_type": g["event_type"][same],
+        })
+        if pairs.empty:
+            return pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                                 "next_type": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        counts = pairs.value_counts()
+        out = counts.index.to_frame(index=False)
+        out["n"] = counts.to_numpy()
+        return out
+
+    keyed = _read_events(
+        sf_dir, ("event_id", "ts", "user_id", "event_type")
+    ).map_batches(lambda b: b.assign(
+        __b=(b["user_id"] % 64).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    partials = keyed.groupby("__b").map_groups(_trans, batch_format="pandas")
+    out = combine_partials_driver(partials, ["prev_type", "next_type"],
+                                  {"n": ("n", "sum")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def daily_counts_gapfilled(sf_dir: str):
     """Sparse → dense time series: event counts per calendar day with
     missing days filled as zero (the gap-fill/densify ETL op). Counts

@@ -623,3 +623,25 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
         assert n == 0, (fn.__name__, n)
     out = embedding_norms(sf)
     assert out.count() == 0
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.streaming import event_transitions
+
+    ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01",
+                         "2024-01-01 00:02", "2024-01-01 00:00",
+                         "2024-01-01 00:05"]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": ts,
+        "user_id": [7, 7, 7, 9, 9],
+        "event_type": ["view", "view", "purchase", "view", "error"],
+        "value": [0.0] * 5, "props": ["{}"] * 5,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = event_transitions(str(tmp_path))
+    want = {("view", "view"): 1, ("view", "purchase"): 1,
+            ("view", "error"): 1}
+    assert {(r["prev_type"], r["next_type"]): r["n"]
+            for _, r in got.iterrows()} == want
