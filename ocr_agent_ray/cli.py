@@ -172,6 +172,50 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline (`__ray_entry__.queries()` name) over a
+    testdata directory and print rows (JSONL) or write parquet — the
+    generic query entry point so a reference user can run every pipeline
+    from the CLI."""
+    import importlib.util
+    import os
+
+    _ray_init(args.num_cpus)
+    import pandas as pd
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(here, "__ray_entry__.py"))
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+    qs = entrymod.queries()
+    if args.name == "list":
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown query {args.name!r}; "
+                          "run `query list`"}))
+        return 2
+    res = qs[args.name](args.sf_dir)
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    if args.output:
+        df.to_parquet(args.output, index=False)
+        print(json.dumps({"query": args.name, "rows": len(df),
+                          "output": args.output}))
+    else:
+        head = df.head(args.limit)
+        print(head.to_json(orient="records", lines=True,
+                           date_format="iso"))
+        if len(df) > args.limit:
+            print(f"... {len(df) - args.limit} more rows "
+                  f"(use --output to write all)", flush=True)
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ocr-agent-ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -225,6 +269,16 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--output-md", required=True)
     m.add_argument("--num-cpus", type=int, default=None)
     m.set_defaults(fn=cmd_merge)
+
+    q = sub.add_parser("query")
+    q.add_argument("name", help="query name from __ray_entry__.queries(), "
+                   "or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--output", default=None,
+                   help="write full result as parquet instead of printing")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

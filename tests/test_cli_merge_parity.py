@@ -36,3 +36,36 @@ def test_cli_merge_matches_oracle_bytes(ray_session, tmp_path):
 
     golden = oracle_merged_markdown(table.to_pylist(), MockOcrEngine())
     assert merged == golden
+
+
+def test_cli_query_subcommand(tmp_path):
+    """`cli query` runs a registered pipeline in a subprocess (own Ray
+    session, non-repo cwd) and prints JSONL / writes parquet."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "ocr_agent_ray.cli", "query",
+         "q_status_counts", "--sf-dir", "/root/testdata/sf0.001",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()
+            if l.startswith("{")]
+    assert rows and {"event_type", "n"} <= set(rows[0])
+
+    pq_path = str(tmp_path / "res.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "ocr_agent_ray.cli", "query",
+         "q_mean_value_by_type", "--sf-dir", "/root/testdata/sf0.001",
+         "--num-cpus", "4", "--output", pq_path],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import pandas as pd
+
+    assert len(pd.read_parquet(pq_path)) > 0
