@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_window_ranks": streaming.event_window_ranks,
         "q_daily_counts_gapfilled": streaming.daily_counts_gapfilled,
         "q_event_transitions": streaming.event_transitions,
+        "q_trailing_hour_sum": streaming.trailing_hour_value_sum,
+        "q_q6_revenue": relational.q6_revenue,
+        "q_customer_order_distribution": relational.customer_order_distribution,
+        "q_large_orders": relational.large_orders,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1013,6 +1017,33 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_trailing_hour_sum": (
+            "SELECT event_id, user_id, ts, "
+            "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
+            "AS trailing_sum FROM events"
+        ),
+        "q_q6_revenue": (
+            "SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) "
+            "AS DOUBLE), 4) AS revenue FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q_customer_order_distribution": (
+            "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) "
+            "AS c_count FROM customer c "
+            "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1) GROUP BY c_count"
+        ),
+        "q_large_orders": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "s.total_qty FROM (SELECT l_orderkey, SUM(l_quantity) "
+            "AS total_qty FROM lineitem GROUP BY 1 "
+            "HAVING SUM(l_quantity) > 180.0) s "
+            "JOIN orders o ON o.o_orderkey = s.l_orderkey"
         ),
         "q_event_transitions": (
             "WITH s AS (SELECT user_id, event_type, "

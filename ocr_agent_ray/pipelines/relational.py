@@ -280,6 +280,112 @@ def orders_in_range_by_priority(sf_dir: str):
     )
 
 
+def q6_revenue(sf_dir: str):
+    """TPC-H Q6 shape: fully-pushed-down selective aggregate — date
+    range + discount band + quantity cap pushed into the parquet read
+    (row-group pruning), one vectorized product-sum partial per batch,
+    scalar driver fold. The canonical 'predicate pushdown matters' query:
+    only 3 columns × matching row groups leave storage."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((pc.field("l_shipdate") >= lo)
+                & (pc.field("l_shipdate") < hi)
+                & (pc.field("l_discount") >= 0.05)
+                & (pc.field("l_discount") <= 0.07)
+                & (pc.field("l_quantity") < 24)),
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(batch["l_extendedprice"],
+                                 batch["l_discount"])).as_py() or 0.0
+        return pa.Table.from_pydict({"rev": pa.array([rev], pa.float64())})
+
+    total = 0.0
+    for b in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total += sum(b["rev"].to_pylist())
+    return pd.DataFrame({"revenue": [float(round_half_away(total, 4))]})
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers — a double aggregation with an outer join in the
+    middle. Per-custkey order counts fold bucketed
+    (hash_partition_aggregate); customers LEFT-join the counts through a
+    bucketed hash join (both sides large at scale); the final
+    count-of-counts is a tiny driver combine (|distinct counts| keys)."""
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        hash_partition_aggregate,
+    )
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    per_cust = hash_partition_aggregate(
+        read_table(sf_dir, "orders", ["o_custkey", "o_orderkey"]),
+        ["o_custkey"], {"c_count": ("o_orderkey", "count")})
+    customers = read_table(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    joined = bucket_hash_join(
+        customers, per_cust, on="o_custkey", how="left",
+        left_schema=pa.schema([("o_custkey", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("c_count", pa.int64())]))
+
+    def _fill(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": batch["c_count"].fillna(0).astype("int64")})
+
+    out = combine_partials_driver(
+        joined.map_batches(_fill, batch_format="pandas"),
+        ["c_count"], {"custdist": ("c_count", "count")})
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def large_orders(sf_dir: str, *, min_qty: float = 180.0):
+    """TPC-H Q18 shape: HAVING on a big aggregate, rejoined to the fact
+    table — per-orderkey quantity sums fold bucketed, the HAVING filter
+    runs inside the combine buckets (the survivor set never gathers),
+    and survivors bucket-hash-join back to orders."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    sums = hash_partition_aggregate(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        ["l_orderkey"], {"total_qty": ("l_quantity", "sum")})
+    big = sums.map_batches(
+        lambda b: b[b["total_qty"] > min_qty].rename(
+            columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = bucket_hash_join(
+        big, orders, on="o_orderkey",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("total_qty", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_totalprice", pa.float64())]))
+    return joined.map_batches(
+        lambda b: b[["o_orderkey", "o_custkey", "o_totalprice",
+                     "total_qty"]],
+        batch_format="pandas")
+
+
 def top_orders_per_priority(sf_dir: str, *, k: int = 2):
     """Per-group top-k: the k highest-value orders within each priority —
     the distributed form of QUALIFY row_number() <= k.

@@ -560,6 +560,52 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def trailing_hour_value_sum(sf_dir: str, *, hours: int = 1):
+    """Time-RANGE window frame: per event, the sum of the user's values
+    in the trailing ``hours`` (SUM OVER PARTITION BY user ORDER BY ts
+    RANGE BETWEEN INTERVAL h PRECEDING AND CURRENT ROW — peers at the
+    same ts are included, per RANGE semantics). Whole-bucket kernel:
+    one sort, per user two vectorized searchsorteds over the user's ts
+    segment + a cumsum difference."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    win_us = hours * 3600 * 1_000_000
+
+    def _tsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        us = g["ts"].astype("int64").to_numpy()
+        vals = g["value"].to_numpy(dtype=np.float64)
+        uid = g["user_id"].to_numpy()
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(uid))
+        out = np.empty(len(g), dtype=np.float64)
+        for i in range(len(users)):
+            s, e = bounds[i], bounds[i + 1]
+            seg_ts, seg_v = us[s:e], vals[s:e]
+            cum = np.concatenate([[0.0], np.cumsum(seg_v)])
+            # RANGE frame: start at ts - window (inclusive), end at the
+            # LAST peer with the current ts (side='right')
+            lo = np.searchsorted(seg_ts, seg_ts - win_us, side="left")
+            hi = np.searchsorted(seg_ts, seg_ts, side="right")
+            out[s:e] = cum[hi] - cum[lo]
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "trailing_sum": round_half_away(out, 6),
+        })
+
+    return (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
+        .map_groups(_tsum, batch_format="pandas")
+    )
+
+
 def event_window_ranks(sf_dir: str, *, range_width: float = 8.0):
     """ROW_NUMBER / RANK / DENSE_RANK OVER (PARTITION BY event_type
     ORDER BY value, event_id) — the per-partition window-rank family via

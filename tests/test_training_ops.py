@@ -645,3 +645,43 @@ def test_event_transitions_planted(ray_session, tmp_path):
             ("view", "error"): 1}
     assert {(r["prev_type"], r["next_type"]): r["n"]
             for _, r in got.iterrows()} == want
+
+
+def test_trailing_hour_sum_range_semantics(ray_session, tmp_path):
+    """RANGE frame: trailing window is time-based (not row-based) and
+    includes ALL peers at the current timestamp."""
+    from ocr_agent_ray.pipelines.streaming import trailing_hour_value_sum
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 02:00",
+        "2024-01-01 03:00", "2024-01-01 03:00",
+    ]).astype("datetime64[us]")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": ts,
+        "user_id": [7] * 5,
+        "event_type": ["a"] * 5,
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        "props": ["{}"] * 5,
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = trailing_hour_value_sum(str(tmp_path)).to_pandas()
+    got = got.sort_values("event_id")["trailing_sum"].tolist()
+    # e1: 1; e2: 1+2 (within 1h); e3: 4 (others aged out); e4 and e5:
+    # 4+8+16 — peers at the same ts include each other, and e3 at
+    # exactly ts-1h is INSIDE the frame (RANGE start is inclusive)
+    assert got == [1.0, 3.0, 4.0, 28.0, 28.0]
+
+
+def test_customer_order_distribution_includes_zero(ray_session):
+    from ocr_agent_ray.pipelines.relational import customer_order_distribution
+
+    sf = "/root/testdata/sf0.001"
+    got = customer_order_distribution(sf)
+    customers = pq.read_metadata(f"{sf}/customer.parquet").num_rows
+    assert int(got["custdist"].sum()) == customers
+    orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey"])
+    n_zero = customers - orders["o_custkey"].nunique()
+    if n_zero:
+        assert int(got.set_index("c_count").loc[0, "custdist"]) == n_zero
