@@ -85,6 +85,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct_by_key(ev, "event_type", "user_id")
 
+    def _bloom_pruned_join(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from ocr_agent_ray.pipelines.joins import bloom_pruned_join
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice"],
+        ).map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+        big_orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice"],
+            filter=pc.field("o_totalprice") > 450000.0)
+        out = bloom_pruned_join(
+            li, big_orders, on="o_orderkey",
+            left_schema=pa.schema([("o_orderkey", pa.int64()),
+                                   ("l_extendedprice", pa.float64())]),
+            right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                    ("o_totalprice", pa.float64())]))
+        return out.map_batches(
+            lambda b: b[["o_orderkey", "l_extendedprice", "o_totalprice"]],
+            batch_format="pandas")
+
     def _quantile_sketch(sf_dir: str):
         import ray.data as rd
 
@@ -211,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_daily_counts_gapfilled": streaming.daily_counts_gapfilled,
         "q_event_transitions": streaming.event_transitions,
         "q_trailing_hour_sum": streaming.trailing_hour_value_sum,
+        "q_incremental_daily_counts": streaming.incremental_daily_counts,
+        "q_bloom_pruned_join": _bloom_pruned_join,
         "q_q6_revenue": relational.q6_revenue,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
@@ -1017,6 +1047,16 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_incremental_daily_counts": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1"
+        ),
+        "q_bloom_pruned_join": (
+            "SELECT l.l_orderkey AS o_orderkey, l.l_extendedprice, "
+            "o.o_totalprice FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_totalprice > 450000.0"
         ),
         "q_trailing_hour_sum": (
             "SELECT event_id, user_id, ts, "

@@ -328,3 +328,63 @@ def skew_join(left, right, *, on: str, num_buckets: int = 16,
         left_schema=lschema, right_schema=rschema,
     )
     return hot_out.union(cold_out)
+
+
+def bloom_pruned_join(left, right, *, on: str,
+                      left_schema: pa.Schema, right_schema: pa.Schema,
+                      num_buckets: int = 16, log2_bits: int = 20,
+                      k_hashes: int = 4):
+    """Bloom-pruned large-large join (the Spark/Photon runtime-filter
+    pattern): fold the RIGHT side's join keys into a constant-size bloom
+    filter (per-batch packed bitsets OR-ed on the driver — 2^log2_bits
+    bits regardless of key count), broadcast it, and drop left rows that
+    cannot match BEFORE the bucket shuffle. False positives survive to
+    the exact bucket_hash_join (which removes them); false negatives are
+    impossible, so the result is exactly the plain inner join while the
+    shuffle carries only ~selectivity × |left| rows.
+
+    Use when BOTH sides are too big to broadcast but the join is
+    selective. The right side executes twice (bloom pass + join) — feed
+    it a re-creatable source, not a deep plan."""
+    import ray
+
+    from ocr_agent_ray.functions.hashing import splitmix64
+
+    bits = 1 << log2_bits
+    mask = np.uint64(bits - 1)
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        h = splitmix64(keys.astype(np.uint64))
+        offs = np.arange(1, k_hashes + 1, dtype=np.uint64)
+        return (splitmix64((h[:, None] + offs[None, :]).ravel()) & mask
+                ).reshape(len(keys), k_hashes)
+
+    def _partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        bloom = np.zeros(bits, dtype=bool)
+        keys = batch[on].to_numpy()
+        if len(keys):
+            bloom[_positions(keys).ravel()] = True
+        return pd.DataFrame({"bloom": [np.packbits(bloom).tobytes()]})
+
+    bloom = np.zeros(bits // 8, dtype=np.uint8)
+    for b in right.map_batches(_partial_bloom, batch_format="pandas",
+                               batch_size=65536).iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for blob in b["bloom"]:
+            bloom |= np.frombuffer(blob, dtype=np.uint8)
+    ref = ray.put(bloom)
+
+    def _prune(batch: pd.DataFrame) -> pd.DataFrame:
+        filt = np.unpackbits(ray.get(ref)).view(bool)
+        keys = batch[on].to_numpy()
+        if not len(keys):
+            return batch
+        keep = filt[_positions(keys)].all(axis=1)
+        return batch[keep]
+
+    pruned = left.map_batches(_prune, batch_format="pandas",
+                              batch_size=65536)
+    return bucket_hash_join(pruned, right, on=on, num_buckets=num_buckets,
+                            left_schema=left_schema,
+                            right_schema=right_schema)

@@ -560,6 +560,45 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def incremental_daily_counts(sf_dir: str, *, split_id: int = 5000):
+    """Materialized-view maintenance: per-day event counts kept
+    incrementally — the 100-TB pattern where yesterday's aggregate is
+    NOT recomputed when a new shard arrives. Here the 'stored view' is
+    the aggregate of events below ``split_id`` and the 'new shard' is
+    the rest; both fold as mergeable partials and the merge is a tiny
+    same-key sum — equal by construction to the full recompute, which
+    is exactly what the SQL oracle checks."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _day_filter(lo_excl: int | None, hi_incl: int | None):
+        def _f(batch: pd.DataFrame) -> pd.DataFrame:
+            m = pd.Series(True, index=batch.index)
+            if lo_excl is not None:
+                m &= batch["event_id"] >= lo_excl
+            if hi_incl is not None:
+                m &= batch["event_id"] < hi_incl
+            b = batch[m]
+            return pd.DataFrame({"day": b["ts"].dt.floor("D"),
+                                 "event_id": b["event_id"]})
+        return _f
+
+    src = _read_events(sf_dir, ("ts", "event_id"))
+    stored = combine_partials_driver(
+        src.map_batches(_day_filter(None, split_id), batch_format="pandas",
+                        batch_size=65536),
+        ["day"], {"n_events": ("event_id", "count")})
+    delta = combine_partials_driver(
+        _read_events(sf_dir, ("ts", "event_id")).map_batches(
+            _day_filter(split_id, None), batch_format="pandas",
+            batch_size=65536),
+        ["day"], {"n_events": ("event_id", "count")})
+    merged = (pd.concat([stored, delta], ignore_index=True)
+              .groupby("day", as_index=False)["n_events"].sum())
+    merged["n_events"] = merged["n_events"].astype("int64")
+    merged["day"] = merged["day"].astype("datetime64[us]")
+    return merged.sort_values("day").reset_index(drop=True)
+
+
 def trailing_hour_value_sum(sf_dir: str, *, hours: int = 1):
     """Time-RANGE window frame: per event, the sum of the user's values
     in the trailing ``hours`` (SUM OVER PARTITION BY user ORDER BY ts

