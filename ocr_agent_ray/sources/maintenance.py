@@ -90,3 +90,66 @@ def read_with_schema_evolution(dirs: list[str]):
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def _spread_bits_16(v):
+    """Interleave-ready bit spread: 16-bit value -> 32-bit with zeros
+    between bits (binary magic numbers, vectorized numpy)."""
+    import numpy as np
+
+    x = v.astype(np.uint32)
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def zorder_values(x, y, *, x_range, y_range):
+    """Z-curve (Morton) value for two numeric columns, each min-max
+    normalized to 16 bits over its observed range — vectorized numpy.
+    Rows close on the curve are close in BOTH dimensions, which is what
+    makes per-file min/max zone maps prune 2-D range queries."""
+    import numpy as np
+
+    def norm(v, lo, hi):
+        span = (hi - lo) or 1
+        q = ((np.asarray(v, dtype=np.float64) - lo) / span * 65535.0)
+        return np.clip(q, 0, 65535).astype(np.uint32)
+
+    xb = _spread_bits_16(norm(x, *x_range))
+    yb = _spread_bits_16(norm(y, *y_range))
+    return (xb.astype(np.uint64) << np.uint64(1)) | yb.astype(np.uint64)
+
+
+def zorder_write(ds, out_dir: str, *, x_col: str, y_col: str,
+                 num_files: int = 16) -> dict:
+    """Z-order clustering: sort a Dataset along the Morton curve of two
+    columns and write range-partitioned files, so per-file min/max zone
+    maps prune range queries on EITHER column (a single-column sort only
+    prunes its own column). The global sort is the point of the op —
+    explicit, opt-in, like compact_parquet(sort_by=...).
+
+    Column ranges come from one cheap pre-pass (ds.min/max on two
+    columns); the z-value map is stateless after that broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    x_range = (ds.min(x_col), ds.max(x_col))
+    y_range = (ds.min(y_col), ds.max(y_col))
+
+    def _z(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__z"] = zorder_values(batch[x_col].to_numpy(),
+                                     batch[y_col].to_numpy(),
+                                     x_range=x_range, y_range=y_range)
+        return batch
+
+    os.makedirs(out_dir, exist_ok=True)
+    (ds.map_batches(_z, batch_format="pandas", batch_size=65536)
+       .sort("__z")
+       .repartition(num_files)
+       .map_batches(lambda b: b.drop(columns="__z"), batch_format="pandas")
+       .write_parquet(out_dir))
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    return {"files": len(files), "x_range": x_range, "y_range": y_range}

@@ -85,3 +85,47 @@ def test_read_with_schema_evolution(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="type conflict"):
         read_with_schema_evolution([str(old), str(bad)])
+
+
+def test_zorder_write_prunes_both_dimensions(ray_session, tmp_path):
+    """Z-order clustering: per-file zone maps prune range queries on
+    BOTH columns, where a single-column sort only prunes its own."""
+    import ray.data as rd
+
+    from ocr_agent_ray.sources.maintenance import zorder_write
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame({"x": rng.integers(0, 10_000, n),
+                       "y": rng.integers(0, 10_000, n)})
+
+    def files_touched(out_dir, col, lo, hi):
+        touched, total = 0, 0
+        for f in sorted(os.listdir(out_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            c = pd.read_parquet(os.path.join(out_dir, f))[col]
+            if len(c) and not (c.max() < lo or c.min() > hi):
+                touched += 1
+        return touched, total
+
+    zdir = str(tmp_path / "z")
+    stats = zorder_write(rd.from_pandas(df), zdir, x_col="x", y_col="y",
+                         num_files=16)
+    assert stats["files"] >= 8
+
+    xdir = str(tmp_path / "xsort")
+    os.makedirs(xdir)
+    rd.from_pandas(df).sort("x").repartition(16).write_parquet(xdir)
+
+    # a narrow band on each dimension (10% of the range, inside one
+    # top-level Morton quadrant — a band straddling the midpoint
+    # legitimately touches both halves of the curve)
+    for col in ("x", "y"):
+        zt, zn = files_touched(zdir, col, 1000, 2000)
+        assert zt <= zn // 2, (col, zt, zn)   # z-order prunes both dims
+    xt_x, xn = files_touched(xdir, "x", 1000, 2000)
+    xt_y, _ = files_touched(xdir, "y", 1000, 2000)
+    assert xt_x <= xn // 4          # x-sort prunes x...
+    assert xt_y >= xn - 1           # ...but touches ~every file for y
