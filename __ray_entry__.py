@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_transitions": streaming.event_transitions,
         "q_trailing_hour_sum": streaming.trailing_hour_value_sum,
         "q_incremental_daily_counts": streaming.incremental_daily_counts,
+        "q_cumulative_new_users": streaming.cumulative_new_users,
         "q_bloom_pruned_join": _bloom_pruned_join,
         "q_q6_revenue": relational.q6_revenue,
         "q_customer_order_distribution": relational.customer_order_distribution,
@@ -1047,6 +1048,16 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percent_rank": (
             "SELECT event_id, value, ROUND(percent_rank() OVER ("
             "ORDER BY value, event_id), 6) AS pct_rank FROM events"
+        ),
+        "q_cumulative_new_users": (
+            "WITH f AS (SELECT user_id, "
+            "MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users "
+            "FROM f GROUP BY 1) "
+            "SELECT day, new_users, "
+            "CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_users FROM d"
         ),
         "q_incremental_daily_counts": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "

@@ -560,6 +560,36 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def cumulative_new_users(sf_dir: str):
+    """Cumulative COUNT(DISTINCT users) by day — the growth curve.
+    Window COUNT(DISTINCT) doesn't exist in SQL either; both sides use
+    the same decomposition: first-seen day per user (a bucketed min
+    fold), new-users per day (tiny combine), then a driver prefix sum
+    over the calendar-bounded day table."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "day": batch["ts"].dt.floor("D")})
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    first = hash_partition_aggregate(
+        _read_events(sf_dir, ("ts", "user_id")).map_batches(
+            _day, batch_format="pandas", batch_size=65536),
+        ["user_id"], {"first_day": ("day", "min")})
+    # per-day new-user counts fold distributed; only the |days|-row
+    # table reaches the driver (never the per-user table)
+    per_day = combine_partials_driver(
+        first, ["first_day"], {"new_users": ("user_id", "count")}
+    ).rename(columns={"first_day": "day"})
+    per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype("int64")
+    per_day["new_users"] = per_day["new_users"].astype("int64")
+    per_day["day"] = per_day["day"].astype("datetime64[us]")
+    return per_day
+
+
 def incremental_daily_counts(sf_dir: str, *, split_id: int = 5000):
     """Materialized-view maintenance: per-day event counts kept
     incrementally — the 100-TB pattern where yesterday's aggregate is

@@ -685,3 +685,19 @@ def test_customer_order_distribution_includes_zero(ray_session):
     n_zero = customers - orders["o_custkey"].nunique()
     if n_zero:
         assert int(got.set_index("c_count").loc[0, "custdist"]) == n_zero
+
+
+def test_cumulative_new_users_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.streaming import cumulative_new_users
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02",
+                         "2024-01-02", "2024-01-04"]).astype("datetime64[us]")
+    df = pd.DataFrame({"event_id": range(5), "ts": ts,
+                       "user_id": [1, 2, 1, 3, 4],
+                       "event_type": ["a"] * 5, "value": [0.0] * 5,
+                       "props": ["{}"] * 5})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cumulative_new_users(str(tmp_path))
+    assert got["new_users"].tolist() == [2, 1, 1]   # day1: u1,u2; day2: u3; day4: u4
+    assert got["cum_users"].tolist() == [2, 3, 4]
