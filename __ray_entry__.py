@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_entropy": text.token_entropy,
         "q_email_domains": text.email_domain_counts,
         "q_embedding_covariance": similarity.embedding_covariance,
+        "q_quantize_embeddings": similarity.quantize_embeddings,
         "q_label_centroids": similarity.label_centroids,
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
@@ -900,6 +901,19 @@ def oracle_sql() -> dict[str, str]:
             "AS d FROM documents) "
             "SELECT lower(d) AS domain, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM m GROUP BY 1"
+        ),
+        "q_quantize_embeddings": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "u AS (SELECT vec_id, unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS dim FROM e), "
+            "mm AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi, "
+            "CASE WHEN MAX(x) = MIN(x) THEN 1.0 "
+            "ELSE (MAX(x) - MIN(x)) / 255.0 END AS scale "
+            "FROM u GROUP BY dim) "
+            "SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim, "
+            "CAST(LEAST(GREATEST(ROUND((u.x - mm.lo) / mm.scale), 0), 255) "
+            "AS BIGINT) AS q FROM u JOIN mm USING (dim)"
         ),
         "q_embedding_covariance": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -287,6 +287,60 @@ def embedding_norms(sf_dir: str):
         _norms, batch_format="pandas")
 
 
+def quantize_embeddings(sf_dir: str):
+    """Per-dimension int8 (0..255) min-max quantization of the embedding
+    column — the storage-compression prep for vector indexes. Two
+    phases: per-dim (min, max) folds as a tiny mergeable partial
+    (dim-sized vectors per batch), then a broadcast quantize map.
+    Emitted long-form (vec_id, dim, q) so the SQL oracle can express the
+    same arithmetic via double unnest; q = clip(round_half_away(
+    (v - min) / scale)) with scale = (max - min) / 255."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def _minmax(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        return pd.DataFrame({"mins": [mat.min(axis=0).tobytes()],
+                             "maxs": [mat.max(axis=0).tobytes()]})
+
+    mins = None
+    maxs = None
+    for b in ds.map_batches(_minmax, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for mb, xb in zip(b["mins"], b["maxs"]):
+            m = np.frombuffer(mb, np.float64)
+            x = np.frombuffer(xb, np.float64)
+            mins = m if mins is None else np.minimum(mins, m)
+            maxs = x if maxs is None else np.maximum(maxs, x)
+    scale = (maxs - mins) / 255.0
+    scale[scale == 0] = 1.0
+    ref = ray.put((mins, scale))
+
+    def _quant(batch: pd.DataFrame) -> pd.DataFrame:
+        lo, sc = ray.get(ref)
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        q = np.clip(round_half_away((mat - lo) / sc, 0), 0, 255)
+        n, d = q.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q": q.ravel().astype("int64"),
+        })
+
+    return ds.map_batches(_quant, batch_format="pandas")
+
+
 def embedding_covariance(sf_dir: str):
     """Covariance matrix of the embedding columns — the distributed
     linear-algebra fold behind whitening / PCA preprocessing: each batch

@@ -86,3 +86,23 @@ def test_embedding_covariance_matches_numpy(ray_session):
     grid = got.pivot(index="i", columns="j", values="cov").to_numpy()
     assert np.allclose(grid, want, atol=1e-6)
     assert np.allclose(grid, grid.T, atol=1e-12)  # symmetric
+
+
+def test_quantize_embeddings_roundtrip_error(ray_session):
+    """int8 quantization: values reconstruct within half a step of the
+    original in every dimension."""
+    from ocr_agent_ray.pipelines.similarity import quantize_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    got = quantize_embeddings(sf).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in emb["embedding"]]).astype(np.float64)
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    scale = np.where(hi == lo, 1.0, (hi - lo) / 255.0)
+    n, d = mat.shape
+    assert len(got) == n * d
+    piv = got.pivot(index="vec_id", columns="dim", values="q")
+    piv = piv.loc[emb["vec_id"]].to_numpy()
+    deq = lo + piv * scale
+    assert np.abs(deq - mat).max() <= (scale / 2 + 1e-9).max()
