@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_email_domains": text.email_domain_counts,
         "q_embedding_covariance": similarity.embedding_covariance,
         "q_quantize_embeddings": similarity.quantize_embeddings,
+        "q_pq_codes": similarity.pq_codes,  # rows-only (iterative PQ training)
         "q_label_centroids": similarity.label_centroids,
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only

@@ -341,6 +341,100 @@ def quantize_embeddings(sf_dir: str):
     return ds.map_batches(_quant, batch_format="pandas")
 
 
+def pq_codes(sf_dir: str, *, m: int = 8, k: int = 16, iters: int = 3):
+    """Product quantization (Jégou et al., TPAMI'11): split each vector
+    into ``m`` sub-vectors and k-means each sub-space, so a vector
+    compresses to m small codes. All m sub-quantizers train TOGETHER —
+    one streaming pass per Lloyd round computes per-(subspace, cluster)
+    (sum, count) partials for every subspace at once (driver state:
+    m × k × subdim floats), then one final pass assigns codes.
+
+    Deterministic init (sub-vectors of the k lowest vec_ids). Returns
+    long-form (vec_id, subspace, code); rows-only (iterative), with a
+    reconstruction-error pytest. This + IVF is the standard
+    billion-vector ANN memory layout."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    seeds = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_tbl["embedding"]])
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # centroids[s]: (k, sub) for subspace s
+    cents = np.stack([seeds[:, s * sub:(s + 1) * sub] for s in range(m)])
+
+    def _partials_fn(cref):
+        def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)          # (m, k, sub)
+            mat = np.stack([np.asarray(v, dtype=np.float32)
+                            for v in batch["embedding"]]).astype(np.float64)
+            rows = []
+            for s in range(m):
+                x = mat[:, s * sub:(s + 1) * sub]
+                d2 = ((x * x).sum(1)[:, None] - 2 * x @ c[s].T
+                      + (c[s] * c[s]).sum(1)[None, :])
+                a = d2.argmin(axis=1)
+                for cl in np.unique(a):
+                    msk = a == cl
+                    rows.append((s, int(cl), x[msk].sum(axis=0).tobytes(),
+                                 int(msk.sum())))
+            return pd.DataFrame({
+                "s": [r[0] for r in rows], "cl": [r[1] for r in rows],
+                "vsum": [r[2] for r in rows], "n": [r[3] for r in rows],
+            })
+
+        return _partials
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        sums = np.zeros_like(cents)
+        counts = np.zeros((m, k), dtype=np.int64)
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+        for b in ds.map_batches(_partials_fn(cref),
+                                batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=4096
+        ):
+            for s, cl, vs, n in zip(b["s"], b["cl"], b["vsum"], b["n"]):
+                sums[s, cl] += np.frombuffer(vs, dtype=np.float64)
+                counts[s, cl] += int(n)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz][:, None]
+
+    cref = ray.put(cents)
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        codes = np.empty((len(mat), m), dtype=np.int64)
+        for s in range(m):
+            x = mat[:, s * sub:(s + 1) * sub]
+            d2 = ((x * x).sum(1)[:, None] - 2 * x @ c[s].T
+                  + (c[s] * c[s]).sum(1)[None, :])
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.DataFrame({
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), m),
+            "subspace": np.tile(np.arange(m, dtype=np.int64), len(mat)),
+            "code": codes.ravel(),
+        })
+
+    out = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).map_batches(
+        _assign, batch_format="pandas")
+    return out
+
+
 def embedding_covariance(sf_dir: str):
     """Covariance matrix of the embedding columns — the distributed
     linear-algebra fold behind whitening / PCA preprocessing: each batch

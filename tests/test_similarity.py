@@ -106,3 +106,41 @@ def test_quantize_embeddings_roundtrip_error(ray_session):
     piv = piv.loc[emb["vec_id"]].to_numpy()
     deq = lo + piv * scale
     assert np.abs(deq - mat).max() <= (scale / 2 + 1e-9).max()
+
+
+def test_pq_codes_reconstruction(ray_session):
+    """PQ codes reconstruct vectors with lower error than quantizing to
+    the global mean, are deterministic, and cover every (vec, subspace)."""
+    import pyarrow.parquet as papq
+
+    from ocr_agent_ray.pipelines.similarity import pq_codes
+
+    sf = "/root/testdata/sf0.001"
+    m, k = 8, 16
+    got = pq_codes(sf, m=m, k=k, iters=3).to_pandas()
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in emb["embedding"]]).astype(np.float64)
+    n, dim = mat.shape
+    sub = dim // m
+    assert len(got) == n * m
+    assert got["code"].between(0, k - 1).all()
+
+    # rebuild codebooks from the assignment (centroid of each code's
+    # members approximates the trained centroid) and bound the error
+    piv = got.pivot(index="vec_id", columns="subspace", values="code")
+    piv = piv.loc[emb["vec_id"]].to_numpy()
+    err = 0.0
+    base = 0.0
+    for s in range(m):
+        x = mat[:, s * sub:(s + 1) * sub]
+        base += ((x - x.mean(axis=0)) ** 2).sum()
+        for c in np.unique(piv[:, s]):
+            msk = piv[:, s] == c
+            err += ((x[msk] - x[msk].mean(axis=0)) ** 2).sum()
+    assert err < base * 0.9          # strictly better than 1 centroid
+
+    again = pq_codes(sf, m=m, k=k, iters=3).to_pandas()
+    a = got.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
+    b = again.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
+    assert a.equals(b)
