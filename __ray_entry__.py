@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cumulative_new_users": streaming.cumulative_new_users,
         "q_bloom_pruned_join": _bloom_pruned_join,
         "q_q6_revenue": relational.q6_revenue,
+        "q_null_aware_stats": relational.null_aware_value_stats,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
         "q_trailing_week_active": streaming.trailing_week_active_users,
@@ -1089,6 +1090,17 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
             "AS trailing_sum FROM events"
+        ),
+        "q_null_aware_stats": (
+            "WITH t AS (SELECT event_type, "
+            "CASE WHEN value > 250.0 THEN value END AS v FROM events) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(v) AS BIGINT) AS n_nonnull, "
+            "ROUND(CAST(SUM(COALESCE(v, 0)) AS DOUBLE), 4) "
+            "AS sum_coalesced, "
+            "ROUND(AVG(v), 4) AS avg_nonnull, "
+            "CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null "
+            "FROM t GROUP BY 1"
         ),
         "q_q6_revenue": (
             "SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) "

@@ -280,6 +280,43 @@ def orders_in_range_by_priority(sf_dir: str):
     )
 
 
+def null_aware_value_stats(sf_dir: str):
+    """SQL NULL-semantics battery: COUNT(*) vs COUNT(col) (null-skipping),
+    SUM(COALESCE(...)), null-ignoring AVG, and FILTER(WHERE IS NULL) —
+    over a CASE-derived nullable column, with every aggregate folded as
+    mergeable (n, n_nonnull, Σ) partials. Exists so the engine's
+    null-handling is oracle-pinned, not assumed."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _derive(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].where(batch["value"] > 250.0)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "one": np.ones(len(batch), dtype=np.int64),
+            "nonnull": v.notna().astype("int64"),
+            "vsum": v.fillna(0.0),
+        })
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            _derive, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("one", "sum"), "n_nonnull": ("nonnull", "sum"),
+         "s": ("vsum", "sum")})
+    res = pd.DataFrame({
+        "event_type": out["event_type"],
+        "n": out["n"].astype("int64"),
+        "n_nonnull": out["n_nonnull"].astype("int64"),
+        "sum_coalesced": round_half_away(out["s"].to_numpy(), 4),
+        "avg_nonnull": round_half_away(
+            (out["s"] / out["n_nonnull"].where(out["n_nonnull"] > 0)
+             ).to_numpy(), 4),
+        "n_null": (out["n"] - out["n_nonnull"]).astype("int64"),
+    })
+    return res.sort_values("event_type").reset_index(drop=True)
+
+
 def q6_revenue(sf_dir: str):
     """TPC-H Q6 shape: fully-pushed-down selective aggregate — date
     range + discount band + quantity cap pushed into the parquet read
