@@ -1058,3 +1058,100 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
         })
 
     return joined.map_batches(_fill, batch_format="pandas")
+
+
+class FingerprintStore:
+    """Persistent bucketed fingerprint state for INCREMENTAL exact dedup
+    across arriving shards — the production shape: the seen-fingerprint
+    set lives as hash-bucketed parquet on disk (one directory per
+    bucket), so admitting a new shard reads only the buckets its
+    fingerprints hash to, and state grows append-only (crash artifacts
+    are ignorable: re-admitting a shard is idempotent because admission
+    re-checks membership).
+
+    At cluster scale the same layout works on shared storage; buckets
+    are the unit of both pruned reads and parallel admission."""
+
+    def __init__(self, root: str, num_buckets: int = 32):
+        import os
+
+        self.root = root
+        self.num_buckets = num_buckets
+        os.makedirs(root, exist_ok=True)
+
+    def _bucket_dir(self, b: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"bucket={b:04d}")
+
+    def _bucket_of(self, fps: pd.Series) -> np.ndarray:
+        h = pd.util.hash_array(fps.to_numpy(dtype=object))
+        return (h % np.uint64(self.num_buckets)).astype(np.int64)
+
+    def _load_bucket(self, b: int) -> set:
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = self._bucket_dir(b)
+        if not os.path.isdir(d):
+            return set()
+        out: set = set()
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                out.update(pq.read_table(
+                    os.path.join(d, f)).column("fingerprint").to_pylist())
+        return out
+
+    def admit(self, ds, *, text_col: str = "text",
+              id_col: str = "doc_id"):
+        """Admit a new shard: returns the surviving (id, fingerprint)
+        rows — docs whose fingerprint was neither in the store NOR
+        earlier in this shard (min-id wins within the shard) — and
+        appends the new fingerprints to the store."""
+        import os
+        import uuid
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        def _fp(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: batch[id_col],
+                "fingerprint": md5_fingerprint(batch[text_col]),
+            })
+
+        # in-shard first-wins, bucketed (same shape as exact_dedup)
+        from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+        shard = hash_partition_aggregate(
+            ds.map_batches(_fp, batch_format="pandas"),
+            ["fingerprint"], {id_col: (id_col, "min")},
+            num_buckets=self.num_buckets)
+
+        store = self
+
+        def _admit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            b = int(store._bucket_of(g["fingerprint"])[0])
+            seen = store._load_bucket(b)
+            fresh = g[~g["fingerprint"].isin(seen)]
+            if len(fresh):
+                d = store._bucket_dir(b)
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+                pq.write_table(pa_.Table.from_pandas(
+                    fresh[["fingerprint"]], preserve_index=False), tmp)
+                os.replace(tmp, os.path.join(
+                    d, f"part-{uuid.uuid4().hex}.parquet"))
+            return fresh
+
+        def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__b"] = store._bucket_of(batch["fingerprint"])
+            return batch
+
+        return (shard.map_batches(_bucketed, batch_format="pandas",
+                                  batch_size=65536)
+                .groupby("__b")
+                .map_groups(lambda g: _admit_bucket(
+                    g.drop(columns="__b")), batch_format="pandas"))

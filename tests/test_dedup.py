@@ -220,3 +220,31 @@ def test_dedup_empty_inputs(ray_session):
                                              "embedding": pd.Series(dtype="object")}))
     out = embedding_near_dup_lsh(empty_vec)
     assert len(out) == 0
+
+
+def test_fingerprint_store_incremental_admission(ray_session, tmp_path):
+    """Incremental exact dedup across arriving shards: a doc whose text
+    was admitted in an earlier shard is rejected later; admission is
+    idempotent (re-admitting a shard admits nothing)."""
+    from ocr_agent_ray.pipelines.dedup import FingerprintStore
+
+    store = FingerprintStore(str(tmp_path / "state"), num_buckets=8)
+
+    shard1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha text", "beta text", "alpha text"],  # 3 dups 1
+    })
+    got1 = store.admit(rd.from_pandas(shard1)).to_pandas()
+    assert sorted(got1["doc_id"]) == [1, 2]     # in-shard first-wins
+
+    shard2 = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": ["beta text",                    # seen in shard 1 -> drop
+                 "gamma text"],                  # new -> admit
+    })
+    got2 = store.admit(rd.from_pandas(shard2)).to_pandas()
+    assert sorted(got2["doc_id"]) == [11]
+
+    # idempotent: everything in shard2 is now known
+    got3 = store.admit(rd.from_pandas(shard2)).to_pandas()
+    assert len(got3) == 0
