@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct_by_key(ev, "event_type", "user_id")
 
+    def _corpus_report(sf_dir: str):
+        from ocr_agent_ray.pipelines.profiling import corpus_report
+
+        return corpus_report(sf_dir)
+
     def _bloom_pruned_join(sf_dir: str):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -244,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_pruned_join": _bloom_pruned_join,
         "q_q6_revenue": relational.q6_revenue,
         "q_null_aware_stats": relational.null_aware_value_stats,
+        "q_corpus_report": _corpus_report,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
         "q_trailing_week_active": streaming.trailing_week_active_users,
@@ -1090,6 +1096,37 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6) "
             "AS trailing_sum FROM events"
+        ),
+        "q_corpus_report": (
+            "WITH q AS (SELECT doc_id, source, lang, "
+            "LENGTH(text) AS n_chars, "
+            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_tokens, "
+            "LEN(list_filter(regexp_extract_all(lower(text), "
+            "'[0-9A-Za-z_]+'), w -> w IN ('the','a','and','of','to','in',"
+            "'is','on','for','with'))) AS n_stop, "
+            f"{_FP} AS fp FROM documents), "
+            "scored AS (SELECT source, lang, n_chars, fp, "
+            "ROUND(0.5 * LEAST(n_tokens, 100) / 100.0 + 0.5 * "
+            "ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 6), 6) "
+            "AS qs FROM q), "
+            "rep AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6) "
+            "AS median_chars, "
+            "ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 6) "
+            "AS p90_chars, "
+            "ROUND(AVG(qs), 6) AS mean_quality, "
+            "ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) "
+            "AS dup_rate FROM scored GROUP BY source), "
+            "lng AS (SELECT source, lang AS top_lang, n AS top_n FROM ("
+            "SELECT source, lang, COUNT(*) AS n, row_number() OVER ("
+            "PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn "
+            "FROM documents GROUP BY source, lang) WHERE rn = 1) "
+            "SELECT rep.source, rep.n_docs, rep.total_chars, "
+            "rep.median_chars, rep.p90_chars, rep.mean_quality, "
+            "rep.dup_rate, lng.top_lang, "
+            "ROUND(CAST(lng.top_n AS DOUBLE) / rep.n_docs, 6) "
+            "AS top_lang_share FROM rep JOIN lng USING (source)"
         ),
         "q_null_aware_stats": (
             "WITH t AS (SELECT event_type, "

@@ -151,6 +151,7 @@ QUERY_NAMES = [
     "q_budget_sample",
     "q_ngram_dedup_apply",
     "q_embedding_covariance",
+    "q_corpus_report",
 ]
 
 
