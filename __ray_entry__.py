@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
         "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
+        "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
             dedup.ngram_jaccard_all_pairs(_docs(sf))
         ),
@@ -721,6 +722,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_chars FROM documents "
             "QUALIFY SUM(n_chars) OVER (PARTITION BY source "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 4000"
+        ),
+        "q_ngram_dup_degrees": (
+            _NGRAM_PAIRS_SQL +
+            ", sym AS (SELECT doc_id_a AS doc_id FROM pairs "
+            "UNION ALL SELECT doc_id_b FROM pairs), "
+            "deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree "
+            "FROM sym GROUP BY 1) "
+            "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM deg GROUP BY 1"
         ),
         "q_ngram_dedup_apply": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "

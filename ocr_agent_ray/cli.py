@@ -198,6 +198,15 @@ def cmd_query(args) -> int:
                           "run `query list`"}))
         return 2
     res = qs[args.name](args.sf_dir)
+    if args.explain:
+        # lazy logical plan (no execution); driver-computed results have
+        # no plan to show
+        print(repr(res) if hasattr(res, "iter_batches")
+              else f"(driver-side result: {type(res).__name__})")
+        import ray
+
+        ray.shutdown()
+        return 0
     df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     if args.output:
         df.to_parquet(args.output, index=False)
@@ -277,6 +286,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20)
     q.add_argument("--output", default=None,
                    help="write full result as parquet instead of printing")
+    q.add_argument("--explain", action="store_true",
+                   help="print the lazy execution plan without running")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

@@ -1060,6 +1060,38 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
     return joined.map_batches(_fill, batch_format="pandas")
 
 
+def ngram_dup_degree_distribution(sf_dir: str, *, threshold: float = 0.5,
+                                  n: int = 4):
+    """Degree distribution of the near-dup pair graph — the health
+    metric that tells a corpus owner whether duplication is pairwise
+    (degree 1) or hub-shaped (boilerplate families). Per-doc degrees
+    fold bucketed over the symmetric edge list; the distribution is a
+    tiny driver combine (|distinct degrees| keys)."""
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        hash_partition_aggregate,
+    )
+    from ocr_agent_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+
+    def _sym(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.concatenate([batch["doc_id_a"].to_numpy(),
+                                      batch["doc_id_b"].to_numpy()]),
+        })
+
+    degrees = hash_partition_aggregate(
+        pairs.map_batches(_sym, batch_format="pandas", batch_size=65536),
+        ["doc_id"], {"degree": ("doc_id", "count")})
+    out = combine_partials_driver(degrees, ["degree"],
+                                  {"n_docs": ("doc_id", "count")})
+    out["degree"] = out["degree"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("degree").reset_index(drop=True)
+
+
 class FingerprintStore:
     """Persistent bucketed fingerprint state for INCREMENTAL exact dedup
     across arriving shards — the production shape: the seen-fingerprint
