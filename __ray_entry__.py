@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_chunk_documents": text.chunk_documents,
         "q_winsorize_lengths": text.winsorize_doc_lengths,
+        "q_mad_lengths": text.mad_doc_lengths,
         "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
@@ -249,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_pruned_join": _bloom_pruned_join,
         "q_q6_revenue": relational.q6_revenue,
         "q_null_aware_stats": relational.null_aware_value_stats,
+        "q_value_time_regression": relational.value_time_regression,
         "q_corpus_report": _corpus_report,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
@@ -984,6 +986,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
         ),
+        "q_mad_lengths": (
+            "WITH med AS (SELECT source, percentile_cont(0.5) "
+            "WITHIN GROUP (ORDER BY n_chars) AS med "
+            "FROM documents GROUP BY 1) "
+            "SELECT d.source, ROUND(m.med, 6) AS median_chars, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP ("
+            "ORDER BY ABS(d.n_chars - m.med)), 6) AS mad "
+            "FROM documents d JOIN med m ON d.source = m.source "
+            "GROUP BY d.source, m.med"
+        ),
         "q_winsorize_lengths": (
             "WITH q AS (SELECT source, "
             "percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars) AS lo, "
@@ -1137,6 +1149,18 @@ def oracle_sql() -> dict[str, str]:
             "rep.dup_rate, lng.top_lang, "
             "ROUND(CAST(lng.top_n AS DOUBLE) / rep.n_docs, 6) "
             "AS top_lang_share FROM rep JOIN lng USING (source)"
+        ),
+        "q_value_time_regression": (
+            "WITH p AS (SELECT event_type, "
+            "(epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0 AS x, "
+            "value AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+            "SUM(x * x) AS sxx FROM p GROUP BY 1) "
+            "SELECT event_type, n, "
+            "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+            "ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) "
+            "* sx / n, 4) AS intercept FROM m"
         ),
         "q_null_aware_stats": (
             "WITH t AS (SELECT event_type, "

@@ -280,6 +280,50 @@ def orders_in_range_by_priority(sf_dir: str):
     )
 
 
+def value_time_regression(sf_dir: str):
+    """Per-type least-squares trend of event value over time
+    (REGR_SLOPE / REGR_INTERCEPT): five mergeable moment partials
+    (n, Σx, Σy, Σxy, Σx²) per batch, slope/intercept computed on the
+    tiny per-type combine — drift detection as a streaming fold.
+    x = DAYS since 2024-01-01 (not raw epoch: raw-epoch moments lose
+    ~5 decimal digits to cancellation in n·Σx² − (Σx)², which would
+    make the 6-decimal oracle round unstable); the SQL twin uses the
+    identical raw-moment formula, not REGR_SLOPE's stable one-pass."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def _moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = ((batch["ts"].astype("int64").to_numpy(dtype=np.float64)
+              - base_us) / 1e6) / 86400.0
+        y = batch["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "one": np.ones(len(batch), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+        })
+
+    m = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_moments, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("one", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxy": ("sxy", "sum"), "sxx": ("sxx", "sum")})
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxy, sxx = m["sxy"].to_numpy(), m["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * sx / n
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "slope": round_half_away(slope, 6),
+        "intercept": round_half_away(intercept, 4),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def null_aware_value_stats(sf_dir: str):
     """SQL NULL-semantics battery: COUNT(*) vs COUNT(col) (null-skipping),
     SUM(COALESCE(...)), null-ignoring AVG, and FILTER(WHERE IS NULL) —

@@ -244,6 +244,46 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
+def mad_doc_lengths(sf_dir: str):
+    """Median absolute deviation of doc length per source — the robust
+    spread statistic behind outlier fences (median ± k·MAD). Two grouped
+    quantile passes: exact per-source median (tiny broadcast), then the
+    median of |x − median| — same groupby-quantile shape each time."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "med": [float(np.quantile(v, 0.5))]})
+
+    meds = (_read_documents(sf_dir, columns=("source", "n_chars"))
+            .groupby("source").map_groups(_median, batch_format="pandas")
+            .to_pandas())
+    med_map = dict(zip(meds["source"], meds["med"]))
+
+    def _absdev(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["source"].map(med_map).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "source": batch["source"],
+            "dev": np.abs(batch["n_chars"].to_numpy(dtype=np.float64) - m),
+        })
+
+    def _mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["dev"].to_numpy(dtype=np.float64)
+        src = g["source"].iloc[0]
+        return pd.DataFrame({
+            "source": [src],
+            "median_chars": [float(round_half_away(med_map[src], 6))],
+            "mad": [float(round_half_away(np.quantile(v, 0.5), 6))],
+        })
+
+    return (
+        _read_documents(sf_dir, columns=("source", "n_chars"))
+        .map_batches(_absdev, batch_format="pandas", batch_size=65536)
+        .groupby("source").map_groups(_mad, batch_format="pandas")
+    )
+
+
 def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
     """Top-k adjacent-bigram collocations by pointwise mutual information
     (PMI) — the phrase-mining step of corpus analysis. Multi-stage
