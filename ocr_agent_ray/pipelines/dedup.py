@@ -1102,7 +1102,11 @@ class FingerprintStore:
     re-checks membership).
 
     At cluster scale the same layout works on shared storage; buckets
-    are the unit of both pruned reads and parallel admission."""
+    are the unit of both pruned reads and parallel admission. Admission
+    of DIFFERENT shards must be serialized (or partitioned by bucket):
+    two shards admitting the same never-seen text concurrently would
+    both pass the membership check — the store guarantees idempotent
+    re-admission, not cross-shard linearizability."""
 
     def __init__(self, root: str, num_buckets: int = 32):
         import os
