@@ -170,3 +170,79 @@ def flagship_span_counts(sf_dir: str):
         )
 
     return flagship_extract(sf_dir).map_batches(_summarize, batch_format="pyarrow")
+
+
+def multimodal_pack(sf_dir: str, *, budget: int = 256,
+                    image_tokens: int = 64, group: int = 64):
+    """Multimodal sequence packing: flatten interleaved (text | image |
+    pdf_page) spans into fixed token-budget training packs, next-fit in
+    (doc_id, span offset) order — text spans cost their whitespace token
+    count, media spans a fixed ``image_tokens`` (the patch-token budget
+    a vision encoder emits). Docs may split across packs at span
+    boundaries but spans stay whole and ordered — the LLaVA-style
+    interleaved-batch layout.
+
+    Group-parallel like text.pack_sequences: packing runs independently
+    per ``group`` consecutive doc_ids and pack ids are globally unique
+    by construction (group_id scaled by a per-group pack bound).
+    Returns (doc_id, offset, kind, n_tokens, pack_id, pack_pos);
+    rows-only (next-fit is iterative), invariants pytest-checked."""
+    import numpy as np
+    import pandas as pd
+
+    def _flatten(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        spans = batch["spans"]
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        doc_ids = pc.take(batch["doc_id"], parents)
+        st = flat.combine_chunks()
+        kinds = st.field("kind").to_pandas()
+        texts = st.field("text").to_pandas()
+        offs = st.field("offset").to_pandas()
+        toks = texts.fillna("").str.split().str.len().astype("int64")
+        toks[kinds != "text"] = image_tokens
+        num = pd.to_numeric(doc_ids.to_pandas().str[4:], errors="coerce")
+        return pd.DataFrame({
+            "doc_id": doc_ids.to_pandas(),
+            "__grp": (num // group).astype("int64"),
+            "offset": offs.astype("int64"),
+            "kind": kinds,
+            "n_tokens": toks,
+        })
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "offset"],
+                          kind="mergesort").reset_index(drop=True)
+        toks = g["n_tokens"].to_numpy()
+        bins = np.empty(len(g), dtype=np.int64)
+        pos = np.empty(len(g), dtype=np.int64)
+        b = used = p = 0
+        for i, t in enumerate(toks):
+            if used > 0 and used + t > budget:
+                b += 1
+                used = 0
+                p = 0
+            bins[i] = b
+            pos[i] = p
+            used += t
+            p += 1
+        # globally-unique pack ids: a group of `group` docs can open at
+        # most (its span count) packs, bounded by len(g)
+        base = int(g["__grp"].iloc[0]) << 32
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "offset": g["offset"],
+            "kind": g["kind"],
+            "n_tokens": g["n_tokens"],
+            "pack_id": base + bins,
+            "pack_pos": pos,
+        })
+
+    return (
+        documents_to_interleaved(sf_dir)
+        .map_batches(_flatten, batch_format="pyarrow", batch_size=4096)
+        .groupby("__grp")
+        .map_groups(_pack, batch_format="pandas")
+    )

@@ -701,3 +701,35 @@ def test_cumulative_new_users_planted(ray_session, tmp_path):
     got = cumulative_new_users(str(tmp_path))
     assert got["new_users"].tolist() == [2, 1, 1]   # day1: u1,u2; day2: u3; day4: u4
     assert got["cum_users"].tolist() == [2, 3, 4]
+
+
+def test_multimodal_pack_invariants(ray_session):
+    from ocr_agent_ray.pipelines.interleave import (
+        documents_to_interleaved,
+        multimodal_pack,
+    )
+
+    budget, img = 256, 64
+    got = multimodal_pack(SF, budget=budget, image_tokens=img).to_pandas()
+    spans = documents_to_interleaved(SF).to_pandas()
+    n_spans = spans["spans"].str.len().sum()
+    assert len(got) == n_spans                  # every span exactly once
+    assert (got.loc[got["kind"] != "text", "n_tokens"] == img).all()
+    # packs respect the budget unless a single span overflows it
+    per = got.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                     n=("offset", "size"))
+    over = per[per["total"] > budget]
+    assert (over["n"] == 1).all()
+    # spans of a doc appear in offset order within and across packs:
+    # sort by (pack_id, pack_pos) == global packing order; per doc the
+    # offsets must then be increasing
+    order = got.sort_values(["pack_id", "pack_pos"], kind="mergesort")
+    for _, g in order.groupby("doc_id", sort=False):
+        offs = g["offset"].to_numpy()
+        assert (np.diff(offs) > 0).all()
+    # deterministic
+    again = multimodal_pack(SF, budget=budget, image_tokens=img).to_pandas()
+    key = ["doc_id", "offset"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
