@@ -152,6 +152,14 @@ QUERY_NAMES = [
     "q_ngram_dedup_apply",
     "q_embedding_covariance",
     "q_corpus_report",
+    "q_value_time_regression",
+    "q_mad_lengths",
+    "q_ngram_dup_degrees",
+    "q_multimodal_pack",
+    "q_bloom_pruned_join",
+    "q_large_orders",
+    "q_customer_order_distribution",
+    "q_trailing_hour_sum",
 ]
 
 
