@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_documents": text.chunk_documents,
         "q_winsorize_lengths": text.winsorize_doc_lengths,
         "q_mad_lengths": text.mad_doc_lengths,
+        "q_length_outliers": text.length_outliers,
+        "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
@@ -986,6 +988,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok "
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
+        ),
+        "q_length_outliers": (
+            "WITH med AS (SELECT source, percentile_cont(0.5) "
+            "WITHIN GROUP (ORDER BY n_chars) AS med "
+            "FROM documents GROUP BY 1), "
+            "mad AS (SELECT d.source, ROUND(m.med, 6) AS med, "
+            "ROUND(percentile_cont(0.5) WITHIN GROUP ("
+            "ORDER BY ABS(d.n_chars - m.med)), 6) AS mad "
+            "FROM documents d JOIN med m ON d.source = m.source "
+            "GROUP BY d.source, m.med) "
+            "SELECT d.doc_id, d.source, d.n_chars, "
+            "(d.n_chars < a.med - 3.0 * a.mad "
+            "OR d.n_chars > a.med + 3.0 * a.mad) AS is_outlier "
+            "FROM documents d JOIN mad a ON d.source = a.source"
+        ),
+        "q_event_type_cooccurrence": (
+            "WITH p AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS event_type_a, "
+            "b.event_type AS event_type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM p a JOIN p b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"
         ),
         "q_mad_lengths": (
             "WITH med AS (SELECT source, percentile_cont(0.5) "

@@ -560,6 +560,38 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every ordered pair of DISTINCT
+    event types, how many users did both — the 'users who X also Y'
+    table. Distinct (user, type) pairs fold bucketed; the in-bucket
+    self-merge is bounded by |types|² per user; pair counts are a tiny
+    driver combine (|types|² keys)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+
+    pairs = distinct_rows(
+        _read_events(sf_dir, ("user_id", "event_type")),
+        ["user_id", "event_type"], num_buckets=8).materialize()
+
+    def _cross(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.merge(batch, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        return m[["user_id", "event_type_a", "event_type_b"]]
+
+    # all of a user's (few) type rows must co-locate for the self-merge
+    crossed = (pairs.map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 16).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+        .groupby("__b")
+        .map_groups(lambda g: _cross(g.drop(columns="__b")),
+                    batch_format="pandas"))
+    out = combine_partials_driver(
+        crossed, ["event_type_a", "event_type_b"],
+        {"n_users": ("user_id", "count")})
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["event_type_a", "event_type_b"]).reset_index(
+        drop=True)
+
+
 def cumulative_new_users(sf_dir: str):
     """Cumulative COUNT(DISTINCT users) by day — the growth curve.
     Window COUNT(DISTINCT) doesn't exist in SQL either; both sides use

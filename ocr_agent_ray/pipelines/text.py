@@ -284,6 +284,33 @@ def mad_doc_lengths(sf_dir: str):
     )
 
 
+def length_outliers(sf_dir: str, *, k: float = 3.0):
+    """Robust per-source outlier flags: a doc is an outlier when its
+    length falls outside median ± k·MAD (the robust z-score fence that
+    length-based quality filters use). Composes the mad_doc_lengths
+    fold (tiny per-source table) with a broadcast flag map."""
+    bounds = mad_doc_lengths(sf_dir).to_pandas()
+    lo_map = dict(zip(bounds["source"],
+                      bounds["median_chars"] - k * bounds["mad"]))
+    hi_map = dict(zip(bounds["source"],
+                      bounds["median_chars"] + k * bounds["mad"]))
+
+    def _flag(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["n_chars"].to_numpy(dtype=np.float64)
+        lo = batch["source"].map(lo_map).to_numpy(dtype=np.float64)
+        hi = batch["source"].map(hi_map).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_chars": batch["n_chars"],
+            "is_outlier": pd.array((v < lo) | (v > hi), dtype="bool"),
+        })
+
+    return _read_documents(
+        sf_dir, columns=("doc_id", "source", "n_chars")
+    ).map_batches(_flag, batch_format="pandas", batch_size=65536)
+
+
 def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
     """Top-k adjacent-bigram collocations by pointwise mutual information
     (PMI) — the phrase-mining step of corpus analysis. Multi-stage
