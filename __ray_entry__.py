@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_lengths": text.mad_doc_lengths,
         "q_length_outliers": text.length_outliers,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
+        "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
+        "q_three_step_funnel": streaming.three_step_funnel,
         "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
@@ -1002,6 +1004,31 @@ def oracle_sql() -> dict[str, str]:
             "(d.n_chars < a.med - 3.0 * a.mad "
             "OR d.n_chars > a.med + 3.0 * a.mad) AS is_outlier "
             "FROM documents d JOIN mad a ON d.source = a.source"
+        ),
+        "q_cohort_retention_matrix": (
+            "WITH w AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('week', ts) AS TIMESTAMP) AS week "
+            "FROM events), "
+            "f AS (SELECT user_id, MIN(week) AS cohort_week "
+            "FROM w GROUP BY 1) "
+            "SELECT f.cohort_week, "
+            "CAST((epoch(w.week) - epoch(f.cohort_week)) / (7 * 86400) "
+            "AS BIGINT) AS week_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "q_three_step_funnel": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_step1, "
+            "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_step2, "
+            "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_step3"
         ),
         "q_event_type_cooccurrence": (
             "WITH p AS (SELECT DISTINCT user_id, event_type FROM events) "

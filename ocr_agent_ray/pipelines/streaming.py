@@ -560,6 +560,112 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def cohort_retention_matrix(sf_dir: str):
+    """Full cohort-retention triangle: users grouped by first-seen week
+    (the cohort), counted in every later week they were active —
+    (cohort_week, week_offset, n_users). First-seen week is a bucketed
+    min fold; activity weeks are bucketed distinct (user, week) pairs;
+    the two join per user in the same bucket pass; the matrix itself is
+    a tiny combine (weeks² keys)."""
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        distinct_rows,
+        hash_partition_aggregate,
+    )
+
+    def _week(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": batch["user_id"],
+            "week": batch["ts"].dt.to_period("W").dt.start_time
+            .astype("datetime64[us]"),
+        })
+
+    weeks = (_read_events(sf_dir, ("ts", "user_id"))
+             .map_batches(_week, batch_format="pandas", batch_size=65536))
+    pairs = distinct_rows(weeks, ["user_id", "week"],
+                          num_buckets=8).materialize()
+    first = hash_partition_aggregate(
+        pairs, ["user_id"], {"cohort_week": ("week", "min")})
+
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+    import pyarrow as pa_
+
+    joined = bucket_hash_join(
+        pairs, first, on="user_id",
+        left_schema=pa_.schema([("user_id", pa_.int64()),
+                                ("week", pa_.timestamp("us"))]),
+        right_schema=pa_.schema([("user_id", pa_.int64()),
+                                 ("cohort_week", pa_.timestamp("us"))]))
+
+    def _offset(batch: pd.DataFrame) -> pd.DataFrame:
+        off = ((batch["week"].astype("int64")
+                - batch["cohort_week"].astype("int64"))
+               // (7 * 86400 * 1_000_000)).astype("int64")
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "cohort_week": batch["cohort_week"],
+                             "week_offset": off})
+
+    out = combine_partials_driver(
+        joined.map_batches(_offset, batch_format="pandas",
+                           batch_size=65536),
+        ["cohort_week", "week_offset"], {"n_users": ("user_id", "count")})
+    out["n_users"] = out["n_users"].astype("int64")
+    out["week_offset"] = out["week_offset"].astype("int64")
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(
+        drop=True)
+
+
+def three_step_funnel(sf_dir: str):
+    """Ordered 3-step funnel (view → click → purchase, strictly
+    increasing timestamps): per-user greedy earliest-chain match —
+    correct for existence because taking the EARLIEST view, then the
+    first click after it, then the first purchase after that, finds a
+    chain iff any exists. Whole-bucket kernel: per user three
+    searchsorted probes over its ts segments. Returns one row:
+    (n_step1, n_step2, n_step3) distinct-user counts."""
+
+    def _chain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        kind = g["event_type"].to_numpy()
+        users, starts = np.unique(uid, return_index=True)
+        bounds = np.append(starts, len(uid))
+        s1 = s2 = s3 = 0
+        for i in range(len(users)):
+            s, e = bounds[i], bounds[i + 1]
+            vts = us[s:e][kind[s:e] == "view"]
+            if not len(vts):
+                continue
+            s1 += 1
+            cts = us[s:e][kind[s:e] == "click"]
+            j = np.searchsorted(cts, vts[0], side="right")
+            if j >= len(cts):
+                continue
+            s2 += 1
+            pts = us[s:e][kind[s:e] == "purchase"]
+            k2 = np.searchsorted(pts, cts[j], side="right")
+            if k2 < len(pts):
+                s3 += 1
+        return pd.DataFrame({"s1": [s1], "s2": [s2], "s3": [s3]})
+
+    parts = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
+        .map_groups(_chain, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({
+        "n_step1": [int(parts["s1"].sum())],
+        "n_step2": [int(parts["s2"].sum())],
+        "n_step3": [int(parts["s3"].sum())],
+    })
+
+
 def event_type_cooccurrence(sf_dir: str):
     """Market-basket co-occurrence: for every ordered pair of DISTINCT
     event types, how many users did both — the 'users who X also Y'

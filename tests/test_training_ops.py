@@ -733,3 +733,28 @@ def test_multimodal_pack_invariants(ray_session):
     a = got.sort_values(key).reset_index(drop=True)
     b = again.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_three_step_funnel_planted_chain(ray_session, tmp_path):
+    """Greedy earliest-chain: a user whose only purchase precedes the
+    first post-view click does NOT convert; a proper v<c<p chain does."""
+    from ocr_agent_ray.pipelines.streaming import three_step_funnel
+
+    t = lambda m: pd.Timestamp(f"2024-01-01 00:{m:02d}")
+    rows = [
+        # user 1: view@1 click@2 purchase@3 -> full chain
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+        # user 2: purchase@1 view@2 click@3 -> steps 1,2 only
+        (4, t(1), 2, "purchase"), (5, t(2), 2, "view"), (6, t(3), 2, "click"),
+        # user 3: click only -> no steps
+        (7, t(1), 3, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = three_step_funnel(str(tmp_path))
+    assert got.iloc[0].tolist() == [2, 2, 1]
