@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_q6_revenue": relational.q6_revenue,
         "q_null_aware_stats": relational.null_aware_value_stats,
         "q_value_time_regression": relational.value_time_regression,
+        "q_join_size_profile": relational.join_size_profile,
         "q_corpus_report": _corpus_report,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
@@ -1201,6 +1202,16 @@ def oracle_sql() -> dict[str, str]:
             "rep.dup_rate, lng.top_lang, "
             "ROUND(CAST(lng.top_n AS DOUBLE) / rep.n_docs, 6) "
             "AS top_lang_share FROM rep JOIN lng USING (source)"
+        ),
+        "q_join_size_profile": (
+            "WITH l AS (SELECT user_id % 1500 AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS nl FROM events GROUP BY 1), "
+            "r AS (SELECT c_custkey % 1500 AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS nr FROM customer GROUP BY 1), "
+            "j AS (SELECT l.nl * r.nr AS p FROM l JOIN r USING (k)) "
+            "SELECT CAST(SUM(p) AS BIGINT) AS join_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys_matched, "
+            "CAST(MAX(p) AS BIGINT) AS max_key_fanout FROM j"
         ),
         "q_value_time_regression": (
             "WITH p AS (SELECT event_type, "

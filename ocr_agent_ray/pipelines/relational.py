@@ -280,6 +280,39 @@ def orders_in_range_by_priority(sf_dir: str):
     )
 
 
+def join_size_profile(sf_dir: str):
+    """Join-size profiling — the planner utility that answers 'how many
+    rows would events ⋈ customer produce?' WITHOUT materializing the
+    join: per-key counts fold on each side (bucketed), the count tables
+    join (tiny vs the data), and Σ n_left·n_right is the exact join
+    cardinality. Also reports per-side key counts and the max fan-out
+    key — the skew signal that decides broadcast vs bucketed vs salted."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    ev = hash_partition_aggregate(
+        read_table(sf_dir, "events", ["user_id"]).map_batches(
+            lambda b: b.assign(k=b["user_id"] % 1500),
+            batch_format="pandas", batch_size=65536),
+        ["k"], {"n_left": ("k", "count")})
+    cust = hash_partition_aggregate(
+        read_table(sf_dir, "customer", ["c_custkey"]).map_batches(
+            lambda b: pd.DataFrame({"k": b["c_custkey"] % 1500}),
+            batch_format="pandas", batch_size=65536),
+        ["k"], {"n_right": ("k", "count")})
+    joined = bucket_hash_join(
+        ev, cust, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("n_left", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()),
+                                ("n_right", pa.int64())])).to_pandas()
+    prod = joined["n_left"] * joined["n_right"]
+    return pd.DataFrame({
+        "join_rows": [int(prod.sum())],
+        "n_keys_matched": [int(len(joined))],
+        "max_key_fanout": [int(prod.max()) if len(joined) else 0],
+    })
+
+
 def value_time_regression(sf_dir: str):
     """Per-type least-squares trend of event value over time
     (REGR_SLOPE / REGR_INTERCEPT): five mergeable moment partials
