@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winsorize_lengths": text.winsorize_doc_lengths,
         "q_mad_lengths": text.mad_doc_lengths,
         "q_length_outliers": text.length_outliers,
+        "q_source_vocab_overlap": text.source_vocab_overlap,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
         "q_three_step_funnel": streaming.three_step_funnel,
@@ -991,6 +992,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok "
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
+        ),
+        "q_source_vocab_overlap": (
+            "WITH p AS (SELECT DISTINCT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab "
+            "FROM p GROUP BY 1), "
+            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common FROM p a "
+            "JOIN p b ON a.word = b.word AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT i.source_a, i.source_b, i.n_common, "
+            "ROUND(CAST(i.n_common AS DOUBLE) / "
+            "(sa.vocab + sb.vocab - i.n_common), 6) AS jaccard "
+            "FROM i JOIN sz sa ON i.source_a = sa.source "
+            "JOIN sz sb ON i.source_b = sb.source"
         ),
         "q_length_outliers": (
             "WITH med AS (SELECT source, percentile_cont(0.5) "

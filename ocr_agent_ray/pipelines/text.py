@@ -244,6 +244,65 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the corpus-
+    comparison matrix that shows which sources share a register.
+    Distinct (source, word) pairs fold bucketed BY WORD; each word
+    bucket emits its source-pair co-occurrences via a vectorized
+    self-merge (bounded by sources-per-word²); intersections and vocab
+    sizes combine tiny (sources² keys)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        distinct_rows,
+    )
+
+    def _words(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        out = pd.DataFrame({
+            "source": batch["source"].loc[flat.index].to_numpy(),
+            "word": flat.to_numpy(),
+        })
+        return out.drop_duplicates()
+
+    pairs = distinct_rows(
+        _read_documents(sf_dir, columns=("source", "text")).map_batches(
+            _words, batch_format="pandas", batch_size=8192),
+        ["source", "word"], num_buckets=16).materialize()
+
+    sizes = combine_partials_driver(
+        pairs, ["source"], {"vocab": ("word", "count")})
+    size_map = dict(zip(sizes["source"], sizes["vocab"].astype(int)))
+
+    def _cross(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.merge(batch, on="word", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        return m[["word", "source_a", "source_b"]]
+
+    # co-locate each word's source rows: bucket by word hash
+    def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(batch["word"].to_numpy(dtype=object))
+        return batch.assign(__b=(h % np.uint64(16)).astype("int32"))
+
+    inter = combine_partials_driver(
+        pairs.map_batches(_bucketed, batch_format="pandas",
+                          batch_size=65536)
+        .groupby("__b")
+        .map_groups(lambda g: _cross(g.drop(columns="__b")),
+                    batch_format="pandas"),
+        ["source_a", "source_b"], {"n_common": ("word", "count")})
+
+    inter["n_common"] = inter["n_common"].astype("int64")
+    va = inter["source_a"].map(size_map).to_numpy(dtype=np.float64)
+    vb = inter["source_b"].map(size_map).to_numpy(dtype=np.float64)
+    c = inter["n_common"].to_numpy(dtype=np.float64)
+    inter["jaccard"] = round_half_away(c / (va + vb - c), 6)
+    return inter.sort_values(["source_a", "source_b"]).reset_index(
+        drop=True)
+
+
 def mad_doc_lengths(sf_dir: str):
     """Median absolute deviation of doc length per source — the robust
     spread statistic behind outlier fences (median ± k·MAD). Two grouped
