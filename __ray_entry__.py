@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_lengths": text.mad_doc_lengths,
         "q_length_outliers": text.length_outliers,
         "q_source_vocab_overlap": text.source_vocab_overlap,
+        "q_source_kl_divergence": text.source_kl_divergence,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
         "q_three_step_funnel": streaming.three_step_funnel,
@@ -992,6 +993,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok "
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
+        ),
+        "q_source_kl_divergence": (
+            "WITH toks AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cq FROM toks "
+            "GROUP BY 1 ORDER BY cq DESC, w LIMIT 100), "
+            "qn AS (SELECT CAST(SUM(cq) AS DOUBLE) AS qs FROM top), "
+            "sc AS (SELECT t.source, t.w, CAST(COUNT(*) AS DOUBLE) AS c "
+            "FROM toks t JOIN top ON t.w = top.w GROUP BY 1, 2), "
+            "sn AS (SELECT source, SUM(c) AS ps FROM sc GROUP BY 1) "
+            "SELECT sc.source, ROUND(SUM((sc.c / sn.ps) * "
+            "LN((sc.c / sn.ps) / (top.cq / qn.qs))), 6) AS kl "
+            "FROM sc JOIN sn ON sc.source = sn.source "
+            "JOIN top ON sc.w = top.w CROSS JOIN qn GROUP BY sc.source"
         ),
         "q_source_vocab_overlap": (
             "WITH p AS (SELECT DISTINCT source, "

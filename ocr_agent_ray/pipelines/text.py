@@ -244,6 +244,67 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
+def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
+    """Distribution drift per source: KL(p_source ‖ p_corpus) over the
+    corpus's top-k words (restricting to a shared finite support keeps
+    the divergence well-defined — q > 0 everywhere by construction, and
+    p=0 terms contribute 0). Two passes: corpus top-k via bucketed
+    partial counts (top_words shape), then per-(source, top-word)
+    counts as a tiny combine (sources × k keys), KL vectorized."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (
+        combine_partials_driver,
+        hash_partition_aggregate,
+    )
+
+    def _uni(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index,
+                             "n": counts.to_numpy()})
+
+    per_word = hash_partition_aggregate(
+        _read_documents(sf_dir).map_batches(_uni, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")})
+    tops = (per_word.map_batches(
+        lambda b: b.sort_values(["n", "word"],
+                                ascending=[False, True]).head(top_k),
+        batch_format="pandas").to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True]).head(top_k))
+    top_set = set(tops["word"])
+    q_counts = dict(zip(tops["word"], tops["n"].astype(float)))
+    q_total = float(tops["n"].sum())
+
+    def _src_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        df = pd.DataFrame({
+            "source": batch["source"].loc[flat.index].to_numpy(),
+            "word": flat.to_numpy(),
+        })
+        df = df[df["word"].isin(top_set)]
+        g = df.groupby(["source", "word"], sort=False).size()
+        out = g.index.to_frame(index=False)
+        out["c"] = g.to_numpy()
+        return out
+
+    sc = combine_partials_driver(
+        _read_documents(sf_dir, columns=("source", "text")).map_batches(
+            _src_counts, batch_format="pandas", batch_size=8192),
+        ["source", "word"], {"c": ("c", "sum")})
+    ps = sc.groupby("source")["c"].transform("sum").to_numpy(
+        dtype=np.float64)
+    p = sc["c"].to_numpy(dtype=np.float64) / ps
+    q = (sc["word"].map(q_counts).to_numpy(dtype=np.float64) / q_total)
+    sc = sc.assign(term=p * np.log(p / q))
+    out = sc.groupby("source", as_index=False)["term"].sum().rename(
+        columns={"term": "kl"})
+    out["kl"] = round_half_away(out["kl"].to_numpy(), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def source_vocab_overlap(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources — the corpus-
     comparison matrix that shows which sources share a register.
