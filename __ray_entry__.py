@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_length_outliers": text.length_outliers,
         "q_source_vocab_overlap": text.source_vocab_overlap,
         "q_source_kl_divergence": text.source_kl_divergence,
+        "q_sentence_stats": text.sentence_stats,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
         "q_three_step_funnel": streaming.three_step_funnel,
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only (iterative algorithm)
         "q_hash_sample": relational_hash_sample,
         "q_stratified_sample": relational.stratified_sample_documents,
+        "q_sample_n": relational.sample_n_documents,
         "q_budget_sample": relational.budget_sample_by_source,
         "q_top_words": relational.top_words,
         "q_rollup_counts": relational.rollup_counts,
@@ -994,6 +996,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
         ),
+        "q_sentence_stats": (
+            "WITH segs AS (SELECT doc_id, list_filter(list_transform("
+            "string_split_regex(text, '[.!?]+'), s -> trim(s)), "
+            "s -> s != '') AS ss FROM documents) "
+            "SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences, "
+            "ROUND(CASE WHEN len(ss) = 0 THEN 0.0 ELSE "
+            "list_sum(list_transform(ss, s -> length(s))) "
+            "/ CAST(len(ss) AS DOUBLE) END, 6) AS avg_sentence_chars "
+            "FROM segs"
+        ),
         "q_source_kl_divergence": (
             "WITH toks AS (SELECT source, "
             "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
@@ -1235,6 +1247,10 @@ def oracle_sql() -> dict[str, str]:
             "rep.dup_rate, lng.top_lang, "
             "ROUND(CAST(lng.top_n AS DOUBLE) / rep.n_docs, 6) "
             "AS top_lang_share FROM rep JOIN lng USING (source)"
+        ),
+        "q_sample_n": (
+            "SELECT doc_id, source FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50"
         ),
         "q_join_size_profile": (
             "WITH l AS (SELECT user_id % 1500 AS k, "

@@ -280,6 +280,28 @@ def orders_in_range_by_priority(sf_dir: str):
     )
 
 
+def sample_n_documents(sf_dir: str, *, n: int = 50):
+    """Deterministic global fixed-size sample: the n docs with the
+    smallest md5(doc_id) — a pure function of the data (reproducible
+    across engines, unlike seeded RNG reservoirs). Per-batch partial
+    top-n then a tiny driver merge: the wire carries at most
+    n × batches rows, never the corpus."""
+    import hashlib
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(str(i).encode()).hexdigest()
+                for i in batch["doc_id"]]
+        out = pd.DataFrame({"doc_id": batch["doc_id"],
+                            "source": batch["source"], "__key": keys})
+        return out.sort_values(["__key", "doc_id"]).head(n)
+
+    tops = (read_table(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(_partial, batch_format="pandas",
+                         batch_size=65536).to_pandas())
+    out = tops.sort_values(["__key", "doc_id"]).head(n)
+    return out[["doc_id", "source"]].reset_index(drop=True)
+
+
 def join_size_profile(sf_dir: str):
     """Join-size profiling — the planner utility that answers 'how many
     rows would events ⋈ customer produce?' WITHOUT materializing the

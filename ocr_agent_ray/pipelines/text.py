@@ -244,6 +244,39 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
+def sentence_stats(sf_dir: str):
+    """Per-doc sentence segmentation stats (count + mean length) with
+    the splitting rule pinned to a regex both engines implement
+    identically ([.!?]+ terminators, trimmed, empties dropped). Pure
+    per-batch map: one vectorized split + explode + two C-speed grouped
+    folds, no shuffle.
+
+    Trim is pinned to SPACES ONLY — DuckDB trim() strips ' ' while
+    Python str.strip() strips all Unicode whitespace, a latent parity
+    break on \\t/\\n-adjacent boundaries (same class of bug the ASCII
+    \\s pin in md5_fingerprint guards against)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        segs = batch["text"].fillna("").str.split(r"[.!?]+", regex=True)
+        flat = segs.explode().str.strip(" ")
+        flat = flat[flat != ""]
+        n = (flat.groupby(level=0).size()
+             .reindex(batch.index, fill_value=0).to_numpy(dtype=np.int64))
+        chars = (flat.str.len().groupby(level=0).sum()
+                 .reindex(batch.index, fill_value=0)
+                 .to_numpy(dtype=np.float64))
+        avg = np.where(n > 0, chars / np.maximum(n, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_sentences": n,
+            "avg_sentence_chars": round_half_away(avg, 6),
+        })
+
+    return _read_documents(sf_dir).map_batches(
+        _stats, batch_format="pandas", batch_size=8192)
+
+
 def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
     """Distribution drift per source: KL(p_source ‖ p_corpus) over the
     corpus's top-k words (restricting to a shared finite support keeps

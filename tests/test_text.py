@@ -279,3 +279,38 @@ def test_email_domain_counts_planted(ray_session, tmp_path):
     got = email_domain_counts(str(tmp_path)).set_index("domain")["n"]
     assert got.to_dict() == {"example.com": 2, "mail.example.org": 1,
                              "test.net": 1}
+
+
+def test_sentence_stats_whitespace_parity(ray_session, tmp_path):
+    """Space-only trim (DuckDB trim() semantics): a tab-prefixed segment
+    keeps its tab in the length; planted counts verified."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import sentence_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["One. Two sentences!  Three?",
+                 "no terminator at all",
+                 "dots... everywhere.. ! ?"],   # empty segments dropped
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = sentence_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_sentences"] == 3
+    assert got.loc[2, "n_sentences"] == 1
+    assert got.loc[3, "n_sentences"] == 2      # 'dots', 'everywhere'
+    want = duckdb.sql(
+        "WITH segs AS (SELECT doc_id, list_filter(list_transform("
+        "string_split_regex(text, '[.!?]+'), s -> trim(s)), s -> s != '') "
+        f"AS ss FROM read_parquet('{tmp_path}/documents.parquet')) "
+        "SELECT doc_id, CAST(len(ss) AS BIGINT) AS n, "
+        "ROUND(CASE WHEN len(ss) = 0 THEN 0.0 ELSE "
+        "list_sum(list_transform(ss, s -> length(s))) / "
+        "CAST(len(ss) AS DOUBLE) END, 6) AS avg FROM segs").df()
+    want = want.set_index("doc_id")
+    assert (got["n_sentences"] == want["n"]).all()
+    assert np.allclose(got["avg_sentence_chars"], want["avg"])
