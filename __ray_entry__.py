@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_vocab_overlap": text.source_vocab_overlap,
         "q_source_kl_divergence": text.source_kl_divergence,
         "q_sentence_stats": text.sentence_stats,
+        "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
         "q_three_step_funnel": streaming.three_step_funnel,
@@ -995,6 +996,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN uni u1 ON big.w1 = u1.tok JOIN uni u2 ON big.w2 = u2.tok "
             "WHERE pair_count >= 5 "
             "ORDER BY pmi DESC, w1, w2 LIMIT 15"
+        ),
+        "q_bigram_perplexity": (
+            # add-one-smoothed bigram LM trained on the corpus itself;
+            # identical arithmetic to text.bigram_perplexity
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w, "
+            "generate_subscripts(regexp_extract_all(lower(text), "
+            "'[0-9a-z_]+'), 1) AS pos FROM documents), "
+            "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS u "
+            "FROM toks GROUP BY 1), "
+            "v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab FROM uni), "
+            "pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2 FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+            "big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS b "
+            "FROM pairs GROUP BY 1, 2), "
+            "scored AS (SELECT p.doc_id, "
+            "LN((big.b + 1.0) / (uni.u + v.vocab)) AS lp FROM pairs p "
+            "JOIN big ON p.w1 = big.w1 AND p.w2 = big.w2 "
+            "JOIN uni ON p.w1 = uni.w CROSS JOIN v) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "ROUND(EXP(-SUM(lp) / COUNT(*)), 4) AS ppl "
+            "FROM scored GROUP BY doc_id"
         ),
         "q_sentence_stats": (
             "WITH segs AS (SELECT doc_id, list_filter(list_transform("

@@ -244,6 +244,109 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
+def bigram_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: per-doc perplexity under an
+    add-one-smoothed bigram model trained on the corpus itself —
+    p(w2|w1) = (B(w1,w2)+1) / (U(w1)+V). High perplexity = text unlike
+    the corpus (gibberish / boilerplate), the classic filter signal.
+
+    Fully distributed: unigram/bigram count tables fold bucketed (never
+    on the driver — at 100 TB the vocab doesn't broadcast); every doc's
+    adjacent-pair rows rejoin the two count tables with bucket hash
+    joins (composite string key for the bigram side); per-doc mean log
+    prob folds bucketed by doc. Docs with < 2 tokens are excluded
+    (no bigrams — same rule as the SQL twin).
+
+    Returns (doc_id, n_bigrams, ppl) with ppl = exp(-mean ln p)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    docs = _read_documents(sf_dir)
+
+    def _uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"w1": counts.index,
+                             "u": counts.to_numpy()})
+
+    def _pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        words = flat.to_numpy()
+        row = flat.index.to_numpy()
+        if len(words) < 2:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "w1": pd.Series(dtype="object"),
+                                 "bg": pd.Series(dtype="object")})
+        same = row[1:] == row[:-1]
+        w1 = words[:-1][same]
+        w2 = words[1:][same]
+        doc = batch["doc_id"].loc[row[:-1][same]].to_numpy()
+        return pd.DataFrame({
+            "doc_id": doc, "w1": w1,
+            "bg": np.char.add(np.char.add(w1.astype(str), " "),
+                              w2.astype(str)),
+        })
+
+    uni = hash_partition_aggregate(
+        docs.map_batches(_uni_partial, batch_format="pandas"),
+        ["w1"], {"u": ("u", "sum")}).materialize()
+    vocab = uni.count()
+
+    def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch["bg"].value_counts()
+        return pd.DataFrame({"bg": counts.index, "b": counts.to_numpy()})
+
+    pair_rows = docs.map_batches(_pair_rows, batch_format="pandas",
+                                 batch_size=8192)
+    big = hash_partition_aggregate(
+        pair_rows.map_batches(_big_partial, batch_format="pandas",
+                              batch_size=65536),
+        ["bg"], {"b": ("b", "sum")}).materialize()
+
+    s = pa.string()
+    j1 = bucket_hash_join(
+        pair_rows, big, on="bg",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
+                               ("bg", s)]),
+        right_schema=pa.schema([("bg", s), ("b", pa.int64())]))
+    j2 = bucket_hash_join(
+        j1, uni, on="w1",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
+                               ("bg", s), ("b", pa.int64())]),
+        right_schema=pa.schema([("w1", s), ("u", pa.int64())]))
+
+    def _logp(batch: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log((batch["b"].to_numpy(dtype=np.float64) + 1.0)
+                    / (batch["u"].to_numpy(dtype=np.float64) + vocab))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "one": np.ones(len(batch), dtype=np.int64),
+            "lp": lp,
+        })
+
+    per_doc = hash_partition_aggregate(
+        j2.map_batches(_logp, batch_format="pandas", batch_size=65536),
+        ["doc_id"], {"n_bigrams": ("one", "sum"), "slp": ("lp", "sum")})
+
+    def _final(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_bigrams"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": batch["n_bigrams"].astype("int64"),
+            "ppl": round_half_away(
+                np.exp(-batch["slp"].to_numpy() / n), 4),
+        })
+
+    return per_doc.map_batches(_final, batch_format="pandas",
+                               batch_size=65536)
+
+
 def sentence_stats(sf_dir: str):
     """Per-doc sentence segmentation stats (count + mean length) with
     the splitting rule pinned to a regex both engines implement

@@ -314,3 +314,26 @@ def test_sentence_stats_whitespace_parity(ray_session, tmp_path):
     want = want.set_index("doc_id")
     assert (got["n_sentences"] == want["n"]).all()
     assert np.allclose(got["avg_sentence_chars"], want["avg"])
+
+
+def test_bigram_perplexity_orders_quality(ray_session, tmp_path):
+    """A doc made of the corpus's dominant phrasing scores LOWER
+    perplexity than a doc of rare one-off token sequences."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import bigram_perplexity
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [{"doc_id": i, "text": common} for i in range(20)]
+    rows.append({"doc_id": 100, "text": common})            # in-domain
+    rows.append({"doc_id": 101,
+                 "text": "zq xv qj wk vx kq jz zz qq ww"})  # gibberish
+    rows.append({"doc_id": 102, "text": "solo"})            # <2 tokens
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = bigram_perplexity(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 102 not in got.index                   # no bigrams -> excluded
+    assert got.loc[100, "ppl"] < got.loc[101, "ppl"]
+    assert got.loc[100, "n_bigrams"] == len(common.split()) - 1
