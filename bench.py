@@ -160,6 +160,9 @@ QUERY_NAMES = [
     "q_large_orders",
     "q_customer_order_distribution",
     "q_trailing_hour_sum",
+    "q_bigram_perplexity",
+    "q_source_vocab_overlap",
+    "q_sentence_stats",
 ]
 
 
