@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
+        "q_association_rules": streaming.association_rules,
+        "q_event_streaks": streaming.event_streaks,
         "q_three_step_funnel": streaming.three_step_funnel,
         "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
@@ -1073,6 +1075,35 @@ def oracle_sql() -> dict[str, str]:
             "(d.n_chars < a.med - 3.0 * a.mad "
             "OR d.n_chars > a.med + 3.0 * a.mad) AS is_outlier "
             "FROM documents d JOIN mad a ON d.source = a.source"
+        ),
+        "q_association_rules": (
+            "WITH p AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "t AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nt "
+            "FROM p GROUP BY 1), "
+            "u AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu "
+            "FROM p), "
+            "co AS (SELECT a.event_type AS x, b.event_type AS y, "
+            "CAST(COUNT(*) AS BIGINT) AS s FROM p a "
+            "JOIN p b ON a.user_id = b.user_id "
+            "AND a.event_type <> b.event_type GROUP BY 1, 2) "
+            "SELECT co.x AS antecedent, co.y AS consequent, "
+            "co.s AS support_users, ROUND(co.s / ta.nt, 6) AS confidence, "
+            "ROUND((co.s / u.nu) / ((ta.nt / u.nu) * (tb.nt / u.nu)), 6) "
+            "AS lift FROM co JOIN t ta ON co.x = ta.event_type "
+            "JOIN t tb ON co.y = tb.event_type CROSS JOIN u"
+        ),
+        "q_event_streaks": (
+            "WITH s AS (SELECT user_id, event_type, ts, event_id, "
+            "CASE WHEN LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "g AS (SELECT user_id, event_type, "
+            "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS grp FROM s), "
+            "r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) "
+            "AS streak_len FROM g GROUP BY user_id, event_type, grp) "
+            "SELECT event_type, streak_len, "
+            "CAST(COUNT(*) AS BIGINT) AS n_streaks FROM r GROUP BY 1, 2"
         ),
         "q_cohort_retention_matrix": (
             "WITH w AS (SELECT DISTINCT user_id, "

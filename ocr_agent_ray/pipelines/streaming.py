@@ -560,6 +560,80 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
     )
 
 
+def association_rules(sf_dir: str):
+    """Association-rule mining over event types: for each ordered pair
+    (A, B), support = users doing both, confidence = P(B|A), and
+    lift = P(AB) / (P(A)·P(B)) — the market-basket triple. Rides the
+    co-occurrence fold plus a per-type distinct-user count (both tiny
+    combines); total user count is one scalar fold."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+
+    pairs = distinct_rows(
+        _read_events(sf_dir, ("user_id", "event_type")),
+        ["user_id", "event_type"], num_buckets=8).materialize()
+    per_type = combine_partials_driver(
+        pairs, ["event_type"], {"n": ("user_id", "count")})
+    type_users = dict(zip(per_type["event_type"],
+                          per_type["n"].astype(float)))
+    n_users = float(distinct_rows(pairs, ["user_id"], num_buckets=8)
+                    .count())
+
+    co = event_type_cooccurrence(sf_dir)
+    rows = []
+    for _, r in co.iterrows():
+        for a, b in ((r["event_type_a"], r["event_type_b"]),
+                     (r["event_type_b"], r["event_type_a"])):
+            sup = float(r["n_users"])
+            conf = sup / type_users[a]
+            lift = (sup / n_users) / ((type_users[a] / n_users)
+                                      * (type_users[b] / n_users))
+            rows.append((a, b, int(sup),
+                         float(round_half_away(conf, 6)),
+                         float(round_half_away(lift, 6))))
+    out = pd.DataFrame(rows, columns=["antecedent", "consequent",
+                                      "support_users", "confidence",
+                                      "lift"])
+    return out.sort_values(["antecedent", "consequent"]).reset_index(
+        drop=True)
+
+
+def event_streaks(sf_dir: str):
+    """Run-length (streak) distribution: lengths of consecutive
+    same-type runs in each user's time-ordered event stream — the
+    gaps-and-islands pattern as a whole-bucket kernel (one sort, one
+    boundary cumsum, one C-speed size fold per bucket); the
+    (event_type, streak_len) histogram is a tiny combine."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        new = (g["user_id"].ne(g["user_id"].shift())
+               | g["event_type"].ne(g["event_type"].shift()))
+        sid = new.cumsum()
+        runs = g.groupby(sid, sort=False).agg(
+            event_type=("event_type", "first"),
+            streak_len=("event_id", "size"))
+        counts = (runs.groupby(["event_type", "streak_len"], sort=False)
+                  .size().reset_index(name="n_streaks"))
+        return counts
+
+    parts = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+        .groupby("__b")
+        .map_groups(_streaks, batch_format="pandas")
+    )
+    out = combine_partials_driver(parts, ["event_type", "streak_len"],
+                                  {"n_streaks": ("n_streaks", "sum")})
+    out["streak_len"] = out["streak_len"].astype("int64")
+    out["n_streaks"] = out["n_streaks"].astype("int64")
+    return out.sort_values(["event_type", "streak_len"]).reset_index(
+        drop=True)
+
+
 def cohort_retention_matrix(sf_dir: str):
     """Full cohort-retention triangle: users grouped by first-seen week
     (the cohort), counted in every later week they were active —
