@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_q6_revenue": relational.q6_revenue,
         "q_null_aware_stats": relational.null_aware_value_stats,
         "q_value_time_regression": relational.value_time_regression,
+        "q_corr_value_time_by_type": relational.corr_value_time_by_type,
         "q_join_size_profile": relational.join_size_profile,
         "q_corpus_report": _corpus_report,
         "q_customer_order_distribution": relational.customer_order_distribution,
@@ -1315,6 +1316,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(SUM(p) AS BIGINT) AS join_rows, "
             "CAST(COUNT(*) AS BIGINT) AS n_keys_matched, "
             "CAST(MAX(p) AS BIGINT) AS max_key_fanout FROM j"
+        ),
+        "q_corr_value_time_by_type": (
+            "WITH p AS (SELECT event_type, "
+            "(epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0 AS x, "
+            "value AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+            "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM p GROUP BY 1) "
+            "SELECT event_type, n, "
+            "ROUND((n * sxy - sx * sy) / "
+            "SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) "
+            "AS corr_vt FROM m"
         ),
         "q_value_time_regression": (
             "WITH p AS (SELECT event_type, "

@@ -379,6 +379,48 @@ def value_time_regression(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def corr_value_time_by_type(sf_dir: str):
+    """Per-type Pearson correlation between event value and (anchored)
+    time — the normalized companion to value_time_regression, from the
+    same six mergeable moment partials (n, Σx, Σy, Σxy, Σx², Σy²); the
+    oracle uses the identical raw-moment formula rather than CORR()'s
+    numerically-stable one-pass, so both sides round the same way."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def _moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = ((batch["ts"].astype("int64").to_numpy(dtype=np.float64)
+              - base_us) / 1e6) / 86400.0
+        y = batch["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "one": np.ones(len(batch), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x, "syy": y * y,
+        })
+
+    m = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_moments, batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("one", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxy": ("sxy", "sum"), "sxx": ("sxx", "sum"),
+         "syy": ("syy", "sum")})
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxy = m["sxy"].to_numpy()
+    sxx, syy = m["sxx"].to_numpy(), m["syy"].to_numpy()
+    r = ((n * sxy - sx * sy)
+         / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    out = pd.DataFrame({
+        "event_type": m["event_type"],
+        "n": m["n"].astype("int64"),
+        "corr_vt": round_half_away(r, 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def null_aware_value_stats(sf_dir: str):
     """SQL NULL-semantics battery: COUNT(*) vs COUNT(col) (null-skipping),
     SUM(COALESCE(...)), null-ignoring AVG, and FILTER(WHERE IS NULL) —
