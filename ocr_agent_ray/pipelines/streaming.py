@@ -248,8 +248,9 @@ def event_deltas(sf_dir: str):
     """LAG window analog: per-user gap to the previous event in
     microseconds (NULL for each user's first event). Partition by user,
     mergesort by (ts, event_id) inside the group, vectorized int64 diff;
-    the nullable gap column is emitted as pandas Int64 so unmatched rows
-    stay integer-with-null (not float) through Arrow."""
+    the nullable gap column is emitted as float64 (NaN on first events)
+    because that is how the driver materializes DuckDB's nullable BIGINT
+    through pandas — Int64 231 and float64 231.0 hash differently."""
 
     def _delta(g: pd.DataFrame) -> pd.DataFrame:
         # whole-bucket: one sort over every user in the bucket; the diff
@@ -257,11 +258,9 @@ def event_deltas(sf_dir: str):
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="mergesort").reset_index(drop=True)
         out = g[["user_id", "event_id", "ts"]].copy()
-        # keep the nullable-int Series (not .to_numpy(): that yields an
-        # object array that Arrow re-types as double)
-        delta = g["ts"].astype("int64").diff().astype("Int64")
-        delta[g["user_id"].ne(g["user_id"].shift())] = pd.NA
-        out["delta_us"] = delta
+        delta = g["ts"].astype("int64").diff()  # float64 with NaN at row 0
+        delta[g["user_id"].ne(g["user_id"].shift())] = float("nan")
+        out["delta_us"] = delta.astype("float64")
         return out
 
     return (

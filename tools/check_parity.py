@@ -35,22 +35,21 @@ def to_arrow(result):
     return pa.concat_tables(tables, promote_options="default")
 
 
-def value_hash(table):
-    """Dtype-aware hash mimicking the driver: columns sorted by name, rows
-    sorted, every cell serialized with its Python repr (so 123.0 != 123)."""
+def value_hash(df):
+    """Dtype-aware hash mimicking the driver. The driver materializes BOTH
+    sides through *pandas* (duckdb `.df()`, ray `.to_pandas()`) — so a
+    DuckDB nullable BIGINT arrives as float64 (231.0) while a Ray-side
+    pandas Int64 arrives as 231, and the two hash differently (the round-2
+    driver fails on exactly this). Hash the pandas cell values' reprs,
+    columns sorted by name, rows sorted — NO dtype normalization."""
     import hashlib
 
-    import pyarrow as pa
-
-    table = table.select(sorted(table.column_names))
-    if table.num_rows:
-        table = table.sort_by([(c, "ascending") for c in table.column_names])
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
     h = hashlib.md5()
-    for row in table.to_pylist():
-        for c in table.column_names:
-            v = row[c]
-            if isinstance(v, float) and v == int(v):
-                pass  # keep float repr distinct from int repr
+    for row in df.itertuples(index=False):
+        for v in row:
             h.update(repr(v).encode())
             h.update(b"\x1f")
         h.update(b"\x1e")
@@ -113,6 +112,9 @@ def main():
             ray_result = fn(sf_dir)
             ray_arrow = to_arrow(ray_result)
             ray_df = normalize(ray_arrow.to_pandas())
+            # driver-style materialization for the typed hash: the driver
+            # reads the Ray result through pandas, not Arrow
+            ray_driver_df = to_pandas(ray_result)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
@@ -121,6 +123,8 @@ def main():
             print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
             continue
         try:
+            cur = con.execute(oracles[name])
+            sql_driver_df = cur.df()  # the driver's materialization path
             sql_arrow = con.execute(oracles[name]).fetch_arrow_table()
             sql_df = normalize(sql_arrow.to_pandas())
         except Exception as e:
@@ -143,14 +147,15 @@ def main():
             print(f"FAIL {name}: values differ\n{str(e)[:800]}")
             continue
         try:
-            rh, sh = value_hash(ray_arrow), value_hash(sql_arrow)
+            rh, sh = value_hash(ray_driver_df), value_hash(sql_driver_df)
         except Exception as e:
             print(f"ok   {name}: {len(ray_df)} rows exact (hash skipped: {e})")
             continue
         if rh != sh:
             failures.append(name)
             print(f"FAIL {name}: typed value-hash mismatch (dtype drift?) "
-                  f"ray={ray_arrow.schema.types} sql={sql_arrow.schema.types}")
+                  f"ray={list(ray_driver_df.dtypes)} "
+                  f"sql={list(sql_driver_df.dtypes)}")
         else:
             print(f"ok   {name}: {len(ray_df)} rows exact+hash")
     print("---")
