@@ -1102,11 +1102,15 @@ class FingerprintStore:
     re-checks membership).
 
     At cluster scale the same layout works on shared storage; buckets
-    are the unit of both pruned reads and parallel admission. Admission
-    of DIFFERENT shards must be serialized (or partitioned by bucket):
-    two shards admitting the same never-seen text concurrently would
-    both pass the membership check — the store guarantees idempotent
-    re-admission, not cross-shard linearizability."""
+    are the unit of both pruned reads and parallel admission. Concurrent
+    admission of DIFFERENT shards is safe: each bucket's
+    load→check→append runs under a per-bucket advisory ``flock``
+    (``locks/bucket-NNNN.lock``), so two shards racing on the same
+    never-seen fingerprint serialize on that one bucket — first holder
+    admits, the second sees it as seen — while disjoint buckets proceed
+    fully in parallel. The lock is POSIX ``flock`` (valid on local disks
+    and NFSv4); on object stores without lock semantics, partition the
+    admission schedule by bucket instead."""
 
     def __init__(self, root: str, num_buckets: int = 32):
         import os
@@ -1123,6 +1127,54 @@ class FingerprintStore:
     def _bucket_of(self, fps: pd.Series) -> np.ndarray:
         h = pd.util.hash_array(fps.to_numpy(dtype=object))
         return (h % np.uint64(self.num_buckets)).astype(np.int64)
+
+    def _bucket_lock(self, b: int):
+        """Exclusive per-bucket advisory lock (context manager). flock is
+        tied to the open file description, so it serializes across
+        processes AND across threads that each open their own fd."""
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def _held():
+            lock_dir = os.path.join(self.root, "locks")
+            os.makedirs(lock_dir, exist_ok=True)
+            fd = os.open(os.path.join(lock_dir, f"bucket-{b:04d}.lock"),
+                         os.O_RDWR | os.O_CREAT)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _held()
+
+    def admit_bucket_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        """Admit one bucket's candidate (id, fingerprint) rows under the
+        bucket lock; returns the rows that were genuinely fresh."""
+        import os
+        import uuid
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        if not len(g):
+            return g
+        b = int(self._bucket_of(g["fingerprint"])[0])
+        with self._bucket_lock(b):
+            seen = self._load_bucket(b)
+            fresh = g[~g["fingerprint"].isin(seen)]
+            if len(fresh):
+                d = self._bucket_dir(b)
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+                pq.write_table(pa_.Table.from_pandas(
+                    fresh[["fingerprint"]], preserve_index=False), tmp)
+                os.replace(tmp, os.path.join(
+                    d, f"part-{uuid.uuid4().hex}.parquet"))
+        return fresh
 
     def _load_bucket(self, b: int) -> set:
         import os
@@ -1145,11 +1197,6 @@ class FingerprintStore:
         rows — docs whose fingerprint was neither in the store NOR
         earlier in this shard (min-id wins within the shard) — and
         appends the new fingerprints to the store."""
-        import os
-        import uuid
-
-        import pyarrow as pa_
-        import pyarrow.parquet as pq
 
         def _fp(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
@@ -1167,20 +1214,6 @@ class FingerprintStore:
 
         store = self
 
-        def _admit_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            b = int(store._bucket_of(g["fingerprint"])[0])
-            seen = store._load_bucket(b)
-            fresh = g[~g["fingerprint"].isin(seen)]
-            if len(fresh):
-                d = store._bucket_dir(b)
-                os.makedirs(d, exist_ok=True)
-                tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
-                pq.write_table(pa_.Table.from_pandas(
-                    fresh[["fingerprint"]], preserve_index=False), tmp)
-                os.replace(tmp, os.path.join(
-                    d, f"part-{uuid.uuid4().hex}.parquet"))
-            return fresh
-
         def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
             batch = batch.copy()
             batch["__b"] = store._bucket_of(batch["fingerprint"])
@@ -1189,5 +1222,5 @@ class FingerprintStore:
         return (shard.map_batches(_bucketed, batch_format="pandas",
                                   batch_size=65536)
                 .groupby("__b")
-                .map_groups(lambda g: _admit_bucket(
+                .map_groups(lambda g: store.admit_bucket_frame(
                     g.drop(columns="__b")), batch_format="pandas"))

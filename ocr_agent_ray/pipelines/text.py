@@ -257,6 +257,15 @@ def bigram_perplexity(sf_dir: str):
     prob folds bucketed by doc. Docs with < 2 tokens are excluded
     (no bigrams — same rule as the SQL twin).
 
+    SINGLE corpus pass: one scan tokenizes each batch once and emits a
+    tagged union (per-batch unigram partials with ``u`` set, per-bigram
+    occurrence rows with ``bg`` set), materialized so the three
+    downstream consumers (unigram table, bigram table, join left side)
+    filter object-store blocks instead of re-reading + re-tokenizing
+    the corpus (the previous shape scanned it three times). The
+    materialized union is pair-occurrence-sized and spills to the
+    object store; the count tables built from it stay vocab-bounded.
+
     Returns (doc_id, n_bigrams, ppl) with ppl = exp(-mean ln p)."""
     import pyarrow as pa
 
@@ -266,44 +275,59 @@ def bigram_perplexity(sf_dir: str):
 
     docs = _read_documents(sf_dir)
 
-    def _uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.findall(
-            r"[0-9a-z_]+")
-        counts = toks.explode().dropna().value_counts()
-        return pd.DataFrame({"w1": counts.index,
-                             "u": counts.to_numpy()})
-
-    def _pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def _tagged(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].fillna("").str.lower().str.findall(
             r"[0-9a-z_]+")
         flat = toks.explode().dropna()
         words = flat.to_numpy()
         row = flat.index.to_numpy()
+        counts = flat.value_counts()
+        uni_part = pd.DataFrame({
+            "doc_id": pd.array([pd.NA] * len(counts), dtype="Int64"),
+            "w1": counts.index.to_numpy(dtype=object),
+            "bg": pd.Series([None] * len(counts), dtype="object"),
+            "u": pd.array(counts.to_numpy(), dtype="Int64"),
+        })
         if len(words) < 2:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "w1": pd.Series(dtype="object"),
-                                 "bg": pd.Series(dtype="object")})
+            return uni_part
         same = row[1:] == row[:-1]
         w1 = words[:-1][same]
         w2 = words[1:][same]
         doc = batch["doc_id"].loc[row[:-1][same]].to_numpy()
-        return pd.DataFrame({
-            "doc_id": doc, "w1": w1,
+        pair_part = pd.DataFrame({
+            "doc_id": pd.array(doc, dtype="Int64"),
+            "w1": w1,
             "bg": np.char.add(np.char.add(w1.astype(str), " "),
                               w2.astype(str)),
+            "u": pd.array([pd.NA] * len(w1), dtype="Int64"),
         })
+        return pd.concat([uni_part, pair_part], ignore_index=True)
+
+    tagged = docs.map_batches(_tagged, batch_format="pandas",
+                              batch_size=8192).materialize()
+
+    def _uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch[batch["u"].notna()]
+        return pd.DataFrame({"w1": f["w1"],
+                             "u": f["u"].astype("int64")})
 
     uni = hash_partition_aggregate(
-        docs.map_batches(_uni_partial, batch_format="pandas"),
+        tagged.map_batches(_uni_rows, batch_format="pandas",
+                           batch_size=65536),
         ["w1"], {"u": ("u", "sum")}).materialize()
     vocab = uni.count()
+
+    def _pair_sel(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch[batch["bg"].notna()]
+        return pd.DataFrame({"doc_id": f["doc_id"].astype("int64"),
+                             "w1": f["w1"], "bg": f["bg"]})
 
     def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
         counts = batch["bg"].value_counts()
         return pd.DataFrame({"bg": counts.index, "b": counts.to_numpy()})
 
-    pair_rows = docs.map_batches(_pair_rows, batch_format="pandas",
-                                 batch_size=8192)
+    pair_rows = tagged.map_batches(_pair_sel, batch_format="pandas",
+                                   batch_size=65536)
     big = hash_partition_aggregate(
         pair_rows.map_batches(_big_partial, batch_format="pandas",
                               batch_size=65536),
@@ -572,11 +596,14 @@ def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
     (PMI) — the phrase-mining step of corpus analysis. Multi-stage
     distributed shape:
 
-    1. per-batch partial counts: vectorized tokenize (str.findall), a
-       shift-compare pairs consecutive tokens within each doc, pandas
-       value_counts — one row per distinct unigram/bigram per batch;
-    2. two hash_partition_aggregate combines (vocab and bigram tables
-       never sit in one place);
+    1. ONE corpus scan emits a tagged union of per-batch partial counts:
+       vectorized tokenize (str.findall) once per batch, a shift-compare
+       pairs consecutive tokens within each doc, pandas value_counts —
+       unigram rows carry ``w2 = null``, bigram rows carry both words
+       (the previous shape tokenized the corpus twice);
+    2. two hash_partition_aggregate combines over the materialized
+       union's filtered halves (vocab and bigram tables never sit in
+       one place);
     3. two bucket_hash_joins rejoin unigram counts to the bigram table;
     4. PMI = ln((c/NB) / ((c1/N)(c2/N))) vectorized, min_count filter,
        per-batch partial top-k, tiny driver merge.
@@ -591,32 +618,45 @@ def top_collocations(sf_dir: str, *, k: int = 15, min_count: int = 5):
 
     docs = _read_documents(sf_dir, columns=("doc_id", "text"))
 
-    def _uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
-        counts = toks.explode().dropna().value_counts()
-        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
-
-    def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def _tagged_partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
         flat = toks.explode().dropna()
         words = flat.to_numpy()
         doc = flat.index.to_numpy()
+        counts = flat.value_counts()
+        uni_part = pd.DataFrame({
+            "w1": counts.index.to_numpy(dtype=object),
+            "w2": pd.Series([None] * len(counts), dtype="object"),
+            "n": counts.to_numpy(),
+        })
         if len(words) < 2:
-            return pd.DataFrame({"w1": pd.Series(dtype="object"),
-                                 "w2": pd.Series(dtype="object"),
-                                 "c": pd.Series(dtype="int64")})
+            return uni_part
         same = doc[1:] == doc[:-1]          # pairs never cross documents
         pairs = pd.DataFrame({"w1": words[:-1][same], "w2": words[1:][same]})
-        counts = pairs.value_counts()
-        out = counts.index.to_frame(index=False)
-        out["c"] = counts.to_numpy()
-        return out
+        pc = pairs.value_counts()
+        big_part = pc.index.to_frame(index=False)
+        big_part["n"] = pc.to_numpy()
+        return pd.concat([uni_part, big_part], ignore_index=True)
+
+    tagged = docs.map_batches(_tagged_partial,
+                              batch_format="pandas").materialize()
+
+    def _uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch[batch["w2"].isna()]
+        return pd.DataFrame({"word": f["w1"], "n": f["n"].astype("int64")})
+
+    def _big_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch[batch["w2"].notna()]
+        return pd.DataFrame({"w1": f["w1"], "w2": f["w2"],
+                             "c": f["n"].astype("int64")})
 
     uni = hash_partition_aggregate(
-        docs.map_batches(_uni_partial, batch_format="pandas"),
+        tagged.map_batches(_uni_rows, batch_format="pandas",
+                           batch_size=65536),
         ["word"], {"n": ("n", "sum")}).materialize()
     big = hash_partition_aggregate(
-        docs.map_batches(_big_partial, batch_format="pandas"),
+        tagged.map_batches(_big_rows, batch_format="pandas",
+                           batch_size=65536),
         ["w1", "w2"], {"c": ("c", "sum")}).materialize()
     n_uni = int(uni.sum("n"))
     n_big = int(big.sum("c"))

@@ -248,3 +248,63 @@ def test_fingerprint_store_incremental_admission(ray_session, tmp_path):
     # idempotent: everything in shard2 is now known
     got3 = store.admit(rd.from_pandas(shard2)).to_pandas()
     assert len(got3) == 0
+
+
+def test_fingerprint_store_concurrent_admission(tmp_path, monkeypatch):
+    """Two shards racing on the SAME never-seen fingerprints must not
+    both admit them: the per-bucket flock serializes load->check->append,
+    so exactly one racer survives per fingerprint. The race window is
+    widened by sleeping inside the (locked) bucket load."""
+    import threading
+    import time
+
+    from ocr_agent_ray.pipelines.dedup import FingerprintStore, md5_fingerprint
+
+    store = FingerprintStore(str(tmp_path / "state"), num_buckets=4)
+
+    real_load = FingerprintStore._load_bucket
+
+    def slow_load(self, b):
+        out = real_load(self, b)
+        time.sleep(0.15)  # hold the bucket long enough for the other
+        return out        # thread to be blocked on the lock, not done
+
+    monkeypatch.setattr(FingerprintStore, "_load_bucket", slow_load)
+
+    texts = [f"shared doc {i}" for i in range(12)]
+
+    def frame(id_base):
+        return pd.DataFrame({
+            "doc_id": np.arange(id_base, id_base + len(texts)),
+            "fingerprint": md5_fingerprint(pd.Series(texts)),
+        })
+
+    results: dict[int, pd.DataFrame] = {}
+    barrier = threading.Barrier(2)
+
+    def admit(tid, id_base):
+        barrier.wait()
+        # drive the locked per-bucket admission directly (the Ray path
+        # routes every bucket group through this same method)
+        f = frame(id_base)
+        f["__b"] = store._bucket_of(f["fingerprint"])
+        parts = [store.admit_bucket_frame(g.drop(columns="__b"))
+                 for _, g in f.groupby("__b")]
+        results[tid] = pd.concat(parts) if parts else f.iloc[:0]
+
+    threads = [threading.Thread(target=admit, args=(t, 100 * (t + 1)))
+               for t in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    survivors = pd.concat([results[0], results[1]])
+    # every fingerprint admitted exactly once across both racers
+    assert len(survivors) == len(texts)
+    assert survivors["fingerprint"].nunique() == len(texts)
+    # and the store itself holds no duplicates
+    all_fps = []
+    for b in range(4):
+        all_fps.extend(store._load_bucket(b))
+    assert len(all_fps) == len(set(all_fps)) == len(texts)
