@@ -76,12 +76,12 @@ def hash_partition_aggregate(ds, keys: list[str], spec: AggSpec,
     def _combine_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return _combine(g.drop(columns="__bucket"), keys, spec)
 
-    return (
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(
         ds.map_batches(_partial_bucketed, batch_format="pandas",
-                       batch_size=65536)
-        .groupby("__bucket")
-        .map_groups(_combine_bucket, batch_format="pandas")
-    )
+                       batch_size=65536),
+        _combine_bucket, bucket_col="__bucket", num_buckets=num_buckets)
 
 
 def ranged_global_rank(keyed, sort_cols: list[str], *,
@@ -112,8 +112,9 @@ def ranged_global_rank(keyed, sort_cols: list[str], *,
         g[rank_col] = off + np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return total, keyed.groupby("__rb").map_groups(_rank,
-                                                   batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    return total, key_map_groups(keyed, _rank, key_col="__rb")
 
 
 def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
@@ -144,10 +145,11 @@ def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
         nd.insert(0, "__rb", g["__rb"].iloc[0])
         return nd
 
-    nd_tbl = (keyed.map_batches(_dvals, batch_format="pandas",
-                                batch_size=65536)
-              .groupby("__rb").map_groups(_ndistinct, batch_format="pandas")
-              .to_pandas())
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    nd_tbl = key_map_groups(
+        keyed.map_batches(_dvals, batch_format="pandas", batch_size=65536),
+        _ndistinct, key_col="__rb").to_pandas()
 
     if nd_tbl.empty:          # empty input: map_groups emits no columns
         nd_tbl = pd.DataFrame(columns=["__rb", part_col, "nd"])
@@ -183,7 +185,7 @@ def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
             ))
         return pd.concat(parts, ignore_index=True)
 
-    return keyed.groupby("__rb").map_groups(_rank, batch_format="pandas")
+    return key_map_groups(keyed, _rank, key_col="__rb")
 
 
 def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
@@ -203,11 +205,9 @@ def distinct_rows(ds, cols: list[str], num_buckets: int = 32):
         b["__bucket"] = (row_hash % np.uint64(num_buckets)).astype(np.int32)
         return b
 
-    return (
-        ds.map_batches(_bucketed, batch_format="pandas", batch_size=65536)
-        .groupby("__bucket")
-        .map_groups(
-            lambda g: g.drop(columns="__bucket").drop_duplicates(),
-            batch_format="pandas",
-        )
-    )
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(
+        ds.map_batches(_bucketed, batch_format="pandas", batch_size=65536),
+        lambda g: g.drop(columns="__bucket").drop_duplicates(),
+        bucket_col="__bucket", num_buckets=num_buckets)

@@ -53,11 +53,11 @@ def curation_funnel(sf_dir: str, *, num_buckets: int = 32) -> pd.DataFrame:
         g = g.sort_values(["fingerprint", "doc_id"], kind="mergesort")
         return g[~g.duplicated("fingerprint")][["doc_id", "source"]]
 
-    deduped = (
-        survivors.map_batches(_fp, batch_format="pandas", batch_size=65536)
-        .groupby("__bucket")
-        .map_groups(_first_wins, batch_format="pandas")
-    )
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    deduped = bucket_map_groups(
+        survivors.map_batches(_fp, batch_format="pandas", batch_size=65536),
+        _first_wins, bucket_col="__bucket", num_buckets=num_buckets)
 
     def _mix(b: pd.DataFrame) -> pd.DataFrame:
         return b[mixture_keep_mask(b["doc_id"], b["source"])]

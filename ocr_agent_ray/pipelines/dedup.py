@@ -91,11 +91,11 @@ def dedup_keep_first(ds, text_col: str = "text", id_col: str = "doc_id"):
         idx = g.groupby("fingerprint")[id_col].idxmin()
         return g.loc[sorted(idx)].drop(columns="fingerprint")
 
-    return (
-        ds.map_batches(_fp, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(_keep_min, batch_format="pandas")
-    )
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(
+        ds.map_batches(_fp, batch_format="pandas"),
+        _keep_min, bucket_col="__bucket", num_buckets=32)
 
 
 def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = None,
@@ -135,10 +135,15 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
                 len(hot), int(hot.max()), MAX_BUCKET,
             )
         sizes = g["band_key"].map(counts)
+        dtypes = {**{p: g[id_col].dtype for p in _PAIR_COLS},
+                  **{f"{c}_{s}": g[c].dtype
+                     for c in extra_cols for s in "ab"}}
         g = g[(sizes >= 2) & (sizes <= MAX_BUCKET)]
         if g.empty:
-            return pd.DataFrame(
-                columns=_PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"])
+            # typed empty: an all-object empty frame would poison the
+            # cross-bucket Arrow schema (null-type vs int64 columns)
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in dtypes.items()})
         m = g.merge(g, on="band_key", suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
         out = pd.DataFrame({
@@ -155,13 +160,14 @@ def _bucketed_band_pairs(band_rows, id_col: str, extra_cols: list[str] | None = 
             out = pair_filter(out)
         return out.drop_duplicates(_PAIR_COLS)
 
-    pairs = (
-        # coarse batches: few fat blocks into the bucket sort (fixed
-        # per-block shuffle cost dominates thin-block plans)
-        band_rows.map_batches(_bucket, batch_format="pandas", batch_size=131072)
-        .groupby("__bucket")
-        .map_groups(_pairs, batch_format="pandas")
-    )
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    pairs = bucket_map_groups(
+        # coarse batches: few fat blocks into the bucket split (fixed
+        # per-block exchange cost dominates thin-block plans)
+        band_rows.map_batches(_bucket, batch_format="pandas",
+                              batch_size=131072),
+        _pairs, bucket_col="__bucket", num_buckets=num_buckets)
     if distinct_cols is None:
         distinct_cols = _PAIR_COLS + [f"{c}_{s}" for c in extra_cols for s in "ab"]
     return distinct_rows(pairs, distinct_cols)
@@ -420,7 +426,9 @@ def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
             }
         )
 
-    return ds.groupby(block_col).map_groups(_block_pairs, batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    return key_map_groups(ds, _block_pairs, key_col=block_col)
 
 
 def _semantic_group_kernel(threshold: float, id_col: str, vec_col: str,
@@ -446,9 +454,10 @@ def _semantic_group_kernel(threshold: float, id_col: str, vec_col: str,
         near &= np.tri(len(ids), k=-1, dtype=bool)   # j < i only
         dup = near.any(axis=1)
         first = near.argmax(axis=1)                  # first True per row
-        dup_of = pd.array(
-            [int(ids[j]) if d else None for d, j in zip(dup, first)],
-            dtype="Int64")
+        # float64 with NaN for keepers: the driver materializes DuckDB's
+        # nullable BIGINT through pandas as float64 (231 vs 231.0 hash
+        # differently — same class as the lag-column fixes)
+        dup_of = np.where(dup, ids[first].astype(np.float64), np.nan)
         return pd.DataFrame({
             id_col: ids,
             "cluster_id": g[cluster_col].to_numpy(),
@@ -474,8 +483,10 @@ def semantic_dedup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
     dense cosine matrix, so cluster size must be bounded (SemDeDup uses
     k ~ sqrt(n) clusters for this reason) — a hot cluster needs a larger
     k upstream, not a bigger group kernel."""
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
     kern = _semantic_group_kernel(threshold, id_col, vec_col, cluster_col)
-    return ds.groupby(cluster_col).map_groups(kern, batch_format="pandas")
+    return key_map_groups(ds, kern, key_col=cluster_col)
 
 
 def semantic_dedup_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
@@ -507,9 +518,11 @@ def semantic_dedup_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
     assigned = ds.map_batches(_assign, batch_format="pandas")
     kern = _semantic_group_kernel(threshold, "vec_id", "embedding", "cluster")
-    return assigned.groupby("cluster").map_groups(kern, batch_format="pandas")
+    return key_map_groups(assigned, kern, key_col="cluster", num_buckets=8)
 
 
 def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
@@ -1014,8 +1027,10 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
         out["__db"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
         return out
 
-    dup_occ = occ.groupby("__bucket").map_groups(
-        _flag_dup, batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    dup_occ = bucket_map_groups(occ, _flag_dup, bucket_col="__bucket",
+                                num_buckets=num_buckets)
 
     def _runs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "idx"], kind="mergesort")
@@ -1027,8 +1042,8 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
             n_dup_grams=("run_len", "sum"), max_dup_run=("run_len", "max"))
         return per.reset_index()
 
-    dup_stats = dup_occ.groupby("__db").map_groups(
-        _runs, batch_format="pandas")
+    dup_stats = bucket_map_groups(dup_occ, _runs, bucket_col="__db",
+                                  num_buckets=num_buckets)
 
     def _totals(batch: pd.DataFrame) -> pd.DataFrame:
         n_tok = (batch[text_col].fillna("").str.lower()
@@ -1219,8 +1234,10 @@ class FingerprintStore:
             batch["__b"] = store._bucket_of(batch["fingerprint"])
             return batch
 
-        return (shard.map_batches(_bucketed, batch_format="pandas",
-                                  batch_size=65536)
-                .groupby("__b")
-                .map_groups(lambda g: store.admit_bucket_frame(
-                    g.drop(columns="__b")), batch_format="pandas"))
+        from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+        return bucket_map_groups(
+            shard.map_batches(_bucketed, batch_format="pandas",
+                              batch_size=65536),
+            lambda g: store.admit_bucket_frame(g.drop(columns="__b")),
+            bucket_col="__b", num_buckets=self.num_buckets)

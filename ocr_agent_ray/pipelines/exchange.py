@@ -1,0 +1,209 @@
+"""Raw-Ray hash exchange for bucketed map_groups kernels.
+
+Ray 2.49's groupby lowers to a SORT-based all-to-all: every
+``groupby("__b").map_groups(kernel)`` pays an O(n log n) global sort (and,
+in local mode, a near-serial merge) even though the bucketed kernels only
+need hash partitioning — BASELINE.md measured the sort exchange as ~all
+the wall time at the 5M-event window stress, and the HASH_SHUFFLE
+DataContext flip is worse here (aggregator-actor spin-up dominates; it
+also stalls the flagship's actor pool when set globally). This module
+implements the exchange the Dataset API can't express (the documented
+drop-to-raw-Ray case):
+
+- one SPLIT task per upstream block partitions its rows by the integer
+  bucket column (stable argsort + zero-copy Arrow slices, returned as
+  ``num_buckets`` separate object refs, plus a per-bucket row-count
+  vector);
+- one REDUCE task per NON-EMPTY bucket concatenates its shards and runs
+  the whole-bucket pandas kernel (identical kernel signature to the
+  ``map_groups`` shape it replaces — the group frame includes the bucket
+  column). Empty buckets are skipped via the count vectors, so kernels
+  never see frames they wouldn't have seen under groupby, and no
+  empty-frame dtype drift can poison the output schema.
+
+Measured (tools/exchange_compare.py, 2M events / 200k users / 32 CPUs,
+same Ray session): sort-groupby 29.6 s warm, this exchange 8.2 s warm
+(3.6×); scoped HASH_SHUFFLE 52.8 s.
+
+All movement stays in the object store (spills under pressure) and works
+identically multi-node: split outputs are plain objects that Ray
+transfers to wherever the reduce tasks schedule. No DataContext globals
+are touched, so concurrently-running pipelines (the flagship) are
+unaffected.
+
+Partitioning assumption (same as the groupby shape it replaces): all rows
+of one key land in one bucket — guaranteed by ``bucket = f(key)``
+upstream (``bucket_map_groups``) or by ``key % num_buckets`` here
+(``key_map_groups``). Skewed keys skew buckets; salt the bucket function
+for pathological keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _split_block(block: pa.Table, bucket_col: str, num_buckets: int,
+                 mode: str):
+    """Partition one Arrow block into per-bucket sub-tables + counts.
+
+    Stable argsort on the bucket column, one take, then zero-copy slices
+    at the bucket boundaries — O(n log n) local work, no per-bucket copies
+    beyond the single take. The final return is the per-bucket row-count
+    vector (the driver's empty-bucket skip list).
+
+    ``mode``: 'direct' (column already holds bucket ids in
+    [0, num_buckets)), 'mod' (unbounded int keys -> key % num_buckets),
+    'hash' (any dtype -> deterministic siphash % num_buckets)."""
+    if isinstance(block, pd.DataFrame):
+        # the dataset-level schema is advisory; a union of an Arrow-block
+        # stage with a pandas-block stage can still deliver raw pandas
+        # blocks here
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0:
+        # filter/drop stages emit schemaless empty blocks (zero columns);
+        # they carry no rows for any bucket
+        return (block.slice(0, 0),) * num_buckets + (
+            np.zeros(num_buckets, dtype=np.int64),)
+    col = block[bucket_col].to_numpy(zero_copy_only=False)
+    if mode == "mod":  # unbounded int partition keys -> hash buckets
+        col = col % num_buckets
+    elif mode == "hash":  # string/any keys -> deterministic hash buckets
+        col = (pd.util.hash_array(col) % np.uint64(num_buckets)
+               ).astype(np.int64)
+    order = np.argsort(col, kind="stable")
+    taken = block.take(order)
+    bounds = np.searchsorted(col[order], np.arange(num_buckets + 1))
+    counts = np.diff(bounds).astype(np.int64)
+    return tuple(
+        taken.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(num_buckets)
+    ) + (counts,)
+
+
+def _reduce_bucket(kernel, group_col, arrow_kernel, *shards: pa.Table) -> pa.Table:
+    """Concatenate one bucket's shards and run the whole-bucket kernel.
+
+    ``group_col=None`` runs the kernel once on the whole bucket (the
+    bucket IS the group). Otherwise the kernel runs once per distinct
+    ``group_col`` value (ascending), matching groupby(group_col)
+    granularity for keys that were hashed into this bucket.
+    ``arrow_kernel`` skips the pandas round-trip: the kernel receives the
+    concatenated pa.Table directly (batch_format="pyarrow" parity)."""
+    live = [s for s in shards if s.num_rows]
+    table = (pa.concat_tables(live, promote_options="default")
+             if live else shards[0])
+    if arrow_kernel:
+        if group_col is not None:
+            raise ValueError("arrow kernels support bucket granularity only")
+        try:
+            out = kernel(table)
+        except Exception:
+            if table.num_rows == 0:  # schema probe on all-empty input
+                return pa.table({})
+            raise
+        if isinstance(out, pa.Table):
+            return out
+        return pa.Table.from_pandas(out, preserve_index=False)
+    df = table.to_pandas()
+    if df.empty:
+        # only reachable on an entirely-empty input (the schema probe):
+        # mimic groupby, which emits nothing, but keep the kernel's
+        # typed empty output when it can produce one
+        try:
+            out = kernel(df)
+        except Exception:
+            return pa.table({})
+    elif group_col is None:
+        out = kernel(df)
+    else:
+        out = pd.concat(
+            [kernel(sub) for _, sub in df.groupby(group_col, sort=True)],
+            ignore_index=True)
+    if isinstance(out, pa.Table):
+        return out
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _exchange(ds, kernel, bucket_col: str, num_buckets: int, mode: str,
+              group_col, arrow_kernel: bool = False):
+    import ray
+    import ray.data as rd
+
+    split = ray.remote(num_returns=num_buckets + 1)(_split_block)
+    reduce_ = ray.remote(_reduce_bucket)
+
+    # launch one split per upstream block AS IT IS PRODUCED — the
+    # iterator streams the upstream execution, so the exchange's map side
+    # overlaps it (the same overlap the sort shuffle's map phase gets);
+    # split handles pandas blocks itself, so no conversion pass is needed
+    shard_refs = [
+        split.remote(block_ref, bucket_col, num_buckets, mode)
+        for bundle in ds.iter_internal_ref_bundles()
+        for block_ref in bundle.block_refs
+    ]
+    if not shard_refs:
+        # empty upstream: one reduce over a typed empty block so the
+        # kernel still determines the output schema
+        schema = ds.schema()
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in schema.base_schema],
+            schema=schema.base_schema)
+        shard_refs = [split.remote(ray.put(empty), bucket_col,
+                                   num_buckets, mode)]
+    # per-bucket totals: a num_buckets-int vector per block — the only
+    # driver state. Reduces can't start before every split finishes
+    # anyway (each needs all blocks' shards), so this sync adds no wall
+    # time; it lets us skip empty buckets entirely.
+    counts = np.sum(ray.get([s[num_buckets] for s in shard_refs]), axis=0)
+    out_refs = [
+        reduce_.remote(kernel, group_col, arrow_kernel,
+                       *(shards[b] for shards in shard_refs))
+        for b in np.flatnonzero(counts)
+    ]
+    if not out_refs:  # empty input: schema probe (see _reduce_bucket)
+        out_refs = [reduce_.remote(kernel, group_col, arrow_kernel,
+                                   shard_refs[0][0])]
+    return rd.from_arrow_refs(out_refs)
+
+
+def bucket_map_groups(ds, kernel, *, bucket_col: str = "__b",
+                      num_buckets: int = 64,
+                      batch_format: str = "pandas"):
+    """Drop-in replacement for
+    ``ds.groupby(bucket_col).map_groups(kernel, batch_format=...)``
+    over a Dataset that already carries an integer bucket column in
+    ``[0, num_buckets)``. Returns a Dataset of the kernel outputs.
+
+    The upstream executes once and its blocks stay in the object store as
+    the exchange's map side; the result is a bounded set of reduce outputs
+    (≤ ``num_buckets`` blocks), so downstream consumers see a normal
+    Dataset. ``batch_format="pyarrow"`` hands the kernel the concatenated
+    Arrow table with no pandas round-trip."""
+    return _exchange(ds, kernel, bucket_col, num_buckets, mode="direct",
+                     group_col=None,
+                     arrow_kernel=(batch_format == "pyarrow"))
+
+
+def key_map_groups(ds, kernel, *, key_col: str, num_buckets: int = 64):
+    """Drop-in replacement for
+    ``ds.groupby(key_col).map_groups(kernel, batch_format="pandas")``
+    where ``key_col`` is an UNBOUNDED integer partition key (e.g. the
+    ``__rb`` range ids of the ranked/scan family). Rows land in
+    ``key % num_buckets`` hash buckets; the kernel runs once per distinct
+    key within each bucket (ascending), preserving groupby granularity."""
+    return _exchange(ds, kernel, key_col, num_buckets, mode="mod",
+                     group_col=key_col)
+
+
+def grouped_map_groups(ds, kernel, *, key_col: str, num_buckets: int = 16):
+    """Drop-in replacement for
+    ``ds.groupby(key_col).map_groups(kernel, batch_format="pandas")``
+    for a partition key of ANY dtype (strings included). Rows land in
+    ``siphash(key) % num_buckets`` buckets; the reduce regroups by the
+    TRUE column value (hash collisions are therefore harmless) and runs
+    the kernel once per distinct key, preserving groupby granularity."""
+    return _exchange(ds, kernel, key_col, num_buckets, mode="hash",
+                     group_col=key_col)

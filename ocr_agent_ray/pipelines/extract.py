@@ -38,7 +38,12 @@ def build_extract_pipeline(
     out_dir: str | None = None,
     skip_partitions: set[int] | None = None,
 ):
-    """Compose the lazy extraction Dataset. Consuming it executes the run."""
+    """Compose and launch the extraction run; returns the assembled Dataset.
+
+    The read → fan-out → OCR stages stream lazily into the exchange's
+    split side; building therefore RUNS the pipeline up to the assembly
+    reduces (launched, not awaited). Consuming the returned Dataset
+    (count/take/write) waits for per-partition assembly + commit."""
     settings = settings or PipelineSettings()
     post = post or PostProcessSettings()
 
@@ -132,9 +137,16 @@ def build_extract_pipeline(
     def assemble_partition(group: pa.Table) -> pa.Table:
         return assembler(group)
 
-    return final.groupby("partition_id").map_groups(
-        assemble_partition, batch_format="pyarrow"
-    )
+    # THE one shuffle, as a raw-Ray hash exchange (pipelines/exchange.py):
+    # partition_id is already a dense bucket id in [0, num_partitions), so
+    # the sort-based groupby's O(n log n) global sort is pure overhead.
+    # The exchange's split side streams with the OCR pool; per-partition
+    # assembly + atomic commit run one reduce task per non-empty partition.
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(
+        final, assemble_partition, bucket_col="partition_id",
+        num_buckets=settings.num_partitions, batch_format="pyarrow")
 
 
 def run_extract_checkpointed(

@@ -240,9 +240,9 @@ def multimodal_pack(sf_dir: str, *, budget: int = 256,
             "pack_pos": pos,
         })
 
-    return (
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    return key_map_groups(
         documents_to_interleaved(sf_dir)
-        .map_batches(_flatten, batch_format="pyarrow", batch_size=4096)
-        .groupby("__grp")
-        .map_groups(_pack, batch_format="pandas")
-    )
+        .map_batches(_flatten, batch_format="pyarrow", batch_size=4096),
+        _pack, key_col="__grp")

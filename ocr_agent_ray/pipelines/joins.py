@@ -184,7 +184,10 @@ def bucket_hash_join(left, right, *, on: str, num_buckets: int = 16,
         # extension struct, breaking downstream list casts.
         return _typed_table(merged, all_cols, types, out_schema)
 
-    return both.groupby("__bucket").map_groups(_join_bucket, batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(both, _join_bucket, bucket_col="__bucket",
+                             num_buckets=num_buckets)
 
 
 def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
@@ -253,7 +256,10 @@ def asof_join(left, right, *, on: str, left_ts: str, right_ts: str,
         # come back as int-with-null, matching the join's logical schema.
         return _typed_table(merged, all_cols, types, out_schema)
 
-    return both.groupby("__bucket").map_groups(_asof_bucket, batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(both, _asof_bucket, bucket_col="__bucket",
+                             num_buckets=num_buckets)
 
 
 def skew_join(left, right, *, on: str, num_buckets: int = 16,

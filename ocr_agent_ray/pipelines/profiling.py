@@ -200,8 +200,10 @@ def corpus_report(sf_dir: str) -> pd.DataFrame:
             "p90_chars": [float(round_half_away(np.quantile(v, 0.9), 6))],
         })
 
-    quants = (keyed.groupby("source").map_groups(_q, batch_format="pandas")
-              .to_pandas())
+    from ocr_agent_ray.pipelines.exchange import grouped_map_groups
+
+    quants = grouped_map_groups(keyed, _q, key_col="source",
+                                num_buckets=8).to_pandas()
 
     out = (base.merge(n_distinct, on="source")
            .merge(quants, on="source")

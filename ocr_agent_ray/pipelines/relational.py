@@ -19,6 +19,7 @@ from ocr_agent_ray.sources.readers import read_table
 
 from ocr_agent_ray.functions.kernels import is_supported_path
 from ocr_agent_ray.functions.textstats import round_half_away
+from ocr_agent_ray.pipelines.exchange import bucket_map_groups, key_map_groups
 from ocr_agent_ray.pipelines.joins import broadcast_join, bucket_hash_join
 
 
@@ -589,12 +590,12 @@ def top_orders_per_priority(sf_dir: str, *, k: int = 2):
         g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return (
+    from ocr_agent_ray.pipelines.exchange import grouped_map_groups
+
+    return grouped_map_groups(
         read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
-        .map_batches(_partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .map_groups(_final, batch_format="pandas")
-    )
+        .map_batches(_partial, batch_format="pandas"),
+        _final, key_col="o_orderpriority", num_buckets=8)
 
 
 def union_error_purchase_counts(sf_dir: str):
@@ -656,7 +657,8 @@ def running_value_per_user(sf_dir: str, *, limit_users: int = 5):
     filtered = ds.map_batches(
         lambda b: b[b["user_id"] < limit_users], batch_format="pandas"
     )
-    return filtered.groupby("user_id").map_groups(_running, batch_format="pandas")
+    return key_map_groups(filtered, _running, key_col="user_id",
+                          num_buckets=8)
 
 
 def customer_nation_native_join(sf_dir: str):
@@ -825,7 +827,7 @@ def budget_sample_by_source(sf_dir: str, *, budget_chars: int = 4000,
                else g.iloc[0:0])
         return out[["doc_id", "source", "n_chars"]]
 
-    return keyed.groupby("__rb").map_groups(_cut, batch_format="pandas")
+    return key_map_groups(keyed, _cut, key_col="__rb")
 
 
 def length_ntile(sf_dir: str, *, k: int = 4, range_width: int = 64):
@@ -930,12 +932,10 @@ def partition_checksums(sf_dir: str, *, part_size: int = 64):
             "checksum": [hashlib.md5(payload.encode("utf-8")).hexdigest()],
         })
 
-    return (
+    return key_map_groups(
         read_table(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(_fp, batch_format="pandas", batch_size=65536)
-        .groupby("part")
-        .map_groups(_fold, batch_format="pandas")
-    )
+        .map_batches(_fp, batch_format="pandas", batch_size=65536),
+        _fold, key_col="part", num_buckets=16)
 
 
 def distinct_segments(sf_dir: str):
@@ -968,12 +968,12 @@ def stratified_sample_documents(sf_dir: str, per_group: int = 2):
         g = g.sort_values(["__key", "doc_id"], kind="mergesort").head(per_group)
         return g[["doc_id", "source"]]
 
-    return (
+    from ocr_agent_ray.pipelines.exchange import grouped_map_groups
+
+    return grouped_map_groups(
         read_table(sf_dir, "documents", ["doc_id", "source"])
-        .map_batches(_rank_key, batch_format="pandas")
-        .groupby("source")
-        .map_groups(_head, batch_format="pandas")
-    )
+        .map_batches(_rank_key, batch_format="pandas"),
+        _head, key_col="source", num_buckets=8)
 
 
 def top_words(sf_dir: str, k: int = 20):
@@ -1092,7 +1092,10 @@ def nations_per_region_concat(sf_dir: str):
     joined = broadcast_join(
         nation, region.rename(columns={"r_regionkey": "n_regionkey"}),
         on="n_regionkey")
-    out = joined.groupby("r_name").map_groups(_concat, batch_format="pandas")
+    from ocr_agent_ray.pipelines.exchange import grouped_map_groups
+
+    out = grouped_map_groups(joined, _concat, key_col="r_name",
+                             num_buckets=4)
 
     def _typed(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1626,13 +1629,12 @@ def weekly_retention(sf_dir: str):
             .astype("datetime64[us]")
         return g.merge(nxt, on=["week", "user_id"])[["week", "user_id"]]
 
-    retained_pairs = (
+    retained_pairs = bucket_map_groups(
         pairs.map_batches(
             lambda b: b.assign(__b=(b["user_id"] % 64).astype("int32")),
-            batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(lambda g: _retained(g.drop(columns="__b", errors="ignore")),
-                    batch_format="pandas"))
+            batch_format="pandas", batch_size=65536),
+        lambda g: _retained(g.drop(columns="__b", errors="ignore")),
+        num_buckets=64)
     kept = combine_partials_driver(
         retained_pairs, ["week"], {"retained_users": ("user_id", "count")})
 

@@ -19,6 +19,7 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.pipelines.exchange import key_map_groups
 from ocr_agent_ray.sources.readers import read_table
 
 
@@ -92,12 +93,10 @@ def knn_bruteforce(sf_dir: str, *, k: int = 5, num_queries: int = 8):
         g["cosine"] = np.round(g["cosine"], 6)
         return g[["query_id", "vec_id", "rank", "cosine"]]
 
-    return (
+    return key_map_groups(
         _read_embeddings(sf_dir)
-        .map_batches(_partial_topk, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(_final_topk, batch_format="pandas")
-    )
+        .map_batches(_partial_topk, batch_format="pandas"),
+        _final_topk, key_col="query_id", num_buckets=16)
 
 
 _HYPERPLANE_SEED = 1234567
@@ -165,12 +164,10 @@ def knn_lsh(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         g["cosine"] = np.round(g["cosine"], 6)
         return g[["query_id", "vec_id", "rank", "cosine"]]
 
-    return (
+    return key_map_groups(
         _read_embeddings(sf_dir)
-        .map_batches(_partial, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+        .map_batches(_partial, batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=16)
 
 
 def _ivf_centroids(sf_dir: str, num_lists: int, sample_rows: int = 4096,
@@ -252,12 +249,10 @@ def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         g["cosine"] = np.round(g["cosine"], 6)
         return g[["query_id", "vec_id", "rank", "cosine"]]
 
-    return (
+    return key_map_groups(
         _read_embeddings(sf_dir)
-        .map_batches(_partial, batch_format="pandas")
-        .groupby("query_id")
-        .map_groups(_final, batch_format="pandas")
-    )
+        .map_batches(_partial, batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=16)
 
 
 def embedding_norms(sf_dir: str):

@@ -15,6 +15,7 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.pipelines.exchange import bucket_map_groups, key_map_groups
 from ocr_agent_ray.sources.readers import read_table
 
 
@@ -81,12 +82,9 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30):
         )
         return out.reset_index(drop=True)
 
-    return (
-        _read_events(sf_dir, columns=("event_id", "ts", "user_id"))
+    keyed = _read_events(sf_dir, columns=("event_id", "ts", "user_id")) \
         .map_batches(_key, batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_sessions, batch_format="pandas")
-    )
+    return bucket_map_groups(keyed, _sessions, num_buckets=num_buckets)
 
 
 def last_event_per_user(sf_dir: str):
@@ -102,14 +100,13 @@ def last_event_per_user(sf_dir: str):
         keep = g.drop_duplicates("user_id", keep="last")
         return keep[["user_id", "event_id", "ts", "event_type"]]
 
-    return (
+    keyed = (
         _read_events(sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
         .map_batches(lambda b: _last(b).assign(
             __b=lambda d: (d["user_id"] % 64).astype("int32")),
             batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_last, batch_format="pandas")
     )
+    return bucket_map_groups(keyed, _last, num_buckets=64)
 
 
 def latest_order_asof(sf_dir: str):
@@ -263,14 +260,13 @@ def event_deltas(sf_dir: str):
         out["delta_us"] = delta.astype("float64")
         return out
 
-    return (
+    keyed = (
         _read_events(sf_dir, ("event_id", "ts", "user_id"))
         .map_batches(lambda b: b.assign(
             __b=(b["user_id"] % 64).astype("int32")),
             batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_delta, batch_format="pandas")
     )
+    return bucket_map_groups(keyed, _delta, num_buckets=64)
 
 
 def customers_without_urgent_orders(sf_dir: str):
@@ -340,7 +336,7 @@ def view_purchase_funnel(sf_dir: str, *, within_minutes: int = 60):
         lambda b: b[b["event_type"].isin(["view", "purchase"])].assign(
             __b=lambda d: (d["user_id"] % 64).astype("int32")),
         batch_format="pandas", batch_size=65536)
-    return filtered.groupby("__b").map_groups(_funnel, batch_format="pandas")
+    return bucket_map_groups(filtered, _funnel, num_buckets=64)
 
 
 def daily_active_users(sf_dir: str):
@@ -394,7 +390,7 @@ def event_transitions(sf_dir: str):
     ).map_batches(lambda b: b.assign(
         __b=(b["user_id"] % 64).astype("int32")),
         batch_format="pandas", batch_size=65536)
-    partials = keyed.groupby("__b").map_groups(_trans, batch_format="pandas")
+    partials = bucket_map_groups(keyed, _trans, num_buckets=64)
     out = combine_partials_driver(partials, ["prev_type", "next_type"],
                                   {"n": ("n", "sum")})
     out["n"] = out["n"].astype("int64")
@@ -526,7 +522,7 @@ def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,
             "late": pd.array(g["ts"].to_numpy() < wm - late_us, dtype="bool"),
         })
 
-    return bucketed.groupby("__rb").map_groups(_scan, batch_format="pandas")
+    return key_map_groups(bucketed, _scan, key_col="__rb")
 
 
 def rolling_avg_value(sf_dir: str, *, window: int = 7):
@@ -549,14 +545,13 @@ def rolling_avg_value(sf_dir: str, *, window: int = 7):
             "avg7_value": round_half_away(avg, 6),
         })
 
-    return (
+    keyed = (
         _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
         .map_batches(lambda b: b.assign(
             __b=(b["user_id"] % 64).astype("int32")),
             batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_roll, batch_format="pandas")
     )
+    return bucket_map_groups(keyed, _roll, num_buckets=64)
 
 
 def association_rules(sf_dir: str):
@@ -617,14 +612,12 @@ def event_streaks(sf_dir: str):
                   .size().reset_index(name="n_streaks"))
         return counts
 
-    parts = (
+    parts = bucket_map_groups(
         _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
         .map_batches(lambda b: b.assign(
             __b=(b["user_id"] % 64).astype("int32")),
-            batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_streaks, batch_format="pandas")
-    )
+            batch_format="pandas", batch_size=65536),
+        _streaks, num_buckets=64)
     out = combine_partials_driver(parts, ["event_type", "streak_len"],
                                   {"n_streaks": ("n_streaks", "sum")})
     out["streak_len"] = out["streak_len"].astype("int64")
@@ -723,15 +716,12 @@ def three_step_funnel(sf_dir: str):
                 s3 += 1
         return pd.DataFrame({"s1": [s1], "s2": [s2], "s3": [s3]})
 
-    parts = (
+    parts = bucket_map_groups(
         _read_events(sf_dir, ("event_id", "ts", "user_id", "event_type"))
         .map_batches(lambda b: b.assign(
             __b=(b["user_id"] % 64).astype("int32")),
-            batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_chain, batch_format="pandas")
-        .to_pandas()
-    )
+            batch_format="pandas", batch_size=65536),
+        _chain, num_buckets=64).to_pandas()
     return pd.DataFrame({
         "n_step1": [int(parts["s1"].sum())],
         "n_step2": [int(parts["s2"].sum())],
@@ -757,12 +747,11 @@ def event_type_cooccurrence(sf_dir: str):
         return m[["user_id", "event_type_a", "event_type_b"]]
 
     # all of a user's (few) type rows must co-locate for the self-merge
-    crossed = (pairs.map_batches(
-        lambda b: b.assign(__b=(b["user_id"] % 16).astype("int32")),
-        batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(lambda g: _cross(g.drop(columns="__b")),
-                    batch_format="pandas"))
+    crossed = bucket_map_groups(
+        pairs.map_batches(
+            lambda b: b.assign(__b=(b["user_id"] % 16).astype("int32")),
+            batch_format="pandas", batch_size=65536),
+        lambda g: _cross(g.drop(columns="__b")), num_buckets=16)
     out = combine_partials_driver(
         crossed, ["event_type_a", "event_type_b"],
         {"n_users": ("user_id", "count")})
@@ -876,14 +865,13 @@ def trailing_hour_value_sum(sf_dir: str, *, hours: int = 1):
             "trailing_sum": round_half_away(out, 6),
         })
 
-    return (
+    keyed = (
         _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
         .map_batches(lambda b: b.assign(
             __b=(b["user_id"] % 64).astype("int32")),
             batch_format="pandas", batch_size=65536)
-        .groupby("__b")
-        .map_groups(_tsum, batch_format="pandas")
     )
+    return bucket_map_groups(keyed, _tsum, num_buckets=64)
 
 
 def event_window_ranks(sf_dir: str, *, range_width: float = 8.0):

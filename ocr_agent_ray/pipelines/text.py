@@ -13,6 +13,11 @@ import pandas as pd
 
 import ray.data as rd
 
+from ocr_agent_ray.pipelines.exchange import (
+    bucket_map_groups,
+    grouped_map_groups,
+    key_map_groups,
+)
 from ocr_agent_ray.sources.readers import read_table
 
 from ocr_agent_ray.functions.textstats import (
@@ -177,11 +182,9 @@ def chars_quantiles_by_source(sf_dir: str):
             "p90_chars": [float(round_half_away(np.quantile(v, 0.9), 6))],
         })
 
-    return (
-        _read_documents(sf_dir, columns=("doc_id", "source", "n_chars"))
-        .groupby("source")
-        .map_groups(_q, batch_format="pandas")
-    )
+    return grouped_map_groups(
+        _read_documents(sf_dir, columns=("doc_id", "source", "n_chars")),
+        _q, key_col="source", num_buckets=8)
 
 
 def email_domain_counts(sf_dir: str):
@@ -508,11 +511,10 @@ def source_vocab_overlap(sf_dir: str):
         return batch.assign(__b=(h % np.uint64(16)).astype("int32"))
 
     inter = combine_partials_driver(
-        pairs.map_batches(_bucketed, batch_format="pandas",
-                          batch_size=65536)
-        .groupby("__b")
-        .map_groups(lambda g: _cross(g.drop(columns="__b")),
-                    batch_format="pandas"),
+        bucket_map_groups(
+            pairs.map_batches(_bucketed, batch_format="pandas",
+                              batch_size=65536),
+            lambda g: _cross(g.drop(columns="__b")), num_buckets=16),
         ["source_a", "source_b"], {"n_common": ("word", "count")})
 
     inter["n_common"] = inter["n_common"].astype("int64")
@@ -536,9 +538,9 @@ def mad_doc_lengths(sf_dir: str):
         return pd.DataFrame({"source": [g["source"].iloc[0]],
                              "med": [float(np.quantile(v, 0.5))]})
 
-    meds = (_read_documents(sf_dir, columns=("source", "n_chars"))
-            .groupby("source").map_groups(_median, batch_format="pandas")
-            .to_pandas())
+    meds = grouped_map_groups(
+        _read_documents(sf_dir, columns=("source", "n_chars")),
+        _median, key_col="source", num_buckets=8).to_pandas()
     med_map = dict(zip(meds["source"], meds["med"]))
 
     def _absdev(batch: pd.DataFrame) -> pd.DataFrame:
@@ -557,11 +559,10 @@ def mad_doc_lengths(sf_dir: str):
             "mad": [float(round_half_away(np.quantile(v, 0.5), 6))],
         })
 
-    return (
+    return grouped_map_groups(
         _read_documents(sf_dir, columns=("source", "n_chars"))
-        .map_batches(_absdev, batch_format="pandas", batch_size=65536)
-        .groupby("source").map_groups(_mad, batch_format="pandas")
-    )
+        .map_batches(_absdev, batch_format="pandas", batch_size=65536),
+        _mad, key_col="source", num_buckets=8)
 
 
 def length_outliers(sf_dir: str, *, k: float = 3.0):
@@ -720,12 +721,9 @@ def winsorize_doc_lengths(sf_dir: str, *, lo: float = 0.05, hi: float = 0.95):
             "hi": [float(np.quantile(v, hi))],
         })
 
-    bounds = (
-        _read_documents(sf_dir, columns=("source", "n_chars"))
-        .groupby("source")
-        .map_groups(_q, batch_format="pandas")
-        .to_pandas()
-    )
+    bounds = grouped_map_groups(
+        _read_documents(sf_dir, columns=("source", "n_chars")),
+        _q, key_col="source", num_buckets=8).to_pandas()
     if bounds.empty:          # empty input: map_groups emits no columns
         lo_map, hi_map = {}, {}
     else:
@@ -858,11 +856,9 @@ def tfidf_top_terms(sf_dir: str, *, k: int = 5):
         return g.sort_values(["tfidf", "word"], ascending=[False, True],
                              kind="mergesort").head(k)
 
-    return (
-        scored.map_batches(_score, batch_format="pandas")
-        .groupby("source")
-        .map_groups(_topk, batch_format="pandas")
-    )
+    return grouped_map_groups(
+        scored.map_batches(_score, batch_format="pandas"),
+        _topk, key_col="source", num_buckets=8)
 
 
 def decontaminate_bloom(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97,
@@ -1063,12 +1059,10 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
             "__db": (k["doc_id"].to_numpy() % num_buckets).astype(np.int32),
         })
 
-    kept = (
+    kept = bucket_map_groups(
         _read_documents(sf_dir)
-        .map_batches(_occ, batch_format="pandas", batch_size=65536)
-        .groupby("__bucket")
-        .map_groups(_winners, batch_format="pandas")
-    )
+        .map_batches(_occ, batch_format="pandas", batch_size=65536),
+        _winners, bucket_col="__bucket", num_buckets=num_buckets)
 
     def _doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1101,11 +1095,8 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
         out["n_lines"] = out["n_lines"].astype("int64")
         return out
 
-    return (
-        doc_rows.union(kept)
-        .groupby("__db")
-        .map_groups(_assemble, batch_format="pandas")
-    )
+    return bucket_map_groups(doc_rows.union(kept), _assemble,
+                             bucket_col="__db", num_buckets=num_buckets)
 
 
 def pack_sequences(sf_dir: str, *, budget: int = 256, group: int = 64):
@@ -1157,12 +1148,10 @@ def pack_sequences(sf_dir: str, *, budget: int = 256, group: int = 64):
             "pack_pos": pos,
         })
 
-    return (
+    return key_map_groups(
         _read_documents(sf_dir)
-        .map_batches(_tokens, batch_format="pandas", batch_size=65536)
-        .groupby("__grp")
-        .map_groups(_pack, batch_format="pandas")
-    )
+        .map_batches(_tokens, batch_format="pandas", batch_size=65536),
+        _pack, key_col="__grp")
 
 
 def chunk_documents(sf_dir: str, *, chunk_chars: int = 200,

@@ -1,0 +1,180 @@
+"""Unit tests for the raw-Ray hash exchange (pipelines/exchange.py):
+equivalence with groupby().map_groups over every mode, empty-input and
+empty-bucket behavior, mixed pandas/Arrow-block unions, and Arrow-table
+kernel outputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ocr_agent_ray.pipelines.exchange import (
+    bucket_map_groups,
+    grouped_map_groups,
+    key_map_groups,
+)
+
+
+def _events(n=1000, users=37, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, size=n),
+        "value": np.round(rng.uniform(0, 100, size=n), 3),
+        "source": rng.choice(["web", "app", "api"], size=n),
+    })
+
+
+def _sorted(df, cols):
+    return (df.sort_values(cols).reset_index(drop=True))
+
+
+def test_bucket_map_groups_matches_groupby(ray_session):
+    df = _events()
+    num_buckets = 8
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__b=(b["user_id"] % num_buckets).astype("int32"))
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"])
+        out = g.groupby("user_id", sort=False, as_index=False).agg(
+            n=("event_id", "size"), total=("value", "sum"))
+        return out
+
+    keyed = rd.from_pandas(df).repartition(5).map_batches(
+        _key, batch_format="pandas")
+    got = bucket_map_groups(keyed, _kernel,
+                            num_buckets=num_buckets).to_pandas()
+    want = (keyed.groupby("__b")
+            .map_groups(_kernel, batch_format="pandas").to_pandas())
+    pd.testing.assert_frame_equal(_sorted(got, ["user_id"]),
+                                  _sorted(want, ["user_id"]))
+
+
+def test_key_map_groups_per_key_granularity(ray_session):
+    """key_map_groups must call the kernel once per DISTINCT key, exactly
+    like groupby(key) — kernels read g[key].iloc[0] as THE key."""
+    df = _events()
+    ds = rd.from_pandas(df).repartition(4).map_batches(
+        lambda b: b.assign(__rb=(b["event_id"] // 100).astype("int64")),
+        batch_format="pandas")
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        assert g["__rb"].nunique() == 1  # one key per call
+        return pd.DataFrame({"rb": [int(g["__rb"].iloc[0])],
+                             "n": [len(g)]})
+
+    got = key_map_groups(ds, _kernel, num_buckets=4,
+                         key_col="__rb").to_pandas()
+    want = (df.assign(__rb=(df["event_id"] // 100))
+            .groupby("__rb").size().rename("n").reset_index()
+            .rename(columns={"__rb": "rb"}))
+    pd.testing.assert_frame_equal(
+        _sorted(got, ["rb"]), _sorted(want.astype({"rb": "int64"}), ["rb"]))
+
+
+def test_grouped_map_groups_string_keys(ray_session):
+    df = _events()
+    ds = rd.from_pandas(df).repartition(4)
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        assert g["source"].nunique() == 1
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n": [len(g)],
+                             "total": [float(g["value"].sum())]})
+
+    # num_buckets=2 < 3 sources: forces two sources into one bucket —
+    # the reduce must still regroup them exactly
+    got = grouped_map_groups(ds, _kernel, key_col="source",
+                             num_buckets=2).to_pandas()
+    want = df.groupby("source", as_index=False).agg(
+        n=("event_id", "size"), total=("value", "sum"))
+    got = _sorted(got, ["source"])
+    want = _sorted(want, ["source"])
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    np.testing.assert_allclose(got["total"], want["total"])
+
+
+def test_empty_input_keeps_kernel_schema(ray_session):
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "__b": pd.Series(dtype="int32")})
+    ds = rd.from_pandas(empty)
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+
+    out = bucket_map_groups(ds, _kernel, num_buckets=4)
+    # Ray's to_pandas drops columns for ANY empty dataset; the dataset
+    # schema itself must carry the kernel's columns (groupby would have
+    # emitted no schema at all here)
+    assert out.schema().names == ["user_id", "n"]
+    assert out.count() == 0
+
+
+def test_empty_input_crashy_kernel_degrades_to_no_columns(ray_session):
+    """A kernel that can't run on an empty frame (e.g. iloc[0]) must not
+    crash the exchange on empty input — groupby would simply emit no
+    groups."""
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64")})
+    ds = rd.from_pandas(empty)
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [int(g["k"].iloc[0])]})
+
+    out = key_map_groups(ds, _kernel, key_col="k", num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_empty_buckets_never_reach_kernel(ray_session):
+    """Only 3 distinct bucket values but 64 buckets: the kernel must only
+    see the 3 non-empty ones."""
+    df = pd.DataFrame({"x": np.arange(30, dtype=np.int64),
+                       "__b": np.repeat([2, 17, 40], 10).astype("int32")})
+    ds = rd.from_pandas(df).repartition(3)
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        assert len(g) == 10
+        return pd.DataFrame({"b": [int(g["__b"].iloc[0])], "n": [len(g)]})
+
+    out = bucket_map_groups(ds, _kernel, num_buckets=64).to_pandas()
+    assert sorted(out["b"]) == [2, 17, 40]
+    assert out["n"].tolist() == [10, 10, 10]
+
+
+def test_union_of_pandas_and_arrow_blocks(ray_session):
+    """to_arrow_refs trusts the dataset schema; a union that mixes Arrow
+    and pandas blocks must still split correctly."""
+    df = _events(200)
+    arrow_side = rd.from_pandas(df).map_batches(
+        lambda t: t, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "__b", pa.array((t["user_id"].to_numpy() % 4).astype("int32"))),
+        batch_format="pyarrow")
+    pandas_side = rd.from_pandas(df).map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 4).astype("int32")),
+        batch_format="pandas")
+    both = arrow_side.union(pandas_side)
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": [int(g["__b"].iloc[0])], "n": [len(g)]})
+
+    out = bucket_map_groups(both, _kernel, num_buckets=4).to_pandas()
+    assert int(out["n"].sum()) == 2 * len(df)
+
+
+def test_arrow_table_kernel_output(ray_session):
+    df = _events(100)
+    ds = rd.from_pandas(df).map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 4).astype("int32")),
+        batch_format="pandas")
+
+    def _kernel(g: pd.DataFrame) -> pa.Table:
+        return pa.table({"n": pa.array([len(g)], pa.int64())})
+
+    out = bucket_map_groups(ds, _kernel, num_buckets=4).to_pandas()
+    assert int(out["n"].sum()) == len(df)
