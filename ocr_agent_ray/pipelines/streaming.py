@@ -498,7 +498,9 @@ def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,
     def _bucket(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(__rb=(b["event_id"] // range_size).astype("int64"))
 
-    bucketed = ev.map_batches(_bucket, batch_format="pandas")
+    # two passes over the ranged rows (range maxima, then the scan):
+    # materialize once instead of re-running the read per pass
+    bucketed = ev.map_batches(_bucket, batch_format="pandas").materialize()
 
     stats = combine_partials_driver(bucketed, ["__rb"], {"mx": ("ts", "max")})
     stats = stats.sort_values("__rb").reset_index(drop=True)
