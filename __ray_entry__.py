@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_report": _corpus_report,
         "q_customer_order_distribution": relational.customer_order_distribution,
         "q_large_orders": relational.large_orders,
+        "q_shipping_priority": relational.q3_shipping_priority,
+        "q_regional_supplier_volume": relational.q5_regional_supplier_volume,
+        "q_returned_items": relational.q10_returned_items,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1409,6 +1412,45 @@ def oracle_sql() -> dict[str, str]:
             "AS total_qty FROM lineitem GROUP BY 1 "
             "HAVING SUM(l_quantity) > 180.0) s "
             "JOIN orders o ON o.o_orderkey = s.l_orderkey"
+        ),
+        "q_shipping_priority": (
+            "SELECT o.o_orderkey, "
+            "ROUND(SUM(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue, "
+            "o.o_orderdate "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < DATE '1998-01-01' "
+            "AND l.l_shipdate > DATE '1998-01-01' "
+            "GROUP BY o.o_orderkey, o.o_orderdate "
+            "ORDER BY revenue DESC, o.o_orderkey LIMIT 10"
+        ),
+        "q_regional_supplier_volume": (
+            "SELECT n.n_name, "
+            "ROUND(SUM(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue "
+            "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+            "JOIN customer c ON c.c_nationkey = n.n_nationkey "
+            "JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "AND s.s_nationkey = c.c_nationkey "
+            "WHERE r.r_name = 'ASIA' "
+            "AND o.o_orderdate >= DATE '1996-01-01' "
+            "AND o.o_orderdate < DATE '1998-01-01' "
+            "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+        ),
+        "q_returned_items": (
+            "SELECT c.c_custkey, c.c_name, "
+            "ROUND(SUM(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue, "
+            "c.c_acctbal, n.n_name "
+            "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE l.l_returnflag = 'R' "
+            "AND o.o_orderdate >= DATE '1997-01-01' "
+            "AND o.o_orderdate < DATE '1997-07-01' "
+            "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+            "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
         ),
         "q_event_transitions": (
             "WITH s AS (SELECT user_id, event_type, "

@@ -96,17 +96,25 @@ def ranged_global_rank(keyed, sort_cols: list[str], *,
     per-range counts -> driver exclusive prefix sum (one int per range,
     the only driver state) -> in-range vectorized sort + arange.
 
-    Returns ``(total_rows, Dataset with rank_col appended)``. The input
-    is materialized once up front: the scan needs two passes (counts,
-    ranks), and re-running a deep upstream per pass measured 4x slower at
-    the 5M-event stress. Materialized blocks spill under object-store
-    pressure; pass ``materialize_input=False`` when re-reading a cheap
-    pruned source beats holding the table (the 100 TB layout).
-    """
-    if materialize_input:
-        keyed = keyed.materialize()
-    stats = combine_partials_driver(keyed, ["__rb"],
-                                    {"n": (sort_cols[0], "count")})
+    Returns ``(total_rows, Dataset with rank_col appended)``. The scan
+    needs two passes (counts, ranks); the input is hash-EXCHANGED once
+    (``exchange_shards``) and both passes run as reduce waves over the
+    same object-store shards — no input materialize, no second shuffle,
+    no upstream re-execution. ``materialize_input`` is kept for signature
+    compatibility and ignored (the shards ARE the materialization, but
+    already partitioned)."""
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    shards = exchange_shards(keyed, bucket_col="__rb", num_buckets=64,
+                             mode="mod")
+
+    def _counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("__rb", sort=False).size().reset_index(name="n")
+
+    stats = shards.reduce(_counts).to_pandas()
+    if stats.empty:
+        stats = pd.DataFrame({"__rb": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
     stats = stats.sort_values("__rb").reset_index(drop=True)
     offsets = dict(zip(stats["__rb"],
                        stats["n"].cumsum().shift(1, fill_value=0)))
@@ -118,9 +126,7 @@ def ranged_global_rank(keyed, sort_cols: list[str], *,
         g[rank_col] = off + np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    from ocr_agent_ray.pipelines.exchange import key_map_groups
-
-    return total, key_map_groups(keyed, _rank, key_col="__rb")
+    return total, shards.reduce(_rank, group_col="__rb")
 
 
 def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
@@ -140,30 +146,28 @@ def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
     sum cleanly). Ties never span ranges for the same reason.
 
     Returns a Dataset with row_num / rnk / dense_rnk appended (int64).
-    The input is materialized once up front (three passes: counts,
-    distinct counts, ranks — see ranged_global_rank for the knob)."""
-    if materialize_input:
-        keyed = keyed.materialize()
-    stats = combine_partials_driver(keyed, ["__rb", part_col],
-                                    {"n": (value_col, "count")})
+    The input is hash-exchanged ONCE (``exchange_shards``); the stats
+    pass (row counts + exact distinct-value counts per (range,
+    partition) — a range's rows all land in one bucket, so per-bucket
+    nunique is globally exact) and the rank pass both run as reduce
+    waves over the same shards. ``materialize_input`` is kept for
+    signature compatibility and ignored."""
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
 
-    def _dvals(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[["__rb", part_col, value_col]].drop_duplicates()
+    shards = exchange_shards(keyed, bucket_col="__rb", num_buckets=64,
+                             mode="mod")
 
-    def _ndistinct(g: pd.DataFrame) -> pd.DataFrame:
-        nd = (g.drop_duplicates()
-               .groupby(part_col, sort=False).size().reset_index(name="nd"))
-        nd.insert(0, "__rb", g["__rb"].iloc[0])
-        return nd
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["__rb", part_col], sort=False)
+        out = gg.size().reset_index(name="n")
+        out["nd"] = gg[value_col].nunique().reset_index(drop=True)
+        return out
 
-    from ocr_agent_ray.pipelines.exchange import key_map_groups
-
-    nd_tbl = key_map_groups(
-        keyed.map_batches(_dvals, batch_format="pandas", batch_size=65536),
-        _ndistinct, key_col="__rb").to_pandas()
-
-    if nd_tbl.empty:          # empty input: map_groups emits no columns
-        nd_tbl = pd.DataFrame(columns=["__rb", part_col, "nd"])
+    both = shards.reduce(_stats).to_pandas()
+    if both.empty:
+        both = pd.DataFrame(columns=["__rb", part_col, "n", "nd"])
+    stats = both[["__rb", part_col, "n"]]
+    nd_tbl = both[["__rb", part_col, "nd"]]
 
     row_off: dict = {}
     dense_off: dict = {}
@@ -196,7 +200,7 @@ def ranged_partitioned_ranks(keyed, part_col: str, value_col: str,
             ))
         return pd.concat(parts, ignore_index=True)
 
-    return key_map_groups(keyed, _rank, key_col="__rb")
+    return shards.reduce(_rank, group_col="__rb")
 
 
 def distinct_rows(ds, cols: list[str], num_buckets: int = 32):

@@ -127,13 +127,49 @@ def _reduce_bucket(kernel, group_col, arrow_kernel, *shards: pa.Table) -> pa.Tab
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _exchange(ds, kernel, bucket_col: str, num_buckets: int, mode: str,
-              group_col, arrow_kernel: bool = False):
+class ExchangedShards:
+    """The SPLIT side of an exchange, held as object refs for REUSE.
+
+    Multi-pass algorithms (the ranked/scan family: a stats pass computing
+    cross-range offsets, then a rank pass over the same rows) previously
+    paid either a ``materialize()`` of the input plus one full exchange
+    per pass, or re-ran the upstream per pass. Splitting ONCE and running
+    several reduce waves over the same shards makes every pass after the
+    first a bucket-local scan: no re-shuffle, no input re-execution, and
+    the shards live in the object store (spill under pressure) exactly
+    like materialized blocks — but already hash-partitioned."""
+
+    def __init__(self, shard_refs, counts: np.ndarray):
+        self.shard_refs = shard_refs
+        self.counts = counts
+
+    def reduce(self, kernel, *, group_col=None, arrow_kernel: bool = False):
+        """One reduce wave: the kernel runs per non-empty bucket (or per
+        distinct ``group_col`` value within it) — same semantics as the
+        one-shot exchange's reduce."""
+        import ray
+        import ray.data as rd
+
+        reduce_ = ray.remote(_reduce_bucket)
+        num_buckets = len(self.counts)
+        out_refs = [
+            reduce_.remote(kernel, group_col, arrow_kernel,
+                           *(shards[b] for shards in self.shard_refs))
+            for b in np.flatnonzero(self.counts)
+        ]
+        if not out_refs:  # empty input: schema probe (see _reduce_bucket)
+            out_refs = [reduce_.remote(kernel, group_col, arrow_kernel,
+                                       self.shard_refs[0][0])]
+        return rd.from_arrow_refs(out_refs)
+
+
+def exchange_shards(ds, *, bucket_col: str, num_buckets: int,
+                    mode: str = "mod") -> ExchangedShards:
+    """Run only the split side of the exchange and keep the per-bucket
+    shards as object refs. ``mode`` as in ``_split_block``."""
     import ray
-    import ray.data as rd
 
     split = ray.remote(num_returns=num_buckets + 1)(_split_block)
-    reduce_ = ray.remote(_reduce_bucket)
 
     # launch one split per upstream block AS IT IS PRODUCED — the
     # iterator streams the upstream execution, so the exchange's map side
@@ -158,15 +194,15 @@ def _exchange(ds, kernel, bucket_col: str, num_buckets: int, mode: str,
     # anyway (each needs all blocks' shards), so this sync adds no wall
     # time; it lets us skip empty buckets entirely.
     counts = np.sum(ray.get([s[num_buckets] for s in shard_refs]), axis=0)
-    out_refs = [
-        reduce_.remote(kernel, group_col, arrow_kernel,
-                       *(shards[b] for shards in shard_refs))
-        for b in np.flatnonzero(counts)
-    ]
-    if not out_refs:  # empty input: schema probe (see _reduce_bucket)
-        out_refs = [reduce_.remote(kernel, group_col, arrow_kernel,
-                                   shard_refs[0][0])]
-    return rd.from_arrow_refs(out_refs)
+    return ExchangedShards(shard_refs, counts)
+
+
+def _exchange(ds, kernel, bucket_col: str, num_buckets: int, mode: str,
+              group_col, arrow_kernel: bool = False):
+    shards = exchange_shards(ds, bucket_col=bucket_col,
+                             num_buckets=num_buckets, mode=mode)
+    return shards.reduce(kernel, group_col=group_col,
+                         arrow_kernel=arrow_kernel)
 
 
 def bucket_map_groups(ds, kernel, *, bucket_col: str = "__b",

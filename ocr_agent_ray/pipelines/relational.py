@@ -1649,3 +1649,241 @@ def weekly_retention(sf_dir: str):
         "retained_users": kept_by_week.reindex(weeks, fill_value=0)
                               .astype("int64").to_numpy(),
     })
+
+
+def q3_shipping_priority(sf_dir: str, *, k: int = 10,
+                         cutoff: str = "1998-01-01"):
+    """TPC-H Q3 shape: BUILDING-segment customers' orders placed before
+    the cutoff, revenue from lineitems shipped after it, global top-k.
+    Shuffle discipline: the segment's custkey set reduces driver-side
+    (customer is a dimension here; at 10^8 customers flip to a bucketed
+    semi join), orders prune by date + segment membership BEFORE the
+    fact join, lineitem revenue pre-aggregates per orderkey so the one
+    bucket-hash shuffle carries |orders|-sized sides, and the top-k is a
+    sort+limit over the aggregated (small) join output."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+    cut = pd.Timestamp(cutoff)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+            ["c_custkey"].to_pylist())
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ofilter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], pa.scalar(cut.to_pydatetime())))
+
+    orders = broadcast_semi_filter(
+        orders.map_batches(_ofilter, batch_format="pyarrow"),
+        building, "o_custkey").map_batches(
+            lambda b: b.select(["o_orderkey", "o_orderdate"]),
+            batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def _derive(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_derive, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": ("revenue", "sum")}, num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    joined = bucket_hash_join(
+        rev, orders, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_orderdate", pa.timestamp("us"))]),
+    )
+
+    def _round(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = round_half_away(b["revenue"], 2)
+        return b[["o_orderkey", "revenue", "o_orderdate"]]
+
+    return (joined.map_batches(_round, batch_format="pandas")
+                  .sort(["revenue", "o_orderkey"], descending=[True, False])
+                  .limit(k))
+
+
+def q5_regional_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                                date_lo: str = "1996-01-01",
+                                date_hi: str = "1998-01-01"):
+    """TPC-H Q5 shape: revenue per nation from lineitems whose SUPPLIER
+    and ordering CUSTOMER share a nation inside one region. Six tables,
+    ONE bucket-hash shuffle: region→nation prunes to a key set on the
+    driver, supplier and customer reduce to key→nationkey dimension maps
+    (broadcast; at 10^8 customers the customer map flips to a second
+    bucketed join), lineitem revenue pre-aggregates per (orderkey,
+    supplier-nation) so the fact join carries aggregated rows, and the
+    final per-nation combine is driver-sized."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    regionkey = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    regionkey = regionkey.loc[regionkey["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(regionkey))]
+    nat_names = dict(zip(nat["n_nationkey"].astype("int64"),
+                         nat["n_name"]))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = dict(zip(supp["s_suppkey"],
+                        supp["s_nationkey"].astype("int64")))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = dict(zip(cust["c_custkey"],
+                        cust["c_nationkey"].astype("int64")))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    def _li(b: pd.DataFrame) -> pd.DataFrame:
+        snat = b["l_suppkey"].map(supp_nat)
+        keep = snat.isin(nat_names.keys())
+        b = b[keep]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "s_nationkey": snat[keep].astype("int64"),
+            "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_li, batch_format="pandas"),
+        ["l_orderkey", "s_nationkey"], {"revenue": ("revenue", "sum")},
+        num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        cnat = b["o_custkey"].map(cust_nat)
+        keep = cnat.isin(nat_names.keys())
+        b = b[keep]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "c_nationkey": cnat[keep].astype("int64"),
+        })
+
+    ofilt = orders.map_batches(_orders, batch_format="pandas")
+
+    joined = bucket_hash_join(
+        rev, ofilt, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nationkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nationkey", pa.int64())]),
+    )
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] == b["c_nationkey"]]
+        return pd.DataFrame({"n_name": b["s_nationkey"].map(nat_names),
+                             "revenue": b["revenue"]})
+
+    out = combine_partials_driver(
+        joined.map_batches(_local, batch_format="pandas"),
+        ["n_name"], {"revenue": ("revenue", "sum")})
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out.sort_values(["revenue", "n_name"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def q10_returned_items(sf_dir: str, *, k: int = 20,
+                       date_lo: str = "1997-01-01",
+                       date_hi: str = "1997-07-01"):
+    """TPC-H Q10 shape: top customers by lost revenue from RETURNED
+    lineitems of orders in a date window. Lineitem prunes to returnflag
+    'R' and pre-aggregates per orderkey; the one bucket-hash shuffle
+    attaches o_custkey; a second bucketed aggregate folds per customer;
+    only the top-k rows reach the driver, where the customer/nation
+    dimension columns attach via a tiny merge."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"])
+
+    def _returned(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_returned, batch_format="pandas"),
+        ["l_orderkey"], {"revenue": ("revenue", "sum")}, num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ofilter(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                     pa.scalar(lo.to_pydatetime())),
+                    pc.less(b["o_orderdate"], pa.scalar(hi.to_pydatetime())))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    joined = bucket_hash_join(
+        rev, orders.map_batches(_ofilter, batch_format="pyarrow"),
+        on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]),
+    )
+
+    per_cust = hash_partition_aggregate(
+        joined, ["o_custkey"], {"revenue": ("revenue", "sum")},
+        num_buckets=32)
+
+    def _round(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = round_half_away(b["revenue"], 2)
+        return b[["o_custkey", "revenue"]]
+
+    top = (per_cust.map_batches(_round, batch_format="pandas")
+                   .sort(["revenue", "o_custkey"], descending=[True, False])
+                   .limit(k)).to_pandas()
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey",
+                     right_on="n_nationkey")
+    out = top.merge(dim, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["revenue", "o_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]

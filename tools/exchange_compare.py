@@ -111,7 +111,9 @@ def main() -> None:
 
     def consume(ds):
         n = 0
-        for b in ds.iter_batches(batch_format="pyarrow"):
+        # batch_size=None streams whole blocks; the 256-row default would
+        # add ~3 ms per slice and dominate multi-million-row results
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
             n += b.num_rows
         return n
 

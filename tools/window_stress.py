@@ -93,9 +93,15 @@ def main() -> None:
     )
 
     def consume(res):
+        # batch_size matters: the iter_batches DEFAULT (256 rows) slices a
+        # 5M-row result into ~20k tiny pyarrow batches and the per-batch
+        # overhead (~3 ms) then dwarfs the pipeline itself (measured: ranks
+        # 9 s pipeline, 66+ s "consumed" at the default). Stream whole
+        # blocks so the number reported is pipeline wall time.
         if hasattr(res, "iter_batches"):
             n = 0
-            for b in res.iter_batches(batch_format="pyarrow"):
+            for b in res.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
                 n += b.num_rows
             return n
         return len(res)
