@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_c4_clean": text.c4_clean,
         "q_curation_funnel": _curation_funnel,
         "q_line_dedup": text.line_dedup,
+        "q_paragraph_dedup": text.paragraph_dedup,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_chunk_documents": text.chunk_documents,
         "q_winsorize_lengths": text.winsorize_doc_lengths,
@@ -319,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
         "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
+        "q_knn_ivf_pq": similarity.knn_ivf_pq,      # rows-only (recall-tested)
         # --- flagship extraction (north rule; rows-only vs pytest goldens)
         "q_flagship_span_counts": interleave.flagship_span_counts,
         "q_media_manifest": interleave.media_manifest,
@@ -1243,6 +1245,21 @@ def oracle_sql() -> dict[str, str]:
             "         FILTER (WHERE keep), '') AS clean_text, "
             "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lines, "
             "CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM k GROUP BY doc_id"
+        ),
+        "q_paragraph_dedup": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10)||chr(10))) AS para, "
+            "generate_subscripts(string_split(text, chr(10)||chr(10)), 1) "
+            "AS idx FROM documents), "
+            "k AS (SELECT doc_id, para, idx, "
+            "(row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) "
+            "AS keep FROM l) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(para, chr(10)||chr(10) ORDER BY idx) "
+            "         FILTER (WHERE keep), '') AS clean_text, "
+            "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_paras, "
+            "CAST(COUNT(*) AS BIGINT) AS n_paras "
             "FROM k GROUP BY doc_id"
         ),
         "q_mixture_sample": (

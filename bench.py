@@ -130,6 +130,9 @@ QUERY_NAMES = [
     "q_ngram_dup_clusters",
     "q_tfidf_top_terms",
     "q_revenue_by_nation",
+    "q_shipping_priority",
+    "q_regional_supplier_volume",
+    "q_returned_items",
     "q_view_purchase_funnel",
     "q_daily_active_users",
     "q_doc_length_zscore",

@@ -255,6 +255,123 @@ def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         _final, key_col="query_id", num_buckets=16)
 
 
+def _pq_train_sample(sf_dir: str, m: int, codebook_k: int,
+                     sample_rows: int = 4096, iters: int = 8):
+    """Train the m sub-space PQ codebooks on the same pruned sample read
+    the IVF coarse quantizer uses (at 100 TB: a fixed sample shard).
+    Vectors are unit-normalized FIRST so L2-on-units is monotone with
+    cosine and the ADC scores approximate cosine directly. Returns
+    ``(m, codebook_k, dim//m)`` float64 codebooks, deterministic."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", sample_rows)])
+    mat = _unit(np.stack(t["embedding"].to_pandas().to_numpy()))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(777777)
+    books = np.empty((m, codebook_k, sub))
+    for s in range(m):
+        x = mat[:, s * sub:(s + 1) * sub]
+        cent = x[rng.permutation(len(x))[:codebook_k]].copy()
+        for _ in range(iters):
+            d2 = ((x * x).sum(1)[:, None] - 2 * x @ cent.T
+                  + (cent * cent).sum(1)[None, :])
+            a = d2.argmin(axis=1)
+            for c in range(codebook_k):
+                members = x[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def knn_ivf_pq(sf_dir: str, *, k: int = 5, num_queries: int = 8,
+               num_lists: int = 16, nprobe: int = 4, m: int = 8,
+               codebook_k: int = 16, rerank: int = 4):
+    """IVF coarse probe + product-quantization ADC scoring + exact
+    re-rank — the standard billion-vector ANN serving layout (IVF-PQ,
+    Jégou et al. TPAMI'11; the composition knn_ivf and pq_codes each
+    demonstrate half of). Per streaming batch: assign vectors to their
+    nearest coarse centroid, keep those in a query's ``nprobe`` probed
+    lists, PQ-encode the candidates ONCE (m uint8 codes each), score all
+    queries against the codes via per-query lookup tables (asymmetric
+    distance: table[s][code] = q_sub · codebook[s][code], summed over
+    sub-spaces — no full-vector math per candidate), take the top
+    ``rerank``×k by approximate score and re-rank EXACTLY with the full
+    vectors still in the batch. Only the per-batch top-k partials hit
+    the wire; driver/broadcast state is centroids + codebooks + query
+    tables (m×codebook_k floats per query). At 100 TB the PQ codes are
+    the resident index (32× smaller than float32 vectors) and the exact
+    re-rank reads only the top candidates' full vectors.
+
+    Deterministic; recall vs knn_bruteforce is pytest-asserted.
+    Rows-only for the driver (approximate by design)."""
+    import ray
+
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    qids, qmat = _query_matrix(sf_dir, num_queries)
+    cent = _ivf_centroids(sf_dir, num_lists)
+    books = _pq_train_sample(sf_dir, m, codebook_k)
+    sub = books.shape[2]
+    qlists = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    # ADC tables: qtab[q, s, c] = q_sub(s) · codebook[s][c]
+    qtab = np.einsum("qsd,scd->qsc", qmat.reshape(len(qids), m, sub), books)
+    ref = ray.put((qids, qmat, cent, qlists, books, qtab))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "vec_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        q_ids, q, c, ql, bk, qt = ray.get(ref)
+        ids = batch["vec_id"].to_numpy()
+        unit = _unit(np.stack(batch["embedding"].to_numpy()))
+        assign = (unit @ c.T).argmax(axis=1)
+        # PQ-encode the whole batch once: codes (N, m) uint8
+        codes = np.empty((len(unit), m), dtype=np.int64)
+        for s in range(m):
+            x = unit[:, s * sub:(s + 1) * sub]
+            d2 = ((x * x).sum(1)[:, None] - 2 * x @ bk[s].T
+                  + (bk[s] * bk[s]).sum(1)[None, :])
+            codes[:, s] = d2.argmin(axis=1)
+        out = []
+        for qi in range(len(q_ids)):
+            match = np.isin(assign, ql[qi]) & (ids != q_ids[qi])
+            cand = np.nonzero(match)[0]
+            if cand.size == 0:
+                continue
+            # asymmetric distance: approx cosine from code lookups only
+            approx = qt[qi][np.arange(m)[None, :], codes[cand]].sum(axis=1)
+            top = cand[np.argsort(-approx, kind="stable")[:rerank * k]]
+            s = unit[top] @ q[qi]                       # exact re-rank
+            order = top[np.lexsort((ids[top], -s))][:k]
+            out.append(pd.DataFrame({
+                "query_id": q_ids[qi], "vec_id": ids[order],
+                "cosine": unit[order] @ q[qi],
+            }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.round(g["cosine"], 6)
+        return g[["query_id", "vec_id", "rank", "cosine"]]
+
+    return key_map_groups(
+        _read_embeddings(sf_dir)
+        .map_batches(_partial, batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=16)
+
+
 def embedding_norms(sf_dir: str):
     """Per-vector L2 norm / mean — list-column compute parity (the
     embedding-hygiene pass before cosine ops: zero-norm and out-of-scale

@@ -1010,9 +1010,30 @@ def gopher_quality(sf_dir: str):
 
 def line_dedup(sf_dir: str, *, num_buckets: int = 32):
     """Cross-document exact LINE dedup — the C4/RefinedWeb 'remove lines
-    duplicated anywhere in the corpus' pass. A line occurrence survives
-    iff it is the corpus-global FIRST occurrence of that exact line text
-    (first = min (doc_id, line_idx)).
+    duplicated anywhere in the corpus' pass (see ``_segment_dedup`` for
+    the distributed shape; this is the separator='\\n' instance)."""
+    return _segment_dedup(sf_dir, sep="\n",
+                          kept_col="n_kept_lines", total_col="n_lines",
+                          num_buckets=num_buckets)
+
+
+def paragraph_dedup(sf_dir: str, *, num_buckets: int = 32):
+    """Cross-document exact PARAGRAPH dedup (RefinedWeb-style): a
+    paragraph (blank-line-separated block) survives iff it is the
+    corpus-global first occurrence of that exact text. Same distributed
+    shape as line_dedup — only 64-bit hashes cross the wire — at
+    paragraph granularity, which tolerates intra-line edits while still
+    killing boilerplate blocks repeated across pages."""
+    return _segment_dedup(sf_dir, sep="\n\n",
+                          kept_col="n_kept_paras", total_col="n_paras",
+                          num_buckets=num_buckets)
+
+
+def _segment_dedup(sf_dir: str, *, sep: str, kept_col: str,
+                   total_col: str, num_buckets: int = 32):
+    """Corpus-global exact dedup of ``sep``-delimited text segments. A
+    segment occurrence survives iff it is the corpus-global FIRST
+    occurrence of that exact segment text (first = min (doc_id, idx)).
 
     Scale shape — line TEXT never crosses the wire:
 
@@ -1030,12 +1051,12 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
        each doc re-splits locally and keeps its surviving indices. A
        second streaming read beats reshuffling every line's text.
 
-    Returns (doc_id, clean_text, n_kept_lines, n_lines) for every doc
+    Returns (doc_id, clean_text, kept_col, total_col) for every doc
     (clean_text = '' when nothing survives)."""
     from pandas.util import hash_array
 
     def _occ(batch: pd.DataFrame) -> pd.DataFrame:
-        lists = batch["text"].fillna("").str.split("\n")
+        lists = batch["text"].fillna("").str.split(sep, regex=False)
         counts = lists.str.len().to_numpy(dtype=np.int64)
         starts = np.cumsum(counts) - counts
         total = int(counts.sum())
@@ -1084,15 +1105,15 @@ def line_dedup(sf_dir: str, *, num_buckets: int = 32):
                   for d, sub in kept_idx.groupby("doc_id", sort=False)}
         rows = []
         for d, t in zip(texts["doc_id"], texts["text"]):
-            lines = t.split("\n")
+            segs = t.split(sep)
             ki = by_doc.get(d)
-            kept_lines = [lines[i] for i in ki] if ki is not None else []
-            rows.append((d, "\n".join(kept_lines), len(kept_lines),
-                         len(lines)))
+            kept_segs = [segs[i] for i in ki] if ki is not None else []
+            rows.append((d, sep.join(kept_segs), len(kept_segs),
+                         len(segs)))
         out = pd.DataFrame(rows, columns=["doc_id", "clean_text",
-                                          "n_kept_lines", "n_lines"])
-        out["n_kept_lines"] = out["n_kept_lines"].astype("int64")
-        out["n_lines"] = out["n_lines"].astype("int64")
+                                          kept_col, total_col])
+        out[kept_col] = out[kept_col].astype("int64")
+        out[total_col] = out[total_col].astype("int64")
         return out
 
     return bucket_map_groups(doc_rows.union(kept), _assemble,

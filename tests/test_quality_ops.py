@@ -179,3 +179,37 @@ def test_hopping_windows_cover_tumbling(ray_session):
     # every tumbling bucket's count is <= its hopping window's count, and
     # total hopping mass = k * total events
     assert hop["n_events"].sum() == 2 * tum["n_events"].sum()
+
+
+def test_knn_ivf_pq_recall(ray_session):
+    from ocr_agent_ray.pipelines.similarity import knn_bruteforce, knn_ivf_pq
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_bruteforce(sf, k=5, num_queries=8).to_pandas()
+    approx = knn_ivf_pq(sf, k=5, num_queries=8, num_lists=16, nprobe=6,
+                        m=8, codebook_k=16, rerank=4).to_pandas()
+
+    truth = {q: set(g["vec_id"]) for q, g in exact.groupby("query_id")}
+    got = {q: set(g["vec_id"]) for q, g in approx.groupby("query_id")}
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    # PQ ADC narrows to rerank*k candidates per batch before the exact
+    # re-rank; with nprobe=6/16 lists recall stays well above chance
+    assert hits / total >= 0.5
+
+    # the exact re-rank means reported cosines are exact for whatever
+    # it returns
+    merged = approx.merge(exact, on=["query_id", "vec_id"],
+                          suffixes=("_a", "_e"))
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_knn_ivf_pq_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.similarity import knn_ivf_pq
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_ivf_pq(sf).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = knn_ivf_pq(sf).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
