@@ -247,6 +247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_three_step_funnel": streaming.three_step_funnel,
         "q_top_collocations": text.top_collocations,
         "q_mixture_sample": relational.mixture_sample_documents,
+        "q_source_quota_cap": relational.source_quota_cap,
+        "q_train_val_test_split": relational.train_val_test_split,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
         "q_price_bands": relational.price_band_lookup,
@@ -1271,6 +1273,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5 "
             "WHEN 0 THEN '1999' WHEN 1 THEN '3333' WHEN 2 THEN '4ccc' "
             "WHEN 3 THEN '6666' ELSE '8000' END"
+        ),
+        "q_source_quota_cap": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY doc_id) <= 40"
+        ),
+        "q_train_val_test_split": (
+            # same 4-hex-digit md5-prefix band trick as q_mixture_sample:
+            # test < 0x1999 (= 6553 = 65536*10//100), val < 0x3332
+            "SELECT doc_id, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' "
+            "THEN 'test' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3332' "
+            "THEN 'val' ELSE 'train' END AS split FROM documents"
         ),
         "q_shuffle_order": (
             "SELECT doc_id, CAST(row_number() OVER ("

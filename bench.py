@@ -176,7 +176,10 @@ def _consume(result) -> int:
     if isinstance(result, (pd.DataFrame, pa.Table)):
         return len(result)
     n = 0
-    for b in result.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    # batch_size=None streams whole blocks: slicing a multi-hundred-k-row
+    # result into 8k batches costs ~3 ms per slice of pure iterator
+    # overhead, which belongs to neither the pipeline nor the query
+    for b in result.iter_batches(batch_size=None, batch_format="pyarrow"):
         n += len(b)
     return n
 

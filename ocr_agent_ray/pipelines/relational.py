@@ -1887,3 +1887,61 @@ def q10_returned_items(sf_dir: str, *, k: int = 20,
     out = out.sort_values(["revenue", "o_custkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+
+def source_quota_cap(sf_dir: str, *, cap: int = 40):
+    """Per-source document quota — 'keep at most N docs per source'
+    (domain caps à la RefinedWeb), deterministic by doc_id order. Scale
+    shape: each batch emits only its ``cap`` smallest doc_ids per source
+    (a bounded partial top-N — the wire carries ≤ cap × sources × batches
+    rows, never the corpus), the driver folds those into one cap-th-
+    smallest THRESHOLD per source (|sources| ints, broadcast), and the
+    final pass is a pure streaming filter. No shuffle at any size."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver  # noqa: F401
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def _partial_topn(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values("doc_id", kind="mergesort")
+                     .groupby("source", sort=False).head(cap))
+
+    pooled = pd.concat(
+        [b for b in docs.map_batches(_partial_topn, batch_format="pandas",
+                                     batch_size=65536)
+            .iter_batches(batch_format="pandas", batch_size=65536)],
+        ignore_index=True)
+    thresholds = (pooled.sort_values("doc_id", kind="mergesort")
+                        .groupby("source", sort=False).head(cap)
+                        .groupby("source")["doc_id"].max())
+    thr = dict(thresholds)
+
+    def _filter(batch: pd.DataFrame) -> pd.DataFrame:
+        lim = batch["source"].map(thr).fillna(-1).to_numpy(dtype=np.int64)
+        return batch[batch["doc_id"].to_numpy() <= lim][["doc_id", "source"]]
+
+    return docs.map_batches(_filter, batch_format="pandas")
+
+
+def train_val_test_split(sf_dir: str, *, val_pct: int = 10,
+                         test_pct: int = 10):
+    """Deterministic hash-based train/val/test assignment: the split is a
+    pure function of doc_id (stable under repartitioning, re-runnable,
+    exactly oracle-checkable — unlike seeded RNG splits whose result
+    depends on row order). The first 16 bits of md5(doc_id) partition
+    [0, 65536) into test / val / train bands. Pure streaming map."""
+    import hashlib
+
+    test_hi = 65536 * test_pct // 100
+    val_hi = test_hi + 65536 * val_pct // 100
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        first2 = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:2], "big")
+             for i in batch["doc_id"]),
+            dtype=np.int64, count=len(batch))
+        split = np.where(first2 < test_hi, "test",
+                         np.where(first2 < val_hi, "val", "train"))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "split": split})
+
+    return read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+        _assign, batch_format="pandas")
