@@ -178,3 +178,64 @@ def test_arrow_table_kernel_output(ray_session):
 
     out = bucket_map_groups(ds, _kernel, num_buckets=4).to_pandas()
     assert int(out["n"].sum()) == len(df)
+
+
+def test_exchange_shards_two_waves_consistent(ray_session):
+    """Shard reuse: a stats wave and a data wave over the SAME split must
+    see identical row populations (the ranked/scan family's contract)."""
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    df = _events(500)
+    ds = rd.from_pandas(df).map_batches(
+        lambda b: b.assign(__rb=(b["user_id"] * 7 + 3).astype("int64")),
+        batch_format="pandas")
+    shards = exchange_shards(ds, bucket_col="__rb", num_buckets=8,
+                             mode="mod")
+
+    counts = shards.reduce(
+        lambda g: pd.DataFrame({"n": [len(g)]})).to_pandas()
+    assert int(counts["n"].sum()) == len(df)
+
+    ids = shards.reduce(
+        lambda g: g[["event_id"]], group_col="__rb").to_pandas()
+    assert sorted(ids["event_id"]) == sorted(df["event_id"])
+
+
+def test_exchange_shards_empty_input(ray_session):
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    ds = rd.from_pandas(_events(50)).map_batches(
+        lambda b: b.assign(__rb=b["user_id"].astype("int64")),
+        batch_format="pandas").filter(lambda r: False)
+    shards = exchange_shards(ds, bucket_col="__rb", num_buckets=4,
+                             mode="mod")
+    assert int(shards.counts.sum()) == 0
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+
+    out = shards.reduce(_kernel).to_pandas()
+    assert len(out) == 0
+
+
+def test_exchange_shards_grouped_wave_granularity(ray_session):
+    """group_col reduce runs the kernel once per distinct key, ascending,
+    same as the one-shot key_map_groups."""
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    df = _events(300)
+    ds = rd.from_pandas(df).map_batches(
+        lambda b: b.assign(__rb=(b["user_id"] % 10).astype("int64")),
+        batch_format="pandas")
+    shards = exchange_shards(ds, bucket_col="__rb", num_buckets=4,
+                             mode="mod")
+
+    def _one(g: pd.DataFrame) -> pd.DataFrame:
+        assert g["__rb"].nunique() == 1
+        return pd.DataFrame({"rb": [int(g["__rb"].iloc[0])],
+                             "n": [len(g)]})
+
+    out = shards.reduce(_one, group_col="__rb").to_pandas()
+    expected = df.assign(rb=df["user_id"] % 10).groupby("rb").size()
+    got = out.set_index("rb")["n"].sort_index()
+    assert got.to_dict() == expected.to_dict()
