@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_vocab_overlap": text.source_vocab_overlap,
         "q_source_kl_divergence": text.source_kl_divergence,
         "q_sentence_stats": text.sentence_stats,
+        "q_zipf_fit": text.zipf_fit,
         "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
@@ -1233,6 +1234,20 @@ def oracle_sql() -> dict[str, str]:
             "contains(lower(d.text), 'lorem ipsum') AS has_lorem, "
             "contains(lower(d.text), 'javascript') AS has_javascript "
             "FROM documents d JOIN agg a ON d.doc_id = a.doc_id"
+        ),
+        "q_zipf_fit": (
+            # raw-moment slope formula, NOT REGR_SLOPE's one-pass update —
+            # matches the pipeline's distributed moment partials exactly
+            "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[0-9a-z_]+')) AS word FROM documents), "
+            "c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1), "
+            "r AS (SELECT word, n, row_number() OVER "
+            "(ORDER BY n DESC, word) AS rnk FROM c), "
+            "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt, "
+            "SUM(ln(rnk)) AS sx, SUM(ln(n)) AS sy, "
+            "SUM(ln(rnk)*ln(n)) AS sxy, SUM(ln(rnk)*ln(rnk)) AS sxx FROM r) "
+            "SELECT ROUND((cnt*sxy - sx*sy)/(cnt*sxx - sx*sx), 6) "
+            "AS zipf_slope, CAST(cnt AS BIGINT) AS n_words FROM m"
         ),
         "q_line_dedup": (
             "WITH l AS (SELECT doc_id, "

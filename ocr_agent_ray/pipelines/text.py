@@ -1226,3 +1226,61 @@ def c4_clean(sf_dir: str):
         return out
 
     return _read_documents(sf_dir).map_batches(_c, batch_format="pandas")
+
+
+def zipf_fit(sf_dir: str):
+    """Zipf-law fit of the corpus word-frequency distribution: least-
+    squares slope of ln(count) on ln(rank) over the full vocabulary
+    (English text goes ~ -1). Three distributed phases, none of which
+    ever centralizes the vocabulary:
+
+    1. word counts — per-batch partial value_counts, bucketed combine by
+       word hash (hash_partition_aggregate);
+    2. global rank by (count DESC, word ASC) — ranged_global_rank over
+       the AGGREGATED table: the range key is -count // 16 (order-
+       consistent with the sort, ties share a range), so ranks need only
+       a per-range count fold on the driver, no global sort;
+    3. slope — ln/ln moment partials (n, Σx, Σy, Σxy, Σx²) folded per
+       batch, combined on the driver. The SQL oracle computes the SAME
+       raw-moment formula (not REGR_SLOPE's one-pass update) so the two
+       sides agree bit-for-bit after rounding.
+    """
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (hash_partition_aggregate,
+                                             ranged_global_rank)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
+
+    per_word = hash_partition_aggregate(
+        _read_documents(sf_dir).map_batches(_partial, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")})
+
+    keyed = per_word.map_batches(
+        lambda b: b.assign(neg_n=-b["n"].astype("int64"),
+                           __rb=(-b["n"].astype("int64")) // 16),
+        batch_format="pandas")
+    total, ranked = ranged_global_rank(keyed, ["neg_n", "word"],
+                                       rank_col="rnk")
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.log(b["rnk"].to_numpy(dtype=np.float64))
+        y = np.log(b["n"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({
+            "cnt": [np.int64(len(b))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+        })
+
+    m = pd.concat(
+        [b for b in ranked.map_batches(_moments, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n = float(m["cnt"])
+    slope = ((n * m["sxy"] - m["sx"] * m["sy"])
+             / (n * m["sxx"] - m["sx"] ** 2))
+    return pd.DataFrame({
+        "zipf_slope": [float(round_half_away(slope, 6))],
+        "n_words": np.array([m["cnt"]], dtype="int64"),
+    })
