@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return curation_funnel(sf_dir)
 
+    def _curation_funnel_extended(sf_dir: str):
+        from ocr_agent_ray.pipelines.curate import curation_funnel_extended
+
+        return curation_funnel_extended(sf_dir)
+
     def _profile_columns(sf_dir: str):
         from ocr_agent_ray.pipelines.profiling import profile_columns
 
@@ -229,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_quality": text.gopher_quality,
         "q_c4_clean": text.c4_clean,
         "q_curation_funnel": _curation_funnel,
+        "q_curation_funnel_extended": _curation_funnel_extended,
         "q_line_dedup": text.line_dedup,
         "q_paragraph_dedup": text.paragraph_dedup,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
@@ -973,6 +979,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM s2 GROUP BY source "
             "UNION ALL SELECT 'mixture', source, CAST(COUNT(*) AS BIGINT) "
             "FROM s3 GROUP BY source"
+        ),
+        "q_curation_funnel_extended": (
+            # gopher + exact-dedup CTEs identical to q_curation_funnel;
+            # the quota cap ranks WITHIN the deduped stream (stage
+            # interaction), then md5-band split over the capped stream
+            "WITH " + _GOPHER_CTES + ", "
+            "k AS (SELECT doc_id, " + _GOPHER_KEEP + " AS keep FROM r), "
+            "s1 AS (SELECT d.doc_id, d.source, d.text FROM documents d "
+            "JOIN k USING(doc_id) WHERE k.keep), "
+            f"s2 AS (SELECT doc_id, source FROM s1 QUALIFY row_number() "
+            f"OVER (PARTITION BY {_FP} ORDER BY doc_id) = 1), "
+            "s3 AS (SELECT doc_id, source FROM s2 QUALIFY row_number() "
+            "OVER (PARTITION BY source ORDER BY doc_id) <= 40), "
+            "s4 AS (SELECT source, CASE "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' "
+            "THEN 'split_test' "
+            "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3332' "
+            "THEN 'split_val' ELSE 'split_train' END AS stage FROM s3) "
+            "SELECT 'all' AS stage, source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source "
+            "UNION ALL SELECT 'gopher', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s1 GROUP BY source "
+            "UNION ALL SELECT 'exact_dedup', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s2 GROUP BY source "
+            "UNION ALL SELECT 'quota_cap', source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s3 GROUP BY source "
+            "UNION ALL SELECT stage, source, CAST(COUNT(*) AS BIGINT) "
+            "FROM s4 GROUP BY stage, source"
         ),
         "q_email_domains": (
             "WITH m AS (SELECT unnest(regexp_extract_all(text, "
