@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
             _emb(sf), threshold=0.3
         ),
+        "q_cdc_chunk_dedup": lambda sf: dedup.cdc_chunk_dedup(
+            _docs(sf)
+        ),  # rows-only (rolling-hash CDC; planted-duplicate pytest)
         "q_embedding_near_dup_lsh": lambda sf: dedup.embedding_near_dup_lsh(
             _emb(sf), threshold=0.3
         ),  # rows-only (LSH-blocked scale path; recall-tested in pytest)

@@ -1241,3 +1241,122 @@ class FingerprintStore:
                               batch_size=65536),
             lambda g: store.admit_bucket_frame(g.drop(columns="__b")),
             bucket_col="__b", num_buckets=self.num_buckets)
+
+
+def _cdc_chunk_hashes(data: bytes, *, window: int = 16, mask_bits: int = 6,
+                      prime: np.uint64 = np.uint64(0x9E3779B97F4A7C15)
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Content-defined chunk boundaries + per-chunk 64-bit hashes for one
+    byte string, fully vectorized (no per-byte Python loop).
+
+    Rolling Rabin-style window hash via mod-2^64 prefix polynomials:
+    P_i = Σ_{j<i} (b_j+1)·p^j wraps natively in uint64; p is odd, so
+    p^i is invertible mod 2^64 and the w-byte window hash at i is
+    (P_{i+w} − P_i) · p^{-i} — one cumprod, one cumsum, one subtract.
+    A position ends a chunk when its window hash's low ``mask_bits``
+    bits are zero (expected chunk length 2^mask_bits + window). The
+    SAME prefix array yields each chunk's content hash
+    ((P_e − P_s) · p^{-s}, splitmix64-finalized), so identical byte
+    runs hash identically regardless of the document they sit in —
+    the invariant CDC dedup (backup systems, LAION-style binary
+    corpora) relies on: a shared run re-chunks identically even at
+    different offsets because boundaries depend only on local bytes."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    n = len(b)
+    if n == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(n + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        np.cumprod(np.full(n, prime, dtype=np.uint64), out=pows[1:])
+        # p odd => invertible mod 2^64; Newton iteration for the inverse
+        inv = prime
+        for _ in range(5):
+            inv = inv * (np.uint64(2) - prime * inv)
+        invpows = np.empty(n + 1, dtype=np.uint64)
+        invpows[0] = np.uint64(1)
+        np.cumprod(np.full(n, inv, dtype=np.uint64), out=invpows[1:])
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(b * pows[:n], out=prefix[1:])
+
+        w = min(window, n)
+        wh = (prefix[w:] - prefix[:-(w)]) * invpows[:n - w + 1]
+        mask = np.uint64((1 << mask_bits) - 1)
+        # boundary AFTER byte i+w-1 when the window ending there matches
+        cut_pos = np.flatnonzero((wh & mask) == 0) + w
+        bounds = np.unique(np.concatenate(
+            [np.array([0, n], dtype=np.int64), cut_pos.astype(np.int64)]))
+        starts, ends = bounds[:-1], bounds[1:]
+        ch = (prefix[ends] - prefix[starts]) * invpows[starts]
+        # splitmix64 finalize decorrelates the raw polynomial values
+        z = ch + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return (ends - starts), z
+
+
+def cdc_chunk_dedup(ds, *, window: int = 16, mask_bits: int = 6,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 32):
+    """Corpus-wide content-defined-chunk dedup statistics — the binary-
+    payload dedup layout (backup/dedup stores; media corpora where the
+    unit is a byte run, not a token). Each doc's payload splits at
+    content-defined boundaries (see _cdc_chunk_hashes: boundaries are a
+    pure function of local bytes, so a shared run chunks identically in
+    every doc containing it, at ANY byte offset); only 64-bit chunk
+    hashes + lengths cross the wire (~12 B/chunk, never payload bytes);
+    one content-keyed bucket exchange adjudicates global uniqueness and
+    per-bucket partials fold to corpus totals on the driver.
+
+    Returns one row: (total_chunks, unique_chunks, dup_chunks,
+    dedup_ratio, total_bytes, unique_bytes) — dedup_ratio =
+    unique_bytes/total_bytes, the storage factor CDC would achieve.
+    Rows-only (rolling hash is not SQL-expressible); planted-duplicate
+    recall is pytest-asserted."""
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    def _chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        lens, hashes, = [], []
+        for t in batch[text_col]:
+            ln, h = _cdc_chunk_hashes((t or "").encode("utf-8"),
+                                      window=window, mask_bits=mask_bits)
+            lens.append(ln)
+            hashes.append(h)
+        ln = (np.concatenate(lens) if lens
+              else np.array([], dtype=np.int64))
+        h = (np.concatenate(hashes) if hashes
+             else np.array([], dtype=np.uint64))
+        return pd.DataFrame({
+            "h": h.astype("uint64"),
+            "nbytes": ln.astype("int64"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+        })
+
+    def _bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = g.drop_duplicates("h")
+        return pd.DataFrame({
+            "total_chunks": [np.int64(len(g))],
+            "unique_chunks": [np.int64(len(uniq))],
+            "total_bytes": [np.int64(g["nbytes"].sum())],
+            "unique_bytes": [np.int64(uniq["nbytes"].sum())],
+        })
+
+    stats = bucket_map_groups(
+        ds.map_batches(_chunks, batch_format="pandas", batch_size=65536),
+        _bucket_stats, bucket_col="__bucket",
+        num_buckets=num_buckets).to_pandas().sum()
+
+    total_b = int(stats["total_bytes"])
+    return pd.DataFrame({
+        "total_chunks": np.array([stats["total_chunks"]], dtype="int64"),
+        "unique_chunks": np.array([stats["unique_chunks"]], dtype="int64"),
+        "dup_chunks": np.array([stats["total_chunks"]
+                                - stats["unique_chunks"]], dtype="int64"),
+        "dedup_ratio": [float(stats["unique_bytes"]) / total_b
+                        if total_b else 1.0],
+        "total_bytes": np.array([stats["total_bytes"]], dtype="int64"),
+        "unique_bytes": np.array([stats["unique_bytes"]], dtype="int64"),
+    })

@@ -308,3 +308,47 @@ def test_fingerprint_store_concurrent_admission(tmp_path, monkeypatch):
     for b in range(4):
         all_fps.extend(store._load_bucket(b))
     assert len(all_fps) == len(set(all_fps)) == len(texts)
+
+
+def test_cdc_chunk_dedup_planted_duplicates(ray_session):
+    """A byte run shared by two docs at DIFFERENT offsets must dedup:
+    content-defined boundaries re-align inside the shared run."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import cdc_chunk_dedup
+
+    rng = np.random.default_rng(11)
+
+    def rand_text(n):
+        return "".join(chr(c) for c in rng.integers(97, 123, n))
+
+    shared = rand_text(4000)
+    docs = [
+        {"doc_id": 1, "text": rand_text(800) + shared + rand_text(300)},
+        {"doc_id": 2, "text": rand_text(150) + shared + rand_text(900)},
+        {"doc_id": 3, "text": rand_text(2000)},
+    ]
+    out = cdc_chunk_dedup(rd.from_items(docs))
+    row = out.iloc[0]
+    assert row["total_chunks"] > row["unique_chunks"]  # dupes found
+    assert row["dup_chunks"] >= 20  # most of the 4000-byte run dedups
+    assert 0 < row["dedup_ratio"] < 1
+    assert row["total_bytes"] == sum(len(d["text"]) for d in docs)
+
+    # no cross-doc duplication -> (almost) everything unique
+    solo = cdc_chunk_dedup(rd.from_items(
+        [{"doc_id": 1, "text": rand_text(3000)},
+         {"doc_id": 2, "text": rand_text(3000)}]))
+    assert solo.iloc[0]["dup_chunks"] <= 1
+
+
+def test_cdc_chunk_dedup_deterministic(ray_session):
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import cdc_chunk_dedup
+
+    docs = [{"doc_id": i, "text": f"doc {i} " * 50} for i in range(20)]
+    a = cdc_chunk_dedup(rd.from_items(docs))
+    b = cdc_chunk_dedup(rd.from_items(docs))
+    pd.testing.assert_frame_equal(a, b)
