@@ -427,12 +427,20 @@ def daily_counts_gapfilled(sf_dir: str):
 
 def trailing_week_active_users(sf_dir: str, *, window_days: int = 7):
     """Rolling COUNT(DISTINCT) — users active in the trailing 7 days, per
-    day. Shape: dedup to distinct (day, user) pairs (bucketed, global),
-    flat-map each pair onto the ``window_days`` report days it supports
-    (a bounded ×7 row expansion of the already-deduped pairs, NOT of raw
-    events), then a second bucketed distinct + per-day partial count.
-    Report days are clamped to the observed [min_day, max_day] span."""
+    day — as a SWEEP LINE instead of a ×7 row expansion: a user active on
+    day d covers report days [d, d+6], so per user we merge overlapping
+    coverage intervals (runs of active days with gaps < window) and emit
+    just (+1 at start, -1 after end) deltas; the per-day WAU is the
+    prefix sum of the folded deltas. Shape: distinct (day,user) pairs
+    (bucketed) -> re-bucket by user (one user's days co-locate) ->
+    vectorized run-split + delta emit per bucket -> per-day partial sums
+    -> |days|-row driver prefix sum. The wire carries <= 2x|pairs| delta
+    rows — the previous shape's window_days-fold expansion and second
+    global distinct (7x the pair count) are gone. Report days clamp to
+    the observed [min_day, max_day] span; zero-coverage days drop
+    (matching the oracle's GROUP BY over covered days)."""
     from ocr_agent_ray.pipelines.agg import combine_partials_driver, distinct_rows
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
 
     def _day(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"day": batch["ts"].dt.floor("D"),
@@ -451,25 +459,50 @@ def trailing_week_active_users(sf_dir: str, *, window_days: int = 7):
         batch_format="pandas").to_pandas()
     lo, hi = bounds["lo"].min(), bounds["hi"].max()
 
-    def _expand(batch: pd.DataFrame) -> pd.DataFrame:
-        day = batch["day"].to_numpy().astype("datetime64[D]")
-        user = batch["user_id"].to_numpy()
-        rep_day = (np.repeat(day, window_days)
-                   + np.tile(np.arange(window_days), len(batch)))
-        rep_user = np.repeat(user, window_days)
-        keep = rep_day <= np.datetime64(hi, "D")
+    def _deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        day = (g["day"].to_numpy().astype("datetime64[D]")
+               .astype(np.int64))
+        user = g["user_id"].to_numpy()
+        # new merged interval at a user switch or a gap >= window
+        new_run = np.r_[True, (user[1:] != user[:-1])
+                        | (day[1:] - day[:-1] >= window_days)]
+        starts = day[new_run]
+        run_last = np.r_[new_run[1:], True]       # last day of each run
+        ends = day[run_last] + (window_days - 1)  # inclusive coverage end
         return pd.DataFrame({
-            "report_day": rep_day[keep].astype("datetime64[us]"),
-            "user_id": rep_user[keep]})
+            "day_i": np.concatenate([starts, ends + 1]),
+            "delta": np.concatenate([
+                np.ones(len(starts), dtype=np.int64),
+                np.full(len(ends), -1, dtype=np.int64)]),
+        })
 
-    active = distinct_rows(
-        pairs.map_batches(_expand, batch_format="pandas", batch_size=65536),
-        ["report_day", "user_id"], num_buckets=8)
-    out = combine_partials_driver(active, ["report_day"],
-                                  {"wau": ("user_id", "count")})
-    out["wau"] = out["wau"].astype("int64")
-    out = out[out["report_day"] >= pd.Timestamp(lo)]
-    return out.sort_values("report_day").reset_index(drop=True)
+    keyed = pairs.map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 64).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    deltas = combine_partials_driver(
+        bucket_map_groups(
+            keyed, lambda g: _deltas(g.drop(columns="__b")), num_buckets=64),
+        ["day_i"], {"delta": ("delta", "sum")})
+
+    deltas = deltas.sort_values("day_i").reset_index(drop=True)
+    wau = deltas["delta"].cumsum().to_numpy()
+    day_i = deltas["day_i"].to_numpy(dtype=np.int64)
+    # coverage between delta positions is constant: step-fill the
+    # [lo, hi] day spine from the delta table
+    lo_i = int(pd.Timestamp(lo).to_datetime64()
+               .astype("datetime64[D]").astype(np.int64))
+    hi_i = int(pd.Timestamp(hi).to_datetime64()
+               .astype("datetime64[D]").astype(np.int64))
+    spine = np.arange(lo_i, hi_i + 1, dtype=np.int64)
+    idx = np.searchsorted(day_i, spine, side="right") - 1
+    vals = np.where(idx >= 0, wau[np.maximum(idx, 0)], 0)
+    keep = vals > 0
+    return pd.DataFrame({
+        "report_day": spine[keep].astype("datetime64[D]")
+                                 .astype("datetime64[us]"),
+        "wau": vals[keep].astype("int64"),
+    }).reset_index(drop=True)
 
 
 def late_events(sf_dir: str, *, allowed_late_minutes: int = 5,
