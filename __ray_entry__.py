@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantize_embeddings": similarity.quantize_embeddings,
         "q_pq_codes": similarity.pq_codes,  # rows-only (iterative PQ training)
         "q_label_centroids": similarity.label_centroids,
+        "q_embedding_outliers": similarity.embedding_outliers,
         "q_kmeans": similarity.kmeans_embeddings,   # rows-only (iterative)
         "q_knn_lsh": similarity.knn_lsh,            # rows-only
         "q_knn_ivf": similarity.knn_ivf,            # rows-only (recall-tested)
@@ -1030,6 +1031,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u.vec_id, CAST(u.dim AS BIGINT) AS dim, "
             "CAST(LEAST(GREATEST(ROUND((u.x - mm.lo) / mm.scale), 0), 255) "
             "AS BIGINT) AS q FROM u JOIN mm USING (dim)"
+        ),
+        "q_embedding_outliers": (
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "u AS (SELECT vec_id, label, unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS dim FROM e), "
+            "c AS (SELECT label, dim, AVG(x) AS mu FROM u GROUP BY 1, 2), "
+            "d AS (SELECT u.vec_id, u.label, "
+            "SQRT(SUM((u.x - c.mu)*(u.x - c.mu))) AS dist "
+            "FROM u JOIN c USING (label, dim) GROUP BY 1, 2), "
+            "s AS (SELECT label, AVG(dist) AS md, "
+            "stddev_samp(dist) AS sd FROM d GROUP BY 1) "
+            "SELECT d.vec_id, d.label, ROUND(d.dist, 6) AS dist, "
+            "ROUND((d.dist - s.md)/s.sd, 6) AS z FROM d JOIN s USING (label)"
         ),
         "q_embedding_covariance": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

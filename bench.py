@@ -166,6 +166,13 @@ QUERY_NAMES = [
     "q_bigram_perplexity",
     "q_source_vocab_overlap",
     "q_sentence_stats",
+    "q_paragraph_dedup",
+    "q_zipf_fit",
+    "q_cdc_chunk_dedup",
+    "q_knn_ivf_pq",
+    "q_curation_funnel_extended",
+    "q_source_quota_cap",
+    "q_train_val_test_split",
 ]
 
 

@@ -755,3 +755,103 @@ def _lloyd_rounds(sf_dir: str, centroids, k: int, iters: int):
         "size": sizes,
         "inertia": np.round(inertia, 4),
     })
+
+
+def embedding_outliers(sf_dir: str):
+    """Per-vector outlier score: L2 distance to the vector's LABEL
+    centroid, z-scored within the label — the embedding-hygiene pass
+    that surfaces mislabeled / corrupt vectors before they poison
+    semantic dedup or k-means. Three bounded phases: (1) per-label
+    (sum-vector, count) partials -> labels × dim centroid state on the
+    driver (broadcast); (2) one streaming distance pass (the narrow
+    (vec_id, label, dist) result materializes — 3 columns, spills fine);
+    (3) per-label distance moments (n, Σd, Σd²) fold driver-side and the
+    z-score is a final broadcast map. Oracle: the same centroid/distance
+    /moment algebra in SQL (unnest + AVG + stddev_samp), agreeing after
+    round-6."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        out = []
+        for lab, idx in batch.groupby("label").indices.items():
+            out.append((lab, mat[idx].sum(axis=0), len(idx)))
+        return pd.DataFrame({
+            "label": [o[0] for o in out],
+            "vsum": [o[1].tobytes() for o in out],
+            "n": [o[2] for o in out],
+        })
+
+    sums: dict = {}
+    counts: dict = {}
+    for b in ds.map_batches(_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas", batch_size=None):
+        for lab, vs, n in zip(b["label"], b["vsum"], b["n"]):
+            v = np.frombuffer(vs, dtype=np.float64)
+            if lab in sums:
+                sums[lab] = sums[lab] + v
+                counts[lab] += int(n)
+            else:
+                sums[lab] = v.copy()
+                counts[lab] = int(n)
+    cents = {lab: sums[lab] / counts[lab] for lab in sums}
+    cref = ray.put(cents)
+
+    def _dist(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cref)
+        mat = np.stack([np.asarray(v, dtype=np.float32)
+                        for v in batch["embedding"]]).astype(np.float64)
+        labs = batch["label"].to_numpy()
+        cmat = np.stack([c[lab] for lab in labs])
+        d = np.sqrt(((mat - cmat) ** 2).sum(axis=1))
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"],
+            "label": labs,
+            "dist": d,
+        })
+
+    dists = ds.map_batches(_dist, batch_format="pandas").materialize()
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("label", sort=False)["dist"]
+        out = g.agg(["count", "sum"]).reset_index()
+        out["sumsq"] = g.apply(lambda x: (x ** 2).sum()).reset_index(
+            drop=True)
+        return out.rename(columns={"count": "n", "sum": "s"})
+
+    m = pd.concat(
+        [b for b in dists.map_batches(_moments, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).groupby("label").sum()
+    stats = {}
+    for lab, row in m.iterrows():
+        n, s, ss = float(row["n"]), float(row["s"]), float(row["sumsq"])
+        mean = s / n
+        var = (ss - n * mean * mean) / (n - 1) if n > 1 else float("nan")
+        stats[lab] = (mean, np.sqrt(var))
+    sref = ray.put(stats)
+
+    def _z(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(sref)
+        mu = np.fromiter((st[lab][0] for lab in b["label"]),
+                         dtype=np.float64, count=len(b))
+        sd = np.fromiter((st[lab][1] for lab in b["label"]),
+                         dtype=np.float64, count=len(b))
+        return pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "label": b["label"].astype("int32"),
+            "dist": round_half_away(b["dist"].to_numpy(), 6),
+            "z": round_half_away((b["dist"].to_numpy() - mu) / sd, 6),
+        })
+
+    return dists.map_batches(_z, batch_format="pandas")
