@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_deltas": streaming.event_deltas,
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
+        "q_decayed_user_scores": streaming.decayed_user_scores,
         "q_late_events": streaming.late_events,
         "q_rolling_avg_value": streaming.rolling_avg_value,
         "q_customer_name_ids": relational.customer_name_ids,
@@ -246,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_kl_divergence": text.source_kl_divergence,
         "q_sentence_stats": text.sentence_stats,
         "q_zipf_fit": text.zipf_fit,
+        "q_keyword_search": text.keyword_search,
         "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
@@ -1287,6 +1289,32 @@ def oracle_sql() -> dict[str, str]:
             "contains(lower(d.text), 'javascript') AS has_javascript "
             "FROM documents d JOIN agg a ON d.doc_id = a.doc_id"
         ),
+        "q_keyword_search": (
+            # AND-semantics TF-IDF search; raw ln(N/df) idf, same float
+            # expression as the pipeline
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(tf.tf * ln(n.n / df.df)) AS score, "
+            "COUNT(*) AS matched FROM tf JOIN df USING (w), n "
+            "GROUP BY 1, 2) "
+            "SELECT sc.qid AS query_id, sc.doc_id, "
+            "ROUND(sc.score, 6) AS score FROM sc "
+            "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sc.qid "
+            "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
         "q_zipf_fit": (
             # raw-moment slope formula, NOT REGR_SLOPE's one-pass update —
             # matches the pipeline's distributed moment partials exactly
@@ -1551,6 +1579,13 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate < DATE '1997-07-01' "
             "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
             "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+        ),
+        "q_decayed_user_scores": (
+            "WITH b AS (SELECT MAX(ts) AS t FROM events) "
+            "SELECT user_id, ROUND(SUM(value * EXP(-0.1 * "
+            "(CAST(date_diff('microsecond', ts, b.t) AS DOUBLE) "
+            "/ 86400000000.0))), 6) AS decayed_score "
+            "FROM events, b GROUP BY user_id"
         ),
         "q_event_transitions": (
             "WITH s AS (SELECT user_id, event_type, "

@@ -958,3 +958,45 @@ def value_percent_rank(sf_dir: str, *, range_width: float = 8.0):
         })
 
     return ranked.map_batches(_pr, batch_format="pandas")
+
+
+def decayed_user_scores(sf_dir: str, *, half_rate: float = 0.1):
+    """Recency-weighted per-user activity score:
+    Σ value·exp(−rate·age_days) with age measured from the corpus
+    max-timestamp — the feature-store 'decayed engagement' aggregate.
+    The decay weight is a PURE PER-ROW transform, so the whole op is
+    mergeable partials: one tiny driver fold for max(ts), one streaming
+    pass computing weights, one bucketed hash-partition combine per
+    user. Exactly the same float expression as the SQL oracle
+    (microsecond-integer age / 86400e6, double exp), so rows agree
+    bitwise and the per-user sum agrees after round-6."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    ev = _read_events(sf_dir, ("ts", "user_id", "value"))
+    # driver fold for max(ts): per-batch max partials, tiny
+    t_max = pd.concat(
+        [b for b in ev.map_batches(
+            lambda b: pd.DataFrame({"t": [b["ts"].max()]}),
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True)["t"].max()
+    t_us = np.int64(pd.Timestamp(t_max).value // 1000)  # ns -> us
+
+    def _weights(b: pd.DataFrame) -> pd.DataFrame:
+        age_us = (np.int64(t_us)
+                  - b["ts"].astype("int64").to_numpy())
+        w = b["value"].to_numpy(dtype=np.float64) * np.exp(
+            -half_rate * (age_us.astype(np.float64) / 86400000000.0))
+        return pd.DataFrame({"user_id": b["user_id"], "w": w})
+
+    out = hash_partition_aggregate(
+        ev.map_batches(_weights, batch_format="pandas"),
+        ["user_id"], {"decayed_score": ("w", "sum")}, num_buckets=32)
+
+    def _round(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["decayed_score"] = round_half_away(b["decayed_score"], 6)
+        return b[["user_id", "decayed_score"]]
+
+    return out.map_batches(_round, batch_format="pandas")

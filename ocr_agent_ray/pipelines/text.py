@@ -1284,3 +1284,89 @@ def zipf_fit(sf_dir: str):
         "zipf_slope": [float(round_half_away(slope, 6))],
         "n_words": np.array([m["cnt"]], dtype="int64"),
     })
+
+
+_SEARCH_QUERIES = {
+    0: ("join", "hash"),
+    1: ("vector", "stream"),
+    2: ("window", "filter", "merge"),
+}
+
+
+def keyword_search(sf_dir: str, *, k: int = 20):
+    """Conjunctive (AND) keyword search with TF-IDF ranking — the
+    retrieval primitive over the corpus, no external index: for each
+    registered query, docs containing ALL query terms, ranked by
+    Σ tf(t,d)·ln(N/df_t), top-``k`` per query. Two bounded passes:
+    (1) per-batch partial doc-frequency counts for the ≤|queries|×|terms|
+    distinct query terms plus total doc count fold driver-side (the
+    broadcast 'mini index' — term stats only, never postings);
+    (2) one streaming scoring pass emits per-batch per-query partial
+    top-k; the final per-query merge sees batches×k rows. At 100 TB the
+    same shape holds: the wire carries candidate scores, not tokens."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(b: pd.DataFrame) -> pd.DataFrame:
+        """Per-row tf counts for the query terms, vectorized: explode ->
+        isin filter -> one C-speed groupby; no per-doc Python loop."""
+        toks = b["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(b)), columns=terms, fill_value=0)
+        tf.insert(0, "doc_id", b["doc_id"].to_numpy())
+        return tf
+
+    def _df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(b)
+        row = {"__n_docs": np.int64(len(b))}
+        for t in terms:
+            row[f"df_{t}"] = np.int64((tf[t] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [b for b in _read_documents(sf_dir).map_batches(
+            _df_partial, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n_docs = float(stats["__n_docs"])
+    idf = {t: np.log(n_docs / float(stats[f"df_{t}"])) for t in terms}
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(b)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            score = sum(sub.loc[match, t].to_numpy(dtype=np.float64)
+                        * idf[t] for t in qterms)
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score})
+            out.append(g.sort_values(["score", "doc_id"],
+                                     ascending=[False, True]).head(k))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["score"] = round_half_away(g["score"].to_numpy(), 6)
+        return g[["query_id", "doc_id", "score"]]
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_score, batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)
