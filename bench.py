@@ -226,7 +226,11 @@ def main() -> None:
     # (object-store pressure from neighbors), and the best run is the one
     # that measures the query, not the contention
     q_repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
-    for name in QUERY_NAMES:
+    # --scaling sub-runs measure the HEADLINE pipeline only: the per-query
+    # sweep would multiply each fresh-process attempt by minutes without
+    # informing the two-cluster-size criterion
+    query_names = [] if os.environ.get("GRAFT_FLAGSHIP_ONLY") else QUERY_NAMES
+    for name in query_names:
         best = float("inf")
         for _ in range(q_repeats):
             t0 = time.monotonic()
@@ -269,6 +273,7 @@ def scaling() -> None:
         # long-running 100 TB job pays once
         env.setdefault("GRAFT_BENCH_DOCS", "36000")
         env.setdefault("GRAFT_BENCH_REPEATS", "1")
+        env.setdefault("GRAFT_FLAGSHIP_ONLY", "1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
