@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
         "q_decayed_user_scores": streaming.decayed_user_scores,
+        "q_time_to_convert": streaming.time_to_convert,
         "q_late_events": streaming.late_events,
         "q_rolling_avg_value": streaming.rolling_avg_value,
         "q_customer_name_ids": relational.customer_name_ids,
@@ -281,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shipping_priority": relational.q3_shipping_priority,
         "q_regional_supplier_volume": relational.q5_regional_supplier_volume,
         "q_returned_items": relational.q10_returned_items,
+        "q_order_priority_check": relational.q4_order_priority_check,
+        "q_promo_revenue": relational.q14_promo_revenue,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1579,6 +1582,35 @@ def oracle_sql() -> dict[str, str]:
             "AND o.o_orderdate < DATE '1997-07-01' "
             "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
             "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+        ),
+        "q_time_to_convert": (
+            "WITH f AS (SELECT user_id, "
+            "MIN(ts) FILTER (WHERE event_type = 'view') AS fv, "
+            "MIN(ts) FILTER (WHERE event_type = 'purchase') AS fp "
+            "FROM events GROUP BY 1) "
+            "SELECT user_id, ROUND(CAST(date_diff('microsecond', fv, fp) "
+            "AS DOUBLE) / 1e6, 6) AS secs_to_convert FROM f "
+            "WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv"
+        ),
+        "q_order_priority_check": (
+            "SELECT o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders o "
+            "WHERE o.o_orderdate >= DATE '1996-01-01' "
+            "AND o.o_orderdate < DATE '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate >= DATE '1996-01-01') "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q_promo_revenue": (
+            "SELECT ROUND(100.0 * "
+            "SUM(CASE WHEN p.p_type = 'PROMO' "
+            "THEN l.l_extendedprice*(1-l.l_discount) ELSE 0 END) / "
+            "SUM(l.l_extendedprice*(1-l.l_discount)), 6) "
+            "AS promo_share_pct FROM lineitem l "
+            "JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= DATE '1997-01-01' "
+            "AND l.l_shipdate < DATE '1997-03-01'"
         ),
         "q_decayed_user_scores": (
             "WITH b AS (SELECT MAX(ts) AS t FROM events) "

@@ -1945,3 +1945,87 @@ def train_val_test_split(sf_dir: str, *, val_pct: int = 10,
 
     return read_table(sf_dir, "documents", ["doc_id"]).map_batches(
         _assign, batch_format="pandas")
+
+
+def q4_order_priority_check(sf_dir: str, *, date_lo: str = "1996-01-01",
+                            date_hi: str = "1996-07-01"):
+    """TPC-H Q4 shape: orders in a window that have AT LEAST ONE
+    lineitem shipped after the order date, counted per priority — the
+    EXISTS semi-join. The lineitem side reduces distributed-side to the
+    distinct qualifying orderkey set (bucketed distinct over late-ship
+    keys only), broadcasts as a semi filter over the date-pruned orders,
+    and the per-priority count is a driver-sized combine. The broadcast
+    flips to a bucketed semi merge when the qualifying-key set outgrows
+    the object store."""
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             distinct_rows)
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _ofilter(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"],
+                                     pa.scalar(lo.to_pydatetime())),
+                    pc.less(b["o_orderdate"], pa.scalar(hi.to_pydatetime())))
+        return b.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    ofilt = orders.map_batches(_ofilter, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    # TPC-H Q4's commit<receipt columns don't exist in this schema, so
+    # the qualifying predicate is 'shipped on or after the window
+    # start' — the same EXISTS semi-join shape
+    late = li.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["l_shipdate"], pa.scalar(lo.to_pydatetime())))
+               .select(["l_orderkey"]),
+        batch_format="pyarrow")
+    keys = distinct_rows(late, ["l_orderkey"]).to_pandas()["l_orderkey"]
+
+    kept = broadcast_semi_filter(ofilt, set(int(k) for k in keys),
+                                 "o_orderkey")
+    out = combine_partials_driver(
+        kept, ["o_orderpriority"], {"n_orders": ("o_orderkey", "count")})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str, *, date_lo: str = "1997-01-01",
+                      date_hi: str = "1997-03-01"):
+    """TPC-H Q14 shape: promotion revenue share — 100 × promo revenue /
+    total revenue over a shipment window. The part dimension reduces to
+    a partkey→is-promo bitmap (broadcast); the window-pruned lineitem
+    stream folds (promo_sum, total_sum) scalar partials; the ratio is
+    one driver division. No shuffle at any size."""
+    import pyarrow.parquet as pq
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        rev = (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy()
+        is_promo = b["l_partkey"].isin(promo).to_numpy()
+        return pd.DataFrame({"promo_rev": [rev[is_promo].sum()],
+                             "total_rev": [rev.sum()]})
+
+    parts = pd.concat(
+        [b for b in li.map_batches(_partial, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    share = (100.0 * parts["promo_rev"] / parts["total_rev"]
+             if parts["total_rev"] else 0.0)
+    return pd.DataFrame({
+        "promo_share_pct": [float(round_half_away(share, 6))]})

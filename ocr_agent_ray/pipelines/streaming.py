@@ -1000,3 +1000,44 @@ def decayed_user_scores(sf_dir: str, *, half_rate: float = 0.1):
         return b[["user_id", "decayed_score"]]
 
     return out.map_batches(_round, batch_format="pandas")
+
+
+def time_to_convert(sf_dir: str):
+    """Per-user conversion latency: seconds from the user's FIRST 'view'
+    to their FIRST 'purchase' at-or-after it (users with both only) —
+    the attribution metric between the funnel ops and the window family.
+    Min timestamps are mergeable partials: each batch emits per-user
+    (first_view, first_purchase) minima, one bucketed combine folds
+    them, and the latency math is a final vectorized map. No raw events
+    on the wire past the first partial."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    ev = _read_events(sf_dir, ("ts", "user_id", "event_type"))
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(("view", "purchase"))]
+        g = (b.groupby(["user_id", "event_type"], sort=False)["ts"]
+              .min().unstack())
+        out = pd.DataFrame({
+            "user_id": g.index.to_numpy(),
+            "fv": g.get("view", pd.Series(pd.NaT, index=g.index)),
+            "fp": g.get("purchase", pd.Series(pd.NaT, index=g.index)),
+        }).reset_index(drop=True)
+        return out
+
+    folded = hash_partition_aggregate(
+        ev.map_batches(_partial, batch_format="pandas"),
+        ["user_id"], {"fv": ("fv", "min"), "fp": ("fp", "min")},
+        num_buckets=32)
+
+    def _latency(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["fv"].notna() & b["fp"].notna() & (b["fp"] >= b["fv"])]
+        secs = ((b["fp"].astype("int64") - b["fv"].astype("int64"))
+                .to_numpy(dtype=np.float64) / 1e6)
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "secs_to_convert": round_half_away(secs, 6),
+        })
+
+    return folded.map_batches(_latency, batch_format="pandas")
