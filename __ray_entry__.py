@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_windows": streaming.hopping_window_counts,
         "q_lineitems_shipped_30d": streaming.lineitems_shipped_within_30d,
         "q_customers_no_urgent": streaming.customers_without_urgent_orders,
+        "q_customers_no_urgent_anti": streaming.customers_without_urgent_orders_anti,
         "q_event_deltas": streaming.event_deltas,
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
@@ -664,6 +665,11 @@ def oracle_sql() -> dict[str, str]:
             "AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY"
         ),
         "q_customers_no_urgent": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "q_customers_no_urgent_anti": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"

@@ -394,3 +394,61 @@ def bloom_pruned_join(left, right, *, on: str,
     return bucket_hash_join(pruned, right, on=on, num_buckets=num_buckets,
                             left_schema=left_schema,
                             right_schema=right_schema)
+
+
+def bucket_anti_join(left, right_keys, *, on: str, num_buckets: int = 16,
+                     left_schema: pa.Schema | None = None,
+                     prep_batch_size: int = 32768):
+    """Large-large ANTI join: left rows with NO matching key in
+    ``right_keys`` — the scale path every broadcast anti-filter docstring
+    promises for when the exclusion-key set outgrows the object store.
+    Both sides bucket by the key hash (right side reduced to its key
+    column first, so the wire carries keys, not rows) and each bucket
+    drops left rows via one vectorized isin. Partitioning assumption:
+    identical keys co-locate — true by construction of the hash."""
+    lschema = left_schema if left_schema is not None else _arrow_schema_of(left)
+    left_cols = list(lschema.names)
+    if on not in left_cols:
+        raise ValueError(f"{on!r} not in left columns {left_cols}")
+    types = {c: lschema.field(c).type for c in left_cols}
+    target = pa.schema(
+        [pa.field(c, types[c]) for c in left_cols]
+        + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.string())]
+    )
+    out_schema = pa.schema([pa.field(c, types[c]) for c in left_cols])
+
+    def _prep(side: str):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays = []
+            for c in left_cols:
+                if c in batch.column_names:
+                    arrays.append(batch[c].cast(types[c]))
+                else:
+                    arrays.append(pa.nulls(n, types[c]))
+            arrays.append(stable_bucket_array(batch[on].combine_chunks(),
+                                              num_buckets))
+            arrays.append(pa.array([side] * n, pa.string()))
+            return pa.Table.from_arrays(arrays, schema=target)
+
+        return _fn
+
+    keys_only = right_keys.map_batches(
+        lambda b: b.select([on]) if on in b.column_names
+        else b.rename_columns([on]),
+        batch_format="pyarrow", batch_size=prep_batch_size)
+    lt = left.map_batches(_prep("l"), batch_format="pyarrow",
+                          batch_size=prep_batch_size)
+    rt = keys_only.map_batches(_prep("r"), batch_format="pyarrow",
+                               batch_size=prep_batch_size)
+
+    def _anti_bucket(g: pd.DataFrame) -> pa.Table:
+        lhs = g.loc[g["__side"] == "l", left_cols]
+        rkeys = g.loc[g["__side"] == "r", on]
+        kept = lhs[~lhs[on].isin(set(rkeys))]
+        return _typed_table(kept, left_cols, types, out_schema)
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    return bucket_map_groups(lt.union(rt), _anti_bucket,
+                             bucket_col="__bucket", num_buckets=num_buckets)

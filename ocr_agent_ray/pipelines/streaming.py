@@ -1041,3 +1041,35 @@ def time_to_convert(sf_dir: str):
         })
 
     return folded.map_batches(_latency, batch_format="pandas")
+
+
+def customers_without_urgent_orders_anti(sf_dir: str):
+    """Same semantics as customers_without_urgent_orders, via the
+    LARGE-LARGE path: the urgent-custkey set stays a distributed Dataset
+    (never driver-collected, never broadcast) and the exclusion is a
+    bucketed anti join — the shape to use when the exclusion-key set
+    outgrows the object store. Oracle-checked against the SAME SQL as
+    the broadcast variant, so both plans must agree exactly."""
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    urgent = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    urgent_keys = distinct_rows(urgent, ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+
+    customers = read_table(sf_dir, "customer",
+                           ["c_custkey", "c_name", "c_acctbal"])
+    import pyarrow as pa
+    return bucket_anti_join(
+        customers, urgent_keys, on="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string()),
+                               ("c_acctbal", pa.float64())]))

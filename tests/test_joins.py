@@ -177,3 +177,37 @@ def test_bloom_pruned_join_prunes_and_matches(ray_session):
     got = got[key].sort_values(key).reset_index(drop=True)
     want = want[key].sort_values(key).reset_index(drop=True)
     assert got.equals(want) and len(got) > 0
+
+
+def test_bucket_anti_join_basic(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4, 5, 6], "v": list("abcdef")}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 4, 4, 9]}))
+    out = bucket_anti_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 3, 5, 6]
+    assert out["v"].tolist() == ["a", "c", "e", "f"]
+
+
+def test_bucket_anti_join_empty_right(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["x", "y"]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [7]})).filter(lambda r: False)
+    out = bucket_anti_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+    ).to_pandas()
+    assert sorted(out["k"]) == [1, 2]
