@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_returned_items": relational.q10_returned_items,
         "q_order_priority_check": relational.q4_order_priority_check,
         "q_promo_revenue": relational.q14_promo_revenue,
+        "q_merge_upsert": relational.merge_upsert_documents,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1597,6 +1598,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ROUND(CAST(date_diff('microsecond', fv, fp) "
             "AS DOUBLE) / 1e6, 6) AS secs_to_convert FROM f "
             "WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv"
+        ),
+        "q_merge_upsert": (
+            "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "
+            "0 AS side FROM documents), "
+            "upd AS (SELECT doc_id, 'rev2:' || text AS text, "
+            "CAST(1 AS BIGINT) AS version, 1 AS side FROM documents "
+            "WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id + 100000, "
+            "'new:' || CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 1 "
+            "FROM documents WHERE doc_id % 13 = 0), "
+            "allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd) "
+            "SELECT doc_id, text, version FROM allr "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY version DESC, side DESC) = 1"
         ),
         "q_order_priority_check": (
             "SELECT o_orderpriority, "

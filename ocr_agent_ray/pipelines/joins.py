@@ -406,6 +406,16 @@ def bucket_anti_join(left, right_keys, *, on: str, num_buckets: int = 16,
     column first, so the wire carries keys, not rows) and each bucket
     drops left rows via one vectorized isin. Partitioning assumption:
     identical keys co-locate — true by construction of the hash."""
+    return _bucket_membership_join(left, right_keys, on=on, keep=False,
+                                   num_buckets=num_buckets,
+                                   left_schema=left_schema,
+                                   prep_batch_size=prep_batch_size)
+
+
+def _bucket_membership_join(left, right_keys, *, on: str, keep: bool,
+                            num_buckets: int = 16,
+                            left_schema: pa.Schema | None = None,
+                            prep_batch_size: int = 32768):
     lschema = left_schema if left_schema is not None else _arrow_schema_of(left)
     left_cols = list(lschema.names)
     if on not in left_cols:
@@ -442,13 +452,26 @@ def bucket_anti_join(left, right_keys, *, on: str, num_buckets: int = 16,
     rt = keys_only.map_batches(_prep("r"), batch_format="pyarrow",
                                batch_size=prep_batch_size)
 
-    def _anti_bucket(g: pd.DataFrame) -> pa.Table:
+    def _membership_bucket(g: pd.DataFrame) -> pa.Table:
         lhs = g.loc[g["__side"] == "l", left_cols]
-        rkeys = g.loc[g["__side"] == "r", on]
-        kept = lhs[~lhs[on].isin(set(rkeys))]
+        member = lhs[on].isin(set(g.loc[g["__side"] == "r", on]))
+        kept = lhs[member if keep else ~member]
         return _typed_table(kept, left_cols, types, out_schema)
 
     from ocr_agent_ray.pipelines.exchange import bucket_map_groups
 
-    return bucket_map_groups(lt.union(rt), _anti_bucket,
+    return bucket_map_groups(lt.union(rt), _membership_bucket,
                              bucket_col="__bucket", num_buckets=num_buckets)
+
+
+def bucket_semi_join(left, right_keys, *, on: str, num_buckets: int = 16,
+                     left_schema: pa.Schema | None = None,
+                     prep_batch_size: int = 32768):
+    """Large-large SEMI join: left rows WITH a matching key in
+    ``right_keys`` — the scale sibling of bucket_anti_join (same
+    co-bucketed key exchange, keys-only right side, one vectorized isin
+    per bucket, membership kept instead of dropped)."""
+    return _bucket_membership_join(left, right_keys, on=on, keep=True,
+                                   num_buckets=num_buckets,
+                                   left_schema=left_schema,
+                                   prep_batch_size=prep_batch_size)

@@ -2029,3 +2029,34 @@ def q14_promo_revenue(sf_dir: str, *, date_lo: str = "1997-01-01",
              if parts["total_rev"] else 0.0)
     return pd.DataFrame({
         "promo_share_pct": [float(round_half_away(share, 6))]})
+
+
+def merge_upsert_documents(sf_dir: str):
+    """Lakehouse MERGE INTO over the documents table: a deterministic
+    update stream (every 7th doc revised, every 13th doc id offset as a
+    brand-new insert) upserts into the base corpus, latest version wins.
+    Both sides stay distributed Datasets through one co-bucketed key
+    exchange (sources/maintenance.merge_upsert); oracled via the
+    UNION + QUALIFY latest-wins SQL."""
+    from ocr_agent_ray.sources.maintenance import merge_upsert
+
+    base = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.assign(version=np.int64(0)), batch_format="pandas")
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _updates(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b[b["doc_id"] % 7 == 0].copy()
+        rev["text"] = "rev2:" + rev["text"]
+        rev["version"] = np.int64(1)
+        new = b[b["doc_id"] % 13 == 0].copy()
+        new = pd.DataFrame({
+            "doc_id": new["doc_id"] + 100000,
+            "text": "new:" + new["doc_id"].astype(str),
+            "version": np.int64(1),
+        })
+        return pd.concat([rev[["doc_id", "text", "version"]], new],
+                         ignore_index=True)
+
+    updates = docs.map_batches(_updates, batch_format="pandas")
+    return merge_upsert(base, updates, key="doc_id", version="version")

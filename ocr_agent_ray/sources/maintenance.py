@@ -153,3 +153,47 @@ def zorder_write(ds, out_dir: str, *, x_col: str, y_col: str,
        .write_parquet(out_dir))
     files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
     return {"files": len(files), "x_range": x_range, "y_range": y_range}
+
+
+def merge_upsert(base, updates, *, key: str, version: str,
+                 num_buckets: int = 16):
+    """Lakehouse MERGE INTO (latest-wins upsert): rows from ``updates``
+    replace base rows with the same ``key``; new keys insert; among
+    duplicate versions of one key the highest ``version`` wins, ties
+    broken toward the update side. One co-bucketed exchange by key hash
+    (both sides carry a side tag); each bucket resolves winners with a
+    single stable sort + drop_duplicates — no driver state, no
+    broadcast, both sides may be arbitrarily large."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import stable_bucket_array
+
+    def _tag(side: int):
+        def _fn(b: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            b = b.copy()
+            b["__side"] = np.int8(side)
+            tbl = pa.Table.from_pandas(b[[key]], preserve_index=False)
+            b["__bucket"] = stable_bucket_array(
+                tbl.column(0).combine_chunks(), num_buckets
+            ).to_numpy(zero_copy_only=False)
+            return b
+
+        return _fn
+
+    both = base.map_batches(_tag(0), batch_format="pandas").union(
+        updates.map_batches(_tag(1), batch_format="pandas"))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, version, "__side"],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        return (g[~g.duplicated(key)]
+                .drop(columns=["__side", "__bucket"])
+                .reset_index(drop=True))
+
+    return bucket_map_groups(both, _resolve, bucket_col="__bucket",
+                             num_buckets=num_buckets)

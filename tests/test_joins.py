@@ -211,3 +211,20 @@ def test_bucket_anti_join_empty_right(ray_session):
         left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
     ).to_pandas()
     assert sorted(out["k"]) == [1, 2]
+
+
+def test_bucket_semi_join_basic(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.joins import bucket_semi_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4], "v": list("abcd")}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 4, 4]}))
+    out = bucket_semi_join(
+        left, right, on="k",
+        left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [2, 4]
