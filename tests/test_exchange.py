@@ -239,3 +239,32 @@ def test_exchange_shards_grouped_wave_granularity(ray_session):
     expected = df.assign(rb=df["user_id"] % 10).groupby("rb").size()
     got = out.set_index("rb")["n"].sort_index()
     assert got.to_dict() == expected.to_dict()
+
+
+def test_exchange_survives_worker_death(ray_session, tmp_path):
+    """Raw-Ray exchange resilience: a reduce task whose worker process
+    DIES (not an exception — os._exit) is retried by Ray's task retry
+    and the second attempt succeeds; output is complete and correct.
+    This is the multi-node lost-worker story for the drop-to-raw-Ray
+    path — split outputs are plain objects, so a retried reduce
+    re-fetches them from the object store."""
+    import os
+
+    flag = str(tmp_path / "died_once")
+
+    df = _events(200)
+    ds = rd.from_pandas(df).map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 4).astype("int32")),
+        batch_format="pandas")
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["__b"].iloc[0]) == 1 and not os.path.exists(flag):
+            open(flag, "w").write("x")
+            os._exit(1)  # hard worker death, not an exception
+        return pd.DataFrame({"b": [int(g["__b"].iloc[0])],
+                             "n": [len(g)]})
+
+    out = bucket_map_groups(ds, _kernel, num_buckets=4).to_pandas()
+    assert int(out["n"].sum()) == len(df)
+    assert sorted(out["b"]) == [0, 1, 2, 3]
+    assert os.path.exists(flag)  # the death really happened
