@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitems_shipped_30d": streaming.lineitems_shipped_within_30d,
         "q_customers_no_urgent": streaming.customers_without_urgent_orders,
         "q_customers_no_urgent_anti": streaming.customers_without_urgent_orders_anti,
+        "q_urgent_customers_semi": streaming.urgent_customers_semi,
         "q_event_deltas": streaming.event_deltas,
         "q_view_purchase_funnel": streaming.view_purchase_funnel,
         "q_daily_active_users": streaming.daily_active_users,
@@ -778,6 +779,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1"
         ),
         "q_urgent_customers": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "q_urgent_customers_semi": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"

@@ -1073,3 +1073,33 @@ def customers_without_urgent_orders_anti(sf_dir: str):
         left_schema=pa.schema([("c_custkey", pa.int64()),
                                ("c_name", pa.string()),
                                ("c_acctbal", pa.float64())]))
+
+
+def urgent_customers_semi(sf_dir: str):
+    """Customers WITH at least one urgent order — the large-large SEMI
+    plan (bucketed membership exchange, exclusion twin of
+    customers_without_urgent_orders_anti), oracle-shared with the
+    broadcast q_urgent_customers so both physical plans must agree."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+    from ocr_agent_ray.pipelines.joins import bucket_semi_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    urgent = read_table(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_custkey"]),
+            batch_format="pyarrow")
+    urgent_keys = distinct_rows(urgent, ["o_custkey"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+
+    customers = read_table(sf_dir, "customer",
+                           ["c_custkey", "c_name", "c_acctbal"])
+    return bucket_semi_join(
+        customers, urgent_keys, on="c_custkey",
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string()),
+                               ("c_acctbal", pa.float64())]))
