@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_sample": relational.mixture_sample_documents,
         "q_source_quota_cap": relational.source_quota_cap,
         "q_train_val_test_split": relational.train_val_test_split,
+        "q_weighted_sample": relational.weighted_sample_documents,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
         "q_price_bands": relational.price_band_lookup,
@@ -1384,6 +1385,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5 "
             "WHEN 0 THEN '1999' WHEN 1 THEN '3333' WHEN 2 THEN '4ccc' "
             "WHEN 3 THEN '6666' ELSE '8000' END"
+        ),
+        "q_weighted_sample": (
+            # Efraimidis-Spirakis key u^(1/w): u = first 4 md5 bytes /
+            # 2^32, w = n_chars — identical float expression to the
+            # pipeline
+            "WITH keyed AS (SELECT source, doc_id, "
+            "POW(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS UBIGINT) / 4294967296.0, "
+            "1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1.0)) AS es_key "
+            "FROM documents) "
+            "SELECT source, doc_id, ROUND(es_key, 6) AS es_key FROM keyed "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY es_key DESC, doc_id) <= 5 "
+            "ORDER BY source, doc_id"
         ),
         "q_source_quota_cap": (
             "SELECT doc_id, source FROM documents "

@@ -173,6 +173,16 @@ QUERY_NAMES = [
     "q_curation_funnel_extended",
     "q_source_quota_cap",
     "q_train_val_test_split",
+    "q_embedding_outliers",
+    "q_decayed_user_scores",
+    "q_keyword_search",
+    "q_time_to_convert",
+    "q_order_priority_check",
+    "q_promo_revenue",
+    "q_merge_upsert",
+    "q_customers_no_urgent_anti",
+    "q_urgent_customers_semi",
+    "q_weighted_sample",
 ]
 
 

@@ -2060,3 +2060,45 @@ def merge_upsert_documents(sf_dir: str):
 
     updates = docs.map_batches(_updates, batch_format="pandas")
     return merge_upsert(base, updates, key="doc_id", version="version")
+
+
+def weighted_sample_documents(sf_dir: str, *, k: int = 5):
+    """Weighted sampling without replacement, k per source, weight =
+    doc length (the 'sample long docs more often' curation step), via
+    the Efraimidis–Spirakis key: rank by u^(1/w) where u is a
+    DETERMINISTIC md5-derived uniform — a pure function of the data, so
+    the sample is re-runnable, repartition-stable, and exactly
+    SQL-checkable (unlike seeded RNG reservoirs whose result depends on
+    visit order). Per-batch partial top-k per source bounds the wire at
+    k × sources × batches rows; the driver merge is tiny."""
+    import hashlib
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _keys(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4],
+                            "big")
+             for i in b["doc_id"]),
+            dtype=np.float64, count=len(b)) / 4294967296.0
+        w = b["n_chars"].to_numpy(dtype=np.float64)
+        es_key = u ** (1.0 / np.maximum(w, 1.0))
+        out = pd.DataFrame({"doc_id": b["doc_id"], "source": b["source"],
+                            "es_key": es_key})
+        return (out.sort_values(["es_key", "doc_id"],
+                                ascending=[False, True])
+                   .groupby("source", sort=False).head(k))
+
+    pooled = pd.concat(
+        [b for b in read_table(sf_dir, "documents",
+                               ["doc_id", "source", "n_chars"])
+            .map_batches(_keys, batch_format="pandas", batch_size=65536)
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+    out = (pooled.sort_values(["es_key", "doc_id"],
+                              ascending=[False, True])
+                 .groupby("source", sort=False).head(k)
+                 .sort_values(["source", "doc_id"])
+                 .reset_index(drop=True))
+    out["es_key"] = round_half_away(out["es_key"].to_numpy(), 6)
+    return out[["source", "doc_id", "es_key"]]
