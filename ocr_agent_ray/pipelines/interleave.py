@@ -246,3 +246,76 @@ def multimodal_pack(sf_dir: str, *, budget: int = 256,
         documents_to_interleaved(sf_dir)
         .map_batches(_flatten, batch_format="pyarrow", batch_size=4096),
         _pack, key_col="__grp")
+
+
+def media_router_stats(sf_dir: str):
+    """Driver-visible multimodal routing query: derive a deterministic
+    mixed-modality media-unit stream FROM the documents table (kind by
+    doc_id mod 3; video frame counts by doc length), run it through the
+    full modality router — per-kind actor-pool branches (rasterize /
+    frame-sample) → schema-aligned union → shared resize+embed tail —
+    and report per-kind routed-row counts, total payload bytes, and
+    mean embedding norm. Rows-only (the fake codec is Ray-side plumbing,
+    not SQL); the router's semantics are pytest-oracled in
+    test_media.py. At 100 TB the same router runs with the real
+    import-guarded codecs and GPU pools sized per branch."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_agent_ray.sources.readers import read_table
+    from ocr_agent_ray.stages.media import route_media_pipeline
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _units(b: pd.DataFrame) -> pd.DataFrame:
+        kind = np.select(
+            [b["doc_id"] % 3 == 0, b["doc_id"] % 3 == 1],
+            ["image", "pdf_page"], default="video")
+        return pd.DataFrame({
+            "media_ref": "media://" + b["doc_id"].astype(str),
+            "kind": kind,
+            "page_index": np.where(kind == "pdf_page",
+                                   (b["doc_id"] % 7).astype("int32"),
+                                   np.int32(-1)).astype("int32"),
+            "total_frames": np.where(
+                kind == "video",
+                (b["n_chars"] % 120).astype("int32"),
+                np.int32(0)).astype("int32"),
+        })
+
+    units = docs.map_batches(_units, batch_format="pandas").map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["media_ref"], t["kind"],
+             t["page_index"].cast(pa.int32()),
+             t["total_frames"].cast(pa.int32())],
+            names=["media_ref", "kind", "page_index", "total_frames"]),
+        batch_format="pyarrow").materialize()
+
+    routed = route_media_pipeline(units, every_n=30, concurrency=4,
+                                  batch_size=32)
+
+    def _stats(b: pd.DataFrame) -> pd.DataFrame:
+        norms = np.array([float(np.linalg.norm(np.asarray(v)))
+                          for v in b["embedding"]])
+        g = b.assign(__n=norms, __bytes=[len(x) for x in b["media_bytes"]])
+        out = (g.groupby("kind", sort=False)
+                .agg(n_rows=("kind", "size"),
+                     total_bytes=("__bytes", "sum"),
+                     norm_sum=("__n", "sum"))
+                .reset_index())
+        return out
+
+    pooled = pd.concat(
+        [b for b in routed.map_batches(_stats, batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+    out = (pooled.groupby("kind", as_index=False)
+                 .agg(n_rows=("n_rows", "sum"),
+                      total_bytes=("total_bytes", "sum"),
+                      norm_sum=("norm_sum", "sum")))
+    out["mean_embed_norm"] = (out["norm_sum"] / out["n_rows"]).round(6)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out[["kind", "n_rows", "total_bytes", "mean_embed_norm"]] \
+        .sort_values("kind").reset_index(drop=True)
