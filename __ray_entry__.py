@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
         "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
         "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
+        "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
             dedup.ngram_jaccard_all_pairs(_docs(sf))
         ),
@@ -1634,6 +1635,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, version FROM allr "
             "QUALIFY row_number() OVER (PARTITION BY doc_id "
             "ORDER BY version DESC, side DESC) = 1"
+        ),
+        "q_dup_graph_triangles": (
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "w AS (SELECT e1.doc_id_b AS b, e2.doc_id_b AS c "
+            "FROM pairs e1 JOIN pairs e2 "
+            "ON e2.doc_id_a = e1.doc_id_a AND e2.doc_id_b > e1.doc_id_b) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM w "
+            "JOIN pairs p ON p.doc_id_a = w.b AND p.doc_id_b = w.c) "
+            "AS n_triangles"
         ),
         "q_order_priority_check": (
             "SELECT o_orderpriority, "

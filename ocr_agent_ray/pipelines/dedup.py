@@ -1360,3 +1360,66 @@ def cdc_chunk_dedup(ds, *, window: int = 16, mask_bits: int = 6,
         "total_bytes": np.array([stats["total_bytes"]], dtype="int64"),
         "unique_bytes": np.array([stats["unique_bytes"]], dtype="int64"),
     })
+
+
+def dup_graph_triangles(docs, *, threshold: float = 0.5):
+    """Triangle count of the near-duplicate graph — the cluster-density
+    signal (triangle-rich dup graphs mean template families rather than
+    pairwise accidents). Distributed node-iterator shape over the exact
+    n-gram Jaccard pair set: edges (a<b) co-locate per LOW node via the
+    key exchange, each bucket emits its wedges ((a,b),(a,c) → open pair
+    (b,c)) with one vectorized triu_indices, and the closing-edge test
+    is a bucketed SEMI join of wedges against the edge set on a
+    composite key — no driver materialization of edges or wedges.
+    Hub-node wedge blowup is bounded here by the pair threshold; at
+    true web scale orient edges by DEGREE (not id) before wedge
+    generation to cap per-node work at O(arboricity²).
+
+    Returns one row: (n_edges, n_wedges, n_triangles)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.joins import bucket_semi_join
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda b: b[["doc_id_a", "doc_id_b"]],
+        batch_format="pandas", batch_size=65536).materialize()
+
+    n_edges = int(edges.count())
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["doc_id_b"].unique())
+        if len(nb) < 2:
+            return pd.DataFrame({"b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({"b": nb[i], "c": nb[j]})
+
+    wedges = key_map_groups(edges, _wedges, key_col="doc_id_a",
+                            num_buckets=16)
+
+    def _wkey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ek": b["b"].astype(str) + ":" + b["c"].astype(str)})
+
+    def _ekey(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ek": b["doc_id_a"].astype(str) + ":"
+                  + b["doc_id_b"].astype(str)})
+
+    wk = wedges.map_batches(_wkey, batch_format="pandas",
+                            batch_size=65536)
+    ek = edges.map_batches(_ekey, batch_format="pandas",
+                           batch_size=65536)
+    n_wedges = int(wedges.count())
+    closed = bucket_semi_join(
+        wk, ek, on="ek",
+        left_schema=pa.schema([("ek", pa.string())]))
+    n_tri = int(closed.count())
+    return pd.DataFrame({
+        "n_edges": np.array([n_edges], dtype="int64"),
+        "n_wedges": np.array([n_wedges], dtype="int64"),
+        "n_triangles": np.array([n_tri], dtype="int64"),
+    })
