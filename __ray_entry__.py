@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_quota_cap": relational.source_quota_cap,
         "q_train_val_test_split": relational.train_val_test_split,
         "q_weighted_sample": relational.weighted_sample_documents,
+        "q_fuzzy_name_pairs": relational.fuzzy_name_pairs,
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
         "q_price_bands": relational.price_band_lookup,
@@ -1387,6 +1388,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5 "
             "WHEN 0 THEN '1999' WHEN 1 THEN '3333' WHEN 2 THEN '4ccc' "
             "WHEN 3 THEN '6666' ELSE '8000' END"
+        ),
+        "q_fuzzy_name_pairs": (
+            # names are equal-length within this dataset; hamming() on the
+            # nation-blocked self-join mirrors the pipeline's byte-matrix
+            # compare
+            "SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey, "
+            "a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+            "CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS hamming_dist "
+            "FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND a.c_custkey < b.c_custkey "
+            "AND hamming(a.c_name, b.c_name) <= 2"
         ),
         "q_weighted_sample": (
             # Efraimidis-Spirakis key u^(1/w): u = first 4 md5 bytes /

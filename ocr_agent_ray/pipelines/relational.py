@@ -2102,3 +2102,50 @@ def weighted_sample_documents(sf_dir: str, *, k: int = 5):
                  .reset_index(drop=True))
     out["es_key"] = round_half_away(out["es_key"].to_numpy(), 6)
     return out[["source", "doc_id", "es_key"]]
+
+
+def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
+    """Fuzzy-match join (entity resolution shape): customer-name pairs
+    within Hamming distance ``max_dist``, BLOCKED by nation so the
+    quadratic comparison runs per block, never corpus-wide — the
+    standard blocking-key fuzzy join. Per nation bucket the names stack
+    into one uint8 matrix and all pairwise distances come from ONE
+    broadcasted compare + sum (no per-pair Python); at larger blocks
+    swap in an LSH/q-gram prefilter exactly like the near-dup family.
+    Oracled via DuckDB hamming() on the blocked self-join."""
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda b: b.assign(c_nationkey=b["c_nationkey"].astype("int64")),
+        batch_format="pandas")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "c_nationkey": pd.Series(dtype="int64"),
+            "custkey_a": pd.Series(dtype="int64"),
+            "custkey_b": pd.Series(dtype="int64"),
+            "hamming_dist": pd.Series(dtype="int64")})
+        g = g.sort_values("c_custkey").reset_index(drop=True)
+        names = g["c_name"].to_numpy()
+        if len(names) < 2:
+            return empty
+        width = max(len(n) for n in names)
+        mat = np.frombuffer(
+            "".join(n.ljust(width) for n in names).encode("utf-8"),
+            dtype=np.uint8).reshape(len(names), width)
+        d = (mat[:, None, :] != mat[None, :, :]).sum(axis=2)
+        i, j = np.nonzero(np.triu(d <= max_dist, k=1))
+        if not len(i):
+            return empty
+        keys = g["c_custkey"].to_numpy()
+        return pd.DataFrame({
+            "c_nationkey": np.full(len(i), g["c_nationkey"].iloc[0],
+                                   dtype=np.int64),
+            "custkey_a": keys[i],
+            "custkey_b": keys[j],
+            "hamming_dist": d[i, j].astype(np.int64),
+        })
+
+    return key_map_groups(cust, _pairs, key_col="c_nationkey",
+                          num_buckets=8)
