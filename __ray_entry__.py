@@ -313,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
         "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
         "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
+        "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(_docs(sf)),  # rows-only (iterative; dense-reference pytest)
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
             dedup.ngram_jaccard_all_pairs(_docs(sf))
         ),

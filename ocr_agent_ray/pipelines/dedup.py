@@ -1423,3 +1423,69 @@ def dup_graph_triangles(docs, *, threshold: float = 0.5):
         "n_wedges": np.array([n_wedges], dtype="int64"),
         "n_triangles": np.array([n_tri], dtype="int64"),
     })
+
+
+def dup_graph_pagerank(docs, *, threshold: float = 0.5, damping: float = 0.85,
+                       iters: int = 20):
+    """PageRank over the (undirected) near-duplicate graph — ranks the
+    'template hubs' whose text radiates through the corpus; the classic
+    iterative graph algorithm expressed in the engine's idiom. Per
+    round: ranks broadcast via ray.put (node space = docs that appear in
+    any pair — bounded by the dup population; at web scale flip the
+    rank table to a Dataset and contribute via bucket_hash_join exactly
+    like duplicate_clusters' label propagation), edge contributions fold
+    as per-batch partials, dangling mass redistributes uniformly.
+    Undirected graph ⇒ each edge contributes both ways. Deterministic;
+    validated in pytest against a dense numpy power iteration."""
+    import pandas as pd
+
+    import ray
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda b: b[["doc_id_a", "doc_id_b"]],
+        batch_format="pandas", batch_size=65536).materialize()
+
+    # node degrees (undirected): small driver fold over the bounded edge set
+    deg: dict = {}
+    nodes: list = []
+    for b in edges.iter_batches(batch_format="pandas", batch_size=None):
+        for col in ("doc_id_a", "doc_id_b"):
+            for n, c in b[col].value_counts().items():
+                deg[n] = deg.get(n, 0) + int(c)
+    nodes = sorted(deg)
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pagerank": pd.Series(dtype="float64")})
+    ranks = {n: 1.0 / n_nodes for n in nodes}
+
+    for _ in range(iters):
+        rref = ray.put((ranks, deg))
+
+        def _contrib(b: pd.DataFrame) -> pd.DataFrame:
+            r, d = ray.get(rref)
+            a = b["doc_id_a"].to_numpy()
+            c = b["doc_id_b"].to_numpy()
+            ra = np.fromiter((r[x] / d[x] for x in a), dtype=np.float64,
+                             count=len(a))
+            rc = np.fromiter((r[x] / d[x] for x in c), dtype=np.float64,
+                             count=len(c))
+            out = pd.DataFrame({
+                "node": np.concatenate([c, a]),
+                "m": np.concatenate([ra, rc]),
+            })
+            return out.groupby("node", as_index=False)["m"].sum()
+
+        contrib = pd.concat(
+            [b for b in edges.map_batches(_contrib, batch_format="pandas")
+                .iter_batches(batch_format="pandas", batch_size=None)],
+            ignore_index=True).groupby("node")["m"].sum()
+        base = (1.0 - damping) / n_nodes
+        ranks = {n: base + damping * float(contrib.get(n, 0.0))
+                 for n in nodes}
+
+    return pd.DataFrame({
+        "doc_id": np.array(nodes, dtype="int64"),
+        "pagerank": np.round([ranks[n] for n in nodes], 9),
+    }).sort_values("pagerank", ascending=False).reset_index(drop=True)

@@ -352,3 +352,39 @@ def test_cdc_chunk_dedup_deterministic(ray_session):
     a = cdc_chunk_dedup(rd.from_items(docs))
     b = cdc_chunk_dedup(rd.from_items(docs))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_graph_pagerank_matches_dense(ray_session):
+    """Distributed PageRank equals a dense numpy power iteration on the
+    same undirected graph."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import dup_graph_pagerank
+
+    # docs engineered so the 4-gram Jaccard graph has real structure:
+    # a hub text shared by docs 0-3, a pair 10/11, a loner 20
+    hub = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [{"doc_id": i, "text": hub + f" tail{i}"} for i in range(4)]
+    docs += [{"doc_id": 10, "text": "one two three four five six seven"},
+             {"doc_id": 11, "text": "one two three four five six eight"},
+             {"doc_id": 20, "text": "totally unrelated words only here"}]
+    out = dup_graph_pagerank(rd.from_items(docs), iters=15)
+    assert len(out) >= 2
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-6
+
+    # dense reference on the identical edge set
+    from ocr_agent_ray.pipelines.dedup import ngram_jaccard_all_pairs
+    pairs = ngram_jaccard_all_pairs(rd.from_items(docs)).to_pandas()
+    nodes = sorted(set(pairs["doc_id_a"]) | set(pairs["doc_id_b"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    M = A / A.sum(axis=1, keepdims=True)
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(15):
+        r = (1 - 0.85) / len(nodes) + 0.85 * (M.T @ r)
+    got = out.set_index("doc_id")["pagerank"]
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-6, (n, got[n], r[idx[n]])
