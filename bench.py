@@ -183,6 +183,9 @@ QUERY_NAMES = [
     "q_customers_no_urgent_anti",
     "q_urgent_customers_semi",
     "q_weighted_sample",
+    "q_fuzzy_name_pairs",
+    "q_dup_graph_triangles",
+    "q_media_router_stats",
 ]
 
 
