@@ -366,26 +366,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_flagship_span_counts", "q_media_manifest", "q_multimodal_pack",
         "q_grounding_detections", "q_layout_blocks", "q_html_main_text",
         "q_page_fanout", "q_supported_path_filter",
-        # dedup family
+        # dedup family (incl. round-3 additions)
         "q_exact_dedup", "q_dedup_keep_first", "q_line_dedup",
-        "q_minhash_pairs", "q_simhash_pairs", "q_ngram_jaccard",
-        "q_ngram_dedup_apply", "q_ngram_dup_clusters", "q_dup_gram_spans",
-        "q_embedding_near_dup", "q_semantic_dedup", "q_duplicate_clusters",
+        "q_paragraph_dedup", "q_minhash_pairs", "q_simhash_pairs",
+        "q_ngram_jaccard", "q_ngram_dedup_apply", "q_ngram_dup_clusters",
+        "q_dup_gram_spans", "q_cdc_chunk_dedup", "q_embedding_near_dup",
+        "q_semantic_dedup",
         # text curation / analysis
         "q_pii_scrub", "q_gopher_quality", "q_c4_clean", "q_quality_scores",
         "q_language_id", "q_decontaminate", "q_tfidf_top_terms",
         "q_token_count_by_source", "q_bpe_token_counts", "q_fingerprints",
-        "q_bigram_perplexity", "q_curation_funnel", "q_chunk_documents",
-        "q_pack_sequences", "q_token_entropy",
+        "q_bigram_perplexity", "q_curation_funnel",
+        "q_curation_funnel_extended", "q_keyword_search",
         # similarity / ANN
-        "q_knn_bruteforce", "q_knn_ivf", "q_knn_lsh",
+        "q_knn_bruteforce", "q_knn_ivf", "q_knn_ivf_pq", "q_knn_lsh",
         "q_embedding_covariance",
-        # streaming / window family
+        # streaming / window family (incl. the round-2 red rows)
         "q_sessionize", "q_tumbling_windows", "q_last_event_per_user",
         "q_error_top1", "q_latest_order_asof", "q_event_deltas",
         "q_yearly_order_growth", "q_weekly_retention",
-        # relational essentials
-        "q_status_counts", "q_pricing_summary", "q_top_orders_by_revenue",
+        # lakehouse / sampling additions
+        "q_merge_upsert", "q_weighted_sample",
     ]
     assert all(k in qs for k in priority), [k for k in priority
                                             if k not in qs]
