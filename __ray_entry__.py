@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_priority_check": relational.q4_order_priority_check,
         "q_promo_revenue": relational.q14_promo_revenue,
         "q_merge_upsert": relational.merge_upsert_documents,
+        "q_order_gap_days": relational.customer_order_gap_days,
+        "q_first_touch_attribution": relational.first_touch_attribution,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1636,6 +1638,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, ROUND(CAST(date_diff('microsecond', fv, fp) "
             "AS DOUBLE) / 1e6, 6) AS secs_to_convert FROM f "
             "WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv"
+        ),
+        "q_order_gap_days": (
+            "WITH g AS (SELECT o_custkey, CAST(date_diff('microsecond', "
+            "LAG(o_orderdate) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate), o_orderdate) AS DOUBLE) / 86400e6 "
+            "AS gap FROM orders) "
+            "SELECT o_custkey, ROUND(AVG(gap), 6) AS avg_gap_days "
+            "FROM g WHERE gap IS NOT NULL GROUP BY o_custkey"
+        ),
+        "q_first_touch_attribution": (
+            "WITH f AS (SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events), "
+            "ft AS (SELECT user_id, event_type AS first_touch FROM f "
+            "WHERE rn = 1), "
+            "p AS (SELECT user_id, COUNT(*) AS n FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1) "
+            "SELECT ft.first_touch AS first_touch_type, "
+            "CAST(SUM(p.n) AS BIGINT) AS n_purchases "
+            "FROM ft JOIN p USING (user_id) GROUP BY 1 "
+            "ORDER BY first_touch_type"
         ),
         "q_merge_upsert": (
             "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "

@@ -2149,3 +2149,80 @@ def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
 
     return key_map_groups(cust, _pairs, key_col="c_nationkey",
                           num_buckets=8)
+
+
+def customer_order_gap_days(sf_dir: str):
+    """Average days between consecutive orders per customer (≥2 orders)
+    — looks like a LAG window, but the average of consecutive gaps
+    TELESCOPES to (max − min)/(n − 1), so the whole window op collapses
+    to mergeable (min, max, count) partials + one bucketed combine: the
+    canonical example of reducing a per-key window to partial
+    aggregation before reaching for a shuffle-heavy window machine.
+    Oracle computes it the window way (AVG of LAG diffs) to prove the
+    algebraic equivalence."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    folded = hash_partition_aggregate(
+        read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        ["o_custkey"],
+        {"lo": ("o_orderdate", "min"), "hi": ("o_orderdate", "max"),
+         "n": ("o_orderdate", "count")},
+        num_buckets=32)
+
+    def _gap(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n"] >= 2]
+        days = ((b["hi"].astype("int64") - b["lo"].astype("int64"))
+                .to_numpy(dtype=np.float64) / 86400e6)
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"],
+            "avg_gap_days": round_half_away(
+                days / (b["n"].to_numpy(dtype=np.float64) - 1.0), 6),
+        })
+
+    return folded.map_batches(_gap, batch_format="pandas")
+
+
+def first_touch_attribution(sf_dir: str):
+    """First-touch attribution: each user's purchases credit the
+    event type of that user's FIRST event. Per-batch argmin partials
+    (one candidate first-event row per user per batch — mergeable by
+    re-taking the min) ride with per-batch purchase counts; one
+    bucketed combine resolves both, and the per-type rollup is
+    driver-sized."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        first = (b.sort_values(["ts", "event_id"], kind="mergesort")
+                  .groupby("user_id", sort=False).head(1))
+        purch = (b[b["event_type"] == "purchase"]
+                 .groupby("user_id", sort=False).size()
+                 .reset_index(name="n_purch"))
+        out = first[["user_id", "ts", "event_id", "event_type"]].merge(
+            purch, on="user_id", how="outer")
+        out["n_purch"] = out["n_purch"].fillna(0).astype("int64")
+        return out
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        firsts = g.dropna(subset=["ts"]).sort_values(
+            ["ts", "event_id"], kind="mergesort").groupby(
+            "user_id", sort=False).head(1)
+        purch = g.groupby("user_id", sort=False)["n_purch"].sum()
+        out = firsts[["user_id", "event_type"]].copy()
+        out["n_purch"] = out["user_id"].map(purch).astype("int64")
+        return out[out["n_purch"] > 0]
+
+    per_user = key_map_groups(
+        ev.map_batches(_partial, batch_format="pandas",
+                       batch_size=65536),
+        _resolve, key_col="user_id", num_buckets=16)
+
+    out = combine_partials_driver(
+        per_user, ["event_type"], {"n_purchases": ("n_purch", "sum")})
+    out = out.rename(columns={"event_type": "first_touch_type"})
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    return out.sort_values("first_touch_type").reset_index(drop=True)
