@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sentence_stats": text.sentence_stats,
         "q_zipf_fit": text.zipf_fit,
         "q_keyword_search": text.keyword_search,
+        "q_bpe_merges": text.learn_bpe_merges,  # rows-only (iterative tokenizer training; golden pytest)
         "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,

@@ -1370,3 +1370,68 @@ def keyword_search(sf_dir: str, *, k: int = 20):
     return key_map_groups(
         _read_documents(sf_dir).map_batches(_score, batch_format="pandas"),
         _final, key_col="query_id", num_buckets=4)
+
+
+def learn_bpe_merges(sf_dir: str, *, n_merges: int = 20):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the top-N
+    byte-pair merges from the corpus. The insight that makes this
+    feasible at 100 TB: the algorithm needs only the WORD-FREQUENCY
+    table, not the corpus — so the distributed work is one bucketed
+    vocab fold (the same shape as top_words), and the merge loop runs
+    over the bounded vocab on the driver (symbol-pair counts are
+    updated incrementally per merge, deterministic ties by pair order).
+    Returns (rank, left, right, pair_count) per learned merge.
+    Rows-only (iterative); hand-computed goldens in pytest."""
+    from collections import Counter
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        counts = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": counts.index, "n": counts.to_numpy()})
+
+    vocab_df = pd.concat(
+        [b for b in hash_partition_aggregate(
+            _read_documents(sf_dir).map_batches(_partial,
+                                                batch_format="pandas"),
+            ["word"], {"n": ("n", "sum")})
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+
+    # driver-side merge loop over the bounded vocab (symbols per word)
+    vocab = {tuple(w) + ("</w>",): int(n)
+             for w, n in zip(vocab_df["word"], vocab_df["n"])}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        # deterministic: max count, ties by lexicographic pair
+        (la, rb), cnt = min(pairs.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, la, rb, cnt))
+        merged = la + rb
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == rb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+
+    return pd.DataFrame({
+        "rank": np.array([m[0] for m in merges], dtype="int64"),
+        "left": [m[1] for m in merges],
+        "right": [m[2] for m in merges],
+        "pair_count": np.array([m[3] for m in merges], dtype="int64"),
+    })

@@ -337,3 +337,38 @@ def test_bigram_perplexity_orders_quality(ray_session, tmp_path):
     assert 102 not in got.index                   # no bigrams -> excluded
     assert got.loc[100, "ppl"] < got.loc[101, "ppl"]
     assert got.loc[100, "n_bigrams"] == len(common.split()) - 1
+
+
+def test_learn_bpe_merges_golden(ray_session, tmp_path):
+    """Hand-computed BPE merges on a tiny vocab: 'low'x5 + 'lower'x2
+    (classic Sennrich example, lowercase-alpha tokenizer)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": list(range(7)),
+        "text": ["low"] * 5 + ["lower"] * 2,
+    })
+    sf = str(tmp_path)
+    pq.write_table(docs, f"{sf}/documents.parquet")
+
+    from ocr_agent_ray.pipelines.text import learn_bpe_merges
+    out = learn_bpe_merges(sf, n_merges=3)
+    # pair counts: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, ... first
+    # merge is (l,o) by lexicographic tie-break over (o,w)
+    assert out.iloc[0][["left", "right", "pair_count"]].tolist() == \
+        ["l", "o", 7]
+    assert out.iloc[1][["left", "right", "pair_count"]].tolist() == \
+        ["lo", "w", 7]
+    assert out.iloc[2][["left", "right", "pair_count"]].tolist() == \
+        ["low", "</w>", 5]
+
+
+def test_learn_bpe_merges_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.text import learn_bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    a = learn_bpe_merges(sf, n_merges=8)
+    b = learn_bpe_merges(sf, n_merges=8)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 8
