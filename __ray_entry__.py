@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zipf_fit": text.zipf_fit,
         "q_keyword_search": text.keyword_search,
         "q_bpe_merges": text.learn_bpe_merges,  # rows-only (iterative tokenizer training; golden pytest)
+        "q_bpe_compression": text.bpe_compression_stats,  # rows-only (applies the trained merges; invariant pytest)
         "q_bigram_perplexity": text.bigram_perplexity,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,

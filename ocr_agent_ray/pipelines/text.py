@@ -1435,3 +1435,68 @@ def learn_bpe_merges(sf_dir: str, *, n_merges: int = 20):
         "right": [m[2] for m in merges],
         "pair_count": np.array([m[3] for m in merges], dtype="int64"),
     })
+
+
+def bpe_compression_stats(sf_dir: str, *, n_merges: int = 20):
+    """Apply the learned BPE merges (see learn_bpe_merges) and report
+    per-source compression: chars per BPE token. The trick that keeps
+    the APPLY pass cheap at scale: tokenization is a function of the
+    WORD, so the merges apply once per distinct vocab word on the
+    driver (bounded), and the corpus pass just maps each word to its
+    precomputed token count — a broadcast dict lookup per batch, no
+    per-word merge loop in the hot path. Rows-only (depends on the
+    iterative trainer); invariants pytest-checked."""
+    merges = learn_bpe_merges(sf_dir, n_merges=n_merges)
+    merge_list = list(zip(merges["left"], merges["right"]))
+
+    def _tokenize_word(w: str) -> int:
+        sym = list(w) + ["</w>"]
+        for la, rb in merge_list:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == la and sym[i + 1] == rb:
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return len(sym)
+
+    # vocab fold (same shape as the trainer), then one driver pass over
+    # the bounded distinct-word table
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        src = batch["source"].reindex(ex.index)
+        g = (pd.DataFrame({"source": src.to_numpy(), "word": ex.to_numpy()})
+             .groupby(["source", "word"], sort=False).size()
+             .reset_index(name="n"))
+        return g
+
+    per_sw = hash_partition_aggregate(
+        _read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(_partial, batch_format="pandas"),
+        ["word", "source"], {"n": ("n", "sum")})
+
+    pooled = pd.concat(
+        [b for b in per_sw.iter_batches(batch_format="pandas",
+                                        batch_size=None)],
+        ignore_index=True)
+    tok_counts = {w: _tokenize_word(w)
+                  for w in pooled["word"].unique()}
+    pooled["bpe_tokens"] = (pooled["word"].map(tok_counts)
+                            * pooled["n"]).astype("int64")
+    pooled["chars"] = (pooled["word"].str.len() * pooled["n"]
+                       ).astype("int64")
+    out = (pooled.groupby("source", as_index=False)
+                 .agg(n_words=("n", "sum"), n_bpe_tokens=("bpe_tokens", "sum"),
+                      n_chars=("chars", "sum")))
+    out["chars_per_token"] = (out["n_chars"]
+                              / out["n_bpe_tokens"]).round(6)
+    for c in ("n_words", "n_bpe_tokens", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

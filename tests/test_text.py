@@ -372,3 +372,16 @@ def test_learn_bpe_merges_deterministic(ray_session):
     b = learn_bpe_merges(sf, n_merges=8)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 8
+
+
+def test_bpe_compression_stats_invariants(ray_session):
+    from ocr_agent_ray.pipelines.text import bpe_compression_stats
+
+    out = bpe_compression_stats("/root/testdata/sf0.001", n_merges=10)
+    assert len(out) > 0
+    # merges can only SHORTEN words: tokens <= chars + n_words (</w>)
+    assert (out["n_bpe_tokens"] <= out["n_chars"] + out["n_words"]).all()
+    # with 10 merges some compression must appear vs char-level
+    assert (out["chars_per_token"] > 0.5).all()
+    b = bpe_compression_stats("/root/testdata/sf0.001", n_merges=10)
+    pd.testing.assert_frame_equal(out, b)
