@@ -160,7 +160,30 @@ class ExchangedShards:
         if not out_refs:  # empty input: schema probe (see _reduce_bucket)
             out_refs = [reduce_.remote(kernel, group_col, arrow_kernel,
                                        self.shard_refs[0][0])]
-        return rd.from_arrow_refs(out_refs)
+        ds = rd.from_arrow_refs(out_refs)
+        # PIN the shard refs until every reduce task has finished.
+        # Reduce tasks are submitted eagerly with many tiny shard refs
+        # as args; Ray inlines small dependencies on a background thread,
+        # and if the ONLY python references to those shards die while
+        # that resolution is in flight the driver hits a fatal
+        # ReferenceCounter 'submitted_task_ref_count > 0' check
+        # (observed ~1-in-5 full 180-query sweeps). Two guards: the
+        # Dataset carries a strong ref for its own lifetime, and a
+        # daemon thread holds one until ray.wait reports all reduces
+        # complete (fetch_local=False — no data pulled), covering
+        # derived datasets that drop this object early.
+        ds._ocr_agent_ray_pinned_shards = self
+        import threading
+
+        def _hold(refs, holder):
+            try:
+                ray.wait(refs, num_returns=len(refs), fetch_local=False)
+            except Exception:
+                pass
+
+        threading.Thread(target=_hold, args=(list(out_refs), self),
+                         daemon=True).start()
+        return ds
 
 
 def exchange_shards(ds, *, bucket_col: str, num_buckets: int,
