@@ -1426,66 +1426,127 @@ def dup_graph_triangles(docs, *, threshold: float = 0.5):
 
 
 def dup_graph_pagerank(docs, *, threshold: float = 0.5, damping: float = 0.85,
-                       iters: int = 20):
+                       iters: int = 20, driver_max_edges: int = 2_000_000,
+                       num_buckets: int = 16):
     """PageRank over the (undirected) near-duplicate graph — ranks the
     'template hubs' whose text radiates through the corpus; the classic
-    iterative graph algorithm expressed in the engine's idiom. Per
-    round: ranks broadcast via ray.put (node space = docs that appear in
-    any pair — bounded by the dup population; at web scale flip the
-    rank table to a Dataset and contribute via bucket_hash_join exactly
-    like duplicate_clusters' label propagation), edge contributions fold
-    as per-batch partials, dangling mass redistributes uniformly.
-    Undirected graph ⇒ each edge contributes both ways. Deterministic;
-    validated in pytest against a dense numpy power iteration."""
+    iterative graph algorithm expressed in the engine's idiom.
+
+    Mirrors ``duplicate_clusters``' two-tier plan: pair sets that fit the
+    driver (≤ ``driver_max_edges``) run a vectorized bincount power
+    iteration in numpy; larger graphs run each round dataset-native
+    (``_pagerank_native``): edge⋈(rank/deg) bucket_hash_join on src,
+    hash-partitioned sum per dst, left bucket_hash_join back onto the
+    rank table — per round the only materialization is the (node, deg,
+    rank) state table, never driver-resident. Undirected graph ⇒ the
+    edge table is symmetric and every node has degree ≥ 1 (no dangling
+    mass). Deterministic; validated in pytest against a dense numpy
+    power iteration on BOTH paths."""
     import pandas as pd
 
-    import ray
-
     pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    # symmetric (src, dst): each undirected edge contributes both ways
     edges = pairs.map_batches(
-        lambda b: b[["doc_id_a", "doc_id_b"]],
+        lambda b: pd.concat([
+            pd.DataFrame({"src": b["doc_id_a"], "dst": b["doc_id_b"]}),
+            pd.DataFrame({"src": b["doc_id_b"], "dst": b["doc_id_a"]}),
+        ], ignore_index=True),
         batch_format="pandas", batch_size=65536).materialize()
 
-    # node degrees (undirected): small driver fold over the bounded edge set
-    deg: dict = {}
-    nodes: list = []
-    for b in edges.iter_batches(batch_format="pandas", batch_size=None):
-        for col in ("doc_id_a", "doc_id_b"):
-            for n, c in b[col].value_counts().items():
-                deg[n] = deg.get(n, 0) + int(c)
-    nodes = sorted(deg)
-    n_nodes = len(nodes)
-    if n_nodes == 0:
+    n_sym_edges = int(edges.count())
+    if n_sym_edges == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "pagerank": pd.Series(dtype="float64")})
-    ranks = {n: 1.0 / n_nodes for n in nodes}
+
+    if n_sym_edges <= driver_max_edges:
+        edf = edges.to_pandas()
+        nodes = np.unique(edf["src"].to_numpy())  # symmetric ⇒ src covers all
+        a = np.searchsorted(nodes, edf["src"].to_numpy())
+        c = np.searchsorted(nodes, edf["dst"].to_numpy())
+        n_nodes = len(nodes)
+        deg = np.bincount(a, minlength=n_nodes).astype(np.float64)
+        r = np.full(n_nodes, 1.0 / n_nodes)
+        base = (1.0 - damping) / n_nodes
+        for _ in range(iters):
+            r = base + damping * np.bincount(
+                c, weights=r[a] / deg[a], minlength=n_nodes)
+        out = pd.DataFrame({"doc_id": nodes.astype("int64"),
+                            "pagerank": np.round(r, 9)})
+    else:
+        out = _pagerank_native(edges, damping=damping, iters=iters,
+                               num_buckets=num_buckets).to_pandas()
+        out["pagerank"] = np.round(out["pagerank"].to_numpy(), 9)
+
+    return out.sort_values(["pagerank", "doc_id"], ascending=[False, True],
+                           kind="mergesort").reset_index(drop=True)
+
+
+def _pagerank_native(edges, *, damping: float, iters: int,
+                     num_buckets: int = 16):
+    """Dataset-native power iteration (see dup_graph_pagerank).
+
+    ``edges``: materialized symmetric (src, dst) Dataset. Returns a
+    Dataset of (doc_id, pagerank). The rank table lives as a Dataset
+    throughout; per round: 2 bucket joins + 1 bucketed sum, the only
+    per-round materialization is the (node, deg, rank) state table.
+    The contribution kernel is the bucket join's pandas merge itself —
+    no driver-side rank dict, no per-element lookups."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of, bucket_hash_join
+
+    id_type = _arrow_schema_of(edges).field("src").type
+    edge_schema = pa.schema([("src", id_type), ("dst", id_type)])
+
+    # bucketed degree fold: symmetric edges ⇒ out-degree == undirected degree
+    deg = hash_partition_aggregate(
+        edges.map_batches(lambda b: b[["src"]], batch_format="pandas",
+                          batch_size=65536),
+        ["src"], {"deg": ("src", "count")}, num_buckets=num_buckets)
+    state = deg.map_batches(
+        lambda b: b.rename(columns={"src": "node"}),
+        batch_format="pandas").materialize()
+    n_nodes = int(state.count())
+    init_rank = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+    state = state.map_batches(
+        lambda b: b.assign(rank=np.float64(init_rank)),
+        batch_format="pandas").materialize()
+    state_schema = pa.schema([("node", id_type), ("deg", pa.int64()),
+                              ("rank", pa.float64())])
 
     for _ in range(iters):
-        rref = ray.put((ranks, deg))
+        w = state.map_batches(
+            lambda b: pd.DataFrame({
+                "src": b["node"],
+                "w": b["rank"].to_numpy() / b["deg"].to_numpy()}),
+            batch_format="pandas")
+        contrib_edges = bucket_hash_join(
+            edges, w, on="src", num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("src", id_type), ("w", pa.float64())]))
+        contrib = hash_partition_aggregate(
+            contrib_edges.map_batches(lambda b: b[["dst", "w"]],
+                                      batch_format="pandas",
+                                      batch_size=65536),
+            ["dst"], {"contrib": ("w", "sum")}, num_buckets=num_buckets)
+        joined = bucket_hash_join(
+            state,
+            contrib.map_batches(lambda b: b.rename(columns={"dst": "node"}),
+                                batch_format="pandas"),
+            on="node", how="left", num_buckets=num_buckets,
+            left_schema=state_schema,
+            right_schema=pa.schema([("node", id_type),
+                                    ("contrib", pa.float64())]))
+        state = joined.map_batches(
+            lambda b: pd.DataFrame({
+                "node": b["node"], "deg": b["deg"],
+                "rank": base + damping * b["contrib"].fillna(0.0)}),
+            batch_format="pandas").materialize()
 
-        def _contrib(b: pd.DataFrame) -> pd.DataFrame:
-            r, d = ray.get(rref)
-            a = b["doc_id_a"].to_numpy()
-            c = b["doc_id_b"].to_numpy()
-            ra = np.fromiter((r[x] / d[x] for x in a), dtype=np.float64,
-                             count=len(a))
-            rc = np.fromiter((r[x] / d[x] for x in c), dtype=np.float64,
-                             count=len(c))
-            out = pd.DataFrame({
-                "node": np.concatenate([c, a]),
-                "m": np.concatenate([ra, rc]),
-            })
-            return out.groupby("node", as_index=False)["m"].sum()
-
-        contrib = pd.concat(
-            [b for b in edges.map_batches(_contrib, batch_format="pandas")
-                .iter_batches(batch_format="pandas", batch_size=None)],
-            ignore_index=True).groupby("node")["m"].sum()
-        base = (1.0 - damping) / n_nodes
-        ranks = {n: base + damping * float(contrib.get(n, 0.0))
-                 for n in nodes}
-
-    return pd.DataFrame({
-        "doc_id": np.array(nodes, dtype="int64"),
-        "pagerank": np.round([ranks[n] for n in nodes], 9),
-    }).sort_values("pagerank", ascending=False).reset_index(drop=True)
+    return state.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["node"],
+                                "pagerank": b["rank"]}),
+        batch_format="pandas")

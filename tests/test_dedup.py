@@ -388,3 +388,12 @@ def test_dup_graph_pagerank_matches_dense(ray_session):
     got = out.set_index("doc_id")["pagerank"]
     for n in nodes:
         assert abs(got[n] - r[idx[n]]) < 1e-6, (n, got[n], r[idx[n]])
+
+    # dataset-native path (forced): same graph, same ranks
+    out_native = dup_graph_pagerank(rd.from_items(docs), iters=15,
+                                    driver_max_edges=0, num_buckets=4)
+    assert abs(out_native["pagerank"].sum() - 1.0) < 1e-6
+    got_n = out_native.set_index("doc_id")["pagerank"]
+    for n in nodes:
+        assert abs(got_n[n] - r[idx[n]]) < 1e-6, (n, got_n[n], r[idx[n]])
+    assert list(out_native["doc_id"]) == list(out["doc_id"])
