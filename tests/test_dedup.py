@@ -397,3 +397,40 @@ def test_dup_graph_pagerank_matches_dense(ray_session):
     for n in nodes:
         assert abs(got_n[n] - r[idx[n]]) < 1e-6, (n, got_n[n], r[idx[n]])
     assert list(out_native["doc_id"]) == list(out["doc_id"])
+
+
+def test_minhash_signatures_batch_matches_per_doc():
+    """The batch flat-array MinHash (one rolling-hash pass + segmented
+    mins) is value-identical to the per-doc path — including empty,
+    shorter-than-k, duplicate-heavy, and multi-byte-unicode docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_agent_ray.functions.hashing import (
+        lsh_band_keys,
+        lsh_band_keys_batch,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    fixed = ["", "ab", "abcd", "abcde", "aaaaaaaaaa", BASE,
+             "héllo wörld — ünïcode ≠ ascii ✓", "x" * 5, None,
+             "tab\tand\nnewline chars", BASE + " tail", " " * 12]
+    sigs = minhash_signatures_batch(fixed, k=5, num_perm=64)
+    for i, t in enumerate(fixed):
+        expect = minhash_signature(char_shingle_set(t or "", 5), 64)
+        assert (sigs[i] == expect).all(), (i, t)
+    keys = lsh_band_keys_batch(sigs, 16)
+    for i in range(len(fixed)):
+        assert list(keys[i]) == lsh_band_keys(sigs[i], 16), i
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=12),
+           st.sampled_from([3, 5, 8]))
+    def fuzz(texts, k):
+        got = minhash_signatures_batch(texts, k=k, num_perm=16)
+        for i, t in enumerate(texts):
+            expect = minhash_signature(char_shingle_set(t, k), 16)
+            assert (got[i] == expect).all(), (k, t)
+
+    fuzz()
