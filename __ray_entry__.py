@@ -1078,7 +1078,8 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT label, AVG(dist) AS md, "
             "stddev_samp(dist) AS sd FROM d GROUP BY 1) "
             "SELECT d.vec_id, d.label, ROUND(d.dist, 6) AS dist, "
-            "ROUND((d.dist - s.md)/s.sd, 6) AS z FROM d JOIN s USING (label)"
+            "ROUND((d.dist - s.md)/NULLIF(s.sd, 0), 6) AS z "
+            "FROM d JOIN s USING (label)"
         ),
         "q_embedding_covariance": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

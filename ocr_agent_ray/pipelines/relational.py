@@ -2130,10 +2130,15 @@ def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
         names = g["c_name"].to_numpy()
         if len(names) < 2:
             return empty
-        width = max(len(n) for n in names)
+        # encode per-name FIRST, pad in byte space: a char-based ljust
+        # followed by one utf-8 encode makes total bytes != rows*width on
+        # any non-ASCII name and the reshape blows up (distance is
+        # byte-level Hamming with 0x20 padding, same as the ASCII case)
+        enc = [n.encode("utf-8") for n in names]
+        width = max(len(e) for e in enc)
         mat = np.frombuffer(
-            "".join(n.ljust(width) for n in names).encode("utf-8"),
-            dtype=np.uint8).reshape(len(names), width)
+            b"".join(e.ljust(width) for e in enc),
+            dtype=np.uint8).reshape(len(enc), width)
         d = (mat[:, None, :] != mat[None, :, :]).sum(axis=2)
         i, j = np.nonzero(np.triu(d <= max_dist, k=1))
         if not len(i):

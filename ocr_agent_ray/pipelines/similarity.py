@@ -333,8 +333,11 @@ def knn_ivf_pq(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         ids = batch["vec_id"].to_numpy()
         unit = _unit(np.stack(batch["embedding"].to_numpy()))
         assign = (unit @ c.T).argmax(axis=1)
-        # PQ-encode the whole batch once: codes (N, m) uint8
-        codes = np.empty((len(unit), m), dtype=np.int64)
+        # PQ-encode the whole batch once: codes (N, m) uint8 — the dtype
+        # IS the 32x-compression claim (codebook_k=16 fits in one byte;
+        # int64 here would make the resident index 8x the advertised size)
+        assert codebook_k <= 256
+        codes = np.empty((len(unit), m), dtype=np.uint8)
         for s in range(m):
             x = unit[:, s * sub:(s + 1) * sub]
             d2 = ((x * x).sum(1)[:, None] - 2 * x @ bk[s].T
@@ -847,6 +850,10 @@ def embedding_outliers(sf_dir: str):
                          dtype=np.float64, count=len(b))
         sd = np.fromiter((st[lab][1] for lab in b["label"]),
                          dtype=np.float64, count=len(b))
+        # degenerate labels: n==1 (sample var undefined) or zero variance
+        # yield z = NaN, mirroring the SQL oracle's NULL semantics
+        # (stddev_samp NULL on one row; NULLIF(sd, 0) on constant dists)
+        sd = np.where(np.isfinite(sd) & (sd > 0), sd, np.nan)
         return pd.DataFrame({
             "vec_id": b["vec_id"],
             "label": b["label"].astype("int32"),

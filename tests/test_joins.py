@@ -228,3 +228,28 @@ def test_bucket_semi_join_basic(ray_session):
         left_schema=pa.schema([("k", pa.int64()), ("v", pa.string())]),
     ).to_pandas().sort_values("k").reset_index(drop=True)
     assert out["k"].tolist() == [2, 4]
+
+
+def test_fuzzy_name_pairs_non_ascii(ray_session, tmp_path):
+    """Non-ASCII names must not break the per-block byte matrix (ADVICE
+    r3: char-ljust-then-encode made total bytes != rows*width and the
+    reshape raised). Distance is byte-level Hamming with space padding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import fuzzy_name_pairs
+
+    # ü/ö are 2 utf-8 bytes: names are 11 chars but 12 bytes; the pair
+    # differs in exactly one byte (0xBC vs 0xB6)
+    names = ["Ana Müllera", "Ana Möllera", "Zed Qwertyu", "short"]
+    tbl = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "c_nationkey": pa.array([7, 7, 7, 7], pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "customer.parquet")
+
+    out = fuzzy_name_pairs(str(tmp_path), max_dist=2).to_pandas()
+    pairs = {(a, b): d for a, b, d in
+             zip(out["custkey_a"], out["custkey_b"], out["hamming_dist"])}
+    assert pairs == {(1, 2): 1}

@@ -144,3 +144,51 @@ def test_pq_codes_reconstruction(ray_session):
     a = got.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
     b = again.sort_values(["vec_id", "subspace"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_embedding_outliers_degenerate_labels(ray_session, tmp_path):
+    """Labels with one member (sample stddev undefined) or zero variance
+    (all members identical) must z-score to NaN on BOTH the Ray side and
+    the DuckDB oracle (NULL) — ADVICE r3: previously Ray emitted inf on
+    zero variance while the oracle emitted NULL."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from ocr_agent_ray.pipelines.similarity import embedding_outliers
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(5):  # healthy label 0
+        rows.append((i, 0, rng.standard_normal(8).astype(np.float32)))
+    rows.append((10, 1, rng.standard_normal(8).astype(np.float32)))  # n==1
+    const = rng.standard_normal(8).astype(np.float32)
+    for i in range(3):  # zero-variance label 2
+        rows.append((20 + i, 2, const.copy()))
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[2].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[1] for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = (embedding_outliers(str(tmp_path)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = (con.execute(entrymod.oracle_sql()["q_embedding_outliers"]).df()
+            .sort_values("vec_id").reset_index(drop=True))
+
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    np.testing.assert_allclose(got["dist"], want["dist"], atol=1e-6)
+    # healthy label: finite z on both sides; degenerate: NaN on both
+    for g, w, lab in zip(got["z"], want["z"], got["label"]):
+        if lab == 0:
+            assert np.isfinite(g) and abs(g - w) < 1e-6, (lab, g, w)
+        else:
+            assert np.isnan(g) and (w is None or np.isnan(w)), (lab, g, w)
