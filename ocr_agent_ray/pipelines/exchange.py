@@ -40,9 +40,80 @@ for pathological keys.
 
 from __future__ import annotations
 
+import threading
+import time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Shard-pin registry. Reduce/coalesce tasks are submitted eagerly with many
+# tiny shard refs as args; Ray inlines small dependencies on a background
+# thread, and if the ONLY python references to those shards die while that
+# resolution is in flight the driver hits a fatal ReferenceCounter
+# 'submitted_task_ref_count > 0' check (observed ~1-in-5 full 180-query
+# sweeps before round 3). Every wave therefore registers
+# (its output refs, a holder keeping the input shards alive) here; ONE
+# long-lived supervised reaper thread polls ray.wait(fetch_local=False) and
+# drops each pin only after every task of its wave has COMPLETED. On errors
+# the pin is NEVER dropped early — entries from a dead Ray session (wait
+# raises and ray is no longer initialized, or keeps raising) are garbage-
+# collected after a bounded number of attempts, since their tasks cannot be
+# in flight anymore. This replaces round-3's one unjoined daemon thread per
+# wave (same release semantics, one supervised loop, no early drop on a
+# thread exception).
+# ---------------------------------------------------------------------------
+_PIN_LOCK = threading.Lock()
+_PIN_ENTRIES: list[list] = []  # [refs, holder, err_count]
+_REAPER_STARTED = False
+_PIN_MAX_ERRS = 40  # ~20 s of persistent wait errors => dead session
+
+
+def _pin_until_complete(refs, holder) -> None:
+    global _REAPER_STARTED
+    with _PIN_LOCK:
+        _PIN_ENTRIES.append([list(refs), holder, 0])
+        if not _REAPER_STARTED:
+            threading.Thread(target=_reap_loop, daemon=True,
+                             name="ocr-agent-ray-shard-reaper").start()
+            _REAPER_STARTED = True
+
+
+def _reap_loop() -> None:
+    import ray
+
+    while True:
+        with _PIN_LOCK:
+            pending = list(_PIN_ENTRIES)
+        if not pending:
+            time.sleep(0.2)
+            continue
+        for entry in pending:
+            refs, _holder, _errs = entry
+            try:
+                done, _ = ray.wait(refs, num_returns=len(refs),
+                                   timeout=0.5, fetch_local=False)
+                if len(done) == len(refs):
+                    with _PIN_LOCK:
+                        if entry in _PIN_ENTRIES:
+                            _PIN_ENTRIES.remove(entry)
+            except Exception:
+                entry[2] += 1
+                if entry[2] >= _PIN_MAX_ERRS or not ray.is_initialized():
+                    # refs belong to a dead/replaced Ray session: no task
+                    # of that session can still be resolving args
+                    with _PIN_LOCK:
+                        if entry in _PIN_ENTRIES:
+                            _PIN_ENTRIES.remove(entry)
+                time.sleep(0.5)
+
+
+def pinned_waves() -> int:
+    """Number of reduce/coalesce waves whose shard pins are still held
+    (observability/testing hook)."""
+    with _PIN_LOCK:
+        return len(_PIN_ENTRIES)
 
 
 def _split_block(block: pa.Table, bucket_col: str, num_buckets: int,
@@ -161,35 +232,47 @@ class ExchangedShards:
             out_refs = [reduce_.remote(kernel, group_col, arrow_kernel,
                                        self.shard_refs[0][0])]
         ds = rd.from_arrow_refs(out_refs)
-        # PIN the shard refs until every reduce task has finished.
-        # Reduce tasks are submitted eagerly with many tiny shard refs
-        # as args; Ray inlines small dependencies on a background thread,
-        # and if the ONLY python references to those shards die while
-        # that resolution is in flight the driver hits a fatal
-        # ReferenceCounter 'submitted_task_ref_count > 0' check
-        # (observed ~1-in-5 full 180-query sweeps). Two guards: the
-        # Dataset carries a strong ref for its own lifetime, and a
-        # daemon thread holds one until ray.wait reports all reduces
-        # complete (fetch_local=False — no data pulled), covering
-        # derived datasets that drop this object early.
+        # PIN the shard refs until every reduce task has finished (see the
+        # registry note at the top of this module). Two guards: the Dataset
+        # carries a strong ref for its own lifetime, and the reaper
+        # registry holds one until ray.wait reports all reduces complete,
+        # covering derived datasets that drop this object early.
         ds._ocr_agent_ray_pinned_shards = self
-        import threading
-
-        def _hold(refs, holder):
-            try:
-                ray.wait(refs, num_returns=len(refs), fetch_local=False)
-            except Exception:
-                pass
-
-        threading.Thread(target=_hold, args=(list(out_refs), self),
-                         daemon=True).start()
+        _pin_until_complete(out_refs, self)
         return ds
+
+    def release(self) -> None:
+        """Drop this handle's shard refs (the multi-pass working set).
+
+        Safe at any time: waves already submitted stay pinned by the
+        reaper registry until they complete; this only ends the REUSE
+        lifetime, letting the object store free the shards once no wave
+        needs them."""
+        self.shard_refs = []
+        self.counts = np.zeros_like(self.counts)
+
+
+def _coalesce_shards(*shards: pa.Table) -> pa.Table:
+    """Concatenate same-bucket shards from a chunk of split outputs."""
+    live = [s for s in shards if s.num_rows]
+    if not live:
+        return shards[0]
+    return pa.concat_tables(live, promote_options="default")
 
 
 def exchange_shards(ds, *, bucket_col: str, num_buckets: int,
-                    mode: str = "mod") -> ExchangedShards:
+                    mode: str = "mod",
+                    max_shard_sets: int = 2048) -> ExchangedShards:
     """Run only the split side of the exchange and keep the per-bucket
-    shards as object refs. ``mode`` as in ``_split_block``."""
+    shards as object refs. ``mode`` as in ``_split_block``.
+
+    Driver ref-count bound: the driver holds one ref per (block, bucket)
+    after the split — O(blocks × num_buckets). When the upstream has more
+    than ``max_shard_sets`` blocks (a 100k-block input meeting a 128-way
+    exchange would otherwise park ~13M refs on the driver), same-bucket
+    shards are coalesced in chunks down to ≤ ``max_shard_sets`` rows, so
+    the retained set is ≤ max_shard_sets × num_buckets refs and each
+    reduce task's arg list shrinks by the same factor."""
     import ray
 
     split = ray.remote(num_returns=num_buckets + 1)(_split_block)
@@ -217,6 +300,24 @@ def exchange_shards(ds, *, bucket_col: str, num_buckets: int,
     # anyway (each needs all blocks' shards), so this sync adds no wall
     # time; it lets us skip empty buckets entirely.
     counts = np.sum(ray.get([s[num_buckets] for s in shard_refs]), axis=0)
+
+    if len(shard_refs) > max_shard_sets:
+        # coalesce same-bucket shards in chunks: bounded driver refs and
+        # bounded reduce-task arg lists. The original split refs must
+        # outlive the coalesce tasks' dependency resolution — pin them on
+        # the wave like any reduce (registry note at the top of module).
+        coalesce = ray.remote(_coalesce_shards)
+        chunk = -(-len(shard_refs) // max_shard_sets)  # ceil
+        merged = []
+        for lo in range(0, len(shard_refs), chunk):
+            rows = shard_refs[lo:lo + chunk]
+            merged.append(tuple(
+                coalesce.remote(*(r[b] for r in rows))
+                for b in range(num_buckets)))
+        _pin_until_complete([ref for row in merged for ref in row],
+                            shard_refs)
+        shard_refs = merged
+
     return ExchangedShards(shard_refs, counts)
 
 

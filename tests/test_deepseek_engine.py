@@ -160,3 +160,50 @@ def test_missing_image_raises(monkeypatch, tmp_path):
     eng = DeepSeekOcr2Engine(DeepSeekOcr2Config(work_dir=str(tmp_path)))
     with pytest.raises(FileNotFoundError):
         eng.infer_batch([str(tmp_path / "nope.png")], [None])
+
+
+# ---------------------------------------------------------------------------
+# Opt-in REAL-MODEL integration test, mirroring the reference's
+# tests/test_synthetic_ocr.py:43-63 (same env gate, same normalized-
+# containment assertion) so a GPU deployment validates this engine with
+# zero new code. Skipped here: the container has no torch/CUDA — the
+# reference itself hard-fails without CUDA (deepseek_ocr2_runner.py:92-94).
+# The fake-torch tests above prove every line of the shared code path
+# (_load_once / _infer_one / result-file preference) without the model.
+# ---------------------------------------------------------------------------
+
+REAL_MODEL_ENV = "RUN_DEEPSEEK_OCR2_INTEGRATION_TESTS"
+EXPECTED_TEXT = "HELLO_DEEPSEEK_OCR2_12345"
+
+
+def _normalize_for_contains(text: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9_]+", "", text.lower())
+
+
+@pytest.mark.skipif(
+    os.getenv(REAL_MODEL_ENV, "").strip() != "1",
+    reason=f"Set {REAL_MODEL_ENV}=1 on a CUDA machine to enable",
+)
+def test_real_model_synthetic_image_contains_expected_text(tmp_path):
+    """Generate a synthetic text image (dep-free PNG writer), run the
+    REAL DeepSeek-OCR-2 through DeepSeekOcr2Engine.infer_batch, and
+    assert the normalized expected string appears in the normalized
+    markdown — the reference's own integration contract."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from generate_text_image import write_text_png
+
+    from ocr_agent_ray.stages.ocr import DeepSeekOcr2Engine
+
+    image_path = tmp_path / "synthetic.png"
+    write_text_png(str(image_path), EXPECTED_TEXT)
+
+    engine = DeepSeekOcr2Engine()
+    results = engine.infer_batch([str(image_path)], [None])
+    assert len(results) == 1
+    markdown = results[0] if isinstance(results[0], str) else str(results[0])
+    assert _normalize_for_contains(EXPECTED_TEXT) in _normalize_for_contains(
+        markdown)
