@@ -9,6 +9,7 @@ row-sorted) values. Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import warnings
 
@@ -105,6 +106,14 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
+
+    def _rec(name, **kw):
+        base = {"rows_match": None, "schema_match": None, "hash_match": None,
+                "ray_rows": None, "oracle_rows": None, "err": None}
+        base.update(kw)
+        records[name] = base
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -117,9 +126,11 @@ def main():
             ray_driver_df = to_pandas(ray_result)
         except Exception as e:
             failures.append(name)
+            _rec(name, err=f"ray:{type(e).__name__}")
             print(f"FAIL {name}: ray raised {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            _rec(name, ray_rows=len(ray_df), err="no_oracle")
             print(f"ok   {name}: rows-only ({len(ray_df)} rows)")
             continue
         try:
@@ -129,14 +140,19 @@ def main():
             sql_df = normalize(sql_arrow.to_pandas())
         except Exception as e:
             failures.append(name)
+            _rec(name, ray_rows=len(ray_df), err=f"oracle:{type(e).__name__}")
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             continue
         if len(ray_df) != len(sql_df):
             failures.append(name)
+            _rec(name, rows_match=False, ray_rows=len(ray_df),
+                 oracle_rows=len(sql_df))
             print(f"FAIL {name}: rows ray={len(ray_df)} sql={len(sql_df)}")
             continue
         if list(ray_df.columns) != list(sql_df.columns):
             failures.append(name)
+            _rec(name, rows_match=True, schema_match=False,
+                 ray_rows=len(ray_df), oracle_rows=len(sql_df))
             print(f"FAIL {name}: cols ray={list(ray_df.columns)} sql={list(sql_df.columns)}")
             continue
         try:
@@ -144,22 +160,39 @@ def main():
                                           check_exact=True)
         except AssertionError as e:
             failures.append(name)
+            _rec(name, rows_match=True, schema_match=True, hash_match=False,
+                 ray_rows=len(ray_df), oracle_rows=len(sql_df))
             print(f"FAIL {name}: values differ\n{str(e)[:800]}")
             continue
         try:
             rh, sh = value_hash(ray_driver_df), value_hash(sql_driver_df)
         except Exception as e:
+            _rec(name, rows_match=True, schema_match=True,
+                 ray_rows=len(ray_df), oracle_rows=len(sql_df),
+                 err=f"hash_skipped:{type(e).__name__}")
             print(f"ok   {name}: {len(ray_df)} rows exact (hash skipped: {e})")
             continue
         if rh != sh:
             failures.append(name)
+            _rec(name, rows_match=True, schema_match=True, hash_match=False,
+                 ray_rows=len(ray_df), oracle_rows=len(sql_df))
             print(f"FAIL {name}: typed value-hash mismatch (dtype drift?) "
                   f"ray={list(ray_driver_df.dtypes)} "
                   f"sql={list(sql_driver_df.dtypes)}")
         else:
+            _rec(name, rows_match=True, schema_match=True, hash_match=True,
+                 ray_rows=len(ray_df), oracle_rows=len(sql_df))
             print(f"ok   {name}: {len(ray_df)} rows exact+hash")
     print("---")
     print("FAILURES:", failures if failures else "none")
+    out_json = os.environ.get("GRAFT_PARITY_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": records,
+                       "failures": failures}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json} ({len(records)} queries)")
     ray.shutdown()
     return 1 if failures else 0
 
