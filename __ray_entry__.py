@@ -290,6 +290,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_returned_items": relational.q10_returned_items,
         "q_order_priority_check": relational.q4_order_priority_check,
         "q_promo_revenue": relational.q14_promo_revenue,
+        "q_nation_volume": relational.q7_nation_volume,
+        "q_market_share": relational.q8_market_share,
+        "q_product_profit": relational.q9_product_profit,
+        "q_top_supplier": relational.q15_top_supplier,
+        "q_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q_idle_rich_customers": relational.q22_idle_rich_customers,
         "q_merge_upsert": relational.merge_upsert_documents,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
@@ -1713,6 +1720,91 @@ def oracle_sql() -> dict[str, str]:
             "JOIN part p ON p.p_partkey = l.l_partkey "
             "WHERE l.l_shipdate >= DATE '1997-01-01' "
             "AND l.l_shipdate < DATE '1997-03-01'"
+        ),
+        "q_nation_volume": (
+            "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey), "
+            "cn AS (SELECT c_custkey, n_name AS cust_nation "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey) "
+            "SELECT supp_nation, cust_nation, "
+            "CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, "
+            "ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN sn ON l_suppkey = s_suppkey "
+            "JOIN cn ON o_custkey = c_custkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') "
+            "OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "q_market_share": (
+            "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) "
+            "AS o_year, "
+            "ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3' "
+            "THEN l_extendedprice*(1-l_discount) ELSE 0 END) / "
+            "SUM(l_extendedprice*(1-l_discount)), 6) AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cnat ON c_nationkey = cnat.n_nationkey "
+            "JOIN region ON cnat.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "q_product_profit": (
+            "SELECT n_name AS nation, "
+            "CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+            "ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%gear%' "
+            "GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"
+        ),
+        "q_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+            "SUM(l_extendedprice*(1-l_discount)) AS r FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT rev.s_suppkey, s_name, "
+            "ROUND(r, 2) AS total_revenue "
+            "FROM rev JOIN supplier ON rev.s_suppkey = supplier.s_suppkey "
+            "WHERE r = (SELECT MAX(r) FROM rev) ORDER BY rev.s_suppkey"
+        ),
+        "q_small_qty_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#3' AND l_quantity < "
+            "(SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
+            "WHERE l2.l_partkey = p_partkey)"
+        ),
+        "q_disjunctive_revenue": (
+            "SELECT ROUND(SUM(l_extendedprice*(1-l_discount)), 2) "
+            "AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 "
+            "AND l_quantity BETWEEN 5 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 "
+            "AND l_quantity BETWEEN 10 AND 40)"
+        ),
+        "q_idle_rich_customers": (
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "ROUND(SUM(c_acctbal), 2) AS totacctbal "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0) "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1998-01-01') "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "q_decayed_user_scores": (
             "WITH b AS (SELECT MAX(ts) AS t FROM events) "

@@ -2231,3 +2231,477 @@ def first_touch_attribution(sf_dir: str):
     out = out.rename(columns={"event_type": "first_touch_type"})
     out["n_purchases"] = out["n_purchases"].astype("int64")
     return out.sort_values("first_touch_type").reset_index(drop=True)
+
+
+def q7_nation_volume(sf_dir: str, *, nation_a: str = "NATION_1",
+                     nation_b: str = "NATION_2",
+                     date_lo: str = "1996-01-01",
+                     date_hi: str = "1998-01-01"):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    revenue of lineitems a supplier in one nation shipped to a customer
+    in the other, both directions, grouped by (supp_nation, cust_nation,
+    ship year). Supplier and customer reduce to key→nation broadcast
+    maps pruned to the two nations; lineitem pre-aggregates per
+    (orderkey, supp-nation, year) BEFORE the one bucket-hash fact join
+    to the nation-pruned orders; the surviving (2 × 2 × years)-row
+    combine is driver-sized."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    pair = {nation_a, nation_b}
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"].astype("int64"),
+                        nation["n_name"]))
+    keep_keys = {k for k, v in nat_name.items() if v in pair}
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = dict(zip(supp["s_suppkey"],
+                        supp["s_nationkey"].astype("int64")))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = dict(zip(cust["c_custkey"],
+                        cust["c_nationkey"].astype("int64")))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"])
+
+    def _li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        snat = b["l_suppkey"].map(supp_nat)
+        keep = snat.isin(keep_keys)
+        b = b[keep]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": snat[keep].astype("int64"),
+            "l_year": b["l_shipdate"].dt.year.astype("int64"),
+            "revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_li, batch_format="pandas"),
+        ["l_orderkey", "s_nat", "l_year"], {"revenue": ("revenue", "sum")},
+        num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    def _orders(b: pd.DataFrame) -> pd.DataFrame:
+        cnat = b["o_custkey"].map(cust_nat)
+        keep = cnat.isin(keep_keys)
+        b = b[keep]
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"],
+                             "c_nat": cnat[keep].astype("int64")})
+
+    ofilt = read_table(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey"]).map_batches(
+        _orders, batch_format="pandas")
+
+    joined = bucket_hash_join(
+        rev, ofilt, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nat", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("revenue", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("c_nat", pa.int64())]))
+
+    def _cross(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nat"] != b["c_nat"]]  # both keys are in the pair set
+        return pd.DataFrame({
+            "supp_nation": b["s_nat"].map(nat_name),
+            "cust_nation": b["c_nat"].map(nat_name),
+            "l_year": b["l_year"],
+            "revenue": b["revenue"],
+        })
+
+    out = combine_partials_driver(
+        joined.map_batches(_cross, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("revenue", "sum")})
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def q8_market_share(sf_dir: str, *, nation: str = "NATION_3",
+                    region: str = "AMERICA", p_type: str = "ECONOMY",
+                    date_lo: str = "1996-01-01",
+                    date_hi: str = "1998-01-01"):
+    """TPC-H Q8 shape: a nation's market share — its fraction of revenue
+    from parts of one type sold to customers of one region, per order
+    year. Part prunes to a broadcast keyset; lineitem folds per-order
+    (nation_rev, total_rev) partials tagged by supplier nation; ONE
+    bucket join attaches the region-pruned order year; the per-year
+    share is a driver division over a years-row table."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    nation_df = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region_df = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = region_df.loc[region_df["r_name"] == region, "r_regionkey"]
+    region_nats = set(nation_df.loc[
+        nation_df["n_regionkey"].isin(set(rkey)),
+        "n_nationkey"].astype("int64"))
+    target_nat = int(nation_df.loc[nation_df["n_name"] == nation,
+                                   "n_nationkey"].iloc[0])
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part_keys = set(part.loc[part["p_type"] == p_type, "p_partkey"])
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = dict(zip(supp["s_suppkey"],
+                        supp["s_nationkey"].astype("int64")))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust_in_region = set(
+        cust.loc[cust["c_nationkey"].astype("int64").isin(region_nats),
+                 "c_custkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"])
+
+    def _li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_partkey"].isin(part_keys)]
+        rev = b["l_extendedprice"] * (1 - b["l_discount"])
+        is_target = b["l_suppkey"].map(supp_nat) == target_nat
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "nation_rev": rev.where(is_target, 0.0),
+            "total_rev": rev,
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_li, batch_format="pandas"),
+        ["l_orderkey"],
+        {"nation_rev": ("nation_rev", "sum"),
+         "total_rev": ("total_rev", "sum")},
+        num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    def _orders(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)
+              & b["o_custkey"].isin(cust_in_region)]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": b["o_orderdate"].dt.year.astype("int64"),
+        })
+
+    ofilt = read_table(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(_orders, batch_format="pandas")
+
+    joined = bucket_hash_join(
+        rev, ofilt, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("nation_rev", pa.float64()),
+                               ("total_rev", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    out = combine_partials_driver(
+        joined.map_batches(
+            lambda b: b[["o_year", "nation_rev", "total_rev"]],
+            batch_format="pandas"),
+        ["o_year"],
+        {"nation_rev": ("nation_rev", "sum"),
+         "total_rev": ("total_rev", "sum")})
+    out["mkt_share"] = round_half_away(
+        (out["nation_rev"] / out["total_rev"]).to_numpy(), 6)
+    return out[["o_year", "mkt_share"]].sort_values("o_year") \
+        .reset_index(drop=True)
+
+
+def q9_product_profit(sf_dir: str, *, name_token: str = "gear"):
+    """TPC-H Q9 shape (adapted: no partsupp table in this schema, so
+    profit is the discounted revenue rather than revenue minus supply
+    cost): revenue from parts whose NAME contains a token, grouped by
+    supplier nation and order year. Part prunes to a broadcast keyset
+    by substring match; lineitem pre-aggregates per (orderkey, nation);
+    one bucket join attaches the order year; driver-sized combine."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    nation_df = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = dict(zip(nation_df["n_nationkey"].astype("int64"),
+                        nation_df["n_name"]))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    part_keys = set(part.loc[part["p_name"].str.contains(name_token,
+                                                         regex=False),
+                             "p_partkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = dict(zip(supp["s_suppkey"],
+                        supp["s_nationkey"].astype("int64")))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"])
+
+    def _li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_partkey"].isin(part_keys)]
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": b["l_suppkey"].map(supp_nat).astype("int64"),
+            "profit": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    rev = hash_partition_aggregate(
+        li.map_batches(_li, batch_format="pandas"),
+        ["l_orderkey", "s_nat"], {"profit": ("profit", "sum")},
+        num_buckets=32,
+    ).map_batches(lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                  batch_format="pandas")
+
+    years = read_table(sf_dir, "orders",
+                       ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": b["o_orderdate"].dt.year.astype("int64")}),
+        batch_format="pandas")
+
+    joined = bucket_hash_join(
+        rev, years, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("s_nat", pa.int64()),
+                               ("profit", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_year", pa.int64())]))
+
+    out = combine_partials_driver(
+        joined.map_batches(
+            lambda b: pd.DataFrame({"nation": b["s_nat"].map(nat_name),
+                                    "o_year": b["o_year"],
+                                    "sum_profit": b["profit"]}),
+            batch_format="pandas"),
+        ["nation", "o_year"], {"sum_profit": ("sum_profit", "sum")})
+    out["sum_profit"] = round_half_away(out["sum_profit"], 2)
+    return out.sort_values(["nation", "o_year"],
+                           ascending=[True, False]).reset_index(drop=True)
+
+
+def q15_top_supplier(sf_dir: str, *, date_lo: str = "1996-01-01",
+                     date_hi: str = "1996-04-01"):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter (the revenue view + WHERE total = MAX semantics: ties all
+    surface). Per-supplier revenue folds bucketed; only per-bucket max
+    partials reach the driver to form the global max; the winner filter
+    runs distributed over the folded table and the name attaches from
+    the supplier dimension driver-side (winners are a handful of rows)."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+
+    def _li(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        return pd.DataFrame({
+            "s_suppkey": b["l_suppkey"],
+            "total_revenue": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    folded = hash_partition_aggregate(
+        li.map_batches(_li, batch_format="pandas"),
+        ["s_suppkey"], {"total_revenue": ("total_revenue", "sum")},
+        num_buckets=16).materialize()
+
+    # global max from per-batch max partials (one float per block)
+    max_parts = [
+        float(b["total_revenue"].max())
+        for b in folded.iter_batches(batch_format="pandas",
+                                     batch_size=None)
+        if len(b)
+    ]
+    if not max_parts:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "total_revenue": pd.Series(dtype="float64")})
+    top = max(max_parts)
+
+    winners = pd.concat(
+        [b[b["total_revenue"] == top]
+         for b in folded.iter_batches(batch_format="pandas",
+                                      batch_size=None)],
+        ignore_index=True)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, on="s_suppkey")
+    out["total_revenue"] = round_half_away(out["total_revenue"], 2)
+    return out[["s_suppkey", "s_name", "total_revenue"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q17_small_qty_revenue(sf_dir: str, *, brand: str = "Brand#3",
+                          qty_factor: float = 0.2):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's parts were not filled — lineitems with
+    quantity below ``qty_factor`` × that part's average quantity. The
+    brand prunes the part dimension to a broadcast keyset; the pruned
+    lineitem projection materializes ONCE (object store) and serves both
+    passes: a per-part (Σqty, n) fold bounded by the brand's part count
+    (driver combine → broadcast threshold map) and the final threshold
+    filter + scalar revenue fold. The correlated-subquery shape with two
+    streaming passes instead of a self-join."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    keys = set(part.loc[part["p_brand"] == brand, "p_partkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice"])
+    pruned = li.map_batches(
+        lambda b: b[b["l_partkey"].isin(keys)],
+        batch_format="pandas", batch_size=65536).materialize()
+
+    stats = combine_partials_driver(
+        pruned.map_batches(
+            lambda b: pd.DataFrame({"l_partkey": b["l_partkey"],
+                                    "qty": b["l_quantity"],
+                                    "one": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["l_partkey"], {"qty": ("qty", "sum"), "n": ("one", "sum")})
+    thr = dict(zip(stats["l_partkey"],
+                   qty_factor * stats["qty"] / stats["n"]))
+
+    def _small(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["l_partkey"].map(thr)
+        return pd.DataFrame({
+            "rev": [float(b.loc[b["l_quantity"] < t,
+                                "l_extendedprice"].sum())]})
+
+    total = sum(
+        float(b["rev"].sum())
+        for b in pruned.map_batches(_small, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None))
+    return pd.DataFrame({
+        "avg_yearly": [float(round_half_away(total / 7.0, 2))]})
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a 3-arm DISJUNCTION of
+    (brand, part size range, lineitem quantity range) predicates — the
+    classic OR-of-ANDs the optimizer must not turn into three scans.
+    The part dimension broadcasts as a partkey→(brand, size) frame; each
+    lineitem batch merges once and evaluates all three arms vectorized;
+    a scalar revenue partial per batch folds on the driver."""
+    import pyarrow.parquet as pq
+
+    arms = [("Brand#1", 1, 10, 1.0, 20.0),
+            ("Brand#2", 10, 25, 5.0, 30.0),
+            ("Brand#3", 20, 40, 10.0, 40.0)]
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    part = part.rename(columns={"p_partkey": "l_partkey"})
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"])
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(part, on="l_partkey", how="left")
+        keep = np.zeros(len(m), dtype=bool)
+        for brand, size_lo, size_hi, qty_lo, qty_hi in arms:
+            keep |= ((m["p_brand"] == brand)
+                     & (m["p_size"] >= size_lo) & (m["p_size"] <= size_hi)
+                     & (m["l_quantity"] >= qty_lo)
+                     & (m["l_quantity"] <= qty_hi)).to_numpy()
+        rev = (m.loc[keep, "l_extendedprice"]
+               * (1 - m.loc[keep, "l_discount"])).sum()
+        return pd.DataFrame({"rev": [float(rev)]})
+
+    total = sum(
+        float(b["rev"].sum())
+        for b in li.map_batches(_partial, batch_format="pandas",
+                                batch_size=65536)
+        .iter_batches(batch_format="pandas", batch_size=None))
+    return pd.DataFrame({"revenue": [float(round_half_away(total, 2))]})
+
+
+def q22_idle_rich_customers(sf_dir: str, *,
+                            recent_date: str = "1998-01-01"):
+    """TPC-H Q22 shape (adapted: nation stands in for the phone country
+    code this schema doesn't carry, and 'no orders' becomes 'no orders
+    since ``recent_date``' because this synthetic corpus gives every
+    customer at least one order): customers with above-average positive
+    balance and no RECENT orders, counted per nation. The global average
+    folds from scalar partials; the recent-order exclusion is the
+    large-large bucketed ANTI join (the scale path — at TPC-H scale the
+    order-customer keyset outgrows a broadcast set); the per-nation
+    combine is driver-sized and names attach from the tiny dimension."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    parts = pd.concat(
+        [b for b in cust.map_batches(
+            lambda b: pd.DataFrame({
+                "s": [float(b.loc[b["c_acctbal"] > 0, "c_acctbal"].sum())],
+                "n": [int((b["c_acctbal"] > 0).sum())]}),
+            batch_format="pandas")
+            .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    avg_bal = parts["s"] / parts["n"] if parts["n"] else 0.0
+
+    rich = cust.map_batches(
+        lambda b: b[b["c_acctbal"] > avg_bal],
+        batch_format="pandas", batch_size=65536)
+
+    recent = pd.Timestamp(recent_date)
+    idle = bucket_anti_join(
+        rich,
+        read_table(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate"]).map_batches(
+            lambda b: pd.DataFrame({
+                "c_custkey": b.loc[b["o_orderdate"] >= recent,
+                                   "o_custkey"]}),
+            batch_format="pandas"),
+        on="c_custkey", num_buckets=16,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_acctbal", pa.float64()),
+                               ("c_nationkey", pa.int32())]))
+
+    out = combine_partials_driver(
+        idle.map_batches(
+            lambda b: pd.DataFrame({
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "one": np.ones(len(b), dtype=np.int64),
+                "totacctbal": b["c_acctbal"]}),
+            batch_format="pandas"),
+        ["c_nationkey"],
+        {"numcust": ("one", "sum"), "totacctbal": ("totacctbal", "sum")})
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nation["c_nationkey"] = nation["n_nationkey"].astype("int64")
+    out = out.merge(nation[["c_nationkey", "n_name"]], on="c_nationkey")
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = round_half_away(out["totacctbal"], 2)
+    return out[["n_name", "numcust", "totacctbal"]] \
+        .sort_values("n_name").reset_index(drop=True)

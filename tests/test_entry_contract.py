@@ -30,3 +30,31 @@ def test_sample_query_runs(ray_session, name):
     out = entrymod.queries()[name]("/root/testdata/sf0.001")
     n = len(out) if hasattr(out, "__len__") else out.count()
     assert n > 0
+
+
+TPCH_R4 = ["q_nation_volume", "q_market_share", "q_product_profit",
+           "q_top_supplier", "q_small_qty_revenue",
+           "q_disjunctive_revenue", "q_idle_rich_customers"]
+
+
+@pytest.mark.parametrize("name", TPCH_R4)
+def test_round4_tpch_shapes_match_oracle(ray_session, name):
+    """The round-4 TPC-H shapes (Q7/Q8/Q9'/Q15/Q17/Q19/Q22') equal their
+    DuckDB oracles at sf0.01 — value-exact after column alignment."""
+    import duckdb
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.01"
+    out = entrymod.queries()[name](sf)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else out
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = con.execute(entrymod.oracle_sql()[name]).df()
+    assert list(got.columns) == list(want.columns), name
+    key = list(got.columns)
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
