@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_merges": text.learn_bpe_merges,  # rows-only (iterative tokenizer training; golden pytest)
         "q_bpe_compression": text.bpe_compression_stats,  # rows-only (applies the trained merges; invariant pytest)
         "q_bigram_perplexity": text.bigram_perplexity,
+        "q_dsir_scores": text.dsir_scores,
         "q_event_type_cooccurrence": streaming.event_type_cooccurrence,
         "q_cohort_retention_matrix": streaming.cohort_retention_matrix,
         "q_association_rules": streaming.association_rules,
@@ -1720,6 +1721,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN part p ON p.p_partkey = l.l_partkey "
             "WHERE l.l_shipdate >= DATE '1997-01-01' "
             "AND l.l_shipdate < DATE '1997-03-01'"
+        ),
+        "q_dsir_scores": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "tb AS (SELECT substr(md5(w), 1, 2) AS b, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS t_cnt, "
+            "CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS s_cnt FROM tok GROUP BY 1), "
+            "tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(s_cnt) AS s_tot "
+            "FROM tb) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "ROUND(AVG(LN(((t_cnt+1)/(t_tot+256.0)) / "
+            "((s_cnt+1)/(s_tot+256.0)))), 6) AS dsir_score "
+            "FROM tok JOIN tb ON substr(md5(tok.w), 1, 2) = tb.b "
+            "CROSS JOIN tot GROUP BY doc_id"
         ),
         "q_nation_volume": (
             "WITH sn AS (SELECT s_suppkey, n_name AS supp_nation "

@@ -186,6 +186,15 @@ QUERY_NAMES = [
     "q_fuzzy_name_pairs",
     "q_dup_graph_triangles",
     "q_media_router_stats",
+    "q_dup_graph_pagerank",
+    "q_nation_volume",
+    "q_market_share",
+    "q_product_profit",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_idle_rich_customers",
+    "q_dsir_scores",
 ]
 
 

@@ -1500,3 +1500,92 @@ def bpe_compression_stats(sf_dir: str, *, n_merges: int = 20):
     for c in ("n_words", "n_bpe_tokens", "n_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def dsir_scores(sf_dir: str, *, target_lang: str = "en",
+                num_buckets: int = 256):
+    """DSIR-style data selection with importance resampling scores
+    (Xie et al. 2023): per-doc mean log-likelihood ratio between a
+    TARGET corpus unigram model (docs with ``target_lang``) and the
+    SOURCE model (the rest), over hashed word features — the published
+    recipe for selecting pretraining data that "looks like" a target
+    domain without training a classifier.
+
+    Features are md5-bucketed words (bucket key = first two hex chars,
+    256 buckets), so the oracle computes the IDENTICAL hash in SQL.
+    Two streaming passes: (1) per-batch (bucket, target_count,
+    source_count) partials fold to a ≤num_buckets-row table on the
+    driver (broadcast as a ratio map — the model IS 256 floats);
+    (2) per-doc mean ln((T[b]+1)/(ΣT+B) / ((S[b]+1)/(ΣS+B))) folds
+    vectorized per batch. Docs with zero tokens are excluded (mean
+    undefined), mirroring the SQL twin. At 100 TB both passes stream;
+    only the 256-row model ever sits on the driver."""
+    import hashlib
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    docs = _read_documents(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def _bucket_of(words: np.ndarray) -> np.ndarray:
+        # md5 only over the batch's UNIQUE words; .digest()[:1] is the
+        # first two hex chars as one byte (num_buckets=256)
+        uniq, inv = np.unique(words, return_inverse=True)
+        codes = np.fromiter(
+            (hashlib.md5(w.encode("utf-8")).digest()[0] for w in uniq),
+            dtype=np.int64, count=len(uniq))
+        return codes[inv]
+
+    def _tok(b: pd.DataFrame):
+        toks = b["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        flat = toks.explode().dropna()
+        return flat, toks
+
+    def _counts(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _tok(b)
+        if not len(flat):
+            return pd.DataFrame({"b": pd.Series(dtype="int64"),
+                                 "t_cnt": pd.Series(dtype="int64"),
+                                 "s_cnt": pd.Series(dtype="int64")})
+        buckets = _bucket_of(flat.to_numpy(dtype=object))
+        is_target = (b["lang"].loc[flat.index] == target_lang).to_numpy()
+        g = pd.DataFrame({"b": buckets,
+                          "t_cnt": is_target.astype(np.int64),
+                          "s_cnt": (~is_target).astype(np.int64)})
+        return g.groupby("b", as_index=False).sum()
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    model = combine_partials_driver(
+        docs.map_batches(_counts, batch_format="pandas"),
+        ["b"], {"t_cnt": ("t_cnt", "sum"), "s_cnt": ("s_cnt", "sum")})
+    t_tot = float(model["t_cnt"].sum())
+    s_tot = float(model["s_cnt"].sum())
+    ratio = np.zeros(num_buckets, dtype=np.float64)
+    base = np.log((1.0 / (t_tot + num_buckets))
+                  / (1.0 / (s_tot + num_buckets)))
+    ratio[:] = base  # buckets unseen in both corpora
+    bb = model["b"].to_numpy()
+    ratio[bb] = np.log(
+        ((model["t_cnt"].to_numpy() + 1.0) / (t_tot + num_buckets))
+        / ((model["s_cnt"].to_numpy() + 1.0) / (s_tot + num_buckets)))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        flat, _ = _tok(b)
+        if not len(flat):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "dsir_score": pd.Series(dtype="float64")})
+        lr = ratio[_bucket_of(flat.to_numpy(dtype=object))]
+        g = (pd.DataFrame({"doc_id": b["doc_id"].loc[flat.index].to_numpy(),
+                           "lr": lr})
+             .groupby("doc_id", as_index=False)
+             .agg(n_tokens=("lr", "size"), lr_sum=("lr", "sum")))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"].astype("int64"),
+            "dsir_score": round_half_away(
+                (g["lr_sum"] / g["n_tokens"]).to_numpy(), 6),
+        })
+
+    return docs.map_batches(_score, batch_format="pandas",
+                            batch_size=8192)

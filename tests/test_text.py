@@ -385,3 +385,36 @@ def test_bpe_compression_stats_invariants(ray_session):
     assert (out["chars_per_token"] > 0.5).all()
     b = bpe_compression_stats("/root/testdata/sf0.001", n_merges=10)
     pd.testing.assert_frame_equal(out, b)
+
+
+def test_dsir_scores_orders_target_like_docs(ray_session, tmp_path):
+    """DSIR log-likelihood-ratio scoring: a doc written in the target
+    corpus's vocabulary must outscore a doc written in the source
+    corpus's vocabulary, and per-doc token counts are exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import dsir_scores
+
+    t_words = "alpha beta gamma delta epsilon"
+    s_words = "uno dos tres cuatro cinco"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{t_words} {t_words}", "en"))
+        rows.append((100 + i, f"{s_words} {s_words}", "es"))
+    # probes: unseen ids, one per vocabulary
+    rows.append((900, t_words, "de"))
+    rows.append((901, s_words, "de"))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["s"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int32()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+    out = dsir_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[900, "dsir_score"] > 0 > out.loc[901, "dsir_score"]
+    assert out.loc[900, "n_tokens"] == 5 and out.loc[901, "n_tokens"] == 5
+    assert len(out) == len(rows)
