@@ -296,12 +296,17 @@ def scaling() -> None:
         env.setdefault("GRAFT_BENCH_DOCS", "36000")
         env.setdefault("GRAFT_BENCH_REPEATS", "1")
         env.setdefault("GRAFT_FLAGSHIP_ONLY", "1")
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the sub-run's failure instead of swallowing it
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling sub-run ncpu={ncpu} failed "
+                               f"(rc={proc.returncode})")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     def run(ncpu: int) -> dict:
         # best-of-N FRESH PROCESSES per level: same-config flagship runs
@@ -309,8 +314,16 @@ def scaling() -> None:
         # per attempt rules out within-session degradation; the best run
         # is the one that measures the pipeline, not the node weather
         n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
-        return min((run_once(ncpu) for _ in range(n)),
-                   key=lambda r: r["value"])
+        results = []
+        for _ in range(n):
+            try:
+                results.append(run_once(ncpu))
+            except RuntimeError as e:  # one crashed attempt (node
+                sys.stderr.write(f"{e}\n")  # weather) doesn't void the
+                continue                    # other fresh-process attempts
+        if not results:
+            raise RuntimeError(f"all {n} scaling attempts at ncpu={ncpu} failed")
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = run(8), run(32)
     eff = (lo["value"] / hi["value"]) / (32 / 8)

@@ -51,29 +51,35 @@ import pyarrow as pa
 # Shard-pin registry. Reduce/coalesce tasks are submitted eagerly with many
 # tiny shard refs as args; Ray inlines small dependencies on a background
 # thread, and if the ONLY python references to those shards die while that
-# resolution is in flight the driver hits a fatal ReferenceCounter
-# 'submitted_task_ref_count > 0' check (observed ~1-in-5 full 180-query
-# sweeps before round 3). Every wave therefore registers
-# (its output refs, a holder keeping the input shards alive) here; ONE
-# long-lived supervised reaper thread polls ray.wait(fetch_local=False) and
-# drops each pin only after every task of its wave has COMPLETED. On errors
-# the pin is NEVER dropped early — entries from a dead Ray session (wait
-# raises and ray is no longer initialized, or keeps raising) are garbage-
-# collected after a bounded number of attempts, since their tasks cannot be
-# in flight anymore. This replaces round-3's one unjoined daemon thread per
-# wave (same release semantics, one supervised loop, no early drop on a
-# thread exception).
+# SUBMISSION-TIME resolution is in flight the driver hits a fatal
+# ReferenceCounter 'submitted_task_ref_count > 0' check (observed ~1-in-5
+# full 180-query sweeps before round 3). Once resolution completes, Ray's
+# own task-argument reference counting owns the shards for as long as any
+# task needs them — the danger window is ONLY submission/resolution, which
+# finishes in milliseconds-to-seconds. Every wave therefore registers a
+# holder here with a generous time-to-live (far beyond any plausible
+# resolution lag), and one supervised reaper thread drops expired pins.
+# The reaper deliberately NEVER touches the Ray API: a background-thread
+# ray.wait racing ray.shutdown() is a fatal core-worker access (observed
+# killing flagship-only bench sub-runs when shutdown followed the last
+# exchange wave within the poll interval) — time-based expiry has no such
+# race and needs no error handling. This replaces round-3's one unjoined
+# daemon thread per wave.
 # ---------------------------------------------------------------------------
 _PIN_LOCK = threading.Lock()
-_PIN_ENTRIES: list[list] = []  # [refs, holder, err_count]
+_PIN_ENTRIES: list[list] = []  # [expires_at_monotonic, holder]
 _REAPER_STARTED = False
-_PIN_MAX_ERRS = 40  # ~20 s of persistent wait errors => dead session
+_PIN_TTL_SEC = 120.0  # submission resolution is ms-scale; 120 s is slack
 
 
 def _pin_until_complete(refs, holder) -> None:
+    """Pin ``holder`` (the wave's input shard refs) past the submission
+    window of the tasks behind ``refs``. ``refs`` is accepted for call-site
+    clarity; expiry is time-based (see the registry note above)."""
     global _REAPER_STARTED
+    del refs  # lifetime beyond submission is owned by Ray's ref counting
     with _PIN_LOCK:
-        _PIN_ENTRIES.append([list(refs), holder, 0])
+        _PIN_ENTRIES.append([time.monotonic() + _PIN_TTL_SEC, holder])
         if not _REAPER_STARTED:
             threading.Thread(target=_reap_loop, daemon=True,
                              name="ocr-agent-ray-shard-reaper").start()
@@ -81,32 +87,11 @@ def _pin_until_complete(refs, holder) -> None:
 
 
 def _reap_loop() -> None:
-    import ray
-
     while True:
+        now = time.monotonic()
         with _PIN_LOCK:
-            pending = list(_PIN_ENTRIES)
-        if not pending:
-            time.sleep(0.2)
-            continue
-        for entry in pending:
-            refs, _holder, _errs = entry
-            try:
-                done, _ = ray.wait(refs, num_returns=len(refs),
-                                   timeout=0.5, fetch_local=False)
-                if len(done) == len(refs):
-                    with _PIN_LOCK:
-                        if entry in _PIN_ENTRIES:
-                            _PIN_ENTRIES.remove(entry)
-            except Exception:
-                entry[2] += 1
-                if entry[2] >= _PIN_MAX_ERRS or not ray.is_initialized():
-                    # refs belong to a dead/replaced Ray session: no task
-                    # of that session can still be resolving args
-                    with _PIN_LOCK:
-                        if entry in _PIN_ENTRIES:
-                            _PIN_ENTRIES.remove(entry)
-                time.sleep(0.5)
+            _PIN_ENTRIES[:] = [e for e in _PIN_ENTRIES if e[0] > now]
+        time.sleep(1.0)
 
 
 def pinned_waves() -> int:

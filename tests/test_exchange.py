@@ -337,12 +337,18 @@ def test_shard_coalescing_same_output_and_bounded_refs(ray_session):
     assert merged.shard_refs == []
 
 
-def test_reaper_drains_completed_waves(ray_session):
-    """Completed waves leave the pin registry (no unbounded growth)."""
+def test_reaper_drains_expired_waves(ray_session, monkeypatch):
+    """Pins expire after the submission-window TTL and leave the registry
+    (no unbounded growth). The reaper never calls the Ray API, so there
+    is no background-thread-vs-ray.shutdown race; past the TTL, Ray's
+    task-argument reference counting owns the shards."""
     import time as _t
 
-    from ocr_agent_ray.pipelines.exchange import (exchange_shards,
-                                                  pinned_waves)
+    from ocr_agent_ray.pipelines import exchange as ex
+
+    monkeypatch.setattr(ex, "_PIN_TTL_SEC", 2.0)
+    with ex._PIN_LOCK:  # earlier tests' pins carry the 120s default TTL
+        ex._PIN_ENTRIES.clear()
 
     df = _events(200)
     base = rd.from_pandas(df).map_batches(
@@ -353,10 +359,46 @@ def test_reaper_drains_completed_waves(ray_session):
         return pd.DataFrame({"b": [int(g["__b"].iloc[0])], "n": [len(g)]})
 
     for _ in range(5):
-        out = exchange_shards(base, bucket_col="__b", num_buckets=4,
-                              mode="direct").reduce(_kernel)
+        out = ex.exchange_shards(base, bucket_col="__b", num_buckets=4,
+                                 mode="direct").reduce(_kernel)
         out.to_pandas()
+    assert ex.pinned_waves() >= 1  # registered
     deadline = _t.time() + 30
-    while pinned_waves() > 0 and _t.time() < deadline:
+    while ex.pinned_waves() > 0 and _t.time() < deadline:
         _t.sleep(0.25)
-    assert pinned_waves() == 0
+    assert ex.pinned_waves() == 0
+
+
+def test_shutdown_immediately_after_wave_is_clean():
+    """Regression for the round-4 scaling-bench crash: ray.shutdown()
+    issued right after the last exchange wave must not be racy against
+    the pin reaper (the old ray.wait-polling reaper hit a fatal
+    'core worker already shutdown' access from its thread). Runs in a
+    subprocess because it owns its own Ray session."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import ray, pandas as pd
+        import ray.data as rd
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from ocr_agent_ray.serialization import register_for_ray_workers
+        register_for_ray_workers()
+        from ocr_agent_ray.pipelines.exchange import exchange_shards
+        df = pd.DataFrame({"k": list(range(2000))})
+        base = rd.from_pandas(df).map_batches(
+            lambda b: b.assign(__b=(b["k"] % 4).astype("int64")),
+            batch_format="pandas").materialize()
+        out = exchange_shards(base, bucket_col="__b", num_buckets=4,
+                              mode="direct").reduce(
+            lambda g: pd.DataFrame({"n": [len(g)]}))
+        assert int(out.to_pandas()["n"].sum()) == 2000
+        ray.shutdown()   # immediately after the wave: the crash window
+        print("CLEAN-EXIT")
+    """)
+    proc = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CLEAN-EXIT" in proc.stdout
