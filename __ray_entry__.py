@@ -366,6 +366,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grounding_detections": interleave.grounding_detection_counts,
         "q_layout_blocks": interleave.layout_blocks,  # rows-only (layout parse)
         "q_html_main_text": _html_main_text,  # rows-only (DOM heuristic)
+        # --- round-4 second-session additions (appended AFTER the
+        # sampled window so the rotation above stays intact)
+        "q_dedup_best_survivor": dedup.dedup_best_survivor,
+        "q_contamination_fraction": text.contamination_fraction,
+        "q_type_token_stats": text.type_token_stats,
+        "q_user_rfm": streaming.user_rfm,
+        "q_pca_project": similarity.pca_project,  # rows-only (eigendecomposition; dense-numpy pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -1950,7 +1957,69 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(p.max_run, 0) AS BIGINT) AS max_dup_run "
             "FROM tot t LEFT JOIN per p USING(doc_id)"
         ),
+        "q_dedup_best_survivor": (
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
+            "edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT a, a FROM edges"
+            "  UNION"
+            "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b), "
+            "cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id "
+            "FROM reach GROUP BY id), "
+            "qual AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars FROM cl "
+            "JOIN documents d USING(doc_id)), "
+            "surv AS (SELECT doc_id FROM qual QUALIFY row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+            "WHERE cl.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM surv)"
+        ),
+        "q_contamination_fraction": (
+            # 8-gram contamination fraction vs the doc_id%97 benchmark
+            # stand-in; DISTINCT grams per doc; docs with < 8 tokens have
+            # no grams and are omitted on both sides
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') t FROM documents), "
+            "g0 AS (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i FROM toks), "
+            "grams AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+7], ' ') AS g FROM g0), "
+            "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0), "
+            "stats AS (SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(COUNT(b.g) AS BIGINT) AS n_hits FROM grams gr "
+            "LEFT JOIN bench b USING(g) GROUP BY gr.doc_id) "
+            "SELECT doc_id, n_grams, n_hits, "
+            "ROUND(CAST(n_hits AS DOUBLE)/n_grams, 6) AS contamination "
+            "FROM stats"
+        ),
+        "q_type_token_stats": (
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY 1, 2) "
+            "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(*) AS BIGINT) AS n_types, "
+            "ROUND(CAST(COUNT(*) AS DOUBLE)/SUM(n), 6) AS ttr, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            "/COUNT(*), 6) AS hapax_ratio "
+            "FROM c GROUP BY source"
+        ),
+        "q_user_rfm": (
+            # recency = whole elapsed days (floor of the microsecond age)
+            # from the user's last event to the corpus max timestamp
+            "WITH m AS (SELECT MAX(ts) AS tmax FROM events) "
+            "SELECT user_id, "
+            "CAST(date_diff('microsecond', MAX(ts), (SELECT tmax FROM m)) "
+            "// 86400000000 AS BIGINT) AS recency_days, "
+            "CAST(COUNT(*) AS BIGINT) AS frequency, "
+            "ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value "
+            "ELSE 0 END), 4) AS monetary "
+            "FROM events GROUP BY user_id"
+        ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
-        # q_flagship_span_counts, q_topk_sketch, q_pack_sequences
+        # q_flagship_span_counts, q_topk_sketch, q_pack_sequences,
+        # q_pca_project
     }

@@ -551,6 +551,40 @@ def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
     return broadcast_semi_filter(out, drop, "doc_id", keep=False)
 
 
+def dedup_best_survivor(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
+    """Quality-aware near-dup survivor election (the RefinedWeb/FineWeb
+    variant of ngram_dedup_apply): exact n-gram Jaccard pairs → connected
+    components → keep the HIGHEST-QUALITY doc per cluster (quality =
+    n_chars, ties broken by min doc_id) instead of the min-id
+    representative. SQL-checkable end to end: the pair oracle composes
+    with the recursive-CTE component oracle plus a per-cluster
+    ROW_NUMBER argmax.
+
+    Scale shape matches ngram_dedup_apply: the cluster table is bounded
+    by docs-that-have-a-near-dup, so survivor election is a tiny
+    driver-side argmax over that table and the corpus streams through a
+    broadcast anti filter."""
+    from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+    from ocr_agent_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    clusters = duplicate_clusters(pairs)
+    cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
+
+    meta = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    if cl.empty:
+        return meta
+    qual = broadcast_semi_filter(
+        meta, cl["doc_id"], "doc_id", keep=True
+    ).to_pandas().merge(cl, on="doc_id")
+    qual = qual.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+    survivors = set(qual.groupby("cluster_id", sort=False).head(1)["doc_id"])
+    drop = cl.loc[~cl["doc_id"].isin(survivors), "doc_id"]
+    return broadcast_semi_filter(meta, drop, "doc_id", keep=False)
+
+
 def duplicate_clusters(pairs_ds, *, max_rounds: int = 50,
                        driver_max_edges: int = 2_000_000):
     """Connected components over near-dup pairs: (doc_id, cluster_id) with

@@ -550,19 +550,15 @@ def pq_codes(sf_dir: str, *, m: int = 8, k: int = 16, iters: int = 3):
     return out
 
 
-def embedding_covariance(sf_dir: str):
-    """Covariance matrix of the embedding columns — the distributed
-    linear-algebra fold behind whitening / PCA preprocessing: each batch
-    contributes (Σx, Σ x xᵀ, n) partials (one matmul per batch); the
-    driver combines k·(dim² + dim) floats regardless of corpus size.
-    Emitted long-form (i, j, cov) with 1-based dims so the SQL oracle can
-    express it via double unnest; population covariance (divide by n)."""
+def _covariance_fold(sf_dir: str):
+    """Shared (mean, population covariance, n) fold over the embedding
+    column: each batch contributes (Σx, Σ x xᵀ, n) partials (one matmul
+    per batch); the driver combines k·(dim² + dim) floats regardless of
+    corpus size. Used by embedding_covariance and pca_project."""
     import numpy as np
     import pandas as pd
 
     import ray.data as rd
-
-    from ocr_agent_ray.functions.textstats import round_half_away
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack([np.asarray(v, dtype=np.float32)
@@ -591,6 +587,21 @@ def embedding_covariance(sf_dir: str):
 
     mean = xsum / n
     cov = xtx / n - np.outer(mean, mean)
+    return mean, cov, n
+
+
+def embedding_covariance(sf_dir: str):
+    """Covariance matrix of the embedding columns — the distributed
+    linear-algebra fold behind whitening / PCA preprocessing (see
+    _covariance_fold). Emitted long-form (i, j, cov) with 1-based dims so
+    the SQL oracle can express it via double unnest; population
+    covariance (divide by n)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    mean, cov, _ = _covariance_fold(sf_dir)
     d = len(mean)
     ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
                          indexing="ij")
@@ -599,6 +610,49 @@ def embedding_covariance(sf_dir: str):
         "j": jj.ravel().astype("int64"),
         "cov": round_half_away(cov.ravel(), 6),
     })
+
+
+def pca_project(sf_dir: str, *, k: int = 4):
+    """PCA projection onto the top-k principal components — the
+    dimensionality-reduction stage in front of clustering / ANN: the
+    covariance fold (_covariance_fold, dim² driver state) trains the
+    components, eigenvectors are sign-normalized (the largest-|loading|
+    coordinate made positive, so the output is deterministic across
+    eigensolver sign flips) and broadcast, and the projection streams as
+    one batch matmul per block. Not SQL-expressible (eigendecomposition)
+    → rows-only driver check; pytest compares against a dense numpy PCA
+    including explained-variance ordering."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    mean, cov, _ = _covariance_fold(sf_dir)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]  # dim × k
+    sel = np.argmax(np.abs(comps), axis=0)
+    signs = np.sign(comps[sel, np.arange(comps.shape[1])])
+    signs[signs == 0] = 1.0
+    comps = comps * signs
+    ref = ray.put((mean, comps))
+
+    def _project(batch: pd.DataFrame) -> pd.DataFrame:
+        m, c = ray.get(ref)
+        mat = np.stack([np.asarray(x, dtype=np.float32)
+                        for x in batch["embedding"]]).astype(np.float64)
+        proj = (mat - m) @ c
+        out = {"vec_id": batch["vec_id"].astype("int64")}
+        for j in range(proj.shape[1]):
+            out[f"pc{j}"] = round_half_away(proj[:, j], 6)
+        return pd.DataFrame(out)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(_project, batch_format="pandas")
 
 
 def label_centroids(sf_dir: str):

@@ -1002,6 +1002,55 @@ def decayed_user_scores(sf_dir: str, *, half_rate: float = 0.1):
     return out.map_batches(_round, batch_format="pandas")
 
 
+def user_rfm(sf_dir: str):
+    """Per-user RFM features (Recency / Frequency / Monetary) — the
+    classic behavioral feature-engineering aggregate: per-batch per-user
+    partials (max ts, event count, purchase-value sum) → bucketed
+    hash-partition combine by user → recency computed against the
+    broadcast global max timestamp as whole elapsed days
+    (floor of the microsecond age, matching the oracle's integer
+    division). Everything is mergeable partials; the per-user table is
+    the only materialized state and it is O(users), never O(events)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    ev = _read_events(sf_dir, ("ts", "user_id", "event_type", "value"))
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        pv = b["value"].to_numpy(dtype=np.float64) * (
+            b["event_type"].to_numpy() == "purchase")
+        g = pd.DataFrame({"user_id": b["user_id"], "ts": b["ts"], "pv": pv})
+        return g.groupby("user_id", as_index=False).agg(
+            last_ts=("ts", "max"), frequency=("ts", "size"),
+            monetary=("pv", "sum"))
+
+    per_user = hash_partition_aggregate(
+        ev.map_batches(_partial, batch_format="pandas"),
+        ["user_id"], {"last_ts": ("last_ts", "max"),
+                      "frequency": ("frequency", "sum"),
+                      "monetary": ("monetary", "sum")},
+        num_buckets=32).materialize()
+
+    t_max = pd.concat(
+        [b for b in per_user.map_batches(
+            lambda b: pd.DataFrame({"t": [b["last_ts"].max()]}),
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True)["t"].max()
+    t_us = np.int64(pd.Timestamp(t_max).value // 1000)  # ns -> us
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        age_us = np.int64(t_us) - b["last_ts"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"],
+            "recency_days": (age_us // 86_400_000_000).astype("int64"),
+            "frequency": b["frequency"].astype("int64"),
+            "monetary": round_half_away(b["monetary"].to_numpy(), 4),
+        })
+
+    return per_user.map_batches(_finish, batch_format="pandas")
+
+
 def time_to_convert(sf_dir: str):
     """Per-user conversion latency: seconds from the user's FIRST 'view'
     to their FIRST 'purchase' at-or-after it (users with both only) —

@@ -785,6 +785,103 @@ def decontaminate(sf_dir: str, *, n: int = 8, benchmark_mod: int = 97):
     return docs.map_batches(_flag, batch_format="pandas")
 
 
+def contamination_fraction(sf_dir: str, *, n: int = 8,
+                           benchmark_mod: int = 97):
+    """GPT-3-appendix-style contamination MEASUREMENT (decontaminate's
+    graded sibling): for every doc with at least one word n-gram, the
+    fraction of its DISTINCT n-grams that also occur in the benchmark
+    set (docs with doc_id % benchmark_mod == 0 stand in for the eval
+    suite, exactly as in decontaminate). Benchmark grams are collected
+    once and broadcast; the corpus streams through the scorer — no
+    shuffle. Docs with fewer than n tokens have no grams and are
+    omitted (the SQL oracle's GROUP BY drops them identically)."""
+    import ray
+
+    from ocr_agent_ray.functions.textstats import round_half_away, word_ngrams
+
+    docs = _read_documents(sf_dir)
+
+    bench = docs.map_batches(
+        lambda b: b[b["doc_id"] % benchmark_mod == 0], batch_format="pandas")
+    grams: set = set()
+    for b in bench.iter_batches(batch_format="pandas", batch_size=4096):
+        for text in b["text"]:
+            grams.update(word_ngrams(text, n))
+    ref = ray.put(grams)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        gset = ray.get(ref)
+        ids, tot, hit = [], [], []
+        for did, t in zip(batch["doc_id"], batch["text"]):
+            gs = set(word_ngrams(t, n))
+            if not gs:
+                continue
+            ids.append(did)
+            tot.append(len(gs))
+            hit.append(sum(1 for g in gs if g in gset))
+        tot_a = np.asarray(tot, dtype="int64")
+        hit_a = np.asarray(hit, dtype="int64")
+        return pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "n_grams": tot_a,
+            "n_hits": hit_a,
+            "contamination": round_half_away(
+                hit_a / np.maximum(tot_a, 1), 6),
+        })
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
+def type_token_stats(sf_dir: str):
+    """Per-source lexical-diversity profile: token count, vocabulary size
+    (types), type-token ratio, hapax-legomena count and ratio. Per-batch
+    (word, source) partial counts → bucketed combine keyed by word hash
+    (the vocabulary never sits in one place) → per-bucket fold to tiny
+    (source, n_tokens, n_types, n_hapax) partials → driver combine over
+    ≤ buckets × sources rows. Exact because each (word, source) pair
+    lands in exactly one bucket."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        ex = pd.DataFrame({"source": batch["source"], "word": toks}) \
+            .explode("word").dropna(subset=["word"])
+        return ex.groupby(["word", "source"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    per_ws = hash_partition_aggregate(
+        read_table(sf_dir, "documents", ["source", "text"]).map_batches(
+            _partial, batch_format="pandas"),
+        ["word", "source"], {"n": ("n", "sum")})
+
+    def _source_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"), n_types=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum())))
+
+    parts = per_ws.map_batches(
+        _source_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "ttr": pd.Series(dtype="float64"),
+            "n_hapax": pd.Series(dtype="int64"),
+            "hapax_ratio": pd.Series(dtype="float64"),
+        })
+    out = parts.groupby("source", as_index=False).sum()
+    for c in ("n_tokens", "n_types", "n_hapax"):
+        out[c] = out[c].astype("int64")
+    out["ttr"] = round_half_away(
+        out["n_types"].to_numpy() / out["n_tokens"].to_numpy(), 6)
+    out["hapax_ratio"] = round_half_away(
+        out["n_hapax"].to_numpy() / out["n_types"].to_numpy(), 6)
+    return out[["source", "n_tokens", "n_types", "ttr",
+                "n_hapax", "hapax_ratio"]]
+
+
 def tfidf_top_terms(sf_dir: str, *, k: int = 5):
     """Per-source top-k TF-IDF terms — the classic corpus-weighting
     pipeline, every shuffle bucketed by word:

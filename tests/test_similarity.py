@@ -192,3 +192,39 @@ def test_embedding_outliers_degenerate_labels(ray_session, tmp_path):
             assert np.isfinite(g) and abs(g - w) < 1e-6, (lab, g, w)
         else:
             assert np.isnan(g) and (w is None or np.isnan(w)), (lab, g, w)
+
+
+def test_pca_project_matches_dense_numpy(ray_session):
+    """pca_project (rows-only in the driver gate) vs a dense numpy PCA:
+    same covariance, same top-k eigenvector subspace, same deterministic
+    sign convention (largest-|loading| coordinate positive), projections
+    equal after the shared rounding."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.similarity import pca_project
+
+    sf = "/root/testdata/sf0.001"
+    k = 4
+    got = (pca_project(sf, k=k).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in emb["embedding"]]).astype(np.float64)
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    assert w[order[0]] >= w[order[-1]]  # explained-variance ordering
+    comps = v[:, order]
+    sel = np.argmax(np.abs(comps), axis=0)
+    signs = np.sign(comps[sel, np.arange(k)])
+    signs[signs == 0] = 1.0
+    comps = comps * signs
+    want = (mat - mean) @ comps
+
+    assert len(got) == len(emb)
+    piv = got.set_index("vec_id").loc[emb["vec_id"]]
+    for j in range(k):
+        np.testing.assert_allclose(
+            piv[f"pc{j}"].to_numpy(),
+            round_half_away(want[:, j], 6), atol=2e-6)
