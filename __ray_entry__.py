@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_type_token_stats": text.type_token_stats,
         "q_user_rfm": streaming.user_rfm,
         "q_pca_project": similarity.pca_project,  # rows-only (eigendecomposition; dense-numpy pytest)
+        "q_edit_distance_pairs": relational.edit_distance_pairs,
+        "q_late_supplier_blame": relational.q21_late_supplier_blame,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -2017,6 +2019,29 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value "
             "ELSE 0 END), 4) AS monetary "
             "FROM events GROUP BY user_id"
+        ),
+        "q_edit_distance_pairs": (
+            # the quadratic self-join the FastSS blocking avoids; the
+            # length prefilter only speeds DuckDB up, it cannot change
+            # the answer (|len diff| > 1 forces distance > 1)
+            "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "AND abs(length(a.c_name) - length(b.c_name)) <= 1 "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        ),
+        "q_late_supplier_blame": (
+            "WITH per AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_orderkey, l_suppkey), "
+            "o AS (SELECT l_orderkey, COUNT(*) AS n_supp, "
+            "SUM(late) AS n_late FROM per GROUP BY l_orderkey) "
+            "SELECT p.l_suppkey, CAST(COUNT(*) AS BIGINT) AS waiting_orders "
+            "FROM per p JOIN o USING(l_orderkey) "
+            "WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1 "
+            "GROUP BY p.l_suppkey"
         ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,

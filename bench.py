@@ -195,6 +195,13 @@ QUERY_NAMES = [
     "q_disjunctive_revenue",
     "q_idle_rich_customers",
     "q_dsir_scores",
+    "q_dedup_best_survivor",
+    "q_contamination_fraction",
+    "q_type_token_stats",
+    "q_user_rfm",
+    "q_pca_project",
+    "q_edit_distance_pairs",
+    "q_late_supplier_blame",
 ]
 
 

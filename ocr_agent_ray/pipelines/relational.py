@@ -1995,6 +1995,71 @@ def q4_order_priority_check(sf_dir: str, *, date_lo: str = "1996-01-01",
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q21_late_supplier_blame(sf_dir: str, *, late_days: int = 60):
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted to
+    this schema: a supplier is BLAMED for an order when it shipped a
+    line more than ``late_days`` after the order date, the order has
+    lines from ≥2 distinct suppliers, and NO other supplier in that
+    order was late — the EXISTS + NOT-EXISTS double self-join, the
+    hardest TPC-H join shape. Distributed as: per-(order, supplier)
+    max-shipdate partials (one mergeable fold, never the raw lineitems
+    twice) → one bucket join against the order dates → per-order
+    late/supplier counts from a second keyed fold → qualifying
+    orderkeys flow through a LARGE-LARGE bucketed semi join (no
+    broadcast: at scale the blamed-order set is a constant fraction of
+    orders) → per-supplier count. Columns: l_suppkey, waiting_orders."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join, bucket_semi_join
+
+    per_os = hash_partition_aggregate(
+        read_table(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        ["l_orderkey", "l_suppkey"], {"max_ship": ("l_shipdate", "max")})
+
+    odates = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    joined = bucket_hash_join(per_os, odates, on="l_orderkey")
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["max_ship"] > b["o_orderdate"]
+                + pd.Timedelta(days=late_days))
+        return pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "late": late.to_numpy().astype("int64"),
+        })
+
+    flags = joined.map_batches(
+        _flag, batch_format="pandas", batch_size=65536).materialize()
+
+    per_order = hash_partition_aggregate(
+        flags, ["l_orderkey"],
+        {"n_supp": ("late", "count"), "n_late": ("late", "sum")})
+    qual = per_order.map_batches(
+        lambda b: b.loc[(b["n_supp"] >= 2) & (b["n_late"] == 1),
+                        ["l_orderkey"]],
+        batch_format="pandas")
+
+    late_rows = flags.map_batches(
+        lambda b: b.loc[b["late"] == 1, ["l_orderkey", "l_suppkey"]],
+        batch_format="pandas")
+    blamed = bucket_semi_join(late_rows, qual, on="l_orderkey")
+
+    out = hash_partition_aggregate(
+        blamed, ["l_suppkey"],
+        {"waiting_orders": ("l_orderkey", "count")}, num_buckets=8)
+
+    def _typed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "waiting_orders": b["waiting_orders"].astype("int64")})
+
+    return out.map_batches(_typed, batch_format="pandas")
+
+
 def q14_promo_revenue(sf_dir: str, *, date_lo: str = "1997-01-01",
                       date_hi: str = "1997-03-01"):
     """TPC-H Q14 shape: promotion revenue share — 100 × promo revenue /
@@ -2154,6 +2219,144 @@ def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
 
     return key_map_groups(cust, _pairs, key_col="c_nationkey",
                           num_buckets=8)
+
+
+def edit_distance_pairs(sf_dir: str):
+    """Levenshtein≤1 fuzzy self-join via FastSS deletion neighborhoods
+    (Bocek et al. 2007) — the edit-distance sibling of the MinHash
+    family: two names are within edit distance 1 iff their deletion-1
+    neighborhoods intersect, so each name emits len+1 64-bit variant
+    hashes (identity + every single-char deletion, computed WITHOUT
+    materializing variant strings: one prefix/suffix polynomial-hash
+    pass over the batch's padded byte matrix), candidates co-locate in
+    ONE hash exchange, and the exact distance is verified vectorized
+    per bucket (equal length → Hamming≤1; length diff 1 → common prefix
+    + common suffix covers the shorter). Hash collisions merely merge
+    groups (verification is exact); a pair surfacing in several groups
+    dedups through a keyed min-combine. Neighborhood size is O(len) per
+    row, so the exchange carries ~len× the name table — bounded, and
+    never the quadratic cross join the oracle runs."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import _splitmix64
+
+    num_buckets = 32
+    P = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+    def _byte_matrix(names: np.ndarray):
+        enc = [n.encode("utf-8") for n in names]
+        width = max((len(e) for e in enc), default=1)
+        mat = np.frombuffer(
+            b"".join(e.ljust(width, b"\x00") for e in enc),
+            dtype=np.uint8).reshape(len(enc), width)
+        lens = np.asarray([len(e) for e in enc], dtype=np.int64)
+        return mat, lens
+
+    def _variants(batch: pd.DataFrame) -> pd.DataFrame:
+        names = batch["c_name"].to_numpy()
+        keys = batch["c_custkey"].to_numpy(dtype=np.int64)
+        if not len(names):
+            return pd.DataFrame({
+                "vb": pd.Series(dtype="int64"),
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object")})
+        mat, lens = _byte_matrix(names)
+        n, w = mat.shape
+        m64 = mat.astype(np.uint64)
+        pw = np.empty(w, dtype=np.uint64)  # P^i (mod 2^64)
+        pw[0] = np.uint64(1)
+        for i in range(1, w):
+            pw[i] = pw[i - 1] * P
+        term = m64 * pw[None, :]                       # b_i · P^i
+        pref = np.zeros((n, w + 1), dtype=np.uint64)   # Σ_{i<d} b_i·P^i
+        np.cumsum(term, axis=1, out=pref[:, 1:])
+        # Σ_{i>d} b_i·P^{i-1}: shift-weighted suffix sums
+        term_dn = m64[:, 1:] * pw[None, :-1]
+        suf = np.zeros((n, w + 1), dtype=np.uint64)
+        suf[:, 1:w] = term_dn[:, ::-1].cumsum(axis=1)[:, ::-1]
+        # identity variant (distance-0 deletion) + one per position
+        full = pref[:, w] + np.uint64(0x9E3779B9) * lens.astype(np.uint64)
+        out_k, out_c, out_n = [full], [keys], [names]
+        for d in range(w):
+            live = lens > d
+            if not live.any():
+                break
+            h = (pref[live, d] + suf[live, d + 1]
+                 + np.uint64(0x9E3779B9) * (lens[live] - 1).astype(np.uint64))
+            out_k.append(h)
+            out_c.append(keys[live])
+            out_n.append(names[live])
+        vk = _splitmix64(np.concatenate(out_k))
+        return pd.DataFrame({
+            "vb": (vk % np.uint64(num_buckets)).astype(np.int64),
+            "vkey": vk.view(np.int64),
+            "c_custkey": np.concatenate(out_c),
+            "c_name": np.concatenate(out_n),
+        })
+
+    def _verify(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "custkey_a": pd.Series(dtype="int64"),
+            "custkey_b": pd.Series(dtype="int64"),
+            "edit_dist": pd.Series(dtype="int64")})
+        if len(bucket) < 2:
+            return empty
+        b = bucket.sort_values(["vkey", "c_custkey"]).reset_index(drop=True)
+        vk = b["vkey"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, vk[1:] != vk[:-1]])
+        sizes = np.diff(np.r_[starts, len(vk)])
+        ii, jj = [], []
+        for s, g in zip(starts[sizes > 1], sizes[sizes > 1]):
+            loc_i, loc_j = np.triu_indices(g, k=1)
+            ii.append(loc_i + s)
+            jj.append(loc_j + s)
+        if not ii:
+            return empty
+        i = np.concatenate(ii)
+        j = np.concatenate(jj)
+        keys = b["c_custkey"].to_numpy(dtype=np.int64)
+        keep0 = keys[i] != keys[j]  # same name met through 2 variants
+        i, j = i[keep0], j[keep0]
+        if not len(i):
+            return empty
+        mat, lens = _byte_matrix(b["c_name"].to_numpy())
+        w = mat.shape[1]
+        dL = lens[i] - lens[j]
+        near = np.abs(dL) <= 1
+        i, j, dL = i[near], j[near], dL[near]
+        if not len(i):
+            return empty
+        eq = mat[i] == mat[j]
+        same_len = dL == 0
+        ham = w - eq.sum(axis=1)
+        # right-justified matrix for the common-suffix length
+        rows = np.arange(len(mat))[:, None]
+        cols = (w - lens)[:, None] + np.arange(w)[None, :]
+        mask = np.arange(w)[None, :] < lens[:, None]
+        matR = np.zeros_like(mat)
+        matR[np.broadcast_to(rows, mat.shape)[mask], cols[mask]] = mat[mask]
+        eqR = matR[i] == matR[j]
+        pref_len = np.argmin(eq, axis=1)        # first mismatch from left
+        suf_len = np.argmin(eqR[:, ::-1], axis=1)
+        shorter = np.minimum(lens[i], lens[j])
+        ok = np.where(same_len, ham <= 1, pref_len + suf_len >= shorter)
+        dist = np.where(same_len, ham, 1).astype(np.int64)
+        i, j, dist = i[ok], j[ok], dist[ok]
+        a = np.minimum(keys[i], keys[j])
+        c = np.maximum(keys[i], keys[j])
+        return pd.DataFrame({"custkey_a": a, "custkey_b": c,
+                             "edit_dist": dist})
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = bucket_map_groups(
+        cust.map_batches(_variants, batch_format="pandas",
+                         batch_size=65536),
+        _verify, bucket_col="vb", num_buckets=num_buckets)
+    # a pair can surface under several shared variants (and buckets):
+    # keyed min-combine = global distinct
+    return hash_partition_aggregate(
+        pairs, ["custkey_a", "custkey_b"],
+        {"edit_dist": ("edit_dist", "min")}, num_buckets=8)
 
 
 def customer_order_gap_days(sf_dir: str):
