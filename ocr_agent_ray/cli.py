@@ -207,12 +207,39 @@ def cmd_query(args) -> int:
 
         ray.shutdown()
         return 0
-    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     if args.output:
-        df.to_parquet(args.output, index=False)
-        print(json.dumps({"query": args.name, "rows": len(df),
+        # stream Dataset results to parquet — the result of e.g. a dedup
+        # APPLICATION is corpus-sized and must never sit in driver pandas
+        if isinstance(res, pd.DataFrame):
+            res.to_parquet(args.output, index=False)
+            n = len(res)
+        elif args.output.endswith(".parquet"):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            writer, n = None, 0
+            for b in res.iter_batches(batch_format="pyarrow",
+                                      batch_size=None):
+                if writer is None:
+                    writer = pq.ParquetWriter(args.output, b.schema)
+                writer.write_table(b)
+                n += len(b)
+            if writer is None:  # empty result: typed empty file
+                schema = res.schema().base_schema
+                pq.write_table(pa.Table.from_arrays(
+                    [pa.array([], f.type) for f in schema], schema=schema),
+                    args.output)
+            else:
+                writer.close()
+        else:  # directory → distributed partitioned write
+            import pyarrow.dataset as pads
+
+            res.write_parquet(args.output)
+            n = pads.dataset(args.output).count_rows()  # metadata-only
+        print(json.dumps({"query": args.name, "rows": n,
                           "output": args.output}))
     else:
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         head = df.head(args.limit)
         print(head.to_json(orient="records", lines=True,
                            date_format="iso"))

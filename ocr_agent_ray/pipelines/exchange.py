@@ -59,17 +59,34 @@ import pyarrow as pa
 # finishes in milliseconds-to-seconds. Every wave therefore registers a
 # holder here with a generous time-to-live (far beyond any plausible
 # resolution lag), and one supervised reaper thread drops expired pins.
-# The reaper deliberately NEVER touches the Ray API: a background-thread
-# ray.wait racing ray.shutdown() is a fatal core-worker access (observed
-# killing flagship-only bench sub-runs when shutdown followed the last
-# exchange wave within the poll interval) — time-based expiry has no such
-# race and needs no error handling. This replaces round-3's one unjoined
+# The reaper deliberately NEVER touches the Ray API — and dropping an
+# ObjectRef IS a Ray API access (ObjectRef.__del__ calls the core worker's
+# reference counter, a fatal 'core worker already shutdown' abort if
+# ray.shutdown() already ran: observed killing the full bench when the
+# last waves' pins expired ~TTL after the final query, exactly as
+# shutdown completed). The reaper therefore only MOVES expired holders to
+# a graveyard; the destructor-running drop happens exclusively on the
+# MAIN thread, drained at the next exchange call while Ray is live. If no
+# further exchange runs, the graveyard persists to interpreter exit —
+# bounded (the final waves' shards only) and safe: refs freed during
+# interpreter finalization have never aborted, unlike a live thread
+# dropping them post-shutdown. This replaces round-3's one unjoined
 # daemon thread per wave.
 # ---------------------------------------------------------------------------
 _PIN_LOCK = threading.Lock()
 _PIN_ENTRIES: list[list] = []  # [expires_at_monotonic, holder]
+_EXPIRED_HOLDERS: list = []    # dropped ONLY from the main thread
 _REAPER_STARTED = False
 _PIN_TTL_SEC = 120.0  # submission resolution is ms-scale; 120 s is slack
+
+
+def _drain_expired() -> None:
+    """Run expired holders' ObjectRef destructors on the CALLER's thread
+    (every call site is main-thread pipeline code with Ray live)."""
+    with _PIN_LOCK:
+        dead = _EXPIRED_HOLDERS[:]
+        _EXPIRED_HOLDERS.clear()
+    del dead
 
 
 def _pin_until_complete(refs, holder) -> None:
@@ -78,6 +95,7 @@ def _pin_until_complete(refs, holder) -> None:
     clarity; expiry is time-based (see the registry note above)."""
     global _REAPER_STARTED
     del refs  # lifetime beyond submission is owned by Ray's ref counting
+    _drain_expired()
     with _PIN_LOCK:
         _PIN_ENTRIES.append([time.monotonic() + _PIN_TTL_SEC, holder])
         if not _REAPER_STARTED:
@@ -90,7 +108,10 @@ def _reap_loop() -> None:
     while True:
         now = time.monotonic()
         with _PIN_LOCK:
-            _PIN_ENTRIES[:] = [e for e in _PIN_ENTRIES if e[0] > now]
+            live = [e for e in _PIN_ENTRIES if e[0] > now]
+            _EXPIRED_HOLDERS.extend(
+                e[1] for e in _PIN_ENTRIES if e[0] <= now)
+            _PIN_ENTRIES[:] = live
         time.sleep(1.0)
 
 

@@ -2235,7 +2235,10 @@ def edit_distance_pairs(sf_dir: str):
     groups (verification is exact); a pair surfacing in several groups
     dedups through a keyed min-combine. Neighborhood size is O(len) per
     row, so the exchange carries ~len× the name table — bounded, and
-    never the quadratic cross join the oracle runs."""
+    never the quadratic cross join the oracle runs. Caveat (standard
+    FastSS): very short strings (≲2 chars) collapse into dense variant
+    blocks — apply a length floor or a q-gram prefilter for such
+    corpora; TPC-H-style keys/names are comfortably long."""
     from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
     from ocr_agent_ray.pipelines.exchange import bucket_map_groups
     from ocr_agent_ray.pipelines.joins import _splitmix64
@@ -2245,7 +2248,7 @@ def edit_distance_pairs(sf_dir: str):
 
     def _byte_matrix(names: np.ndarray):
         enc = [n.encode("utf-8") for n in names]
-        width = max((len(e) for e in enc), default=1)
+        width = max(max((len(e) for e in enc), default=1), 1)
         mat = np.frombuffer(
             b"".join(e.ljust(width, b"\x00") for e in enc),
             dtype=np.uint8).reshape(len(enc), width)

@@ -69,3 +69,32 @@ def test_cli_query_subcommand(tmp_path):
     import pandas as pd
 
     assert len(pd.read_parquet(pq_path)) > 0
+
+    # Dataset-returning query → single .parquet must STREAM through the
+    # ParquetWriter (never driver pandas), directory output must be the
+    # distributed write_parquet; both report the true row count
+    ds_file = str(tmp_path / "ds.parquet")
+    out = subprocess.run(
+        [sys.executable, "-m", "ocr_agent_ray.cli", "query",
+         "q_quality_scores", "--sf-dir", "/root/testdata/sf0.001",
+         "--num-cpus", "4", "--output", ds_file],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    n_file = len(pd.read_parquet(ds_file))
+    assert n_file > 0
+    rep = json.loads([l for l in out.stdout.strip().splitlines()
+                      if l.startswith("{")][-1])
+    assert rep["rows"] == n_file
+
+    ds_dir = str(tmp_path / "ds_out")
+    out = subprocess.run(
+        [sys.executable, "-m", "ocr_agent_ray.cli", "query",
+         "q_quality_scores", "--sf-dir", "/root/testdata/sf0.001",
+         "--num-cpus", "4", "--output", ds_dir],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(ds_dir).count_rows() == n_file

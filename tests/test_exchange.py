@@ -402,3 +402,44 @@ def test_shutdown_immediately_after_wave_is_clean():
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "CLEAN-EXIT" in proc.stdout
+
+
+def test_pin_expiry_after_shutdown_is_clean():
+    """Regression for the round-4 FULL-bench crash: the process outlives
+    the pin TTL after ray.shutdown() (last waves' pins expire while the
+    driver is formatting output). The reaper must not run ObjectRef
+    destructors from its thread — that is a core-worker access and a
+    fatal abort post-shutdown; expired holders move to a graveyard that
+    only the main thread drains. Runs in a subprocess (own Ray session,
+    and the crash kills the process)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import time
+        import ray, pandas as pd
+        import ray.data as rd
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR")
+        from ocr_agent_ray.serialization import register_for_ray_workers
+        register_for_ray_workers()
+        from ocr_agent_ray.pipelines import exchange as ex
+        ex._PIN_TTL_SEC = 1.0   # expire fast so the window opens
+        df = pd.DataFrame({"k": list(range(2000))})
+        base = rd.from_pandas(df).map_batches(
+            lambda b: b.assign(__b=(b["k"] % 4).astype("int64")),
+            batch_format="pandas").materialize()
+        out = ex.exchange_shards(base, bucket_col="__b", num_buckets=4,
+                                 mode="direct").reduce(
+            lambda g: pd.DataFrame({"n": [len(g)]}))
+        assert int(out.to_pandas()["n"].sum()) == 2000
+        ray.shutdown()
+        time.sleep(4)        # pins expire NOW, with Ray gone; the old
+        assert True          # reaper dropped refs here -> fatal abort
+        print("CLEAN-EXIT")
+    """)
+    proc = subprocess.run([sys.executable, "-c", code], cwd="/root/repo",
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CLEAN-EXIT" in proc.stdout
