@@ -202,6 +202,7 @@ QUERY_NAMES = [
     "q_pca_project",
     "q_edit_distance_pairs",
     "q_late_supplier_blame",
+    "q_knn_graph",
 ]
 
 

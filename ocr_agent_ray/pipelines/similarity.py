@@ -255,6 +255,96 @@ def knn_ivf(sf_dir: str, *, k: int = 5, num_queries: int = 8,
         _final, key_col="query_id", num_buckets=16)
 
 
+def knn_graph_ivf(sf_dir: str, *, k: int = 5, num_lists: int = 16,
+                  nprobe: int = 8):
+    """Approximate kNN GRAPH — top-k cosine neighbors for EVERY vector,
+    the building block under SemDeDup pruning, kNN classification and
+    graph-based dedup. The exact graph is inherently O(n²); the scale
+    path blocks it with the same IVF layout as ``knn_ivf``: every vector
+    lands in ONE member bucket (its nearest of ``num_lists`` sampled
+    centroids) and probes its ``nprobe`` closest lists as a query, so
+    each bucket runs one local (queries × members) matmul and the
+    all-pairs product never happens (work ≈ n²·nprobe/num_lists, spread
+    across buckets; at 100 TB each list is a partition family). Local
+    top-k is deterministic: bucket members sort by vec_id, stable
+    argsort breaks cosine ties by id. A second keyed reduce merges each
+    vector's ≤ nprobe×k candidates (lists are disjoint, so no duplicate
+    neighbors) into the global top-k. Rows-only (approximate by design);
+    recall vs the exact brute-force graph and cross-run determinism are
+    pytest-asserted."""
+    import ray
+
+    cent = _ivf_centroids(sf_dir, num_lists)
+    ref = ray.put(cent)
+
+    def _route(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"list_id": pd.Series(dtype="int64"),
+                                 "role": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "embedding": pd.Series(dtype="object")})
+        c = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(dtype=np.int64)
+        unit = _unit(np.stack(batch["embedding"].to_numpy()))
+        order = np.argsort(-(unit @ c.T), axis=1)[:, :nprobe]  # (n, nprobe)
+        # plain lists → arrow list<double>: an object column of np arrays
+        # triggers Ray's tensor-extension re-encoding (NOTES.md gotcha)
+        emb = pd.Series([v.tolist() for v in unit], dtype="object")
+        frames = [pd.DataFrame({  # member: the nearest list only
+            "list_id": order[:, 0], "role": 0, "vec_id": ids,
+            "embedding": emb})]
+        for r in range(nprobe):  # query: all probed lists (incl. its own)
+            frames.append(pd.DataFrame({
+                "list_id": order[:, r], "role": 1, "vec_id": ids,
+                "embedding": emb}))
+        return pd.concat(frames, ignore_index=True)
+
+    def _local_topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "nbr_id": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        mem = bucket[bucket["role"] == 0].sort_values("vec_id")
+        qry = bucket[bucket["role"] == 1]
+        if mem.empty or qry.empty:
+            return empty
+        m_ids = mem["vec_id"].to_numpy(dtype=np.int64)
+        m_mat = np.stack(mem["embedding"].to_numpy())
+        q_ids = qry["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qry["embedding"].to_numpy())
+        s = q_mat @ m_mat.T
+        s[q_ids[:, None] == m_ids[None, :]] = -np.inf  # mask self
+        # members are vec_id-sorted, so a stable argsort of -s breaks
+        # cosine ties by neighbor id — deterministic local cut
+        top = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(len(q_ids)), top.shape[1])
+        cols = top.ravel()
+        keep = np.isfinite(s[rows, cols])
+        return pd.DataFrame({
+            "vec_id": q_ids[rows[keep]],
+            "nbr_id": m_ids[cols[keep]],
+            "cosine": s[rows[keep], cols[keep]],
+        })
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "nbr_id"],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].astype("int64"),
+            "nbr_id": g["nbr_id"].astype("int64"),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cosine": np.round(g["cosine"].to_numpy(), 6),
+        })
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    routed = _read_embeddings(sf_dir).map_batches(
+        _route, batch_format="pandas", batch_size=65536)
+    local = bucket_map_groups(routed, _local_topk, bucket_col="list_id",
+                              num_buckets=num_lists)
+    return key_map_groups(local, _merge, key_col="vec_id", num_buckets=16)
+
+
 def _pq_train_sample(sf_dir: str, m: int, codebook_k: int,
                      sample_rows: int = 4096, iters: int = 8):
     """Train the m sub-space PQ codebooks on the same pruned sample read

@@ -228,3 +228,46 @@ def test_pca_project_matches_dense_numpy(ray_session):
         np.testing.assert_allclose(
             piv[f"pc{j}"].to_numpy(),
             round_half_away(want[:, j], 6), atol=2e-6)
+
+
+def test_knn_graph_ivf_recall_and_determinism(ray_session):
+    """knn_graph_ivf (rows-only): recall vs the exact O(n²) brute-force
+    kNN graph must be high on the clustered test embeddings, every
+    reported cosine must equal the exact pairwise cosine, and two runs
+    must be byte-identical (stable tie-breaks end to end)."""
+    from ocr_agent_ray.pipelines.similarity import knn_graph_ivf
+
+    sf = "/root/testdata/sf0.001"
+    k = 5
+    got = (knn_graph_ivf(sf, k=k).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+
+    exact = {}
+    for r, vid in enumerate(ids):
+        order = np.lexsort((ids, -sims[r]))[:k]
+        exact[int(vid)] = {int(ids[j]) for j in order}
+
+    hits = total = 0
+    id_row = {int(v): r for r, v in enumerate(ids)}
+    for vid, sub in got.groupby("vec_id"):
+        assert len(sub) <= k
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        for nbr, cos in zip(sub["nbr_id"], sub["cosine"]):
+            true_cos = sims[id_row[int(vid)], id_row[int(nbr)]]
+            assert abs(cos - true_cos) < 1e-5  # scores are exact
+        hits += len(set(sub["nbr_id"].astype(int)) & exact[int(vid)])
+        total += k
+    assert len(got["vec_id"].unique()) == len(ids)  # every vector covered
+    recall = hits / total
+    assert recall >= 0.8, f"recall {recall:.3f}"
+
+    again = (knn_graph_ivf(sf, k=k).to_pandas()
+             .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, again)
