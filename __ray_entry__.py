@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_edit_distance_pairs": relational.edit_distance_pairs,
         "q_late_supplier_blame": relational.q21_late_supplier_blame,
         "q_knn_graph": similarity.knn_graph_ivf,  # rows-only (approximate ANN graph; recall pytest)
+        "q_quality_classifier": text.quality_classifier_scores,  # rows-only (iterative GD; dense-numpy pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -2047,5 +2048,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
         # q_flagship_span_counts, q_topk_sketch, q_pack_sequences,
-        # q_pca_project, q_knn_graph
+        # q_pca_project, q_knn_graph, q_quality_classifier
     }

@@ -203,6 +203,7 @@ QUERY_NAMES = [
     "q_edit_distance_pairs",
     "q_late_supplier_blame",
     "q_knn_graph",
+    "q_quality_classifier",
 ]
 
 

@@ -1599,6 +1599,111 @@ def bpe_compression_stats(sf_dir: str, *, n_merges: int = 20):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def quality_classifier_scores(sf_dir: str, *, iters: int = 10,
+                              lr: float = 3.0):
+    """Distributed logistic-regression quality classifier — the
+    CCNet/GPT-3-style learned quality filter, here distilling the Gopher
+    rule (labels = gopher keep flag) from its own numeric signals. The
+    distributed-iterative-ML shape alongside k-means and PageRank:
+
+    - features materialize ONCE (doc_id, 6 signals, label) and serve
+      every pass from the object store;
+    - standardization params come from one (Σx, Σx², n) moments fold;
+    - each full-batch GD iteration broadcasts w (ray.put) and folds
+      per-block gradient/loss partials — the driver combines
+      blocks × (dim+2) floats per iteration, never rows, and sorts
+      partials by a block key so the float combine is deterministic;
+    - one streaming scoring pass emits (doc_id, prob, pred, label).
+
+    Not SQL-expressible (iterative optimization) → rows-only driver
+    check; pytest replicates the exact GD densely in numpy (same
+    standardization, same schedule) and asserts weight/prob parity,
+    decreasing loss, and accuracy ≥ 0.8 against the rule labels."""
+    import ray
+
+    from ocr_agent_ray.functions.textstats import (gopher_features,
+                                                   round_half_away)
+
+    fcols = ["f_log_words", "f_mean_word_len", "f_symbol", "f_bullet",
+             "f_ellipsis", "f_alpha"]
+
+    def _feat(b: pd.DataFrame) -> pd.DataFrame:
+        g = gopher_features(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "f_log_words": np.log1p(g["n_words"].to_numpy(np.float64)),
+            "f_mean_word_len": g["mean_word_len"].to_numpy(np.float64),
+            "f_symbol": g["symbol_ratio"].to_numpy(np.float64),
+            "f_bullet": g["bullet_ratio"].to_numpy(np.float64),
+            "f_ellipsis": g["ellipsis_ratio"].to_numpy(np.float64),
+            "f_alpha": g["alpha_word_ratio"].to_numpy(np.float64),
+            "y": g["keep"].to_numpy().astype("int64"),
+        })
+
+    feats = _read_documents(sf_dir).map_batches(
+        _feat, batch_format="pandas", batch_size=65536).materialize()
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[fcols].to_numpy(np.float64)
+        return pd.DataFrame({
+            "key": [int(b["doc_id"].min())], "n": [len(b)],
+            "sx": [x.sum(axis=0).tolist()],
+            "sxx": [(x * x).sum(axis=0).tolist()]})
+
+    mom = pd.concat(
+        [b for b in feats.map_batches(_moments, batch_format="pandas")
+         .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).sort_values("key")
+    n_tot = int(mom["n"].sum())
+    sx = np.sum(np.stack(mom["sx"].to_numpy()), axis=0)
+    sxx = np.sum(np.stack(mom["sxx"].to_numpy()), axis=0)
+    mean = sx / n_tot
+    var = sxx / n_tot - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    std[std == 0] = 1.0
+
+    dim = len(fcols)
+    w = np.zeros(dim + 1, dtype=np.float64)  # [bias, w_1..w_dim]
+    for _ in range(iters):
+        ref = ray.put((mean, std, w))
+
+        def _grad(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            m, s, wt = ray.get(_ref)
+            x = (b[fcols].to_numpy(np.float64) - m) / s
+            y = b["y"].to_numpy(np.float64)
+            z = wt[0] + x @ wt[1:]
+            p = 1.0 / (1.0 + np.exp(-z))
+            resid = p - y
+            g = np.concatenate(([resid.sum()], x.T @ resid))
+            loss = float(np.sum(np.log1p(np.exp(-np.abs(z)))
+                                + np.where(z > 0, z * (1 - y), -z * y)))
+            return pd.DataFrame({
+                "key": [int(b["doc_id"].min())],
+                "g": [g.tolist()], "loss": [loss], "n": [len(b)]})
+
+        parts = pd.concat(
+            [b for b in feats.map_batches(_grad, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=None)],
+            ignore_index=True).sort_values("key")
+        grad = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
+        w = w - lr * grad / n_tot
+
+    sref = ray.put((mean, std, w))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        m, s, wt = ray.get(sref)
+        x = (b[fcols].to_numpy(np.float64) - m) / s
+        p = 1.0 / (1.0 + np.exp(-(wt[0] + x @ wt[1:])))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "prob": round_half_away(p, 6),
+            "pred": (p >= 0.5).astype("int64"),
+            "label": b["y"].astype("int64"),
+        })
+
+    return feats.map_batches(_score, batch_format="pandas")
+
+
 def dsir_scores(sf_dir: str, *, target_lang: str = "en",
                 num_buckets: int = 256):
     """DSIR-style data selection with importance resampling scores

@@ -418,3 +418,59 @@ def test_dsir_scores_orders_target_like_docs(ray_session, tmp_path):
     assert out.loc[900, "dsir_score"] > 0 > out.loc[901, "dsir_score"]
     assert out.loc[900, "n_tokens"] == 5 and out.loc[901, "n_tokens"] == 5
     assert len(out) == len(rows)
+
+
+def test_quality_classifier_matches_dense_gd(ray_session):
+    """quality_classifier_scores (rows-only): the distributed full-batch
+    GD must match an identical dense numpy GD (same standardization,
+    same schedule) on probabilities, the loss must decrease, and the
+    learned classifier must recover the Gopher rule labels well."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import (gopher_features,
+                                                   round_half_away)
+    from ocr_agent_ray.pipelines.text import quality_classifier_scores
+
+    sf = "/root/testdata/sf0.001"
+    iters, lr = 10, 3.0
+    got = (quality_classifier_scores(sf, iters=iters, lr=lr).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    g = gopher_features(docs["text"])
+    x = np.column_stack([
+        np.log1p(g["n_words"].to_numpy(np.float64)),
+        g["mean_word_len"].to_numpy(np.float64),
+        g["symbol_ratio"].to_numpy(np.float64),
+        g["bullet_ratio"].to_numpy(np.float64),
+        g["ellipsis_ratio"].to_numpy(np.float64),
+        g["alpha_word_ratio"].to_numpy(np.float64),
+    ])
+    y = g["keep"].to_numpy().astype(np.float64)
+    mean = x.mean(axis=0)
+    var = (x * x).mean(axis=0) - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    std[std == 0] = 1.0
+    xs = (x - mean) / std
+    n = len(y)
+    w = np.zeros(x.shape[1] + 1)
+    losses = []
+    for _ in range(iters):
+        z = w[0] + xs @ w[1:]
+        p = 1.0 / (1.0 + np.exp(-z))
+        losses.append(float(np.sum(
+            np.log1p(np.exp(-np.abs(z)))
+            + np.where(z > 0, z * (1 - y), -z * y))))
+        grad = np.concatenate(([np.sum(p - y)], xs.T @ (p - y)))
+        w = w - lr * grad / n
+    prob = 1.0 / (1.0 + np.exp(-(w[0] + xs @ w[1:])))
+
+    assert len(got) == n
+    assert losses[-1] < losses[0]  # GD made progress
+    np.testing.assert_allclose(
+        got["prob"].to_numpy(), round_half_away(prob, 6), atol=2e-6)
+    assert (got["label"].to_numpy() == y.astype(np.int64)).all()
+    acc = (got["pred"].to_numpy() == got["label"].to_numpy()).mean()
+    assert acc >= 0.8, f"accuracy {acc:.3f}"
