@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_supplier_blame": relational.q21_late_supplier_blame,
         "q_knn_graph": similarity.knn_graph_ivf,  # rows-only (approximate ANN graph; recall pytest)
         "q_quality_classifier": text.quality_classifier_scores,  # rows-only (iterative GD; dense-numpy pytest)
+        # --- round-4 fourth-session additions: the last five TPC-H
+        # shapes (completing all 22) + the stream-stream interval join
+        "q_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q_important_parts": relational.q11_important_parts,
+        "q_returnflag_priority": relational.q12_returnflag_priority,
+        "q_supplier_cnt_by_part": relational.q16_supplier_cnt_by_part,
+        "q_dominant_suppliers": relational.q20_dominant_suppliers,
+        "q_views_before_purchase": streaming.views_before_purchase,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -2044,6 +2052,85 @@ def oracle_sql() -> dict[str, str]:
             "FROM per p JOIN o USING(l_orderkey) "
             "WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1 "
             "GROUP BY p.l_suppkey"
+        ),
+        "q_min_cost_supplier": (
+            # Q2 shape: correlated MIN — both sides' mins select members
+            # of the same per-(part,supp) value set, so c = m is exact
+            "WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "cost AS (SELECT l_partkey, l_suppkey, "
+            "MIN(l_extendedprice / l_quantity) AS c FROM lineitem "
+            "JOIN eu ON l_suppkey = s_suppkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_type = 'STANDARD' GROUP BY 1, 2), "
+            "mc AS (SELECT l_partkey, MIN(c) AS m FROM cost GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, "
+            "cost.l_partkey AS p_partkey, ROUND(c, 6) AS unit_cost "
+            "FROM cost JOIN mc USING (l_partkey) "
+            "JOIN eu ON cost.l_suppkey = eu.s_suppkey WHERE c = m"
+        ),
+        "q_important_parts": (
+            # Q11 shape: HAVING > multiple × fair share of a global
+            # scalar; both sides sum the SAME per-part values and the
+            # nearest part sits >100 absolute from the threshold
+            "WITH pp AS (SELECT l_partkey, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS v FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' GROUP BY 1) "
+            "SELECT l_partkey, ROUND(v, 4) AS value FROM pp "
+            "WHERE v > 2.0 * (SELECT SUM(v) FROM pp) "
+            "/ (SELECT COUNT(*) FROM pp)"
+        ),
+        "q_returnflag_priority": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority NOT IN "
+            "('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1998-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "GROUP BY l_returnflag"
+        ),
+        "q_supplier_cnt_by_part": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 2000.0) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        "q_dominant_suppliers": (
+            # Q20 shape: quantities are integral doubles, so the
+            # share-of-total comparison is the same FP op on both sides
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "SUM(l_quantity) AS q FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_name LIKE '%widget%' GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, SUM(q) AS t FROM ps GROUP BY 1) "
+            "SELECT DISTINCT s.s_suppkey, s.s_name FROM ps "
+            "JOIN tot USING (l_partkey) "
+            "JOIN supplier s ON ps.l_suppkey = s.s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'AMERICA' AND q > 0.1 * t"
+        ),
+        "q_views_before_purchase": (
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_views, "
+            "CAST(date_diff('microsecond', MAX(v.ts), p.ts) AS BIGINT) "
+            "AS last_gap_us "
+            "FROM events p JOIN events v ON v.user_id = p.user_id "
+            "AND v.event_type = 'view' AND v.ts < p.ts "
+            "AND v.ts >= p.ts - INTERVAL 360 MINUTE "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id, p.user_id, p.ts"
         ),
         # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,

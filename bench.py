@@ -204,6 +204,12 @@ QUERY_NAMES = [
     "q_late_supplier_blame",
     "q_knn_graph",
     "q_quality_classifier",
+    "q_min_cost_supplier",
+    "q_important_parts",
+    "q_returnflag_priority",
+    "q_supplier_cnt_by_part",
+    "q_dominant_suppliers",
+    "q_views_before_purchase",
 ]
 
 

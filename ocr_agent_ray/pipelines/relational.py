@@ -2911,3 +2911,288 @@ def q22_idle_rich_customers(sf_dir: str, *,
     out["totacctbal"] = round_half_away(out["totacctbal"], 2)
     return out[["n_name", "numcust", "totacctbal"]] \
         .sort_values("n_name").reset_index(drop=True)
+
+
+# --- the last five TPC-H shapes (Q2 / Q11 / Q12 / Q16 / Q20), restated
+# over the available columns (this schema ships no partsupp table and no
+# l_shipmode, so lineitem doubles as the part-supplier catalog) ---------
+
+
+def _region_supplier_dim(sf_dir: str, region: str) -> pd.DataFrame:
+    """supplier ⋈ nation ⋈ region broadcast dimension: one row per
+    supplier in ``region`` with (s_suppkey, s_name, s_acctbal, n_name).
+    Suppliers are a dimension table (TPC-H: 0.01% of lineitem rows), so
+    the broadcast stays driver-safe at any scale the fact side hits."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = nat.merge(reg[reg["r_name"] == region],
+                    left_on="n_regionkey", right_on="r_regionkey")
+    return sup.merge(nat[["n_nationkey", "n_name"]],
+                     left_on="s_nationkey", right_on="n_nationkey")
+
+
+def q2_min_cost_supplier(sf_dir: str, *, region: str = "EUROPE",
+                         p_type: str = "STANDARD"):
+    """TPC-H Q2 shape (min-cost supplier, the correlated-MIN subquery):
+    for every part of ``p_type``, the supplier(s) in ``region`` whose
+    unit cost — MIN(l_extendedprice / l_quantity) over their shipments,
+    the ps_supplycost analog — equals the part's regional minimum.
+    Distributed as: broadcast region-supplier + part-type prefilters on
+    the pruned lineitem scan → per-(part, supplier) min fold → per-part
+    min fold → one bucket join back on partkey → float-exact equality
+    (both mins select members of the same value set, so == is safe).
+    Columns: s_acctbal, s_name, n_name, p_partkey, unit_cost."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    dim = _region_supplier_dim(sf_dir, region)
+    supp_keys = set(dim["s_suppkey"])
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part_keys = set(part.loc[part["p_type"] == p_type, "p_partkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_quantity"])
+
+    def _unit_cost(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_suppkey"].isin(supp_keys)
+              & b["l_partkey"].isin(part_keys)]
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"],
+            "l_suppkey": b["l_suppkey"],
+            "unit_cost": b["l_extendedprice"] / b["l_quantity"],
+        })
+
+    per_ps = hash_partition_aggregate(
+        li.map_batches(_unit_cost, batch_format="pandas",
+                       batch_size=65536),
+        ["l_partkey", "l_suppkey"],
+        {"unit_cost": ("unit_cost", "min")}).materialize()
+
+    per_part = hash_partition_aggregate(
+        per_ps, ["l_partkey"], {"min_cost": ("unit_cost", "min")},
+        num_buckets=8)
+
+    joined = bucket_hash_join(per_ps, per_part, on="l_partkey")
+
+    names = dict(zip(dim["s_suppkey"], dim["s_name"]))
+    bals = dict(zip(dim["s_suppkey"], dim["s_acctbal"]))
+    nations = dict(zip(dim["s_suppkey"], dim["n_name"]))
+
+    def _winners(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["unit_cost"] == b["min_cost"]]
+        sk = b["l_suppkey"]
+        return pd.DataFrame({
+            "s_acctbal": sk.map(bals).astype("float64"),
+            "s_name": sk.map(names),
+            "n_name": sk.map(nations),
+            "p_partkey": b["l_partkey"].astype("int64"),
+            "unit_cost": round_half_away(b["unit_cost"], 6),
+        })
+
+    return joined.map_batches(_winners, batch_format="pandas")
+
+
+def q11_important_parts(sf_dir: str, *, region: str = "ASIA",
+                        multiple: float = 2.0):
+    """TPC-H Q11 shape (important stock value, HAVING > fraction of a
+    global scalar): revenue per part over shipments by ``region``
+    suppliers, keeping parts whose value exceeds ``multiple`` × the
+    fair share (global total / part count) — a threshold that scales
+    with SF, unlike Q11's literal 0.0001/SF constant. Two-phase:
+    bucketed per-part fold → total and part count are driver scalars
+    folded from the (|parts|-row) aggregate itself → broadcast
+    threshold filter. Columns: l_partkey, value."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    supp_keys = set(_region_supplier_dim(sf_dir, region)["s_suppkey"])
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    def _rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_suppkey"].isin(supp_keys)]
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"],
+            "v": b["l_extendedprice"] * (1 - b["l_discount"]),
+        })
+
+    per_part = hash_partition_aggregate(
+        li.map_batches(_rev, batch_format="pandas", batch_size=65536),
+        ["l_partkey"], {"value": ("v", "sum")}).materialize()
+
+    total, n_parts = 0.0, 0
+    for b in per_part.iter_batches(batch_format="pandas",
+                                   batch_size=None):
+        total += float(b["value"].sum())
+        n_parts += len(b)
+    threshold = multiple * total / n_parts
+
+    def _keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"] > threshold]
+        return pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64"),
+            "value": round_half_away(b["value"], 4),
+        })
+
+    return per_part.map_batches(_keep, batch_format="pandas")
+
+
+def q12_returnflag_priority(sf_dir: str, *, date_lo: str = "1998-01-01",
+                            date_hi: str = "1999-01-01"):
+    """TPC-H Q12 shape (shipmode × order-priority CASE counts; this
+    schema has no l_shipmode, so l_returnflag plays the mode column):
+    lines shipped inside the window, per returnflag, counted into
+    high-priority (1-URGENT / 2-HIGH) vs low-priority orders. The
+    orders side is a fact table → one bucket-hash join on orderkey,
+    then tiny CASE-sum partials. Columns: l_returnflag,
+    high_line_count, low_line_count."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_shipdate"]) \
+        .map_batches(
+            lambda b: b.loc[(b["l_shipdate"] >= lo)
+                            & (b["l_shipdate"] < hi),
+                            ["l_orderkey", "l_returnflag"]],
+            batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+
+    joined = bucket_hash_join(li, orders, on="l_orderkey")
+
+    def _case(b: pd.DataFrame) -> pd.DataFrame:
+        high = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        return pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "high": high.to_numpy().astype("int64"),
+            "low": (~high).to_numpy().astype("int64"),
+        })
+
+    out = combine_partials_driver(
+        joined.map_batches(_case, batch_format="pandas"),
+        ["l_returnflag"],
+        {"high_line_count": ("high", "sum"),
+         "low_line_count": ("low", "sum")})
+    out["high_line_count"] = out["high_line_count"].astype("int64")
+    out["low_line_count"] = out["low_line_count"].astype("int64")
+    return out
+
+
+def q16_supplier_cnt_by_part(sf_dir: str, *, excl_brand: str = "Brand#1",
+                             excl_type: str = "PROMO",
+                             blacklist_bal: float = 2000.0):
+    """TPC-H Q16 shape (supplier count per part class with a NOT-IN
+    blacklist): distinct suppliers per (brand, type, size) over the
+    lineitem part-supplier pairs, excluding one brand, one type, and
+    every supplier on the complaint blacklist (acctbal < threshold —
+    the schema has no s_comment). Distributed as: broadcast blacklist
+    anti-filter + part-attr map on the pruned scan → bucketed distinct
+    of (brand, type, size, suppkey) → per-class count fold. Columns:
+    p_brand, p_type, p_size, supplier_cnt."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (distinct_rows,
+                                             hash_partition_aggregate)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    blacklist = set(sup.loc[sup["s_acctbal"] < blacklist_bal,
+                            "s_suppkey"])
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"]).to_pandas()
+    part = part[(part["p_brand"] != excl_brand)
+                & (part["p_type"] != excl_type)]
+    brands = dict(zip(part["p_partkey"], part["p_brand"]))
+    types = dict(zip(part["p_partkey"], part["p_type"]))
+    sizes = dict(zip(part["p_partkey"], part["p_size"].astype("int64")))
+
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _classes(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[~b["l_suppkey"].isin(blacklist)
+              & b["l_partkey"].isin(brands)]
+        pk = b["l_partkey"]
+        return pd.DataFrame({
+            "p_brand": pk.map(brands),
+            "p_type": pk.map(types),
+            "p_size": pk.map(sizes).astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+        })
+
+    uniq = distinct_rows(
+        li.map_batches(_classes, batch_format="pandas",
+                       batch_size=65536),
+        ["p_brand", "p_type", "p_size", "l_suppkey"], num_buckets=8)
+
+    out = hash_partition_aggregate(
+        uniq, ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": ("l_suppkey", "count")}, num_buckets=8)
+    return out.map_batches(
+        lambda b: b.assign(
+            p_size=b["p_size"].astype("int64"),
+            supplier_cnt=b["supplier_cnt"].astype("int64")),
+        batch_format="pandas")
+
+
+def q20_dominant_suppliers(sf_dir: str, *, region: str = "AMERICA",
+                           name_like: str = "widget",
+                           share: float = 0.1):
+    """TPC-H Q20 shape (nested-IN: suppliers holding excess stock of
+    promoted parts; availqty has no analog, so 'dominant' = shipped
+    more than ``share`` of the part's total quantity — many times a
+    fair share once suppliers number in the hundreds): suppliers in
+    ``region`` that shipped > share of some ``name_like`` part's volume.
+    Quantities are integral doubles, so share × total is the same FP
+    operation on both sides. Distributed as: broadcast part/supplier
+    prefilters →
+    per-(part, supplier) qty fold → per-part total fold → one bucket
+    join → share filter → bucketed distinct of survivors. Columns:
+    s_suppkey, s_name."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.agg import (distinct_rows,
+                                             hash_partition_aggregate)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    part_keys = set(part.loc[part["p_name"].str.contains(name_like),
+                             "p_partkey"])
+    dim = _region_supplier_dim(sf_dir, region)
+    names = dict(zip(dim["s_suppkey"], dim["s_name"]))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_quantity"]).map_batches(
+        lambda b: b[b["l_partkey"].isin(part_keys)],
+        batch_format="pandas", batch_size=65536)
+
+    per_ps = hash_partition_aggregate(
+        li, ["l_partkey", "l_suppkey"],
+        {"qty": ("l_quantity", "sum")}).materialize()
+    per_part = hash_partition_aggregate(
+        per_ps, ["l_partkey"], {"total": ("qty", "sum")}, num_buckets=8)
+
+    joined = bucket_hash_join(per_ps, per_part, on="l_partkey")
+
+    def _dominant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["qty"] > share * b["total"])
+              & b["l_suppkey"].isin(names)]
+        return pd.DataFrame({
+            "s_suppkey": b["l_suppkey"].astype("int64"),
+            "s_name": b["l_suppkey"].map(names),
+        })
+
+    return distinct_rows(
+        joined.map_batches(_dominant, batch_format="pandas"),
+        ["s_suppkey", "s_name"], num_buckets=4)

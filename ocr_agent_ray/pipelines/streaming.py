@@ -1152,3 +1152,72 @@ def urgent_customers_semi(sf_dir: str):
         left_schema=pa.schema([("c_custkey", pa.int64()),
                                ("c_name", pa.string()),
                                ("c_acctbal", pa.float64())]))
+
+
+def views_before_purchase(sf_dir: str, *, window_minutes: int = 360,
+                          num_buckets: int = 64):
+    """Stream-stream interval join (the range-join shape Ray Data lacks):
+    for every purchase event, the count of the same user's view events in
+    the preceding ``window_minutes`` window [p.ts − W, p.ts), plus the
+    microsecond gap to the most recent such view. Purchases with no view
+    in the window drop out (inner-join semantics).
+
+    Distributed as ONE hash exchange on user bucket; the per-bucket
+    kernel is fully vectorized across users: both sides reduce to a
+    composite int64 key (dense per-bucket user rank × (ts span + 2) +
+    ts offset), so every purchase's window resolves in one pair of
+    np.searchsorted calls — offsets never exceed the span, keys are
+    strictly ordered within and across users, and the dense rank keeps
+    the product far below 2^63 for any realistic per-bucket user count
+    (guarded explicitly; the remedy is more buckets).
+
+    Columns: event_id, user_id, n_views, last_gap_us.
+    """
+    W = np.int64(window_minutes) * np.int64(60_000_000)
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "purchase"])]
+        return b.assign(__b=(b["user_id"] % num_buckets).astype("int32"))
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "n_views": pd.Series(dtype="int64"),
+            "last_gap_us": pd.Series(dtype="int64")})
+        if not len(g):
+            return empty
+        # normalize to µs regardless of the frame's datetime unit
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        uu, dense = np.unique(u, return_inverse=True)
+        tmin = t.min()
+        stride = np.int64(t.max() - tmin) + np.int64(2)
+        if int(len(uu)) * int(stride) >= 2 ** 63:
+            raise OverflowError(
+                "interval-join composite key overflow: raise num_buckets")
+        enc = dense.astype(np.int64) * stride + (t - tmin)
+        v_enc = np.sort(enc[~is_p])
+        p_enc = enc[is_p]
+        base = (p_enc // stride) * stride
+        off = p_enc - base
+        lo = np.searchsorted(v_enc, base + np.maximum(off - W, 0),
+                             side="left")
+        hi = np.searchsorted(v_enc, p_enc, side="left")
+        n = hi - lo
+        keep = n > 0
+        if not keep.any():
+            return empty
+        gap = p_enc[keep] - v_enc[hi[keep] - 1]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[is_p][keep],
+            "user_id": u[is_p][keep].astype("int64"),
+            "n_views": n[keep].astype("int64"),
+            "last_gap_us": gap.astype("int64"),
+        })
+
+    keyed = _read_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type")) \
+        .map_batches(_key, batch_format="pandas", batch_size=65536)
+    return bucket_map_groups(keyed, _join, num_buckets=num_buckets)
