@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": lambda sf: dedup.minhash_lsh_dedup(_docs(sf)),   # rows-only
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
+        "q_ngram_containment": lambda sf: dedup.ngram_containment_all_pairs(_docs(sf)),
         "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
         "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
         "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
@@ -385,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_supplier_cnt_by_part": relational.q16_supplier_cnt_by_part,
         "q_dominant_suppliers": relational.q20_dominant_suppliers,
         "q_views_before_purchase": streaming.views_before_purchase,
+        "q_dup_graph_kcore": lambda sf: dedup.dup_graph_kcore(
+            _docs(sf), k=2
+        ),  # rows-only (iterative peel; brute-force-peel pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -487,6 +491,24 @@ _NGRAM_PAIRS_CTES = (
     "WHERE ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 6) >= 0.5)"
 )
 _NGRAM_PAIRS_SQL = "WITH " + _NGRAM_PAIRS_CTES + " "
+
+# word-4-gram CONTAINMENT all-pairs (threshold 0.8): |A∩B| / min(|A|,|B|),
+# same tokenizer/shingling as _NGRAM_PAIRS_CTES
+_NGRAM_CONTAIN_SQL = (
+    "WITH toks AS (SELECT doc_id, "
+    "regexp_extract_all(lower(text), '[0-9a-z_]+') t FROM documents), "
+    "g0 AS (SELECT doc_id, t, unnest(range(1, len(t)-2)) i FROM toks "
+    "WHERE len(t) >= 4), "
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') g FROM g0), "
+    "sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1), "
+    "inter AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) c FROM sh a "
+    "JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT id_a AS doc_id_a, id_b AS doc_id_b, "
+    "ROUND(CAST(c AS DOUBLE)/LEAST(sa.n, sb.n), 6) AS containment "
+    "FROM inter JOIN sizes sa ON id_a = sa.doc_id "
+    "JOIN sizes sb ON id_b = sb.doc_id "
+    "WHERE ROUND(CAST(c AS DOUBLE)/LEAST(sa.n, sb.n), 6) >= 0.8"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -840,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": _NGRAM_PAIRS_SQL + (
             "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"
         ),
+        "q_ngram_containment": _NGRAM_CONTAIN_SQL,
         "q_ngram_dup_clusters": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
             "edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
@@ -2132,7 +2155,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE p.event_type = 'purchase' "
             "GROUP BY p.event_id, p.user_id, p.ts"
         ),
-        # rows-only (non-SQL-expressible): q_language_id, q_winnowing,
+        # rows-only (non-SQL-expressible): q_dup_graph_kcore,
+        # q_language_id, q_winnowing,
         # q_minhash_pairs, q_simhash_pairs, q_knn_lsh, q_knn_ivf,
         # q_flagship_span_counts, q_topk_sketch, q_pack_sequences,
         # q_pca_project, q_knn_graph, q_quality_classifier

@@ -210,6 +210,8 @@ QUERY_NAMES = [
     "q_supplier_cnt_by_part",
     "q_dominant_suppliers",
     "q_views_before_purchase",
+    "q_ngram_containment",
+    "q_dup_graph_kcore",
 ]
 
 

@@ -927,6 +927,76 @@ def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
     return scored.map_batches(_filter, batch_format="pandas")
 
 
+def ngram_containment_all_pairs(ds, *, text_col: str = "text",
+                                id_col: str = "doc_id", n: int = 4,
+                                threshold: float = 0.8):
+    """EXACT word-n-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|)
+    ≥ threshold — the asymmetric overlap measure (RefinedWeb-style) that
+    catches a short doc quoted inside a long one, which symmetric Jaccard
+    dilutes below any useful threshold (J = |A∩B|/|A∪B| → 0 as the long
+    side grows). Same inverted-index shape as ngram_jaccard_all_pairs:
+    every qualifying pair shares a gram (the smaller side is non-empty by
+    construction), so recall is 1.0 and the result is SQL-oracle-able
+    (q_ngram_containment). Columns: doc_id_a, doc_id_b, containment."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.joins import _arrow_schema_of
+
+    id_type = _arrow_schema_of(ds).field(id_col).type
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = _word_ngram_hash_sets(batch[text_col], n)
+        lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+        keys = (np.concatenate(hs) if hs else np.empty(0, np.uint64))
+        return pd.DataFrame({
+            id_col: np.repeat(batch[id_col].to_numpy(), lens),
+            "band_key": keys.view(np.int64),
+        })
+
+    cands = _bucketed_band_pairs(
+        ds.map_batches(_bands, batch_format="pandas"), id_col
+    )
+
+    def _feats(cand_ids):
+        from ocr_agent_ray.pipelines.joins import broadcast_semi_filter
+
+        filtered = broadcast_semi_filter(ds, cand_ids, id_col)
+
+        def _sets(batch: pd.DataFrame) -> pa.Table:
+            feats = _word_ngram_hash_sets(batch[text_col], n)
+            return pa.Table.from_arrays(
+                [pa.Array.from_pandas(batch[id_col], type=id_type),
+                 pa.array(feats, type=pa.list_(pa.uint64()))],
+                names=["doc_id", "__feat"],
+            )
+
+        return filtered.map_batches(_sets, batch_format="pandas")
+
+    def _score(fa: pd.Series, fb: pd.Series) -> np.ndarray:
+        def c(a, b) -> float:
+            a = np.asarray(a, dtype=np.uint64)
+            b = np.asarray(b, dtype=np.uint64)
+            m = min(len(a), len(b))
+            if m == 0:
+                return 0.0
+            return float(len(np.intersect1d(a, b, assume_unique=True)) / m)
+
+        return round_half_away(
+            np.array([c(a, b) for a, b in zip(fa, fb)]), 6)
+
+    scored = _pair_feature_verify(
+        cands, _feats, id_type=id_type, feat_type=pa.list_(pa.uint64()),
+        score_batch=_score,
+    )
+
+    def _filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"score": "containment"})
+        return b[b["containment"] >= threshold]
+
+    return scored.map_batches(_filter, batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5):
     """Word n-gram Jaccard near-dup pairs (LSH-free small-scale variant):
@@ -1586,3 +1656,69 @@ def _pagerank_native(edges, *, damping: float, iters: int,
         lambda b: pd.DataFrame({"doc_id": b["node"],
                                 "pagerank": b["rank"]}),
         batch_format="pandas")
+
+
+def dup_graph_kcore(docs, *, k: int = 2, threshold: float = 0.5,
+                    max_rounds: int = 100):
+    """k-core of the near-duplicate graph — the iterative-peel shape:
+    repeatedly drop nodes with degree < k until fixpoint. The surviving
+    core separates dense template families (every member near-dups ≥ k
+    others) from incidental pairwise matches, the standard refinement
+    before cluster-level dedup decisions.
+
+    Fully distributed per round: one bucketed degree fold over the live
+    edge set → the low-degree node set (bounded by the nodes REMOVED
+    this round, a shrinking quantity) flows through two bucketed ANTI
+    joins (src side, then dst side) — the driver never holds nodes or
+    edges, only the scalar removed-count. Rounds are data-dependent
+    (a path graph peels O(n) rounds; real dup graphs peel in a handful)
+    and capped at ``max_rounds`` with a loud error.
+
+    Returns (doc_id, core_degree) for nodes in the k-core, where
+    core_degree is the node's degree WITHIN the core subgraph."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    # symmetric edge list: degree(src) = row count per src
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "src": np.concatenate([b["doc_id_a"].to_numpy(),
+                                   b["doc_id_b"].to_numpy()]),
+            "dst": np.concatenate([b["doc_id_b"].to_numpy(),
+                                   b["doc_id_a"].to_numpy()])}),
+        batch_format="pandas", batch_size=65536).materialize()
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    for _ in range(max_rounds):
+        deg = hash_partition_aggregate(
+            edges, ["src"], {"deg": ("dst", "count")}, num_buckets=8)
+        low = deg.map_batches(
+            lambda b: b.loc[b["deg"] < k, ["src"]],
+            batch_format="pandas").materialize()
+        if int(low.count()) == 0:
+            final = deg.map_batches(
+                lambda b: pd.DataFrame({
+                    "doc_id": b["src"].astype("int64"),
+                    "core_degree": b["deg"].astype("int64")}),
+                batch_format="pandas")
+            return final
+        kept = bucket_anti_join(edges, low, on="src", num_buckets=8,
+                                left_schema=edge_schema)
+        low_dst = low.map_batches(
+            lambda b: b.rename(columns={"src": "dst"}),
+            batch_format="pandas")
+        edges = bucket_anti_join(kept, low_dst, on="dst", num_buckets=8,
+                                 left_schema=edge_schema).materialize()
+        if int(edges.count()) == 0:
+            import ray.data as _rd
+
+            return _rd.from_arrow(pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["doc_id", "core_degree"]))
+    raise RuntimeError(
+        f"k-core did not converge in {max_rounds} rounds — "
+        "pathological peel chain; raise max_rounds")

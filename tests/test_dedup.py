@@ -434,3 +434,81 @@ def test_minhash_signatures_batch_matches_per_doc():
             assert (got[i] == expect).all(), (k, t)
 
     fuzz()
+
+
+def test_ngram_containment_catches_partial_copy(ray_session):
+    """A short doc quoted inside a much longer one: Jaccard dilutes below
+    0.5 (small ∩ over a big ∪) but containment is exactly 1.0 — and the
+    score equals the brute-force set computation."""
+    from ocr_agent_ray.pipelines.dedup import (
+        _word_ngram_hash_sets,
+        ngram_containment_all_pairs,
+        ngram_jaccard_all_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog again"
+    filler = " ".join(f"word{i}" for i in range(80))
+    docs = [
+        {"doc_id": 1, "text": quote},
+        {"doc_id": 2, "text": filler + " " + quote},
+        {"doc_id": 3, "text": "totally unrelated content lives here okay"},
+    ]
+    cont = ngram_containment_all_pairs(
+        rd.from_items(docs), threshold=0.8).to_pandas()
+    assert [(r.doc_id_a, r.doc_id_b) for r in cont.itertuples()] == [(1, 2)]
+    # doc 1's grams all appear in doc 2 except the boundary-crossing ones
+    a, b = _word_ngram_hash_sets([docs[0]["text"], docs[1]["text"]], 4)
+    expect = len(np.intersect1d(a, b)) / min(len(a), len(b))
+    assert abs(cont["containment"].iloc[0] - expect) < 1e-9
+    assert expect == 1.0  # every 4-gram of the quote is inside doc 2
+
+    jac = ngram_jaccard_all_pairs(
+        rd.from_items(docs), threshold=0.5).to_pandas()
+    assert len(jac) == 0  # the partial copy is invisible to Jaccard ≥ 0.5
+
+
+def test_dup_graph_kcore_matches_bruteforce_peel(ray_session):
+    """k-core peel equals the brute-force sequential peel on the same
+    near-dup edge set: the 4-doc template clique survives k=2 with
+    in-core degree 3; the isolated pair and the loner peel away."""
+    from ocr_agent_ray.pipelines.dedup import (
+        dup_graph_kcore,
+        ngram_jaccard_all_pairs,
+    )
+
+    hub = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [{"doc_id": i, "text": hub + f" tail{i}"} for i in range(4)]
+    docs += [{"doc_id": 10, "text": "one two three four five six seven"},
+             {"doc_id": 11, "text": "one two three four five six eight"},
+             {"doc_id": 20, "text": "totally unrelated words only here"}]
+
+    got = dup_graph_kcore(rd.from_items(docs), k=2).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force peel on the identical pair set
+    pairs = ngram_jaccard_all_pairs(rd.from_items(docs)).to_pandas()
+    adj: dict = {}
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < 2:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    want = sorted((n, len(v)) for n, v in adj.items())
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    assert want == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
+def test_dup_graph_kcore_empty_core(ray_session):
+    """k larger than any degree peels everything → empty typed result."""
+    from ocr_agent_ray.pipelines.dedup import dup_graph_kcore
+
+    docs = [{"doc_id": 10, "text": "one two three four five six seven"},
+            {"doc_id": 11, "text": "one two three four five six eight"}]
+    out = dup_graph_kcore(rd.from_items(docs), k=5).to_pandas()
+    assert len(out) == 0
