@@ -85,6 +85,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_type", "user_id"])
         return hll_distinct_by_key(ev, "event_type", "user_id")
 
+    def _smb_orders_customer(sf_dir: str):
+        """Sort-merge-bucket join demo: write both tables hash-bucketed
+        by custkey (shuffle-free bucketed write), then join co-bucketed
+        directories with zero shuffle — the pay-the-shuffle-once layout
+        for repeated joins. Fresh /tmp layout per call (idempotence)."""
+        import tempfile
+
+        import ray.data as rd
+
+        from ocr_agent_ray.pipelines.smb import smb_join, write_bucketed
+
+        root = tempfile.mkdtemp(prefix="smb_q_")
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        ).map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas")
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"])
+        write_bucketed(orders, f"{root}/orders", key="c_custkey",
+                       num_buckets=16)
+        write_bucketed(cust, f"{root}/customer", key="c_custkey",
+                       num_buckets=16)
+        return smb_join(f"{root}/orders", f"{root}/customer",
+                        on="c_custkey")
+
     def _corpus_report(sf_dir: str):
         from ocr_agent_ray.pipelines.profiling import corpus_report
 
@@ -389,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_graph_kcore": lambda sf: dedup.dup_graph_kcore(
             _docs(sf), k=2
         ),  # rows-only (iterative peel; brute-force-peel pytest)
+        "q_smb_orders_customer": _smb_orders_customer,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -2143,6 +2172,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON s_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'AMERICA' AND q > 0.1 * t"
+        ),
+        "q_smb_orders_customer": (
+            "SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, "
+            "c_name, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
         ),
         "q_views_before_purchase": (
             "SELECT p.event_id AS event_id, p.user_id AS user_id, "

@@ -212,6 +212,7 @@ QUERY_NAMES = [
     "q_views_before_purchase",
     "q_ngram_containment",
     "q_dup_graph_kcore",
+    "q_smb_orders_customer",
 ]
 
 
