@@ -327,8 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "q_idle_rich_customers": relational.q22_idle_rich_customers,
         "q_merge_upsert": relational.merge_upsert_documents,
+        "q_merge_cdc": relational.merge_cdc_documents,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
+        "q_linear_attribution": relational.linear_attribution,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1761,6 +1763,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, version FROM allr "
             "QUALIFY row_number() OVER (PARTITION BY doc_id "
             "ORDER BY version DESC, side DESC) = 1"
+        ),
+        "q_linear_attribution": (
+            # per-purchase per-type fractions summed (c/n terms mirror
+            # the Ray kernel's grouped cumsum partials)
+            "WITH p AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('view', 'click')), "
+            "pairs AS (SELECT p.user_id, p.ts AS pts, t.event_type "
+            "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts), "
+            "per AS (SELECT user_id, pts, event_type, "
+            "CAST(COUNT(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2, 3), "
+            "sz AS (SELECT user_id, pts, SUM(c) AS n FROM per "
+            "GROUP BY 1, 2) "
+            "SELECT per.event_type AS touch_type, "
+            "ROUND(SUM(per.c / sz.n), 6) AS credit "
+            "FROM per JOIN sz USING (user_id, pts) GROUP BY 1"
+        ),
+        "q_merge_cdc": (
+            "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "
+            "0 AS side, 'upsert' AS op FROM documents), "
+            "upd AS (SELECT doc_id, 'rev2:' || text AS text, "
+            "CAST(1 AS BIGINT) AS version, 1 AS side, 'upsert' AS op "
+            "FROM documents WHERE doc_id % 7 = 0 "
+            "UNION ALL SELECT doc_id, text, CAST(2 AS BIGINT), 1, 'delete' "
+            "FROM documents WHERE doc_id % 11 = 0 "
+            "UNION ALL SELECT doc_id + 100000, "
+            "'new:' || CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT), 1, "
+            "'upsert' FROM documents WHERE doc_id % 13 = 0), "
+            "allr AS (SELECT * FROM base UNION ALL SELECT * FROM upd), "
+            "w AS (SELECT * FROM allr "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY version DESC, side DESC) = 1) "
+            "SELECT doc_id, text, version FROM w WHERE op <> 'delete'"
         ),
         "q_dup_graph_triangles": (
             "WITH " + _NGRAM_PAIRS_CTES + ", "

@@ -213,6 +213,8 @@ QUERY_NAMES = [
     "q_ngram_containment",
     "q_dup_graph_kcore",
     "q_smb_orders_customer",
+    "q_merge_cdc",
+    "q_linear_attribution",
 ]
 
 

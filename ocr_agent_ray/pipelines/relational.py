@@ -3196,3 +3196,90 @@ def q20_dominant_suppliers(sf_dir: str, *, region: str = "AMERICA",
     return distinct_rows(
         joined.map_batches(_dominant, batch_format="pandas"),
         ["s_suppkey", "s_name"], num_buckets=4)
+
+
+def merge_cdc_documents(sf_dir: str):
+    """CDC MERGE with tombstones over the documents table: every 7th doc
+    revised (upsert v1), every 11th doc DELETED (tombstone v2 — versioned
+    above the revision so the 7×11 overlap resolves deterministically),
+    every 13th doc id-offset as a new insert. Winning tombstones remove
+    the key entirely (sources/maintenance.merge_cdc); oracled via the
+    UNION + QUALIFY latest-wins SQL with a final tombstone filter."""
+    from ocr_agent_ray.sources.maintenance import merge_cdc
+
+    base = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.assign(version=np.int64(0)), batch_format="pandas")
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _updates(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b[b["doc_id"] % 7 == 0].copy()
+        rev["text"] = "rev2:" + rev["text"]
+        rev["version"] = np.int64(1)
+        rev["op"] = "upsert"
+        dele = b[b["doc_id"] % 11 == 0].copy()
+        dele["version"] = np.int64(2)
+        dele["op"] = "delete"
+        new = b[b["doc_id"] % 13 == 0]
+        new = pd.DataFrame({
+            "doc_id": new["doc_id"] + 100000,
+            "text": "new:" + new["doc_id"].astype(str),
+            "version": np.int64(1),
+            "op": "upsert",
+        })
+        cols = ["doc_id", "text", "version", "op"]
+        return pd.concat([rev[cols], dele[cols], new], ignore_index=True)
+
+    updates = docs.map_batches(_updates, batch_format="pandas")
+    return merge_cdc(base, updates, key="doc_id", version="version")
+
+
+def linear_attribution(sf_dir: str):
+    """Linear (equal-weight) multi-touch attribution — the fractional
+    complement of first_touch_attribution: every purchase splits 1.0 of
+    credit equally across ALL of that user's preceding view/click
+    touches, and credit rolls up per touch type. One user-bucket
+    exchange; the per-bucket kernel is one sort + two grouped cumsums
+    (purchases ordered before touches on ts ties, so a same-instant
+    touch never credits itself); per-type partials combine on the
+    driver. Columns: touch_type, credit."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "click", "purchase"])]
+        return b.assign(__b=(b["user_id"] % 64).astype("int32"))
+
+    def _credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __is_v=(g["event_type"] == "view").astype("int64"),
+            __is_c=(g["event_type"] == "click").astype("int64"))
+        g = g.assign(__touch=g["__is_v"] + g["__is_c"])
+        g = g.sort_values(["user_id", "ts", "__touch"], kind="mergesort")
+        nv = g.groupby("user_id", sort=False)["__is_v"].cumsum()
+        nc = g.groupby("user_id", sort=False)["__is_c"].cumsum()
+        p = g["event_type"].to_numpy() == "purchase"
+        nvp = nv.to_numpy()[p].astype("float64")
+        ncp = nc.to_numpy()[p].astype("float64")
+        n = nvp + ncp
+        keep = n > 0
+        return pd.DataFrame({
+            "touch_type": ["view", "click"],
+            "credit": [float((nvp[keep] / n[keep]).sum()),
+                       float((ncp[keep] / n[keep]).sum())],
+        })
+
+    parts = bucket_map_groups(
+        ev.map_batches(_key, batch_format="pandas", batch_size=65536),
+        _credit, num_buckets=64)
+    out = combine_partials_driver(parts, ["touch_type"],
+                                  {"credit": ("credit", "sum")})
+    # a type with zero pairs never appears in the oracle (every pair
+    # contributes ≥ 1/n > 0, so 0.0 here means "no pairs at all")
+    out = out[out["credit"] > 0.0]
+    out["credit"] = round_half_away(out["credit"], 6)
+    return out.sort_values("touch_type").reset_index(drop=True)

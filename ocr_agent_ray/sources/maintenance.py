@@ -197,3 +197,49 @@ def merge_upsert(base, updates, *, key: str, version: str,
 
     return bucket_map_groups(both, _resolve, bucket_col="__bucket",
                              num_buckets=num_buckets)
+
+
+def merge_cdc(base, updates, *, key: str, version: str, op: str = "op",
+              num_buckets: int = 16):
+    """CDC MERGE with tombstones: like merge_upsert, but ``updates``
+    carries an ``op`` column ∈ {'upsert', 'delete'} — a winning delete
+    removes the key from the output entirely (the Delta/Iceberg MERGE
+    WHEN MATCHED THEN DELETE arm). Base rows are implicit upserts.
+    Same one co-bucketed exchange; the per-bucket resolve adds only a
+    final tombstone filter, so the scale shape is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import stable_bucket_array
+
+    def _tag(side: int, add_op: bool):
+        def _fn(b: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            b = b.copy()
+            if add_op:
+                b[op] = "upsert"
+            b["__side"] = np.int8(side)
+            tbl = pa.Table.from_pandas(b[[key]], preserve_index=False)
+            b["__bucket"] = stable_bucket_array(
+                tbl.column(0).combine_chunks(), num_buckets
+            ).to_numpy(zero_copy_only=False)
+            return b
+
+        return _fn
+
+    both = base.map_batches(_tag(0, True), batch_format="pandas").union(
+        updates.map_batches(_tag(1, False), batch_format="pandas"))
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, version, "__side"],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        w = g[~g.duplicated(key)]
+        return (w[w[op] != "delete"]
+                .drop(columns=["__side", "__bucket", op])
+                .reset_index(drop=True))
+
+    return bucket_map_groups(both, _resolve, bucket_col="__bucket",
+                             num_buckets=num_buckets)
