@@ -154,6 +154,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
         return quantile_sketch(ev, "value")
 
+    def _cms_probe_counts(sf_dir: str):
+        import ray.data as rd
+
+        from ocr_agent_ray.functions.sketch import cms_word_counts
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+        return cms_word_counts(
+            docs, ["table", "query", "value", "zzz_absent"])
+
     def _quantile_sketch_by_type(sf_dir: str):
         import ray.data as rd
 
@@ -259,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_top_terms": text.tfidf_top_terms,
         "q_topk_sketch": _topk_sketch,       # rows-only (Misra-Gries sketch)
         "q_quantile_sketch": _quantile_sketch,  # rows-only (centroid digest)
+        "q_cms_probe_counts": _cms_probe_counts,  # rows-only (count-min)
         "q_quantile_sketch_by_type": _quantile_sketch_by_type,  # rows-only
         "q_decontaminate_bloom": text.decontaminate_bloom,  # rows-only (bloom scale path)
         "q_doc_length_zscore": text.doc_length_zscore,
@@ -269,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curation_funnel_extended": _curation_funnel_extended,
         "q_line_dedup": text.line_dedup,
         "q_paragraph_dedup": text.paragraph_dedup,
+        "q_boilerplate_strip": text.boilerplate_strip,
+        "q_gini_doc_lengths": text.gini_doc_lengths,
+        "q_blocklist_hits": text.blocklist_hits,
+        "q_pareto_skyline": relational.pareto_skyline,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
         "q_chunk_documents": text.chunk_documents,
         "q_winsorize_lengths": text.winsorize_doc_lengths,
@@ -1457,6 +1472,56 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lines, "
             "CAST(COUNT(*) AS BIGINT) AS n_lines "
             "FROM k GROUP BY doc_id"
+        ),
+        "q_boilerplate_strip": (
+            # CCNet-style: a line occurring in >= 2 distinct docs of the
+            # SAME source is boilerplate; every occurrence is stripped
+            "WITH l AS (SELECT doc_id, source, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS idx "
+            "FROM documents), "
+            "c AS (SELECT source, line, COUNT(DISTINCT doc_id) AS nd "
+            "FROM l GROUP BY 1, 2), "
+            "k AS (SELECT l.doc_id, l.line, l.idx, (c.nd >= 2) AS boiler "
+            "FROM l JOIN c ON l.source = c.source AND l.line = c.line) "
+            "SELECT doc_id, "
+            "COALESCE(string_agg(line, chr(10) ORDER BY idx) "
+            "         FILTER (WHERE NOT boiler), '') AS clean_text, "
+            "CAST(COUNT(*) FILTER (WHERE boiler) AS BIGINT) "
+            "AS n_boiler_lines, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM k GROUP BY doc_id"
+        ),
+        "q_gini_doc_lengths": (
+            "WITH r AS (SELECT source, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars, doc_id) AS i "
+            "FROM documents), "
+            "m AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(n_chars) AS DOUBLE) AS sx, "
+            "CAST(SUM(i * n_chars) AS DOUBLE) AS six FROM r GROUP BY 1) "
+            "SELECT source, "
+            "ROUND((2.0 * six) / (n * sx) - (n + 1.0) / n, 6) AS gini "
+            "FROM m"
+        ),
+        "q_blocklist_hits": (
+            "WITH h AS (SELECT source, "
+            "CAST((length(text) - length(replace(text, 'spark', ''))) / 5 "
+            " + (length(text) - length(replace(text, 'slow', ''))) / 4 "
+            " + (length(text) - length(replace(text, 'big', ''))) / 3 "
+            "AS BIGINT) AS hits FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
+            "CAST(COUNT(*) FILTER (WHERE hits >= 3) AS BIGINT) "
+            "AS flagged_docs, "
+            "CAST(SUM(hits) AS BIGINT) AS total_hits "
+            "FROM h GROUP BY source"
+        ),
+        "q_pareto_skyline": (
+            "SELECT p_partkey, p_retailprice, p_size FROM part p "
+            "WHERE NOT EXISTS (SELECT 1 FROM part q "
+            "WHERE q.p_retailprice <= p.p_retailprice "
+            "AND q.p_size >= p.p_size "
+            "AND (q.p_retailprice < p.p_retailprice "
+            "     OR q.p_size > p.p_size))"
         ),
         "q_paragraph_dedup": (
             "WITH l AS (SELECT doc_id, "

@@ -215,6 +215,11 @@ QUERY_NAMES = [
     "q_smb_orders_customer",
     "q_merge_cdc",
     "q_linear_attribution",
+    "q_pareto_skyline",
+    "q_gini_doc_lengths",
+    "q_blocklist_hits",
+    "q_boilerplate_strip",
+    "q_cms_probe_counts",
 ]
 
 

@@ -304,3 +304,96 @@ def hll_distinct_by_key(ds, key: str, column: str, p: int = 12):
     }).sort_values(key).reset_index(drop=True)
     out["approx_distinct"] = out["approx_distinct"].astype("int64")
     return out
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan '05): d×w counter
+    matrix; an item increments one counter per row (row-seeded splitmix
+    of its 64-bit hash); its estimate is the MIN across rows — always
+    ≥ the true count, over by at most εN (ε = e/w) with probability
+    1−δ (δ = e^−d). Mergeable by elementwise addition, constant
+    d·w·8 bytes per partial — the shuffle-free frequency table when the
+    key space no longer fits a bucketed groupby. Deterministic."""
+
+    def __init__(self, d: int = 4, w: int = 4096) -> None:
+        self.d = d
+        self.w = w
+        self.counts = np.zeros((d, w), dtype=np.int64)
+
+    _SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+              0x165667B19E3779F9, 0x27D4EB2F165667C5,
+              0x85EBCA6B5851F42D, 0xA24BAED4963EE407)
+
+    def _cols(self, hashes: np.ndarray, row: int) -> np.ndarray:
+        h = splitmix64(hashes.astype(np.uint64)
+                       ^ np.uint64(self._SEEDS[row % len(self._SEEDS)]
+                                   + row))
+        return (h % np.uint64(self.w)).astype(np.int64)
+
+    def add_hashes(self, hashes: np.ndarray,
+                   weights: np.ndarray | None = None) -> None:
+        if hashes.size == 0:
+            return
+        w = (np.ones(len(hashes), dtype=np.int64)
+             if weights is None else weights.astype(np.int64))
+        for r in range(self.d):
+            np.add.at(self.counts[r], self._cols(hashes, r), w)
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if hashes.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(hashes), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(self.d):
+            np.minimum(est, self.counts[r][self._cols(hashes, r)], out=est)
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.d, self.w) == (other.d, other.w)
+        self.counts += other.counts
+        return self
+
+    def serialize(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes, d: int, w: int) -> "CountMinSketch":
+        out = cls(d, w)
+        out.counts = np.frombuffer(blob, dtype=np.int64).reshape(d, w).copy()
+        return out
+
+
+def _word_hashes(values) -> np.ndarray:
+    from pandas.util import hash_array
+
+    return hash_array(np.asarray(values, dtype=object), categorize=False)
+
+
+def cms_word_counts(ds, probes: list[str], *, text_col: str = "text",
+                    d: int = 4, w: int = 4096):
+    """Estimated corpus frequencies of the ``probes`` words via one
+    mergeable count-min sketch per batch (same tokenizer as
+    topk_words_sketch). Returns (word, approx_n) with the CMS
+    one-sided guarantee: approx_n ≥ true count, ≤ true + e/w·N
+    w.p. 1−e^−d."""
+    import pandas as pd
+
+    def _sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        cms = CountMinSketch(d, w)
+        toks = (batch[text_col].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+").explode().dropna())
+        if len(toks):
+            counts = toks.value_counts()
+            cms.add_hashes(_word_hashes(counts.index.to_numpy()),
+                           counts.to_numpy())
+        return pd.DataFrame({"sketch": [cms.serialize()]})
+
+    merged = CountMinSketch(d, w)
+    for b in ds.map_batches(_sketch, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=None
+    ):
+        for blob in b["sketch"]:
+            merged.merge(CountMinSketch.deserialize(blob, d, w))
+
+    est = merged.estimate_hashes(_word_hashes(probes))
+    return pd.DataFrame({"word": list(probes),
+                         "approx_n": est.astype("int64")})

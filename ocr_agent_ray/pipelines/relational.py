@@ -3283,3 +3283,56 @@ def linear_attribution(sf_dir: str):
     out = out[out["credit"] > 0.0]
     out["credit"] = round_half_away(out["credit"], 6)
     return out.sort_values("touch_type").reset_index(drop=True)
+
+
+def _local_skyline(g: pd.DataFrame, min_col: str, max_col: str
+                   ) -> pd.DataFrame:
+    """Vectorized 2-D skyline of one in-memory frame: keep rows where no
+    other row has min_col <= AND max_col >= with at least one strict.
+    Sweep by ascending min_col: a row survives iff its max_col equals
+    its price-group max AND that max strictly beats the running max over
+    all strictly-cheaper groups. Duplicate (min,max) points all survive
+    (neither dominates the other — no strict inequality)."""
+    if g.empty:
+        return g
+    gmax = g.groupby(min_col)[max_col].transform("max")
+    grp = (g[[min_col, max_col]].groupby(min_col, sort=True)[max_col]
+           .max())
+    prev_best = grp.cummax().shift(1, fill_value=-np.inf)
+    best_prev = g[min_col].map(prev_best).to_numpy()
+    keep = (g[max_col].to_numpy() == gmax.to_numpy()) & (
+        gmax.to_numpy() > best_prev)
+    return g[keep]
+
+
+def pareto_skyline(sf_dir: str, *, min_col: str = "p_retailprice",
+                   max_col: str = "p_size"):
+    """Pareto frontier (skyline) of the part table: parts for which no
+    other part is both cheaper-or-equal (p_retailprice) and
+    larger-or-equal (p_size) with at least one strict — the classic
+    multi-objective 'best tradeoffs' query.
+
+    Scale shape: the local skyline of any subset contains every global
+    skyline point in that subset (dominance is transitive), so each
+    batch prunes independently to its own skyline — typically a tiny
+    fraction — and ONLY survivors move. A single-bucket reduce then
+    runs the same vectorized sweep over the union of survivors; the
+    frontier itself (output) is small by nature, never the full table.
+    No driver materialization, no global sort."""
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    cols = ["p_partkey", min_col, max_col]
+    parts = read_table(sf_dir, "part", cols)
+
+    def _prune(b: pd.DataFrame) -> pd.DataFrame:
+        out = _local_skyline(b, min_col, max_col)
+        return out.assign(__b=np.int32(0))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return (_local_skyline(g, min_col, max_col)[cols]
+                .reset_index(drop=True))
+
+    return bucket_map_groups(
+        parts.map_batches(_prune, batch_format="pandas",
+                          batch_size=65536),
+        _final, num_buckets=1)

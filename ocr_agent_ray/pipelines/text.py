@@ -1791,3 +1791,178 @@ def dsir_scores(sf_dir: str, *, target_lang: str = "en",
 
     return docs.map_batches(_score, batch_format="pandas",
                             batch_size=8192)
+
+
+def gini_doc_lengths(sf_dir: str, *, range_width: int = 16):
+    """Gini coefficient of document lengths per source — the corpus
+    concentration stat ('is this source a few giant pages plus dust?')
+    used when rebalancing mixture weights.
+
+    G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending-sorted lengths,
+    i the 1-based rank. Ranks come from agg.ranged_partitioned_ranks
+    (range-parallel on n_chars // range_width — a big source never
+    funnels into one task); Σ i·x and Σx fold as EXACT int64 partials,
+    so the only float math is the final two-term expression, bit-equal
+    to the oracle. Tie order inside a rank range is arbitrary but
+    Σ i·x is invariant under permuting equal x — ties get the same
+    consecutive index set either way."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             ranged_partitioned_ranks)
+
+    keyed = _read_documents(
+        sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
+        lambda b: b.assign(__rb=(b["n_chars"] // range_width)
+                           .astype("int64")),
+        batch_format="pandas", batch_size=65536)
+
+    ranked = ranged_partitioned_ranks(keyed, "source", "n_chars",
+                                      "doc_id")
+
+    def _partials(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["n_chars"].to_numpy(dtype=np.int64)
+        i = b["row_num"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "n": np.int64(1),
+            "sx": x,
+            "six": i * x,
+        })
+
+    m = combine_partials_driver(
+        ranked.map_batches(_partials, batch_format="pandas"),
+        ["source"],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "six": ("six", "sum")})
+    n = m["n"].to_numpy(dtype=np.float64)
+    sx = m["sx"].to_numpy(dtype=np.float64)
+    six = m["six"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "source": m["source"],
+        "gini": round_half_away((2.0 * six) / (n * sx) - (n + 1.0) / n, 6),
+    }).sort_values("source").reset_index(drop=True)
+
+
+BLOCKLIST_TERMS = ("spark", "slow", "big")
+
+
+def blocklist_hits(sf_dir: str, *, terms=BLOCKLIST_TERMS,
+                   flag_threshold: int = 3):
+    """Blocklist screening — per-source totals of blocklist-term
+    occurrences and of docs flagged (≥ flag_threshold total hits), the
+    standard 'bad-word filter' curation gate at corpus-report
+    granularity. Occurrences are non-overlapping substring counts
+    (pandas str.count on the escaped literal — same semantics as the
+    oracle's length/replace arithmetic). Pure per-row transform +
+    mergeable partials: no shuffle at all."""
+    import re
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    pats = [re.escape(t) for t in terms]
+
+    def _hits(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b["text"].fillna("")
+        total = np.zeros(len(b), dtype=np.int64)
+        for p in pats:
+            total += txt.str.count(p).to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "source": b["source"],
+            "docs": np.int64(1),
+            "flagged_docs": (total >= flag_threshold).astype("int64"),
+            "total_hits": total,
+        })
+
+    out = combine_partials_driver(
+        _read_documents(sf_dir, columns=("text", "source")).map_batches(
+            _hits, batch_format="pandas", batch_size=65536),
+        ["source"],
+        {"docs": ("docs", "sum"), "flagged_docs": ("flagged_docs", "sum"),
+         "total_hits": ("total_hits", "sum")})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def boilerplate_strip(sf_dir: str, *, min_docs: int = 2,
+                      num_buckets: int = 32):
+    """CCNet-style per-source boilerplate removal: a line is boilerplate
+    iff it occurs in ≥ ``min_docs`` DISTINCT documents of the SAME
+    source (nav bars, cookie banners, footers — repeated within a site,
+    legitimate across sites). Every occurrence of a boilerplate line is
+    stripped; docs are returned reassembled.
+
+    Same wire discipline as ``_segment_dedup``: line text never crosses
+    the wire — occurrences travel as (doc_id, idx, h) with h a 64-bit
+    hash folding (source, line) (splitmix of the two siphashes;
+    collisions falsely merge at ~2⁻⁶⁴ — swap 128-bit at true corpus
+    scale). The count side needs only the BOILERPLATE occurrences back
+    (the minority), so the second shuffle is tiny; clean text is
+    rebuilt from a second column-pruned read per doc bucket.
+
+    Returns (doc_id, clean_text, n_boiler_lines, n_lines)."""
+    from pandas.util import hash_array
+
+    from ocr_agent_ray.functions.hashing import splitmix64
+
+    def _occ(batch: pd.DataFrame) -> pd.DataFrame:
+        lists = batch["text"].fillna("").str.split("\n", regex=False)
+        counts = lists.str.len().to_numpy(dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        hl = hash_array(lists.explode().to_numpy(), categorize=False)
+        hs = hash_array(batch["source"].to_numpy(), categorize=False)
+        h = splitmix64(hl ^ np.repeat(hs, counts))
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), counts),
+            "idx": idx,
+            "h": h,
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+        })
+
+    def _boiler(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["doc_id"].transform("nunique")
+        k = g[nd.to_numpy() >= min_docs]
+        return pd.DataFrame({
+            "doc_id": k["doc_id"],
+            "idx": k["idx"],
+            "text": pd.Series([None] * len(k), dtype="object",
+                              index=k.index),
+            "__db": (k["doc_id"].to_numpy() % num_buckets).astype(np.int32),
+        })
+
+    dropped = bucket_map_groups(
+        _read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(_occ, batch_format="pandas", batch_size=65536),
+        _boiler, bucket_col="__bucket", num_buckets=num_buckets)
+
+    def _doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "idx": np.full(len(batch), -1, dtype=np.int64),
+            "text": batch["text"].fillna("").astype("object"),
+            "__db": (batch["doc_id"].to_numpy() % num_buckets
+                     ).astype(np.int32),
+        })
+
+    doc_rows = _read_documents(sf_dir).map_batches(
+        _doc_rows, batch_format="pandas", batch_size=65536)
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g["idx"] < 0]
+        drop_idx = g[g["idx"] >= 0]
+        by_doc = {d: set(sub["idx"].tolist())
+                  for d, sub in drop_idx.groupby("doc_id", sort=False)}
+        rows = []
+        for d, t in zip(texts["doc_id"], texts["text"]):
+            segs = t.split("\n")
+            di = by_doc.get(d, ())
+            kept = [s for i, s in enumerate(segs) if i not in di]
+            rows.append((d, "\n".join(kept), len(segs) - len(kept),
+                         len(segs)))
+        out = pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                          "n_boiler_lines", "n_lines"])
+        out["n_boiler_lines"] = out["n_boiler_lines"].astype("int64")
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out
+
+    return bucket_map_groups(doc_rows.union(dropped), _assemble,
+                             bucket_col="__db", num_buckets=num_buckets)

@@ -1,0 +1,168 @@
+"""Planted-fixture tests for the round-4 curation extras: Pareto
+skyline, per-source Gini, blocklist screening, CCNet boilerplate strip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name: str, df: pd.DataFrame) -> str:
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _brute_skyline(df: pd.DataFrame) -> set[int]:
+    pts = df[["p_retailprice", "p_size"]].to_numpy()
+    keys = df["p_partkey"].to_numpy()
+    out = set()
+    for i in range(len(pts)):
+        pi, si = pts[i]
+        dominated = False
+        for j in range(len(pts)):
+            pj, sj = pts[j]
+            if pj <= pi and sj >= si and (pj < pi or sj > si):
+                dominated = True
+                break
+        if not dominated:
+            out.add(int(keys[i]))
+    return out
+
+
+def test_local_skyline_fuzz_vs_brute():
+    from ocr_agent_ray.pipelines.relational import _local_skyline
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 120))
+        df = pd.DataFrame({
+            "p_partkey": np.arange(n),
+            # small value domains force duplicate points and price ties
+            "p_retailprice": rng.integers(0, 8, n).astype(float),
+            "p_size": rng.integers(0, 8, n),
+        })
+        got = set(_local_skyline(df, "p_retailprice", "p_size")
+                  ["p_partkey"].tolist())
+        assert got == _brute_skyline(df), f"trial {trial}"
+
+
+def test_local_skyline_split_union_equals_whole():
+    """Local prune per split + final pass over the union == brute force
+    on the whole set (the distributed plan's correctness argument)."""
+    from ocr_agent_ray.pipelines.relational import _local_skyline
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "p_partkey": np.arange(300),
+        "p_retailprice": rng.integers(0, 20, 300).astype(float),
+        "p_size": rng.integers(0, 20, 300),
+    })
+    parts = [_local_skyline(g, "p_retailprice", "p_size")
+             for _, g in df.groupby(df.index % 5)]
+    final = _local_skyline(pd.concat(parts), "p_retailprice", "p_size")
+    assert set(final["p_partkey"].tolist()) == _brute_skyline(df)
+
+
+def test_pareto_skyline_pipeline(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import pareto_skyline
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "p_partkey": np.arange(500, dtype=np.int64),
+        "p_retailprice": rng.integers(0, 50, 500).astype(float),
+        "p_size": rng.integers(0, 50, 500).astype(np.int64),
+    })
+    sf = _write(tmp_path, "part", df)
+    got = pareto_skyline(sf).to_pandas()
+    assert set(got["p_partkey"].tolist()) == _brute_skyline(df)
+    # duplicates of a frontier point all survive
+    assert got["p_partkey"].is_unique
+
+
+def test_gini_known_values(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import gini_doc_lengths
+
+    rng = np.random.default_rng(5)
+    # src_eq: all equal lengths -> gini 0; src_rand: compare vs numpy
+    lens_eq = np.full(40, 100, dtype=np.int64)
+    lens_rand = rng.integers(10, 1000, 200).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": np.arange(240, dtype=np.int64),
+        "source": ["src_eq"] * 40 + ["src_rand"] * 200,
+        "n_chars": np.r_[lens_eq, lens_rand],
+        "text": "x",
+    })
+    sf = _write(tmp_path, "documents", df)
+    got = gini_doc_lengths(sf).set_index("source")["gini"]
+    assert got["src_eq"] == 0.0
+
+    x = np.sort(lens_rand)
+    i = np.arange(1, len(x) + 1)
+    n = float(len(x))
+    expect = (2.0 * float((i * x).sum())) / (n * float(x.sum())) \
+        - (n + 1.0) / n
+    assert abs(got["src_rand"] - expect) < 1e-6
+    assert 0.0 < got["src_rand"] < 1.0
+
+
+def test_blocklist_hits_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import blocklist_hits
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["a", "a", "b", "b"],
+        "text": [
+            "spark spark slow",       # 3 hits -> flagged
+            "clean doc",              # 0 hits
+            "bigbig slow",            # 3 hits (big twice overlap-free)
+            "spark",                  # 1 hit
+        ],
+        "n_chars": np.int64(1),
+    })
+    sf = _write(tmp_path, "documents", df)
+    got = blocklist_hits(sf).set_index("source")
+    assert got.loc["a", "docs"] == 2
+    assert got.loc["a", "flagged_docs"] == 1
+    assert got.loc["a", "total_hits"] == 3
+    assert got.loc["b", "flagged_docs"] == 1
+    assert got.loc["b", "total_hits"] == 4
+
+
+def test_boilerplate_strip_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import boilerplate_strip
+
+    # source A: FOOTER repeats in 3 docs (boilerplate); source B carries
+    # the same line in only ONE doc (must survive there). A duplicated
+    # line WITHIN one doc counts that doc once (nunique), so it is NOT
+    # boilerplate at min_docs=2.
+    docs = [
+        (0, "A", "unique a0\nFOOTER\nbody a0"),
+        (1, "A", "FOOTER\nunique a1"),
+        (2, "A", "body a2\nFOOTER"),
+        (3, "A", "twice\ntwice\nkeep me"),
+        (4, "B", "FOOTER\nunique b0"),
+        (5, "B", "other b1"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "source", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    sf = _write(tmp_path, "documents", df)
+
+    got = (boilerplate_strip(sf, min_docs=2).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "clean_text"] == "unique a0\nbody a0"
+    assert got.loc[0, "n_boiler_lines"] == 1
+    assert got.loc[1, "clean_text"] == "unique a1"
+    assert got.loc[2, "clean_text"] == "body a2"
+    # within-doc duplicate is not boilerplate
+    assert got.loc[3, "clean_text"] == "twice\ntwice\nkeep me"
+    assert got.loc[3, "n_boiler_lines"] == 0
+    # same line in another source survives
+    assert got.loc[4, "clean_text"] == "FOOTER\nunique b0"
+    assert got.loc[5, "clean_text"] == "other b1"
+    assert (got["n_lines"] ==
+            df.set_index("doc_id")["text"].str.split("\n").str.len()
+            .sort_index()).all()
