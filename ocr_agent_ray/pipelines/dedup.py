@@ -1722,3 +1722,212 @@ def dup_graph_kcore(docs, *, k: int = 2, threshold: float = 0.5,
     raise RuntimeError(
         f"k-core did not converge in {max_rounds} rounds — "
         "pathological peel chain; raise max_rounds")
+
+
+class MinHashStore:
+    """Persistent bucketed LSH state for INCREMENTAL *near*-dup admission
+    across arriving shards — the MinHash sibling of ``FingerprintStore``:
+    admit a crawl shard, reject any doc whose estimated Jaccard vs an
+    already-admitted doc (or vs an earlier-id doc in the same wave)
+    reaches ``threshold``, and append the survivors' LSH state.
+
+    Disk layout: one directory per band-key bucket
+    (``bucket=NNNN/part-*.parquet``), rows = (band_key, doc_id, sig)
+    with ``sig`` the full num_perm×u64 signature as bytes. Signatures
+    are duplicated per band row (num_bands× storage — bytes per doc is
+    num_bands·num_perm·8, ~4 KiB at the defaults) to keep admission a
+    single self-contained pass per bucket; at true corpus scale split a
+    doc-bucketed signature store and pay a second lookup join instead.
+
+    Admission is three streaming passes, none driver-materializing the
+    shard: (1) band rows of the wave check against stored rows +
+    wave-internal min-id-first rows, per bucket (read-only) →
+    per-(doc, bucket) reject partials; (2) decisions fold per doc
+    (bucketed max); the rejected-id set — bounded by the wave size, not
+    the store — broadcasts; (3) survivors' band rows append per bucket
+    under the same per-bucket advisory flock as FingerprintStore, so
+    concurrent admission of DIFFERENT waves is append-serialized per
+    bucket. NOTE: unlike exact fingerprints, check (1) and append (3)
+    are separate passes, so two waves admitted CONCURRENTLY can both
+    admit mutual near-dups (neither sees the other's pass-3 state);
+    serialize waves, or re-run a compaction dedup, when that matters.
+
+    Estimated-Jaccard admission is one-sided LSH: a true near-dup pair
+    is missed only if NO band collides (the standard S-curve miss
+    probability (1−J^r)^b); a band collision always verifies against
+    the full signature estimate, so false rejections need sig-estimate
+    ≥ threshold — the same acceptance rule as minhash_dedup_pairs'
+    prefilter."""
+
+    def __init__(self, root: str, *, num_perm: int = 64,
+                 num_bands: int = 16, threshold: float = 0.7,
+                 num_buckets: int = 32, shingle_k: int = 5):
+        import os
+
+        assert num_perm % num_bands == 0
+        self.root = root
+        self.num_perm = num_perm
+        self.num_bands = num_bands
+        self.threshold = threshold
+        self.num_buckets = num_buckets
+        self.shingle_k = shingle_k
+        os.makedirs(root, exist_ok=True)
+
+    # ---- shared disk/lock helpers (FingerprintStore layout) ----
+
+    def _bucket_dir(self, b: int) -> str:
+        import os
+
+        return os.path.join(self.root, f"bucket={b:04d}")
+
+    def _bucket_lock(self, b: int):
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def _held():
+            lock_dir = os.path.join(self.root, "locks")
+            os.makedirs(lock_dir, exist_ok=True)
+            fd = os.open(os.path.join(lock_dir, f"bucket-{b:04d}.lock"),
+                         os.O_RDWR | os.O_CREAT)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
+
+        return _held()
+
+    def _load_bucket(self, b: int) -> pd.DataFrame:
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = self._bucket_dir(b)
+        cols = ["band_key", "doc_id", "sig"]
+        if not os.path.isdir(d):
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                cols, ["int64", "int64", "object"])})
+        frames = [pq.read_table(os.path.join(d, f)).to_pandas()
+                  for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+        return (pd.concat(frames, ignore_index=True)[cols] if frames
+                else pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(
+                    cols, ["int64", "int64", "object"])}))
+
+    def _append_bucket(self, b: int, rows: pd.DataFrame) -> None:
+        import os
+        import uuid
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq
+
+        if not len(rows):
+            return
+        with self._bucket_lock(b):
+            d = self._bucket_dir(b)
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".{uuid.uuid4().hex}.tmp")
+            pq.write_table(pa_.Table.from_pandas(
+                rows[["band_key", "doc_id", "sig"]], preserve_index=False),
+                tmp)
+            os.replace(tmp, os.path.join(
+                d, f"part-{uuid.uuid4().hex}.parquet"))
+
+    # ---- signature plumbing ----
+
+    def _band_rows(self, batch: pd.DataFrame, text_col: str,
+                   id_col: str) -> pd.DataFrame:
+        sigs = minhash_signatures_batch(
+            batch[text_col].tolist(), k=self.shingle_k,
+            num_perm=self.num_perm)
+        keys = lsh_band_keys_batch(sigs, self.num_bands)
+        n = len(batch)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        out = pd.DataFrame({
+            "band_key": keys.reshape(-1),
+            "doc_id": np.repeat(
+                batch[id_col].to_numpy(dtype=np.int64), self.num_bands),
+            "sig": np.repeat(np.asarray(sig_bytes, dtype=object),
+                             self.num_bands),
+        })
+        out["__b"] = (out["band_key"].to_numpy(np.uint64)
+                      % np.uint64(self.num_buckets)).astype(np.int32)
+        return out
+
+    @staticmethod
+    def _sig_matrix(col: pd.Series, num_perm: int) -> np.ndarray:
+        if not len(col):
+            return np.zeros((0, num_perm), dtype=np.uint64)
+        return np.frombuffer(b"".join(col.tolist()),
+                             dtype=np.uint64).reshape(len(col), num_perm)
+
+    def _check_bucket(self, g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket's wave rows vs stored rows + wave min-id-first rows
+        → (doc_id, reject) partials (read-only, no lock needed: stores
+        only grow and a late-arriving stored row is indistinguishable
+        from a concurrent wave — see class docstring)."""
+        b = int(g["__b"].iloc[0])
+        stored = self._load_bucket(b).assign(__stored=True)
+        wave = g.drop(columns="__b")
+
+        # wave-internal: each doc checks against the min-id doc of its
+        # band group (first-wins, mirroring FingerprintStore order).
+        # Stored refs win unconditionally — including equal doc_id, so
+        # re-admitting a shard is idempotent (self vs stored-self has
+        # estimate 1.0 and rejects).
+        first = (wave.sort_values(["band_key", "doc_id"], kind="mergesort")
+                 .drop_duplicates("band_key").assign(__stored=False))
+        ref = pd.concat([stored, first], ignore_index=True)
+        cand = wave.merge(ref, on="band_key", suffixes=("", "_ref"))
+        cand = cand[cand["__stored"].to_numpy()
+                    | (cand["doc_id_ref"].to_numpy()
+                       < cand["doc_id"].to_numpy())]
+        if not len(cand):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "reject": pd.Series(dtype="int64")})
+        a = self._sig_matrix(cand["sig"], self.num_perm)
+        r = self._sig_matrix(cand["sig_ref"], self.num_perm)
+        est = (a == r).mean(axis=1)
+        hit = cand.loc[est >= self.threshold, "doc_id"]
+        return pd.DataFrame({"doc_id": hit.unique().astype("int64"),
+                             "reject": np.int64(1)})
+
+    def admit(self, ds, *, text_col: str = "text", id_col: str = "doc_id"):
+        """Admit one wave: returns the admitted (doc_id) rows and appends
+        their LSH state. See class docstring for the three-pass shape."""
+        from ocr_agent_ray.pipelines.agg import combine_partials_driver
+        from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+        store = self
+
+        def _rows(batch: pd.DataFrame) -> pd.DataFrame:
+            return store._band_rows(batch, text_col, id_col)
+
+        band_rows = ds.map_batches(_rows, batch_format="pandas",
+                                   batch_size=8192)
+        rejects = combine_partials_driver(
+            bucket_map_groups(band_rows, self._check_bucket,
+                              bucket_col="__b",
+                              num_buckets=self.num_buckets),
+            ["doc_id"], {"reject": ("reject", "max")})
+        rejected = set(rejects["doc_id"].tolist())
+
+        def _append(g: pd.DataFrame) -> pd.DataFrame:
+            keep = g[~g["doc_id"].isin(rejected)]
+            store._append_bucket(int(g["__b"].iloc[0]),
+                                 keep.drop(columns="__b"))
+            return (keep[["doc_id"]].drop_duplicates()
+                    .reset_index(drop=True))
+
+        # recompute band rows (second streaming pass over the wave input
+        # — cheaper than materializing sig rows between passes); a doc's
+        # rows land in up to num_bands buckets, so distinct the output
+        from ocr_agent_ray.pipelines.agg import distinct_rows
+
+        appended = bucket_map_groups(
+            ds.map_batches(_rows, batch_format="pandas", batch_size=8192),
+            _append, bucket_col="__b", num_buckets=self.num_buckets)
+        return distinct_rows(appended, ["doc_id"],
+                             num_buckets=min(8, self.num_buckets))

@@ -512,3 +512,83 @@ def test_dup_graph_kcore_empty_core(ray_session):
             {"doc_id": 11, "text": "one two three four five six eight"}]
     out = dup_graph_kcore(rd.from_items(docs), k=5).to_pandas()
     assert len(out) == 0
+
+
+def test_minhash_store_incremental_near_dup_admission(ray_session, tmp_path):
+    """Incremental NEAR-dup admission: near-dups of earlier-admitted docs
+    are rejected across waves AND within a wave (min-id wins); novel docs
+    are admitted; re-admission is idempotent (stored self rejects)."""
+    import numpy as np
+
+    from ocr_agent_ray.pipelines.dedup import MinHashStore
+
+    rng = np.random.default_rng(21)
+    vocab = [f"tok{i}" for i in range(200)]
+
+    def mk(seed_words, edit_at=None):
+        w = list(seed_words)
+        if edit_at is not None:
+            w[edit_at] = "EDITED"
+        return " ".join(w)
+
+    base_a = list(rng.choice(vocab, size=80))
+    base_b = list(rng.choice(vocab, size=80))
+    base_c = list(rng.choice(vocab, size=80))
+
+    store = MinHashStore(str(tmp_path / "state"), threshold=0.7,
+                         num_buckets=8)
+
+    wave1 = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [mk(base_a), mk(base_b), mk(base_a, edit_at=40)],
+    })
+    got1 = set(store.admit(rd.from_pandas(wave1)).to_pandas()["doc_id"])
+    assert got1 == {1, 2}          # 3 is a near-dup of 1 (in-wave)
+
+    wave2 = pd.DataFrame({
+        "doc_id": [10, 11],
+        "text": [mk(base_b, edit_at=10),   # near-dup of stored 2
+                 mk(base_c)],              # novel
+    })
+    got2 = set(store.admit(rd.from_pandas(wave2)).to_pandas()["doc_id"])
+    assert got2 == {11}
+
+    # idempotent: stored self-signature rejects on re-admission
+    got3 = store.admit(rd.from_pandas(wave2)).to_pandas()
+    assert len(got3) == 0
+
+    # no false rejects on genuinely distinct docs
+    wave3 = pd.DataFrame({
+        "doc_id": [20, 21],
+        "text": [" ".join(rng.choice(vocab, size=80)) for _ in range(2)],
+    })
+    got4 = set(store.admit(rd.from_pandas(wave3)).to_pandas()["doc_id"])
+    assert got4 == {20, 21}
+
+
+def test_minhash_store_estimate_matches_pairwise(tmp_path):
+    """The store's accept rule is the signature estimate — spot-check the
+    bucket kernel agrees with the direct signature comparison."""
+    import numpy as np
+
+    from ocr_agent_ray.functions.hashing import (lsh_band_keys_batch,
+                                                 minhash_signatures_batch)
+    from ocr_agent_ray.pipelines.dedup import MinHashStore
+
+    store = MinHashStore(str(tmp_path / "s"), threshold=0.5, num_buckets=4)
+    texts = ["the quick brown fox jumps over the lazy dog " * 4,
+             "the quick brown fox jumps over the lazy cat " * 4]
+    sigs = minhash_signatures_batch(texts, k=store.shingle_k,
+                                    num_perm=store.num_perm)
+    est = float((sigs[0] == sigs[1]).mean())
+    assert est >= 0.5  # near-dups by construction
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": texts})
+    rows = store._band_rows(df, "text", "doc_id")
+    rejected = pd.concat([
+        store._check_bucket(g)
+        for _, g in rows.groupby("__b")], ignore_index=True)
+    assert set(rejected["doc_id"]) == {2}
+    # band keys really collide somewhere (the LSH route exists)
+    keys = lsh_band_keys_batch(sigs, store.num_bands)
+    assert (keys[0] == keys[1]).any()
