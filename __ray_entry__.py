@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_paragraph_dedup": text.paragraph_dedup,
         "q_boilerplate_strip": text.boilerplate_strip,
         "q_gini_doc_lengths": text.gini_doc_lengths,
+        "q_docs_for_80pct": text.docs_for_80pct,
         "q_blocklist_hits": text.blocklist_hits,
         "q_pareto_skyline": relational.pareto_skyline,
         "q_pack_sequences": text.pack_sequences,  # rows-only (iterative next-fit)
@@ -1491,6 +1492,19 @@ def oracle_sql() -> dict[str, str]:
             "AS n_boiler_lines, "
             "CAST(COUNT(*) AS BIGINT) AS n_lines "
             "FROM k GROUP BY doc_id"
+        ),
+        "q_docs_for_80pct": (
+            "WITH r AS (SELECT source, "
+            "SUM(n_chars) OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id DESC "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(n_chars) OVER (PARTITION BY source) AS t, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id DESC) AS rn, "
+            "COUNT(*) OVER (PARTITION BY source) AS n FROM documents) "
+            "SELECT source, CAST(MIN(rn) AS BIGINT) AS docs_80pct, "
+            "CAST(MIN(n) AS BIGINT) AS n_docs "
+            "FROM r WHERE cum >= 0.8 * t GROUP BY source"
         ),
         "q_gini_doc_lengths": (
             "WITH r AS (SELECT source, n_chars, row_number() OVER ("

@@ -220,6 +220,7 @@ QUERY_NAMES = [
     "q_blocklist_hits",
     "q_boilerplate_strip",
     "q_cms_probe_counts",
+    "q_docs_for_80pct",
 ]
 
 

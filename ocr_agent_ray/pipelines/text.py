@@ -1966,3 +1966,86 @@ def boilerplate_strip(sf_dir: str, *, min_docs: int = 2,
 
     return bucket_map_groups(doc_rows.union(dropped), _assemble,
                              bucket_col="__db", num_buckets=num_buckets)
+
+
+def docs_for_80pct(sf_dir: str, *, frac: float = 0.8,
+                   range_width: int = 16):
+    """Pareto-coverage per source: the MINIMUM number of (largest) docs
+    whose lengths sum to ≥ ``frac`` of the source's total chars — the
+    actionable companion to the Gini ('how few pages carry 80% of this
+    site?').
+
+    Range-parallel like agg.ranged_partitioned_ranks: one hash exchange
+    on n_chars // range_width, a stats wave folding per-(range, source)
+    (count, Σx) into driver prefix offsets (|sources|×64 entries), then
+    a second wave over the SAME shards where each range computes its
+    rows' exact ascending prefix sums and reports the max ascending rank
+    i with suffix(i) = T − prefix(i−1) ≥ frac·T; the answer is
+    n − max_i + 1 after a tiny per-source max fold. suffix is
+    monotonically decreasing in i, so the max is well-defined and ≥ 1.
+    All sums are exact int64; the only float is the frac·T compare,
+    identical to the oracle's."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    keyed = _read_documents(
+        sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
+        lambda b: b.assign(__rb=(b["n_chars"] // range_width)
+                           .astype("int64")),
+        batch_format="pandas", batch_size=65536)
+
+    shards = exchange_shards(keyed, bucket_col="__rb", num_buckets=64,
+                             mode="mod")
+
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["__rb", "source"], sort=False)["n_chars"]
+        out = gg.agg(n="size", sx="sum").reset_index()
+        out["n"] = out["n"].astype("int64")
+        out["sx"] = out["sx"].astype("int64")
+        return out
+
+    stats = shards.reduce(_stats).to_pandas()
+    if stats.empty:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "docs_80pct": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64")})
+
+    row_off: dict = {}
+    x_off: dict = {}
+    totals_n: dict = {}
+    totals_x: dict = {}
+    for src, sub in stats.groupby("source"):
+        sub = sub.sort_values("__rb")
+        for rb, ro, xo in zip(sub["__rb"],
+                              sub["n"].cumsum().shift(1, fill_value=0),
+                              sub["sx"].cumsum().shift(1, fill_value=0)):
+            row_off[(int(rb), src)] = int(ro)
+            x_off[(int(rb), src)] = int(xo)
+        totals_n[src] = int(sub["n"].sum())
+        totals_x[src] = int(sub["sx"].sum())
+
+    def _max_rank(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["__rb"].iloc[0])
+        rows = []
+        for src, sub in g.groupby("source", sort=False):
+            sub = sub.sort_values(["n_chars", "doc_id"], kind="mergesort")
+            x = sub["n_chars"].to_numpy(dtype=np.int64)
+            i = row_off[(rb, src)] + np.arange(1, len(x) + 1,
+                                               dtype=np.int64)
+            prefix = x_off[(rb, src)] + np.cumsum(x)
+            t = totals_x[src]
+            suffix = t - (prefix - x)           # sum of ranks >= i
+            ok = suffix >= frac * float(t)
+            if ok.any():
+                rows.append((src, int(i[ok].max())))
+        return pd.DataFrame(rows, columns=["source", "max_i"])
+
+    folded = combine_partials_driver(
+        shards.reduce(_max_rank, group_col="__rb"),
+        ["source"], {"max_i": ("max_i", "max")})
+    return pd.DataFrame({
+        "source": folded["source"],
+        "docs_80pct": (folded["source"].map(totals_n).astype("int64")
+                       - folded["max_i"].astype("int64") + 1),
+        "n_docs": folded["source"].map(totals_n).astype("int64"),
+    }).sort_values("source").reset_index(drop=True)

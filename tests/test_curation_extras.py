@@ -166,3 +166,21 @@ def test_boilerplate_strip_planted(ray_session, tmp_path):
     assert (got["n_lines"] ==
             df.set_index("doc_id")["text"].str.split("\n").str.len()
             .sort_index()).all()
+
+
+def test_docs_for_80pct_known(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import docs_for_80pct
+
+    # src_one: top doc alone covers exactly 80% -> 1
+    # src_flat: 10 equal docs -> need 8
+    df = pd.DataFrame({
+        "doc_id": np.arange(14, dtype=np.int64),
+        "source": ["src_one"] * 4 + ["src_flat"] * 10,
+        "n_chars": np.array([80, 10, 5, 5] + [7] * 10, dtype=np.int64),
+        "text": "x",
+    })
+    sf = _write(tmp_path, "documents", df)
+    got = docs_for_80pct(sf).set_index("source")
+    assert got.loc["src_one", "docs_80pct"] == 1
+    assert got.loc["src_one", "n_docs"] == 4
+    assert got.loc["src_flat", "docs_80pct"] == 8
