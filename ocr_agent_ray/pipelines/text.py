@@ -2038,7 +2038,10 @@ def docs_for_80pct(sf_dir: str, *, frac: float = 0.8,
             ok = suffix >= frac * float(t)
             if ok.any():
                 rows.append((src, int(i[ok].max())))
-        return pd.DataFrame(rows, columns=["source", "max_i"])
+        out = pd.DataFrame(rows, columns=["source", "max_i"])
+        out["source"] = out["source"].astype("object")
+        out["max_i"] = out["max_i"].astype("int64")
+        return out
 
     folded = combine_partials_driver(
         shards.reduce(_max_rank, group_col="__rb"),
