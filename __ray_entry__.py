@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sentence_stats": text.sentence_stats,
         "q_zipf_fit": text.zipf_fit,
         "q_keyword_search": text.keyword_search,
+        "q_bm25_search": text.bm25_search,
+        "q_mixture_weights": text.mixture_weights,
+        "q_dup_source_matrix": dedup.dup_pair_source_matrix,
         "q_bpe_merges": text.learn_bpe_merges,  # rows-only (iterative tokenizer training; golden pytest)
         "q_bpe_compression": text.bpe_compression_stats,  # rows-only (applies the trained merges; invariant pytest)
         "q_bigram_perplexity": text.bigram_perplexity,
@@ -1444,6 +1447,62 @@ def oracle_sql() -> dict[str, str]:
             "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
             "QUALIFY row_number() OVER (PARTITION BY sc.qid "
             "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
+        "q_bm25_search": (
+            # BM25 with the Lucene idf; constants written as the same
+            # float expressions the pipeline evaluates
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            "FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
+            "AS score, COUNT(*) AS matched "
+            "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2) "
+            "SELECT sc.qid AS query_id, sc.doc_id, "
+            "ROUND(sc.score, 6) AS score FROM sc "
+            "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sc.qid "
+            "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
+        "q_mixture_weights": (
+            "WITH tl AS (SELECT source, "
+            "CAST(SUM(len(regexp_extract_all(text, '[0-9A-Za-z_]+'))) "
+            "AS DOUBLE) AS t, "
+            "CAST(SUM(len(regexp_extract_all(text, '[0-9A-Za-z_]+'))) "
+            "AS BIGINT) AS ti FROM documents GROUP BY 1), "
+            "s AS (SELECT SUM(POWER(t, 0.5)) AS z, SUM(t) AS tot FROM tl) "
+            "SELECT source, ti AS n_tokens, "
+            "ROUND(POWER(t, 0.5) / z, 6) AS mix_weight, "
+            "ROUND(POWER(t, 0.5) / z * tot / t, 6) AS sample_rate "
+            "FROM tl, s"
+        ),
+        "q_dup_source_matrix": (
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "m AS (SELECT LEAST(da.source, db.source) AS src_lo, "
+            "GREATEST(da.source, db.source) AS src_hi FROM pairs "
+            "JOIN documents da ON pairs.doc_id_a = da.doc_id "
+            "JOIN documents db ON pairs.doc_id_b = db.doc_id) "
+            "SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+            "FROM m GROUP BY 1, 2"
         ),
         "q_zipf_fit": (
             # raw-moment slope formula, NOT REGR_SLOPE's one-pass update —

@@ -221,6 +221,9 @@ QUERY_NAMES = [
     "q_boilerplate_strip",
     "q_cms_probe_counts",
     "q_docs_for_80pct",
+    "q_bm25_search",
+    "q_mixture_weights",
+    "q_dup_source_matrix",
 ]
 
 

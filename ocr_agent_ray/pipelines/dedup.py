@@ -1931,3 +1931,76 @@ class MinHashStore:
             _append, bucket_col="__b", num_buckets=self.num_buckets)
         return distinct_rows(appended, ["doc_id"],
                              num_buckets=min(8, self.num_buckets))
+
+
+def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
+                           n: int = 4):
+    """Near-dup SOURCE-pair matrix — the corpus diagnostic that tells you
+    WHERE duplication lives: counts of exact word-n-gram Jaccard pairs
+    (ngram_jaccard_all_pairs, recall 1.0) grouped by the unordered pair
+    of sources, so 'mirror site' (off-diagonal) and 'internal
+    boilerplate' (diagonal) show up as separate cells. Pairs carry only
+    ids; each side's source attaches via one bucket_hash_join against a
+    column-pruned documents read; the matrix itself is ≤ |sources|²
+    keys — a driver combine."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+
+    def _src(col_out: str):
+        def _fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": b["doc_id"],
+                                 col_out: b["source"]})
+
+        return _fn
+
+    src = read_table(sf_dir, "documents", ["doc_id", "source"])
+    pair_schema = pa.schema([("doc_id_a", pa.int64()),
+                             ("doc_id_b", pa.int64()),
+                             ("jaccard", pa.float64())])
+
+    def _key_a(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={"doc_id_a": "doc_id"})
+
+    with_a = bucket_hash_join(
+        pairs.map_batches(_key_a, batch_format="pandas"),
+        src.map_batches(_src("source_a"), batch_format="pandas"),
+        on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("doc_id_b", pa.int64()),
+                               ("jaccard", pa.float64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source_a", pa.string())]))
+
+    def _key_b(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.drop(columns=["doc_id"])
+                .rename(columns={"doc_id_b": "doc_id"}))
+
+    with_b = bucket_hash_join(
+        with_a.map_batches(_key_b, batch_format="pandas"),
+        src.map_batches(_src("source_b"), batch_format="pandas"),
+        on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("jaccard", pa.float64()),
+                               ("source_a", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("source_b", pa.string())]))
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(b["source_a"].to_numpy(dtype=object),
+                        b["source_b"].to_numpy(dtype=object))
+        hi = np.maximum(b["source_a"].to_numpy(dtype=object),
+                        b["source_b"].to_numpy(dtype=object))
+        return pd.DataFrame({"src_lo": lo, "src_hi": hi,
+                             "n_pairs": np.int64(1)})
+
+    out = combine_partials_driver(
+        with_b.map_batches(_cells, batch_format="pandas"),
+        ["src_lo", "src_hi"], {"n_pairs": ("n_pairs", "sum")})
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["src_lo", "src_hi"]).reset_index(drop=True)

@@ -2052,3 +2052,125 @@ def docs_for_80pct(sf_dir: str, *, frac: float = 0.8,
                        - folded["max_i"].astype("int64") + 1),
         "n_docs": folded["source"].map(totals_n).astype("int64"),
     }).sort_values("source").reset_index(drop=True)
+
+
+def bm25_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
+                b: float = 0.75):
+    """Conjunctive BM25 retrieval (Robertson et al.; the Lucene-default
+    idf = ln((N−df+0.5)/(df+0.5)+1)) over the registered _SEARCH_QUERIES
+    — keyword_search's ranking upgraded with tf saturation and
+    doc-length normalization. Same two bounded passes: (1) one streaming
+    stats fold (N, Σdl, per-term df — a constant-size broadcast 'mini
+    index'); (2) one scoring pass emitting per-batch per-query partial
+    top-k, merged per query. Columns: query_id, doc_id, score."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(batch)), columns=terms,
+                        fill_value=0)
+        tf.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        tf.insert(1, "__dl", toks.str.len().to_numpy(dtype=np.int64))
+        return tf
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        row = {"__n_docs": np.int64(len(batch)),
+               "__sum_dl": np.int64(tf["__dl"].sum())}
+        for t in terms:
+            row[f"df_{t}"] = np.int64((tf[t] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [x for x in _read_documents(sf_dir).map_batches(
+            _stats, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n_docs = float(stats["__n_docs"])
+    avgdl = float(stats["__sum_dl"]) / n_docs
+    idf = {t: np.log((n_docs - float(stats[f"df_{t}"]) + 0.5)
+                     / (float(stats[f"df_{t}"]) + 0.5) + 1.0)
+           for t in terms}
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        dl = tf["__dl"].to_numpy(dtype=np.float64)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            dlm = dl[match.to_numpy()]
+            score = np.zeros(int(match.sum()), dtype=np.float64)
+            for t in qterms:
+                tfv = sub.loc[match, t].to_numpy(dtype=np.float64)
+                score += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlm / avgdl))
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score})
+            out.append(g.sort_values(["score", "doc_id"],
+                                     ascending=[False, True]).head(k))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["score"] = round_half_away(g["score"].to_numpy(), 6)
+        return g[["query_id", "doc_id", "score"]]
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_score,
+                                            batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)
+
+
+def mixture_weights(sf_dir: str, *, alpha: float = 0.5):
+    """Temperature-scaled source mixture weights (the T5/multilingual
+    p ∝ tokens^α rule): per-source token counts fold as mergeable
+    partials; the weight table is |sources| rows on the driver.
+    ``sample_rate`` is the expected epochs over each source when the
+    training budget equals the corpus total (rate = weight·T/tokens —
+    >1 upsamples small sources, <1 downsamples big heads). Columns:
+    source, n_tokens, mix_weight, sample_rate."""
+    from ocr_agent_ray.functions.textstats import (round_half_away,
+                                                   token_counts)
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": batch["source"],
+            "n_tokens": token_counts(batch["text"]).to_numpy(),
+        })
+
+    tl = combine_partials_driver(
+        _read_documents(sf_dir, columns=("text", "source")).map_batches(
+            _counts, batch_format="pandas", batch_size=65536),
+        ["source"], {"n_tokens": ("n_tokens", "sum")})
+    t = tl["n_tokens"].to_numpy(dtype=np.float64)
+    w = t ** alpha
+    z = float(w.sum())
+    tot = float(t.sum())
+    mix = w / z
+    return pd.DataFrame({
+        "source": tl["source"],
+        "n_tokens": tl["n_tokens"].astype("int64"),
+        "mix_weight": round_half_away(mix, 6),
+        "sample_rate": round_half_away(mix * tot / t, 6),
+    }).sort_values("source").reset_index(drop=True)

@@ -184,3 +184,93 @@ def test_docs_for_80pct_known(ray_session, tmp_path):
     assert got.loc["src_one", "docs_80pct"] == 1
     assert got.loc["src_one", "n_docs"] == 4
     assert got.loc["src_flat", "docs_80pct"] == 8
+
+
+def test_bm25_matches_brute_force(ray_session, tmp_path):
+    """Pipeline BM25 == a dense pandas reference on a planted corpus."""
+    from ocr_agent_ray.pipelines.text import _SEARCH_QUERIES, bm25_search
+
+    rng = np.random.default_rng(13)
+    vocab = ["join", "hash", "vector", "stream", "window", "filter",
+             "merge", "alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 60))))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = bm25_search(str(tmp_path), k=10).to_pandas()
+
+    # dense reference
+    k1, b = 1.2, 0.75
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], dtype=float)
+    avgdl = float(dl.sum()) / len(dl)
+    n = float(len(toks))
+    for qid, qterms in _SEARCH_QUERIES.items():
+        dfreq = {t: sum(1 for d in toks if t in d) for t in qterms}
+        rows = []
+        for i, d in enumerate(toks):
+            tfs = {t: d.count(t) for t in qterms}
+            if all(v > 0 for v in tfs.values()):
+                s = 0.0
+                for t in qterms:
+                    idf = np.log((n - dfreq[t] + 0.5)
+                                 / (dfreq[t] + 0.5) + 1.0)
+                    s += idf * (tfs[t] * (k1 + 1.0)) / (
+                        tfs[t] + k1 * (1.0 - b + b * dl[i] / avgdl))
+                rows.append((i, s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        expect = rows[:10]
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        assert list(sub["doc_id"]) == [r[0] for r in expect]
+        for (_, s), gs in zip(expect, sub["score"]):
+            assert abs(s - gs) < 1e-5
+
+
+def test_mixture_weights_properties(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.text import mixture_weights
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "source": ["big", "small", "tiny"],
+        "text": ["w " * 1600, "w " * 100, "w " * 25],  # tokens 1600/100/25
+        "n_chars": np.int64(1),
+    })
+    sf = _write(tmp_path, "documents", df)
+    got = mixture_weights(sf, alpha=0.5).set_index("source")
+    # sqrt weights: 40/10/5 -> 8/11, 2/11, 1/11
+    assert abs(got.loc["big", "mix_weight"] - 8 / 11) < 1e-6
+    assert abs(got.loc["tiny", "mix_weight"] - 1 / 11) < 1e-6
+    # temperature flattens: small sources upsampled, big downsampled
+    tot = 1725.0
+    assert got.loc["tiny", "sample_rate"] > 1.0
+    assert got.loc["big", "sample_rate"] < 1.0
+    assert abs(got.loc["small", "sample_rate"]
+               - (2 / 11) * tot / 100) < 1e-6
+    # alpha=1 reduces to proportional (rate 1 everywhere)
+    got1 = mixture_weights(sf, alpha=1.0).set_index("source")
+    assert np.allclose(got1["sample_rate"], 1.0)
+
+
+def test_dup_source_matrix_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.dedup import dup_pair_source_matrix
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "source": ["A", "A", "B", "B", "B"],
+        "text": [base, base + " end",          # A-A near-dup
+                 base + " tail", other,        # A-B near-dups via base
+                 "unrelated totally different words entirely here now"],
+        "n_chars": np.int64(1),
+    })
+    sf = _write(tmp_path, "documents", df)
+    got = dup_pair_source_matrix(sf).set_index(["src_lo", "src_hi"])
+    assert got.loc[("A", "A"), "n_pairs"] == 1     # docs 0-1
+    assert got.loc[("A", "B"), "n_pairs"] == 2     # 0-2 and 1-2
+    assert ("B", "B") not in got.index
