@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
+        "q_time_decay_attribution": relational.time_decay_attribution,
+        "q_scd2_intervals": streaming.scd2_intervals,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1918,6 +1920,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.c / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (user_id, pts) GROUP BY 1"
+        ),
+        "q_time_decay_attribution": (
+            # exp(-λ·age_days) weights; same pairs shape as the linear
+            # oracle — the pipeline computes the algebraically-equal
+            # prefix-sum form exp(λ(tt−t_ref)) (the exp(−λ·tp) factor
+            # cancels in each fraction)
+            "WITH p AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "t AS (SELECT user_id, ts, event_type FROM events "
+            "WHERE event_type IN ('view', 'click')), "
+            "pairs AS (SELECT p.user_id, p.ts AS pts, t.event_type, "
+            "EXP(-0.1 * (CAST(date_diff('microsecond', t.ts, p.ts) "
+            "AS DOUBLE) / 86400000000.0)) AS w "
+            "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts), "
+            "per AS (SELECT user_id, pts, event_type, SUM(w) AS wt "
+            "FROM pairs GROUP BY 1, 2, 3), "
+            "sz AS (SELECT user_id, pts, SUM(wt) AS n FROM per "
+            "GROUP BY 1, 2) "
+            "SELECT per.event_type AS touch_type, "
+            "ROUND(SUM(per.wt / sz.n), 6) AS credit "
+            "FROM per JOIN sz USING (user_id, pts) GROUP BY 1"
+        ),
+        "q_scd2_intervals": (
+            "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "s AS (SELECT user_id, ts AS valid_from, event_id, event_type "
+            "FROM o WHERE prev IS NULL OR prev <> event_type) "
+            "SELECT user_id, event_type, valid_from, "
+            "LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from, event_id) AS valid_to FROM s"
         ),
         "q_merge_cdc": (
             "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "

@@ -224,6 +224,8 @@ QUERY_NAMES = [
     "q_bm25_search",
     "q_mixture_weights",
     "q_dup_source_matrix",
+    "q_time_decay_attribution",
+    "q_scd2_intervals",
 ]
 
 

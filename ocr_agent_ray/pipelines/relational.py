@@ -3336,3 +3336,64 @@ def pareto_skyline(sf_dir: str, *, min_col: str = "p_retailprice",
         parts.map_batches(_prune, batch_format="pandas",
                           batch_size=65536),
         _final, num_buckets=1)
+
+
+def time_decay_attribution(sf_dir: str, *, decay_per_day: float = 0.1):
+    """Time-decay multi-touch attribution — the recency-weighted member
+    of the attribution family (first_touch / linear / time-decay): each
+    purchase splits 1.0 of credit across that user's preceding
+    view/click touches proportionally to exp(−λ·age_days), so touches
+    just before the purchase dominate. Same single user-bucket exchange
+    as linear_attribution; the per-bucket kernel exploits
+    exp(−λ(tp−tt)) = exp(−λ·tp)·exp(λ·tt): two grouped cumsums of
+    exp(λ(tt−t_ref)) at purchase positions give every purchase's
+    per-type weight sums in one vectorized pass (the per-purchase
+    exp(−λ·tp) factor cancels in the credit fraction). t_ref is each
+    user's last event, keeping exponents in [−λ·span, 0].
+    Columns: touch_type, credit."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "click", "purchase"])]
+        return b.assign(__b=(b["user_id"] % 64).astype("int32"))
+
+    def _credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            __is_v=(g["event_type"] == "view").astype("int64"),
+            __is_c=(g["event_type"] == "click").astype("int64"))
+        g = g.assign(__touch=g["__is_v"] + g["__is_c"])
+        # purchases before same-ts touches: a same-instant touch never
+        # credits itself (strict t.ts < p.ts, like the oracle)
+        g = g.sort_values(["user_id", "ts", "__touch"], kind="mergesort")
+        t_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ref = g.groupby("user_id", sort=False)["ts"].transform("max")
+        ref_us = ref.astype("datetime64[us]").astype("int64").to_numpy()
+        w = np.exp(decay_per_day
+                   * ((t_us - ref_us).astype(np.float64) / 86400e6))
+        wv = pd.Series(w * g["__is_v"].to_numpy(), index=g.index)
+        wc = pd.Series(w * g["__is_c"].to_numpy(), index=g.index)
+        sv = wv.groupby(g["user_id"], sort=False).cumsum().to_numpy()
+        sc_ = wc.groupby(g["user_id"], sort=False).cumsum().to_numpy()
+        p = g["event_type"].to_numpy() == "purchase"
+        nv, nc = sv[p], sc_[p]
+        n = nv + nc
+        keep = n > 0
+        return pd.DataFrame({
+            "touch_type": ["view", "click"],
+            "credit": [float((nv[keep] / n[keep]).sum()),
+                       float((nc[keep] / n[keep]).sum())],
+        })
+
+    parts = bucket_map_groups(
+        ev.map_batches(_key, batch_format="pandas", batch_size=65536),
+        _credit, num_buckets=64)
+    out = combine_partials_driver(parts, ["touch_type"],
+                                  {"credit": ("credit", "sum")})
+    out = out[out["credit"] > 0.0]
+    out["credit"] = round_half_away(out["credit"], 6)
+    return out.sort_values("touch_type").reset_index(drop=True)

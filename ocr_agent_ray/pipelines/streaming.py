@@ -1221,3 +1221,37 @@ def views_before_purchase(sf_dir: str, *, window_minutes: int = 360,
         sf_dir, columns=("event_id", "ts", "user_id", "event_type")) \
         .map_batches(_key, batch_format="pandas", batch_size=65536)
     return bucket_map_groups(keyed, _join, num_buckets=num_buckets)
+
+
+def scd2_intervals(sf_dir: str):
+    """SCD Type-2 history build from the event log: per user, collapse
+    consecutive runs of the same event_type into validity intervals
+    (valid_from = run start, valid_to = next run's start, NULL while
+    current) — the warehouse dimension-history shape, derived here from
+    a raw stream in one user-bucket exchange. The per-bucket kernel is
+    one sort + two vectorized shift-compares; no per-row loop, no
+    driver state. Ties on ts break by event_id on both sides.
+    Columns: user_id, event_type, valid_from, valid_to."""
+
+    def _runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        change = new_user | g["event_type"].ne(g["event_type"].shift())
+        s = g[change].reset_index(drop=True)
+        nxt_from = s["ts"].shift(-1)
+        nxt_user = s["user_id"].shift(-1)
+        valid_to = nxt_from.where(nxt_user == s["user_id"])
+        return pd.DataFrame({
+            "user_id": s["user_id"],
+            "event_type": s["event_type"],
+            "valid_from": s["ts"],
+            "valid_to": valid_to,
+        })
+
+    keyed = _read_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type")
+    ).map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 64).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    return bucket_map_groups(keyed, _runs, num_buckets=64)

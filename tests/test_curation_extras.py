@@ -274,3 +274,78 @@ def test_dup_source_matrix_planted(ray_session, tmp_path):
     assert got.loc[("A", "A"), "n_pairs"] == 1     # docs 0-1
     assert got.loc[("A", "B"), "n_pairs"] == 2     # 0-2 and 1-2
     assert ("B", "B") not in got.index
+
+
+def test_scd2_intervals_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.streaming import scd2_intervals
+
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-03",   # u1: A A B
+        "2024-01-05",                                # u1: A again
+        "2024-01-01", "2024-01-01",                  # u2: same-ts tie
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "event_type": ["A", "A", "B", "A", "X", "Y"],
+        "value": 0.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (scd2_intervals(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "valid_from"])
+           .reset_index(drop=True))
+    u1 = got[got["user_id"] == 1].reset_index(drop=True)
+    assert list(u1["event_type"]) == ["A", "B", "A"]
+    assert u1.loc[0, "valid_to"] == ts[2]      # A run ends when B starts
+    assert u1.loc[1, "valid_to"] == ts[3]
+    assert pd.isna(u1.loc[2, "valid_to"])      # current
+    u2 = got[got["user_id"] == 2].reset_index(drop=True)
+    # same-ts tie breaks by event_id: X then Y
+    assert list(u2["event_type"]) == ["X", "Y"]
+    assert u2.loc[0, "valid_to"] == ts[5]
+    assert pd.isna(u2.loc[1, "valid_to"])
+
+
+def test_time_decay_attribution_brute(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import time_decay_attribution
+
+    rng = np.random.default_rng(31)
+    n = 600
+    base = pd.Timestamp("2024-01-01").value // 1000
+    ts_us = np.sort(base + rng.integers(0, 30 * 86400_000_000, n))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase", "other"],
+                                 n, p=[0.4, 0.3, 0.2, 0.1]),
+        "value": 0.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (time_decay_attribution(str(tmp_path)).set_index("touch_type")
+           ["credit"])
+
+    # brute force over explicit pairs
+    lam = 0.1
+    credit = {"view": 0.0, "click": 0.0}
+    for uid, sub in df.groupby("user_id"):
+        sub = sub.sort_values(["ts", "event_id"])
+        t_us2 = sub["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        types = sub["event_type"].to_numpy()
+        for i in np.flatnonzero(types == "purchase"):
+            w = {"view": 0.0, "click": 0.0}
+            for j in range(len(sub)):
+                if t_us2[j] < t_us2[i] and types[j] in w:
+                    age = (t_us2[i] - t_us2[j]) / 86400e6
+                    w[types[j]] += np.exp(-lam * age)
+            tot = w["view"] + w["click"]
+            if tot > 0:
+                credit["view"] += w["view"] / tot
+                credit["click"] += w["click"] / tot
+    assert abs(got["view"] - credit["view"]) < 1e-4
+    assert abs(got["click"] - credit["click"]) < 1e-4
