@@ -1906,41 +1906,41 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_linear_attribution": (
             # per-purchase per-type fractions summed (c/n terms mirror
-            # the Ray kernel's grouped cumsum partials)
-            "WITH p AS (SELECT user_id, ts FROM events "
+            # the Ray kernel's grouped cumsum partials). Purchases key
+            # on event_id, NOT (user_id, ts): two same-instant purchases
+            # are two credit units on both sides
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'purchase'), "
             "t AS (SELECT user_id, ts, event_type FROM events "
             "WHERE event_type IN ('view', 'click')), "
-            "pairs AS (SELECT p.user_id, p.ts AS pts, t.event_type "
+            "pairs AS (SELECT p.event_id AS pid, t.event_type "
             "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts), "
-            "per AS (SELECT user_id, pts, event_type, "
-            "CAST(COUNT(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2, 3), "
-            "sz AS (SELECT user_id, pts, SUM(c) AS n FROM per "
-            "GROUP BY 1, 2) "
+            "per AS (SELECT pid, event_type, "
+            "CAST(COUNT(*) AS DOUBLE) AS c FROM pairs GROUP BY 1, 2), "
+            "sz AS (SELECT pid, SUM(c) AS n FROM per GROUP BY 1) "
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.c / sz.n), 6) AS credit "
-            "FROM per JOIN sz USING (user_id, pts) GROUP BY 1"
+            "FROM per JOIN sz USING (pid) GROUP BY 1"
         ),
         "q_time_decay_attribution": (
             # exp(-λ·age_days) weights; same pairs shape as the linear
             # oracle — the pipeline computes the algebraically-equal
             # prefix-sum form exp(λ(tt−t_ref)) (the exp(−λ·tp) factor
             # cancels in each fraction)
-            "WITH p AS (SELECT user_id, ts FROM events "
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'purchase'), "
             "t AS (SELECT user_id, ts, event_type FROM events "
             "WHERE event_type IN ('view', 'click')), "
-            "pairs AS (SELECT p.user_id, p.ts AS pts, t.event_type, "
+            "pairs AS (SELECT p.event_id AS pid, t.event_type, "
             "EXP(-0.1 * (CAST(date_diff('microsecond', t.ts, p.ts) "
             "AS DOUBLE) / 86400000000.0)) AS w "
             "FROM p JOIN t ON t.user_id = p.user_id AND t.ts < p.ts), "
-            "per AS (SELECT user_id, pts, event_type, SUM(w) AS wt "
-            "FROM pairs GROUP BY 1, 2, 3), "
-            "sz AS (SELECT user_id, pts, SUM(wt) AS n FROM per "
-            "GROUP BY 1, 2) "
+            "per AS (SELECT pid, event_type, SUM(w) AS wt "
+            "FROM pairs GROUP BY 1, 2), "
+            "sz AS (SELECT pid, SUM(wt) AS n FROM per GROUP BY 1) "
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
-            "FROM per JOIN sz USING (user_id, pts) GROUP BY 1"
+            "FROM per JOIN sz USING (pid) GROUP BY 1"
         ),
         "q_scd2_intervals": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "

@@ -1213,6 +1213,38 @@ def ngram_dup_degree_distribution(sf_dir: str, *, threshold: float = 0.5,
     return out.sort_values("degree").reset_index(drop=True)
 
 
+def _store_bucket_dir(root: str, b: int) -> str:
+    """Shared on-disk bucket layout for the persistent dedup stores."""
+    import os
+
+    return os.path.join(root, f"bucket={b:04d}")
+
+
+def _store_bucket_lock(root: str, b: int):
+    """Exclusive per-bucket advisory lock (context manager), shared by
+    FingerprintStore and MinHashStore. flock is tied to the open file
+    description, so it serializes across processes AND across threads
+    that each open their own fd."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def _held():
+        lock_dir = os.path.join(root, "locks")
+        os.makedirs(lock_dir, exist_ok=True)
+        fd = os.open(os.path.join(lock_dir, f"bucket-{b:04d}.lock"),
+                     os.O_RDWR | os.O_CREAT)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    return _held()
+
+
 class FingerprintStore:
     """Persistent bucketed fingerprint state for INCREMENTAL exact dedup
     across arriving shards — the production shape: the seen-fingerprint
@@ -1241,36 +1273,14 @@ class FingerprintStore:
         os.makedirs(root, exist_ok=True)
 
     def _bucket_dir(self, b: int) -> str:
-        import os
-
-        return os.path.join(self.root, f"bucket={b:04d}")
+        return _store_bucket_dir(self.root, b)
 
     def _bucket_of(self, fps: pd.Series) -> np.ndarray:
         h = pd.util.hash_array(fps.to_numpy(dtype=object))
         return (h % np.uint64(self.num_buckets)).astype(np.int64)
 
     def _bucket_lock(self, b: int):
-        """Exclusive per-bucket advisory lock (context manager). flock is
-        tied to the open file description, so it serializes across
-        processes AND across threads that each open their own fd."""
-        import contextlib
-        import fcntl
-        import os
-
-        @contextlib.contextmanager
-        def _held():
-            lock_dir = os.path.join(self.root, "locks")
-            os.makedirs(lock_dir, exist_ok=True)
-            fd = os.open(os.path.join(lock_dir, f"bucket-{b:04d}.lock"),
-                         os.O_RDWR | os.O_CREAT)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-
-        return _held()
+        return _store_bucket_lock(self.root, b)
 
     def admit_bucket_frame(self, g: pd.DataFrame) -> pd.DataFrame:
         """Admit one bucket's candidate (id, fingerprint) rows under the
@@ -1753,11 +1763,22 @@ class MinHashStore:
     serialize waves, or re-run a compaction dedup, when that matters.
 
     Estimated-Jaccard admission is one-sided LSH: a true near-dup pair
-    is missed only if NO band collides (the standard S-curve miss
-    probability (1−J^r)^b); a band collision always verifies against
-    the full signature estimate, so false rejections need sig-estimate
-    ≥ threshold — the same acceptance rule as minhash_dedup_pairs'
-    prefilter."""
+    vs the STORE is missed only if NO band collides (the standard
+    S-curve miss probability (1−J^r)^b); a band collision always
+    verifies against the full signature estimate, so a rejection needs
+    sig-estimate ≥ threshold vs SOME earlier doc — the same acceptance
+    rule as minhash_dedup_pairs' prefilter. Two deliberate
+    conservatisms: (a) WITHIN a wave, each doc verifies against the
+    WAVE_ANCHORS smallest-id members of its band groups (not every
+    member), so in a band group whose smallest ids are all dissimilar
+    to a deep near-dup pair, both of the pair can slip through — raise
+    WAVE_ANCHORS (or serialize smaller waves) when in-wave dup density
+    is high; (b) rejection is vs any EARLIER-id wave doc, admitted or
+    not, so a chain B≈stored-S, C≈B rejects C even though C's nearest
+    ADMITTED doc may be below threshold — the usual bias toward
+    dropping in near-dup ingest. Docs with no shingles (< shingle_k
+    chars) bypass near-dup entirely (sentinel band key): exact dedup,
+    not MinHash, owns identical short texts."""
 
     def __init__(self, root: str, *, num_perm: int = 64,
                  num_bands: int = 16, threshold: float = 0.7,
@@ -1776,29 +1797,10 @@ class MinHashStore:
     # ---- shared disk/lock helpers (FingerprintStore layout) ----
 
     def _bucket_dir(self, b: int) -> str:
-        import os
-
-        return os.path.join(self.root, f"bucket={b:04d}")
+        return _store_bucket_dir(self.root, b)
 
     def _bucket_lock(self, b: int):
-        import contextlib
-        import fcntl
-        import os
-
-        @contextlib.contextmanager
-        def _held():
-            lock_dir = os.path.join(self.root, "locks")
-            os.makedirs(lock_dir, exist_ok=True)
-            fd = os.open(os.path.join(lock_dir, f"bucket-{b:04d}.lock"),
-                         os.O_RDWR | os.O_CREAT)
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                fcntl.flock(fd, fcntl.LOCK_UN)
-                os.close(fd)
-
-        return _held()
+        return _store_bucket_lock(self.root, b)
 
     def _load_bucket(self, b: int) -> pd.DataFrame:
         import os
@@ -1844,14 +1846,29 @@ class MinHashStore:
             num_perm=self.num_perm)
         keys = lsh_band_keys_batch(sigs, self.num_bands)
         n = len(batch)
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        ids = batch[id_col].to_numpy(dtype=np.int64)
+        sig_bytes = np.asarray([sigs[i].tobytes() for i in range(n)],
+                               dtype=object)
+        # docs with no shingles (< shingle_k chars) share the all-zeros
+        # signature — banding them would falsely merge every short doc
+        # into one near-dup family. They get a per-doc sentinel key
+        # (negative, disjoint from the 63-bit band-key space): never
+        # compared to other docs, always admitted, and the stored
+        # sentinel still rejects re-admission of the same doc_id.
+        # Identical short TEXTS are exact-dedup's job, not MinHash's.
+        zero = ~sigs.any(axis=1)
+        nz = ~zero
         out = pd.DataFrame({
-            "band_key": keys.reshape(-1),
-            "doc_id": np.repeat(
-                batch[id_col].to_numpy(dtype=np.int64), self.num_bands),
-            "sig": np.repeat(np.asarray(sig_bytes, dtype=object),
-                             self.num_bands),
+            "band_key": keys[nz].reshape(-1),
+            "doc_id": np.repeat(ids[nz], self.num_bands),
+            "sig": np.repeat(sig_bytes[nz], self.num_bands),
         })
+        if zero.any():
+            out = pd.concat([out, pd.DataFrame({
+                "band_key": -ids[zero] - 1,
+                "doc_id": ids[zero],
+                "sig": sig_bytes[zero],
+            })], ignore_index=True)
         out["__b"] = (out["band_key"].to_numpy(np.uint64)
                       % np.uint64(self.num_buckets)).astype(np.int32)
         return out
@@ -1863,22 +1880,33 @@ class MinHashStore:
         return np.frombuffer(b"".join(col.tolist()),
                              dtype=np.uint64).reshape(len(col), num_perm)
 
+    # per band group, each wave doc verifies against up to this many
+    # smallest-id wave members (the stored side always joins in full);
+    # a band group larger than this is degenerate near-identical text
+    # (the MAX_BUCKET precedent) and the smallest-id anchors still
+    # reject its tail
+    WAVE_ANCHORS = 8
+
     def _check_bucket(self, g: pd.DataFrame) -> pd.DataFrame:
-        """One bucket's wave rows vs stored rows + wave min-id-first rows
-        → (doc_id, reject) partials (read-only, no lock needed: stores
-        only grow and a late-arriving stored row is indistinguishable
-        from a concurrent wave — see class docstring)."""
+        """One bucket's wave rows vs stored rows + the K smallest-id wave
+        docs of each band group → (doc_id, reject) partials (read-only,
+        no lock needed: stores only grow and a late-arriving stored row
+        is indistinguishable from a concurrent wave — see class
+        docstring)."""
         b = int(g["__b"].iloc[0])
         stored = self._load_bucket(b).assign(__stored=True)
         wave = g.drop(columns="__b")
 
-        # wave-internal: each doc checks against the min-id doc of its
-        # band group (first-wins, mirroring FingerprintStore order).
+        # wave-internal: each doc checks against the WAVE_ANCHORS
+        # smallest-id docs of its band group (first-wins, mirroring
+        # FingerprintStore order, but deep enough that two near-dups
+        # hiding behind a dissimilar band minimum still meet).
         # Stored refs win unconditionally — including equal doc_id, so
         # re-admitting a shard is idempotent (self vs stored-self has
         # estimate 1.0 and rejects).
         first = (wave.sort_values(["band_key", "doc_id"], kind="mergesort")
-                 .drop_duplicates("band_key").assign(__stored=False))
+                 .groupby("band_key", sort=False).head(self.WAVE_ANCHORS)
+                 .assign(__stored=False))
         ref = pd.concat([stored, first], ignore_index=True)
         cand = wave.merge(ref, on="band_key", suffixes=("", "_ref"))
         cand = cand[cand["__stored"].to_numpy()
@@ -1960,9 +1988,6 @@ def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
         return _fn
 
     src = read_table(sf_dir, "documents", ["doc_id", "source"])
-    pair_schema = pa.schema([("doc_id_a", pa.int64()),
-                             ("doc_id_b", pa.int64()),
-                             ("jaccard", pa.float64())])
 
     def _key_a(b: pd.DataFrame) -> pd.DataFrame:
         return b.rename(columns={"doc_id_a": "doc_id"})

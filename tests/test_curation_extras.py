@@ -349,3 +349,61 @@ def test_time_decay_attribution_brute(ray_session, tmp_path):
                 credit["click"] += w["click"] / tot
     assert abs(got["view"] - credit["view"]) < 1e-4
     assert abs(got["click"] - credit["click"]) < 1e-4
+
+
+def test_attribution_same_ts_purchases_match_oracle(ray_session, tmp_path):
+    """Two purchases at the SAME (user, ts) are two credit units on both
+    sides (the oracle keys purchases on event_id, not (user, ts))."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from ocr_agent_ray.pipelines.relational import (linear_attribution,
+                                                    time_decay_attribution)
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00", "2024-01-02 00:00",       # u1 view, click
+        "2024-01-03 00:00", "2024-01-03 00:00",       # u1 purchase x2 same ts
+        "2024-01-01 12:00", "2024-01-04 00:00",       # u2 view, purchase
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": ts,
+        "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "event_type": ["view", "click", "purchase", "purchase",
+                       "view", "purchase"],
+        "value": 0.0,
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    for name, fn in [("q_linear_attribution", linear_attribution),
+                     ("q_time_decay_attribution",
+                      time_decay_attribution)]:
+        got = fn(str(tmp_path)).sort_values("touch_type").reset_index(
+            drop=True)
+        want = (con.execute(entrymod.oracle_sql()[name]).df()
+                .sort_values("touch_type").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        # 3 purchases with touches -> 3.0 total credit
+        assert abs(got["credit"].sum() - 3.0) < 1e-9
+
+
+def test_minhash_store_short_docs_bypass(ray_session, tmp_path):
+    """Docs with no shingles (< shingle_k chars) are always admitted —
+    they never near-dup-match each other — but re-admission of the same
+    doc_id is still rejected via the stored sentinel."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import MinHashStore
+
+    store = MinHashStore(str(tmp_path / "s"), num_buckets=4)
+    wave = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["a", "zzzz", ""]})
+    got = set(store.admit(rd.from_pandas(wave)).to_pandas()["doc_id"])
+    assert got == {1, 2, 3}
+    again = store.admit(rd.from_pandas(wave)).to_pandas()
+    assert len(again) == 0

@@ -73,9 +73,13 @@ def main() -> None:
     rows = []
     for d in range(n_docs):
         s = d % n_sources
+        # rotate through the source's 10-line pool across its docs
+        # (d // n_sources enumerates the docs WITHIN a source; d % 10
+        # would be constant per source since d ≡ s mod n_sources)
+        r = d // n_sources
         body = [f"uniq-{d}-{j}" for j in range(lines_per_doc - 2)]
-        body.insert(3, boiler_pool[s * 10 + d % 10])
-        body.insert(9, boiler_pool[s * 10 + (d + 3) % 10])
+        body.insert(3, boiler_pool[s * 10 + r % 10])
+        body.insert(9, boiler_pool[s * 10 + (r + 3) % 10])
         rows.append((d, f"src{s}", "\n".join(body)))
     docs = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
     docs["doc_id"] = docs["doc_id"].astype(np.int64)
