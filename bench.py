@@ -226,6 +226,7 @@ QUERY_NAMES = [
     "q_dup_source_matrix",
     "q_time_decay_attribution",
     "q_scd2_intervals",
+    "q_image_phash_pairs",
 ]
 
 

@@ -200,3 +200,28 @@ def simhash_band_keys(value: int, num_bands: int = 4) -> list[int]:
     width = 64 // num_bands
     mask = (1 << width) - 1
     return [((value >> (i * width)) & mask) | (i << 60) for i in range(num_bands)]
+
+
+def popcount64_batch(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (int64 out) — the Hamming
+    kernel shared by SimHash and perceptual-hash verification."""
+    x = x.astype(_U64)
+    out = np.zeros(len(x), dtype=np.int64)
+    for shift in range(0, 64, 8):
+        out += np.unpackbits(
+            ((x >> _U64(shift)) & _U64(0xFF)).astype(np.uint8)[:, None],
+            axis=1,
+        ).sum(axis=1).astype(np.int64)
+    return out
+
+
+def dhash64_batch(grids: np.ndarray) -> np.ndarray:
+    """Batched difference-hash (dHash): grids is (n, 8, 9) uint8 luma;
+    bit (r, c) = grid[r, c+1] > grid[r, c], packed row-major into one
+    uint64 per image. The standard perceptual hash for exact/near image
+    dedup — small brightness/compression changes flip few bits, so
+    near-dups sit at small Hamming distance."""
+    assert grids.ndim == 3 and grids.shape[1:] == (8, 9), grids.shape
+    bits = (grids[:, :, 1:] > grids[:, :, :-1]).reshape(len(grids), 64)
+    weights = (np.uint64(1) << np.arange(64, dtype=_U64))
+    return (bits.astype(_U64) * weights[None, :]).sum(axis=1, dtype=_U64)

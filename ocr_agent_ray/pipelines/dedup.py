@@ -383,18 +383,14 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     )
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        from ocr_agent_ray.functions.hashing import popcount64_batch
+
         # vectorized popcount over the xor'd signatures
         x = batch["sig_a"].to_numpy(np.uint64) ^ batch["sig_b"].to_numpy(np.uint64)
-        ham = np.zeros(len(batch), dtype=np.int64)
-        for shift in range(0, 64, 8):
-            ham += np.unpackbits(
-                ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
-                axis=1,
-            ).sum(axis=1).astype(np.int64)
         out = pd.DataFrame({
             "doc_id_a": batch["doc_id_a"],
             "doc_id_b": batch["doc_id_b"],
-            "hamming": ham,
+            "hamming": popcount64_batch(x),
         })
         return out[out["hamming"] <= max_hamming]
 
@@ -2029,3 +2025,93 @@ def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
         ["src_lo", "src_hi"], {"n_pairs": ("n_pairs", "sum")})
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(["src_lo", "src_hi"]).reset_index(drop=True)
+
+
+def media_phash_pairs(units, *, codec_factory=None, max_hamming: int = 3,
+                      num_bands: int = 4, id_col: str = "unit_id",
+                      concurrency: int = 4):
+    """IMAGE near-dup pairs by perceptual hash — the multimodal member of
+    the dedup family: decoded media rows → 64-bit dHash (PHashStage
+    actor pool: codec loads once per actor, the luma-grid bit-pack is
+    batched) → the exact SimHash pigeonhole machinery (banded
+    candidates, popcount-verified Hamming ≤ d). ``units`` must carry
+    (id_col, media_bytes). Re-encoded/brightness-shifted copies of an
+    image sit at small Hamming distance under a real codec; with the
+    deterministic fake codec identical payloads give identical hashes,
+    so the exact-duplicate path is fully testable in this container.
+    Returns (doc_id_a, doc_id_b, hamming) over unit ids."""
+    from ocr_agent_ray.functions.hashing import popcount64_batch
+    from ocr_agent_ray.stages.media import DeterministicFakeCodec, PHashStage
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = batch[batch["phash"].notna()]
+        sig = ok["phash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        n = len(ok)
+        width = 64 // num_bands
+        mask = np.uint64((1 << width) - 1)
+        keys = np.empty((n, num_bands), dtype=np.int64)
+        for i in range(num_bands):
+            keys[:, i] = (((sig >> np.uint64(i * width)) & mask)
+                          | np.uint64(i << 60)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(ok[id_col].to_numpy(), num_bands),
+            "band_key": keys.reshape(-1),
+            "sig": np.repeat(sig, num_bands),
+        })
+
+    hashed = units.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={
+            "codec_factory": codec_factory or DeterministicFakeCodec},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(1, concurrency))
+
+    cands = _bucketed_band_pairs(
+        hashed.map_batches(_bands, batch_format="pandas"),
+        id_col, extra_cols=["sig"])
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        x = (batch["sig_a"].to_numpy(np.uint64)
+             ^ batch["sig_b"].to_numpy(np.uint64))
+        out = pd.DataFrame({
+            "doc_id_a": batch["doc_id_a"],
+            "doc_id_b": batch["doc_id_b"],
+            "hamming": popcount64_batch(x),
+        })
+        return out[out["hamming"] <= max_hamming]
+
+    return cands.map_batches(_verify, batch_format="pandas")
+
+
+def image_phash_dup_pairs(sf_dir: str):
+    """Driver-visible pHash dedup query: derive a deterministic image
+    stream from the documents table where every doc_id ≡ 0/1 (mod 10)
+    pair SHARES a media ref (the 'same image embedded on two pages'
+    case), decode with the fake codec, and find Hamming-0 pairs through
+    the full banded pipeline. Expected output: exactly the planted
+    (10k, 10k+1) pairs — random fake hashes collide within Hamming ≤ 3
+    at ~7e-15 per pair. Rows-only (actor-pool media op; planted
+    expectation pytest-checked)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.sources.readers import read_table
+    from ocr_agent_ray.stages.media import DeterministicFakeCodec
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    codec = DeterministicFakeCodec()
+
+    def _units(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        # doc_id 10k and 10k+1 share a ref; everyone else is unique
+        ref_key = np.where(ids % 10 <= 1, ids - (ids % 10), ids)
+        payloads = [codec.decode_image(f"img://{r}")[0] for r in ref_key]
+        return pd.DataFrame({"unit_id": ids,
+                             "media_bytes": payloads})
+
+    units = docs.map_batches(_units, batch_format="pandas",
+                             batch_size=4096)
+    pairs = media_phash_pairs(units, max_hamming=0)
+    return pairs.map_batches(
+        lambda b: b.rename(columns={"doc_id_a": "unit_a",
+                                    "doc_id_b": "unit_b"}),
+        batch_format="pandas")

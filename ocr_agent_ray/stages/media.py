@@ -73,6 +73,21 @@ class DeterministicFakeCodec:
         v = rng.standard_normal(dim).astype(np.float32)
         return v / np.linalg.norm(v)
 
+    def luma_grid(self, payload: bytes, gw: int = 9, gh: int = 8) -> np.ndarray:
+        """Deterministic fake (gh, gw) uint8 luma grid expanded from the
+        payload bytes — identical payloads give identical grids, so
+        exact-duplicate detection through the pHash path is real even
+        though the 'pixels' are synthetic."""
+        need = gw * gh
+        out = bytearray()
+        i = 0
+        while len(out) < need:
+            out += hashlib.blake2b(payload + bytes([i]),
+                                   digest_size=32).digest()
+            i += 1
+        return np.frombuffer(bytes(out[:need]),
+                             dtype=np.uint8).reshape(gh, gw)
+
     def decode_frame(self, media_ref: str, frame_index: int) -> tuple[bytes, int, int]:
         seed = hashlib.blake2b(f"{media_ref}#frame{frame_index}".encode(),
                                digest_size=16).digest()
@@ -206,6 +221,15 @@ class RealCodec:
             v[0] = 1.0
             return v
         return (v / norm).astype(np.float32)
+
+    def luma_grid(self, payload: bytes, gw: int = 9, gh: int = 8) -> np.ndarray:
+        """Real (gh, gw) uint8 luma grid: grayscale + area resize — the
+        canonical dHash preprocessing."""
+        import io
+
+        with self._Image.open(io.BytesIO(payload)) as img:
+            small = img.convert("L").resize((gw, gh))
+        return np.asarray(small, dtype=np.uint8).reshape(gh, gw)
 
     def decode_frame(self, media_ref: str, frame_index: int) -> tuple[bytes, int, int]:
         import os
@@ -487,3 +511,31 @@ def route_media_pipeline(units_ds, *, codec_factory=DeterministicFakeCodec,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+class PHashStage:
+    """Actor-pool map_batches: decoded media rows -> 64-bit perceptual
+    hash (dHash over the codec's 8x9 luma grid). Codec is constructed
+    once per actor; the per-batch work is one luma-grid call per row
+    plus a fully batched bit-pack. Null payloads hash to null."""
+
+    def __init__(self, codec_factory=DeterministicFakeCodec) -> None:
+        self.codec = codec_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_agent_ray.functions.hashing import dhash64_batch
+
+        payloads = batch["media_bytes"].to_pylist()
+        valid_idx = [i for i, p in enumerate(payloads) if p is not None]
+        hashes: list[int | None] = [None] * len(payloads)
+        if valid_idx:
+            grids = np.stack([self.codec.luma_grid(payloads[i])
+                              for i in valid_idx])
+            hs = dhash64_batch(grids)
+            # store the u64 bit pattern in the int64 column (two's
+            # complement view — lossless, Arrow has no uint64-friendly
+            # hash join path here)
+            for i, h in zip(valid_idx, hs.astype(np.int64,
+                                                 casting="unsafe")):
+                hashes[i] = int(h)
+        return batch.append_column("phash", pa.array(hashes, pa.int64()))

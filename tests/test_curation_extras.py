@@ -407,3 +407,62 @@ def test_minhash_store_short_docs_bypass(ray_session, tmp_path):
     assert got == {1, 2, 3}
     again = store.admit(rd.from_pandas(wave)).to_pandas()
     assert len(again) == 0
+
+
+def test_dhash64_known_bits():
+    from ocr_agent_ray.functions.hashing import dhash64_batch
+
+    # gradient rows: every adjacent-column comparison is True -> all ones
+    inc = np.tile(np.arange(9, dtype=np.uint8), (8, 1))
+    dec = inc[:, ::-1].copy()
+    h = dhash64_batch(np.stack([inc, dec]))
+    assert h[0] == np.uint64(0xFFFFFFFFFFFFFFFF)
+    assert h[1] == np.uint64(0)
+    # one flipped cell flips few bits (locality)
+    near = inc.copy()
+    near[3, 4] = 0
+    h2 = dhash64_batch(np.stack([inc, near]))
+    assert 0 < bin(int(h2[0] ^ h2[1])).count("1") <= 2
+
+
+def test_media_phash_pairs_controlled_codec(ray_session):
+    """Near-identical grids pair at small Hamming; distinct grids don't.
+    The codec is injected — the real decode stays stubbed, the Ray-side
+    plumbing (actor pool, banding, verification) is what's under test."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import media_phash_pairs
+
+    class GridCodec:
+        """payload byte 0 selects a base grid; byte 1 perturbs one cell."""
+
+        def luma_grid(self, payload, gw=9, gh=8):
+            rng = np.random.default_rng(payload[0])
+            g = rng.integers(0, 255, (gh, gw)).astype(np.uint8)
+            if payload[1]:
+                g[0, 0] = 255 - g[0, 0]
+            return g
+
+    units = pd.DataFrame({
+        "unit_id": np.arange(4, dtype=np.int64),
+        "media_bytes": [bytes([1, 0]), bytes([1, 1]),   # near-dup pair
+                        bytes([2, 0]), bytes([3, 0])],  # distinct
+    })
+    got = (media_phash_pairs(rd.from_pandas(units),
+                             codec_factory=GridCodec, max_hamming=3)
+           .to_pandas())
+    assert len(got) == 1
+    assert (int(got["doc_id_a"].iloc[0]), int(got["doc_id_b"].iloc[0])) \
+        == (0, 1)
+    assert int(got["hamming"].iloc[0]) <= 2
+
+
+def test_image_phash_dup_pairs_planted(ray_session):
+    from ocr_agent_ray.pipelines.dedup import image_phash_dup_pairs
+
+    got = image_phash_dup_pairs("/root/testdata/sf0.001").to_pandas()
+    got = got.sort_values("unit_a").reset_index(drop=True)
+    # docs 0..499: planted pairs are (10k, 10k+1) for 10k+1 < 500
+    expect = [(k * 10, k * 10 + 1) for k in range(50)]
+    assert list(zip(got["unit_a"], got["unit_b"])) == expect
+    assert (got["hamming"] == 0).all()
