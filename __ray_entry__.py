@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_multimodal_pack": interleave.multimodal_pack,  # rows-only (next-fit)
         "q_media_router_stats": interleave.media_router_stats,  # rows-only (actor-pool router; pytest-oracled)
         "q_image_phash_pairs": dedup.image_phash_dup_pairs,  # rows-only (actor-pool media op; planted pytest)
+        "q_audio_dup_pairs": dedup.audio_dup_pairs_query,  # rows-only (actor-pool media op; planted + DSP pytest)
         "q_grounding_detections": interleave.grounding_detection_counts,
         "q_layout_blocks": interleave.layout_blocks,  # rows-only (layout parse)
         "q_html_main_text": _html_main_text,  # rows-only (DOM heuristic)

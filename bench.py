@@ -227,6 +227,7 @@ QUERY_NAMES = [
     "q_time_decay_attribution",
     "q_scd2_intervals",
     "q_image_phash_pairs",
+    "q_audio_dup_pairs",
 ]
 
 

@@ -2027,25 +2027,18 @@ def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
     return out.sort_values(["src_lo", "src_hi"]).reset_index(drop=True)
 
 
-def media_phash_pairs(units, *, codec_factory=None, max_hamming: int = 3,
-                      num_bands: int = 4, id_col: str = "unit_id",
-                      concurrency: int = 4):
-    """IMAGE near-dup pairs by perceptual hash — the multimodal member of
-    the dedup family: decoded media rows → 64-bit dHash (PHashStage
-    actor pool: codec loads once per actor, the luma-grid bit-pack is
-    batched) → the exact SimHash pigeonhole machinery (banded
-    candidates, popcount-verified Hamming ≤ d). ``units`` must carry
-    (id_col, media_bytes). Re-encoded/brightness-shifted copies of an
-    image sit at small Hamming distance under a real codec; with the
-    deterministic fake codec identical payloads give identical hashes,
-    so the exact-duplicate path is fully testable in this container.
-    Returns (doc_id_a, doc_id_b, hamming) over unit ids."""
+def hamming64_band_pairs(hashed, *, hash_col: str, id_col: str,
+                         max_hamming: int = 3, num_bands: int = 4):
+    """Shared tail for 64-bit perceptual fingerprints (image dHash,
+    audio envelope hash, SimHash): band rows by pigeonhole chunks →
+    _bucketed_band_pairs → popcount-verified Hamming ≤ d. ``hashed``
+    carries (id_col, hash_col: int64 two's-complement bit pattern,
+    nullable). Returns (doc_id_a, doc_id_b, hamming)."""
     from ocr_agent_ray.functions.hashing import popcount64_batch
-    from ocr_agent_ray.stages.media import DeterministicFakeCodec, PHashStage
 
     def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ok = batch[batch["phash"].notna()]
-        sig = ok["phash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ok = batch[batch[hash_col].notna()]
+        sig = ok[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
         n = len(ok)
         width = 64 // num_bands
         mask = np.uint64((1 << width) - 1)
@@ -2058,13 +2051,6 @@ def media_phash_pairs(units, *, codec_factory=None, max_hamming: int = 3,
             "band_key": keys.reshape(-1),
             "sig": np.repeat(sig, num_bands),
         })
-
-    hashed = units.map_batches(
-        PHashStage,
-        fn_constructor_kwargs={
-            "codec_factory": codec_factory or DeterministicFakeCodec},
-        batch_format="pyarrow", batch_size=256,
-        concurrency=(1, concurrency))
 
     cands = _bucketed_band_pairs(
         hashed.map_batches(_bands, batch_format="pandas"),
@@ -2081,6 +2067,32 @@ def media_phash_pairs(units, *, codec_factory=None, max_hamming: int = 3,
         return out[out["hamming"] <= max_hamming]
 
     return cands.map_batches(_verify, batch_format="pandas")
+
+
+def media_phash_pairs(units, *, codec_factory=None, max_hamming: int = 3,
+                      num_bands: int = 4, id_col: str = "unit_id",
+                      concurrency: int = 4):
+    """IMAGE near-dup pairs by perceptual hash — the multimodal member of
+    the dedup family: decoded media rows → 64-bit dHash (PHashStage
+    actor pool: codec loads once per actor, the luma-grid bit-pack is
+    batched) → the exact SimHash pigeonhole machinery (banded
+    candidates, popcount-verified Hamming ≤ d). ``units`` must carry
+    (id_col, media_bytes). Re-encoded/brightness-shifted copies of an
+    image sit at small Hamming distance under a real codec; with the
+    deterministic fake codec identical payloads give identical hashes,
+    so the exact-duplicate path is fully testable in this container.
+    Returns (doc_id_a, doc_id_b, hamming) over unit ids."""
+    from ocr_agent_ray.stages.media import DeterministicFakeCodec, PHashStage
+
+    hashed = units.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={
+            "codec_factory": codec_factory or DeterministicFakeCodec},
+        batch_format="pyarrow", batch_size=256,
+        concurrency=(1, concurrency))
+    return hamming64_band_pairs(hashed, hash_col="phash", id_col=id_col,
+                                max_hamming=max_hamming,
+                                num_bands=num_bands)
 
 
 def image_phash_dup_pairs(sf_dir: str):
@@ -2111,6 +2123,58 @@ def image_phash_dup_pairs(sf_dir: str):
     units = docs.map_batches(_units, batch_format="pandas",
                              batch_size=4096)
     pairs = media_phash_pairs(units, max_hamming=0)
+    return pairs.map_batches(
+        lambda b: b.rename(columns={"doc_id_a": "unit_a",
+                                    "doc_id_b": "unit_b"}),
+        batch_format="pandas")
+
+
+def audio_dup_pairs(units, *, codec_factory=None, max_hamming: int = 3,
+                    num_bands: int = 4, id_col: str = "unit_id",
+                    concurrency: int = 4):
+    """AUDIO near-dup pairs by the 64-bit envelope fingerprint
+    (functions/audio.py: sign-of-log-energy-delta — gain-invariant real
+    DSP; only container decode is codec-stubbed): AudioFeatureStage
+    actor pool → the shared pigeonhole banding + popcount verify.
+    ``units`` carries (id_col, media_ref) — audio payloads stay inside
+    the stage, refs travel the wire. Returns
+    (doc_id_a, doc_id_b, hamming)."""
+    from ocr_agent_ray.stages.media import (AudioFeatureStage,
+                                            DeterministicFakeCodec)
+
+    hashed = units.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={
+            "codec_factory": codec_factory or DeterministicFakeCodec},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency))
+    return hamming64_band_pairs(hashed, hash_col="audio_fp64",
+                                id_col=id_col, max_hamming=max_hamming,
+                                num_bands=num_bands)
+
+
+def audio_dup_pairs_query(sf_dir: str):
+    """Driver-visible audio-dedup query: derive an audio-ref stream from
+    the documents table (doc_id ≡ 0/1 mod 10 share a ref — the
+    're-uploaded clip' case), fingerprint through the actor pool, and
+    find Hamming-0 pairs. Expected: exactly the planted (10k, 10k+1)
+    pairs. Rows-only (actor-pool media op; planted pytest + DSP unit
+    tests in tests/test_audio.py)."""
+    from ocr_agent_ray.sources.readers import read_table
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _units(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype=np.int64)
+        ref_key = np.where(ids % 10 <= 1, ids - (ids % 10), ids)
+        return pd.DataFrame({
+            "unit_id": ids,
+            "media_ref": [f"audio://{r}" for r in ref_key],
+        })
+
+    units = docs.map_batches(_units, batch_format="pandas",
+                             batch_size=4096)
+    pairs = audio_dup_pairs(units, max_hamming=0)
     return pairs.map_batches(
         lambda b: b.rename(columns={"doc_id_a": "unit_a",
                                     "doc_id_b": "unit_b"}),

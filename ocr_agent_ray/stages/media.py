@@ -94,6 +94,26 @@ class DeterministicFakeCodec:
         w, h = 1280, 720
         return seed + struct.pack("<ii", w, h), w, h
 
+    def decode_audio(self, media_ref: str,
+                     sample_rate: int = 16000) -> tuple[bytes, int, int]:
+        """Deterministic fake PCM: one second of int16 samples synthesized
+        from the ref hash as a sum of three sinusoids + noise floor —
+        REAL signal content (the DSP kernels in functions/audio.py
+        compute genuine envelopes/centroids over it), only the container
+        decode is faked. Returns (pcm_bytes, sample_rate, n_samples)."""
+        seed = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(seed, "big"))
+        n = sample_rate
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        x = np.zeros(n)
+        for _ in range(3):
+            freq = float(rng.uniform(80.0, 4000.0))
+            amp = float(rng.uniform(0.1, 0.3))
+            x += amp * np.sin(2 * np.pi * freq * t + rng.uniform(0, 6.28))
+        x += rng.normal(0, 0.01, n)
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        return pcm.tobytes(), sample_rate, n
+
 
 class RealCodec:
     """Real media codec, import-guarded like ``DeepSeekOcr2Engine`` — the
@@ -230,6 +250,42 @@ class RealCodec:
         with self._Image.open(io.BytesIO(payload)) as img:
             small = img.convert("L").resize((gw, gh))
         return np.asarray(small, dtype=np.uint8).reshape(gh, gw)
+
+    def decode_audio(self, media_ref: str,
+                     sample_rate: int = 16000) -> tuple[bytes, int, int]:
+        """Real audio decode via PyAV (same import guard as video):
+        decode → mono int16 → naive resample to ``sample_rate``."""
+        import os
+
+        try:
+            import av
+        except ImportError as exc:
+            raise NotImplementedError(
+                "Audio decode needs PyAV (ffmpeg bindings); not installed "
+                "in this container. The DSP kernels (functions/audio.py) "
+                "work on any int16 PCM regardless of decoder."
+            ) from exc
+        if not os.path.exists(media_ref):
+            raise FileNotFoundError(str(media_ref))
+        chunks = []
+        src_rate = sample_rate
+        with av.open(media_ref) as container:
+            for frame in container.decode(audio=0):
+                src_rate = int(frame.sample_rate)
+                arr = frame.to_ndarray()
+                if arr.ndim == 2:  # channels x samples -> mono
+                    arr = arr.mean(axis=0)
+                chunks.append(arr.astype(np.float64))
+        x = (np.concatenate(chunks) if chunks
+             else np.zeros(0, dtype=np.float64))
+        if x.size and abs(x).max() > 1.5:   # int-coded source
+            x = x / 32768.0
+        if src_rate != sample_rate and x.size:
+            idx = (np.arange(int(len(x) * sample_rate / src_rate))
+                   * (src_rate / sample_rate)).astype(np.int64)
+            x = x[np.minimum(idx, len(x) - 1)]
+        pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+        return pcm.tobytes(), sample_rate, len(pcm)
 
     def decode_frame(self, media_ref: str, frame_index: int) -> tuple[bytes, int, int]:
         import os
@@ -539,3 +595,38 @@ class PHashStage:
                                                  casting="unsafe")):
                 hashes[i] = int(h)
         return batch.append_column("phash", pa.array(hashes, pa.int64()))
+
+
+class AudioFeatureStage:
+    """Actor-pool map_batches: audio rows -> 48-dim feature vector +
+    64-bit envelope fingerprint. Codec loads once per actor; rows carry
+    ``media_ref`` (decode inside the stage — audio payloads are big, so
+    the ref travels, not the bytes, per the module's memory note).
+    Appends: audio_features (list<float32>), audio_fp64 (int64),
+    n_samples (int32). Null refs pass through with nulls."""
+
+    def __init__(self, codec_factory=DeterministicFakeCodec,
+                 sample_rate: int = 16000) -> None:
+        self.codec = codec_factory()
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ocr_agent_ray.functions.audio import (audio_feature_vector,
+                                                   audio_fingerprint64)
+
+        refs = batch["media_ref"].to_pylist()
+        feats: list[list[float] | None] = [None] * len(refs)
+        fps: list[int | None] = [None] * len(refs)
+        ns: list[int | None] = [None] * len(refs)
+        for i, r in enumerate(refs):
+            if not r:
+                continue
+            payload, _, n = self.codec.decode_audio(r, self.sample_rate)
+            feats[i] = audio_feature_vector(payload).tolist()
+            fps[i] = audio_fingerprint64(payload)
+            ns[i] = n
+        return (batch
+                .append_column("audio_features",
+                               pa.array(feats, pa.list_(pa.float32())))
+                .append_column("audio_fp64", pa.array(fps, pa.int64()))
+                .append_column("n_samples", pa.array(ns, pa.int32())))
