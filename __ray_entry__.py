@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_val_test_split": relational.train_val_test_split,
         "q_weighted_sample": relational.weighted_sample_documents,
         "q_fuzzy_name_pairs": relational.fuzzy_name_pairs,
+        "q_entity_resolution": relational.entity_resolution,
+        "q_als_rmse": similarity.als_factorize,  # rows-only (iterative ALS; convergence + determinism pytest)
         "q_shuffle_order": relational.shuffle_order,
         "q_length_ntile": relational.length_ntile,
         "q_price_bands": relational.price_band_lookup,
@@ -1636,6 +1638,28 @@ def oracle_sql() -> dict[str, str]:
             "ON a.c_nationkey = b.c_nationkey "
             "AND a.c_custkey < b.c_custkey "
             "AND hamming(a.c_name, b.c_name) <= 2"
+        ),
+        "q_entity_resolution": (
+            # fuzzy pairs -> recursive-CTE components -> canonical min-key
+            # entity + size (same equal-length hamming() caveat as
+            # q_fuzzy_name_pairs)
+            "WITH RECURSIVE fp AS (SELECT a.c_custkey AS ka, "
+            "b.c_custkey AS kb FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND a.c_custkey < b.c_custkey "
+            "AND hamming(a.c_name, b.c_name) <= 2), "
+            "edges AS (SELECT ka AS a, kb AS b FROM fp "
+            "UNION ALL SELECT kb, ka FROM fp), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT a, a FROM edges"
+            "  UNION"
+            "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b), "
+            "comp AS (SELECT id AS c_custkey, MIN(lbl) AS entity_id "
+            "FROM reach GROUP BY id), "
+            "sz AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) "
+            "AS entity_size FROM comp GROUP BY 1) "
+            "SELECT comp.c_custkey, comp.entity_id, sz.entity_size "
+            "FROM comp JOIN sz USING (entity_id)"
         ),
         "q_weighted_sample": (
             # Efraimidis-Spirakis key u^(1/w): u = first 4 md5 bytes /

@@ -228,6 +228,8 @@ QUERY_NAMES = [
     "q_scd2_intervals",
     "q_image_phash_pairs",
     "q_audio_dup_pairs",
+    "q_entity_resolution",
+    "q_als_rmse",
 ]
 
 

@@ -3397,3 +3397,54 @@ def time_decay_attribution(sf_dir: str, *, decay_per_day: float = 0.1):
     out = out[out["credit"] > 0.0]
     out["credit"] = round_half_away(out["credit"], 6)
     return out.sort_values("touch_type").reset_index(drop=True)
+
+
+def entity_resolution(sf_dir: str, *, max_dist: int = 2):
+    """End-to-end entity resolution: the blocked fuzzy Hamming join
+    (fuzzy_name_pairs) feeds connected components
+    (dedup.duplicate_clusters — min-label propagation, dataset-native
+    above the driver threshold), producing one canonical ``entity_id``
+    (= min custkey of the component) per matched customer plus the
+    entity size — the composed record-linkage pipeline every warehouse
+    runs before building a customer 360. Columns: c_custkey,
+    entity_id, entity_size."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.dedup import duplicate_clusters
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    pairs = fuzzy_name_pairs(sf_dir, max_dist=max_dist).map_batches(
+        lambda b: pd.DataFrame({"doc_id_a": b["custkey_a"],
+                                "doc_id_b": b["custkey_b"]}),
+        batch_format="pandas")
+    clusters = duplicate_clusters(pairs)
+    if isinstance(clusters, pd.DataFrame):
+        # driver fast path (≤ driver_max_edges): finish in pandas — the
+        # table is already a bounded label map
+        out = pd.DataFrame({
+            "c_custkey": clusters["doc_id"].astype("int64"),
+            "entity_id": clusters["cluster_id"].astype("int64")})
+        sz = out.groupby("entity_id").size().rename("entity_size")
+        out["entity_size"] = out["entity_id"].map(sz).astype("int64")
+        return out.sort_values("c_custkey").reset_index(drop=True)
+    comp = clusters.map_batches(
+        lambda b: pd.DataFrame({"c_custkey": b["doc_id"].astype("int64"),
+                                "entity_id": b["cluster_id"]
+                                .astype("int64")}),
+        batch_format="pandas")
+    sizes = hash_partition_aggregate(
+        comp, ["entity_id"], {"entity_size": ("c_custkey", "count")},
+        num_buckets=8)
+    joined = bucket_hash_join(
+        comp, sizes, on="entity_id", num_buckets=8,
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("entity_id", pa.int64())]),
+        right_schema=pa.schema([("entity_id", pa.int64()),
+                                ("entity_size", pa.int64())]))
+    return joined.map_batches(
+        lambda b: pd.DataFrame({
+            "c_custkey": b["c_custkey"].astype("int64"),
+            "entity_id": b["entity_id"].astype("int64"),
+            "entity_size": b["entity_size"].astype("int64"),
+        }), batch_format="pandas")

@@ -1006,3 +1006,165 @@ def embedding_outliers(sf_dir: str):
         })
 
     return dists.map_batches(_z, batch_format="pandas")
+
+
+def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
+                  lam: float = 0.1):
+    """Distributed ALS collaborative filtering over the implicit
+    customer×part interaction matrix (rating = Σ l_quantity through the
+    lineitem⋈orders join) — the matrix-factorization member of the ML
+    family (k-means / logreg / PageRank / PCA live nearby).
+
+    Scale shape per iteration (the standard 'broadcast the small side'
+    ALS): ITEM factors are dimension-bounded (parts), so they broadcast
+    into the user pass — one user-bucket exchange where each bucket
+    solves its users' k×k normal equations BATCHED (np.add.reduceat
+    segment-sums of vvᵀ + one stacked np.linalg.solve, no per-user
+    Python solve loop); USER factors never gather on the driver — the
+    item pass re-joins them to the ratings by user bucket and folds
+    per-item k×k partials (items × (k²+k) floats) driver-side, mirroring
+    every other dimension-table fold in this repo. At web scale swap
+    the closure capture for an explicit ray.put of V.
+
+    Returns (iteration, rmse): training RMSE before each item-pass
+    update, strictly decreasing on this data (pytest-asserted).
+    Deterministic: splitmix64-seeded init, no RNG."""
+    from ocr_agent_ray.functions.hashing import splitmix64
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    import pyarrow as pa
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_quantity"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = bucket_hash_join(
+        li.map_batches(lambda b: b.rename(
+            columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"),
+        orders, on="o_orderkey", num_buckets=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64())]))
+    ratings = hash_partition_aggregate(
+        joined.map_batches(lambda b: pd.DataFrame({
+            "u": b["o_custkey"].astype("int64"),
+            "i": b["l_partkey"].astype("int64"),
+            "r": b["l_quantity"].astype("float64")}),
+            batch_format="pandas"),
+        ["u", "i"], {"r": ("r", "sum")}, num_buckets=16)
+
+    keyed = ratings.map_batches(
+        lambda b: b.assign(__b=(b["u"] % 32).astype("int32")),
+        batch_format="pandas").materialize()
+
+    # item index: dimension-bounded distinct partkeys (driver fold)
+    item_ids = np.sort(pd.concat(
+        [b["i"] for b in keyed.map_batches(
+            lambda b: b[["i"]].drop_duplicates(), batch_format="pandas")
+         .iter_batches(batch_format="pandas", batch_size=None)],
+        ignore_index=True).unique())
+    n_items = len(item_ids)
+
+    # deterministic init in [-0.5, 0.5) / sqrt(k)
+    g = splitmix64((item_ids[:, None] * np.int64(k)
+                    + np.arange(k)[None, :]).astype(np.uint64))
+    V = ((g.astype(np.float64) / 2.0**64) - 0.5) / np.sqrt(k)
+
+    eye = lam * np.eye(k)
+    rmses: list[float] = []
+
+    for _ in range(iters):
+        V_now = V  # rebind for closure capture (ray.put at web scale)
+
+        def _solve_users(gdf: pd.DataFrame) -> pd.DataFrame:
+            gdf = gdf.sort_values("u", kind="mergesort")
+            u_arr = gdf["u"].to_numpy()
+            idx = np.searchsorted(item_ids, gdf["i"].to_numpy())
+            r = gdf["r"].to_numpy(dtype=np.float64)
+            vi = V_now[idx]                         # (n, k)
+            starts = np.flatnonzero(
+                np.r_[True, u_arr[1:] != u_arr[:-1]])
+            outer = vi[:, :, None] * vi[:, None, :]  # (n, k, k)
+            ata = np.add.reduceat(
+                outer.reshape(len(vi), -1), starts, axis=0
+            ).reshape(-1, k, k) + eye[None, :, :]
+            atb = np.add.reduceat(r[:, None] * vi, starts, axis=0)
+            uf = np.linalg.solve(ata, atb)           # (n_users, k)
+            # residuals vs CURRENT V (rmse partial rides along)
+            counts = np.diff(np.r_[starts, len(u_arr)])
+            pred = (np.repeat(uf, counts, axis=0) * vi).sum(axis=1)
+            sse = float(((pred - r) ** 2).sum())
+            out = pd.DataFrame({"u": u_arr[starts]})
+            for c in range(k):
+                out[f"f{c}"] = uf[:, c]
+            out["__sse"] = 0.0
+            out.loc[out.index[0], "__sse"] = sse
+            out["__n"] = np.int64(0)
+            out.loc[out.index[0], "__n"] = np.int64(len(u_arr))
+            return out
+
+        # materialized: consumed twice (item-pass join + rmse fold) —
+        # without this the whole user solve would re-execute per consumer
+        user_f = bucket_map_groups(keyed, _solve_users,
+                                   num_buckets=32).materialize()
+
+        # item pass: re-join user factors to ratings (same user bucket),
+        # fold per-item k×k partials driver-side (items are a dimension)
+        uf_schema = pa.schema(
+            [("u", pa.int64())]
+            + [(f"f{c}", pa.float64()) for c in range(k)]
+            + [("__sse", pa.float64()), ("__n", pa.int64())])
+        with_f = bucket_hash_join(
+            keyed.map_batches(lambda b: b.drop(columns="__b"),
+                              batch_format="pandas"),
+            user_f, on="u", num_buckets=16,
+            left_schema=pa.schema([("u", pa.int64()), ("i", pa.int64()),
+                                   ("r", pa.float64())]),
+            right_schema=uf_schema)
+
+        def _item_partials(b: pd.DataFrame) -> pd.DataFrame:
+            uf = b[[f"f{c}" for c in range(k)]].to_numpy(np.float64)
+            r = b["r"].to_numpy(np.float64)
+            idx = np.searchsorted(item_ids, b["i"].to_numpy())
+            order = np.argsort(idx, kind="stable")
+            idx, uf, r = idx[order], uf[order], r[order]
+            starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+            outer = uf[:, :, None] * uf[:, None, :]
+            ata = np.add.reduceat(outer.reshape(len(uf), -1), starts,
+                                  axis=0)
+            atb = np.add.reduceat(r[:, None] * uf, starts, axis=0)
+            out = pd.DataFrame({"item": item_ids[idx[starts]]})
+            for c in range(k * k):
+                out[f"a{c}"] = ata[:, c]
+            for c in range(k):
+                out[f"b{c}"] = atb[:, c]
+            return out
+
+        spec = {**{f"a{c}": (f"a{c}", "sum") for c in range(k * k)},
+                **{f"b{c}": (f"b{c}", "sum") for c in range(k)}}
+        from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+        folded = combine_partials_driver(
+            with_f.map_batches(_item_partials, batch_format="pandas"),
+            ["item"], spec)
+        # rmse partial fold (one row per user bucket carries its sse)
+        sse_total = float(pd.concat(
+            [b[["__sse"]] for b in user_f.iter_batches(
+                batch_format="pandas", batch_size=None)],
+            ignore_index=True)["__sse"].sum())
+        rmses.append(sse_total)
+
+        folded = folded.set_index("item").reindex(item_ids)
+        ata_all = folded[[f"a{c}" for c in range(k * k)]].to_numpy(
+            np.float64).reshape(n_items, k, k) + eye[None, :, :]
+        atb_all = folded[[f"b{c}" for c in range(k)]].to_numpy(np.float64)
+        V = np.linalg.solve(ata_all, atb_all)
+
+    n_ratings = ratings.count()
+    return pd.DataFrame({
+        "iteration": np.arange(len(rmses), dtype=np.int64),
+        "rmse": [float(np.sqrt(s / n_ratings)) for s in rmses],
+    })

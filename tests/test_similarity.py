@@ -271,3 +271,76 @@ def test_knn_graph_ivf_recall_and_determinism(ray_session):
     again = (knn_graph_ivf(sf, k=k).to_pandas()
              .sort_values(["vec_id", "rank"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_als_converges_and_deterministic(ray_session):
+    from ocr_agent_ray.pipelines.similarity import als_factorize
+
+    out1 = als_factorize("/root/testdata/sf0.001", iters=4)
+    r = out1["rmse"].to_numpy()
+    assert len(r) == 4
+    assert (r[1:] < r[:-1]).all()          # training rmse decreases
+    assert r[-1] < 0.5 * r[0]              # and by a lot on this data
+    out2 = als_factorize("/root/testdata/sf0.001", iters=4)
+    assert (out1["rmse"].to_numpy() == out2["rmse"].to_numpy()).all()
+
+
+def test_als_matches_dense_reference(ray_session, tmp_path):
+    """Pipeline ALS == a dense in-memory ALS on a tiny planted matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.functions.hashing import splitmix64
+    from ocr_agent_ray.pipelines.similarity import als_factorize
+
+    rng = np.random.default_rng(23)
+    n_u, n_i, k, lam = 12, 6, 8, 0.1
+    # planted low-rank structure + noise, expressed as lineitem/orders
+    ratings = []
+    for u in range(n_u):
+        for i in rng.choice(n_i, size=4, replace=False):
+            ratings.append((u, int(i), float(rng.integers(1, 20))))
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(len(ratings), dtype=np.int64),
+        "l_partkey": np.array([i for _, i, _ in ratings], dtype=np.int64),
+        "l_quantity": np.array([r for _, _, r in ratings]),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(len(ratings), dtype=np.int64),
+        "o_custkey": np.array([u for u, _, _ in ratings], dtype=np.int64),
+    })
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   str(tmp_path / "orders.parquet"))
+
+    got = als_factorize(str(tmp_path), k=k, iters=3, lam=lam)
+
+    # dense reference with the same deterministic init
+    df = pd.DataFrame(ratings, columns=["u", "i", "r"])
+    df = df.groupby(["u", "i"], as_index=False)["r"].sum()
+    item_ids = np.sort(df["i"].unique())
+    g = splitmix64((item_ids[:, None] * np.int64(k)
+                    + np.arange(k)[None, :]).astype(np.uint64))
+    V = ((g.astype(np.float64) / 2.0**64) - 0.5) / np.sqrt(k)
+    eye = lam * np.eye(k)
+    users = np.sort(df["u"].unique())
+    rmses = []
+    for _ in range(3):
+        U = np.zeros((len(users), k))
+        sse = 0.0
+        for ui, u in enumerate(users):
+            sub = df[df["u"] == u]
+            vi = V[np.searchsorted(item_ids, sub["i"].to_numpy())]
+            r = sub["r"].to_numpy()
+            U[ui] = np.linalg.solve(vi.T @ vi + eye, vi.T @ r)
+            sse += float(((vi @ U[ui] - r) ** 2).sum())
+        rmses.append(np.sqrt(sse / len(df)))
+        Vn = np.zeros_like(V)
+        for ii, i in enumerate(item_ids):
+            sub = df[df["i"] == i]
+            uf = U[np.searchsorted(users, sub["u"].to_numpy())]
+            r = sub["r"].to_numpy()
+            Vn[ii] = np.linalg.solve(uf.T @ uf + eye, uf.T @ r)
+        V = Vn
+    assert np.allclose(got["rmse"].to_numpy(), rmses, rtol=1e-8)
