@@ -2131,7 +2131,7 @@ def image_phash_dup_pairs(sf_dir: str):
 
 def audio_dup_pairs(units, *, codec_factory=None, max_hamming: int = 3,
                     num_bands: int = 4, id_col: str = "unit_id",
-                    concurrency: int = 4):
+                    concurrency: int = 8):
     """AUDIO near-dup pairs by the 64-bit envelope fingerprint
     (functions/audio.py: sign-of-log-energy-delta — gain-invariant real
     DSP; only container decode is codec-stubbed): AudioFeatureStage

@@ -103,7 +103,9 @@ class DeterministicFakeCodec:
         decode is faked. Returns (pcm_bytes, sample_rate, n_samples)."""
         seed = hashlib.blake2b(media_ref.encode(), digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(seed, "big"))
-        n = sample_rate
+        # a quarter second is plenty for the 65-frame envelope while
+        # keeping the fake synth off the critical path of big fan-outs
+        n = sample_rate // 4
         t = np.arange(n, dtype=np.float64) / sample_rate
         x = np.zeros(n)
         for _ in range(3):
@@ -111,6 +113,11 @@ class DeterministicFakeCodec:
             amp = float(rng.uniform(0.1, 0.3))
             x += amp * np.sin(2 * np.pi * freq * t + rng.uniform(0, 6.28))
         x += rng.normal(0, 0.01, n)
+        # per-ref amplitude modulation: pure tones have near-periodic
+        # energy envelopes that can collide across refs; a random gain
+        # track makes the envelope (and thus the fingerprint) doc-specific
+        gains = np.repeat(rng.uniform(0.2, 1.0, 80), (n + 79) // 80)[:n]
+        x *= gains
         pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
         return pcm.tobytes(), sample_rate, n
 
