@@ -1028,7 +1028,9 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
 
     Returns (iteration, rmse): training RMSE before each item-pass
     update, strictly decreasing on this data (pytest-asserted).
-    Deterministic: splitmix64-seeded init, no RNG."""
+    No RNG anywhere (splitmix64-seeded init); reproducible up to float
+    summation order — cross-batch partials fold in arrival order, so
+    repeated runs agree to ~1e-12 relative, not bitwise."""
     from ocr_agent_ray.functions.hashing import splitmix64
     from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
     from ocr_agent_ray.pipelines.exchange import bucket_map_groups
@@ -1042,7 +1044,7 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
     joined = bucket_hash_join(
         li.map_batches(lambda b: b.rename(
             columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"),
-        orders, on="o_orderkey", num_buckets=16,
+        orders, on="o_orderkey", num_buckets=8,
         left_schema=pa.schema([("o_orderkey", pa.int64()),
                                ("l_partkey", pa.int64()),
                                ("l_quantity", pa.float64())]),
@@ -1054,10 +1056,10 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
             "i": b["l_partkey"].astype("int64"),
             "r": b["l_quantity"].astype("float64")}),
             batch_format="pandas"),
-        ["u", "i"], {"r": ("r", "sum")}, num_buckets=16)
+        ["u", "i"], {"r": ("r", "sum")}, num_buckets=8)
 
     keyed = ratings.map_batches(
-        lambda b: b.assign(__b=(b["u"] % 32).astype("int32")),
+        lambda b: b.assign(__b=(b["u"] % 16).astype("int32")),
         batch_format="pandas").materialize()
 
     # item index: dimension-bounded distinct partkeys (driver fold)
@@ -1080,7 +1082,9 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
         V_now = V  # rebind for closure capture (ray.put at web scale)
 
         def _solve_users(gdf: pd.DataFrame) -> pd.DataFrame:
-            gdf = gdf.sort_values("u", kind="mergesort")
+            # total order (ratings are unique per (u,i)): keeps the
+            # reduceat summation order stable within a bucket
+            gdf = gdf.sort_values(["u", "i"], kind="mergesort")
             u_arr = gdf["u"].to_numpy()
             idx = np.searchsorted(item_ids, gdf["i"].to_numpy())
             r = gdf["r"].to_numpy(dtype=np.float64)
@@ -1109,7 +1113,7 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
         # materialized: consumed twice (item-pass join + rmse fold) —
         # without this the whole user solve would re-execute per consumer
         user_f = bucket_map_groups(keyed, _solve_users,
-                                   num_buckets=32).materialize()
+                                   num_buckets=16).materialize()
 
         # item pass: re-join user factors to ratings (same user bucket),
         # fold per-item k×k partials driver-side (items are a dimension)
@@ -1120,7 +1124,7 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
         with_f = bucket_hash_join(
             keyed.map_batches(lambda b: b.drop(columns="__b"),
                               batch_format="pandas"),
-            user_f, on="u", num_buckets=16,
+            user_f, on="u", num_buckets=8,
             left_schema=pa.schema([("u", pa.int64()), ("i", pa.int64()),
                                    ("r", pa.float64())]),
             right_schema=uf_schema)

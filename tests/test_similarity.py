@@ -282,7 +282,10 @@ def test_als_converges_and_deterministic(ray_session):
     assert (r[1:] < r[:-1]).all()          # training rmse decreases
     assert r[-1] < 0.5 * r[0]              # and by a lot on this data
     out2 = als_factorize("/root/testdata/sf0.001", iters=4)
-    assert (out1["rmse"].to_numpy() == out2["rmse"].to_numpy()).all()
+    # reproducible up to float summation order: cross-batch partials fold
+    # in arrival order, so exact bit equality is not guaranteed
+    assert np.allclose(out1["rmse"].to_numpy(), out2["rmse"].to_numpy(),
+                       rtol=1e-9)
 
 
 def test_als_matches_dense_reference(ray_session, tmp_path):
