@@ -1008,7 +1008,7 @@ def embedding_outliers(sf_dir: str):
     return dists.map_batches(_z, batch_format="pandas")
 
 
-def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 4,
+def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
                   lam: float = 0.1):
     """Distributed ALS collaborative filtering over the implicit
     customer×part interaction matrix (rating = Σ l_quantity through the
