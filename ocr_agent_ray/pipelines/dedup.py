@@ -34,7 +34,6 @@ from ocr_agent_ray.functions.hashing import (
     minhash_signature,
     minhash_signatures_batch,
     simhash64,
-    simhash_band_keys,
 )
 from ocr_agent_ray.functions.textstats import md5_fingerprint
 
@@ -364,37 +363,21 @@ def simhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     signature travels with the band rows, so verification needs no rejoin.
     """
 
-    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_key, rows_sig = [], [], []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            sig = simhash64(text or "")
-            for key in simhash_band_keys(sig, num_bands):
-                rows_id.append(did)
-                rows_key.append(key)
-                rows_sig.append(sig)
-        return pd.DataFrame(
-            {id_col: rows_id,
-             "band_key": np.array(rows_key, dtype=np.int64),
-             "sig": np.array(rows_sig, dtype=np.uint64)}
-        )
-
-    cands = _bucketed_band_pairs(
-        ds.map_batches(_bands, batch_format="pandas"), id_col, extra_cols=["sig"]
-    )
-
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        from ocr_agent_ray.functions.hashing import popcount64_batch
-
-        # vectorized popcount over the xor'd signatures
-        x = batch["sig_a"].to_numpy(np.uint64) ^ batch["sig_b"].to_numpy(np.uint64)
-        out = pd.DataFrame({
-            "doc_id_a": batch["doc_id_a"],
-            "doc_id_b": batch["doc_id_b"],
-            "hamming": popcount64_batch(x),
+    def _sigs(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.array([simhash64(t or "") for t in batch[text_col]],
+                        dtype=np.uint64)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "sig64": sigs.astype(np.int64),  # two's-complement view
         })
-        return out[out["hamming"] <= max_hamming]
 
-    return cands.map_batches(_verify, batch_format="pandas")
+    # shared pigeonhole + popcount tail (hamming64_band_pairs' band-key
+    # construction is value-identical to simhash_band_keys: same chunk
+    # width, same i<<60 tag)
+    return hamming64_band_pairs(
+        ds.map_batches(_sigs, batch_format="pandas"),
+        hash_col="sig64", id_col=id_col,
+        max_hamming=max_hamming, num_bands=num_bands)
 
 
 def embedding_near_dup(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
@@ -2036,9 +2019,15 @@ def hamming64_band_pairs(hashed, *, hash_col: str, id_col: str,
     nullable). Returns (doc_id_a, doc_id_b, hamming)."""
     from ocr_agent_ray.functions.hashing import popcount64_batch
 
-    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
-        ok = batch[batch[hash_col].notna()]
-        sig = ok[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+    def _bands(batch) -> pd.DataFrame:
+        # ARROW in, not pandas: an int64 column WITH nulls converts to
+        # float64 in pandas and silently rounds away the low ~11 bits of
+        # every hash in the batch — nulls must be dropped in Arrow space
+        import pyarrow.compute as pc
+
+        ok = batch.filter(pc.is_valid(batch[hash_col]))
+        sig = (ok[hash_col].combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.uint64))
         n = len(ok)
         width = 64 // num_bands
         mask = np.uint64((1 << width) - 1)
@@ -2047,13 +2036,15 @@ def hamming64_band_pairs(hashed, *, hash_col: str, id_col: str,
             keys[:, i] = (((sig >> np.uint64(i * width)) & mask)
                           | np.uint64(i << 60)).astype(np.int64)
         return pd.DataFrame({
-            id_col: np.repeat(ok[id_col].to_numpy(), num_bands),
+            id_col: np.repeat(
+                ok[id_col].combine_chunks()
+                .to_numpy(zero_copy_only=False), num_bands),
             "band_key": keys.reshape(-1),
             "sig": np.repeat(sig, num_bands),
         })
 
     cands = _bucketed_band_pairs(
-        hashed.map_batches(_bands, batch_format="pandas"),
+        hashed.map_batches(_bands, batch_format="pyarrow"),
         id_col, extra_cols=["sig"])
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:

@@ -1096,7 +1096,9 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
                 outer.reshape(len(vi), -1), starts, axis=0
             ).reshape(-1, k, k) + eye[None, :, :]
             atb = np.add.reduceat(r[:, None] * vi, starts, axis=0)
-            uf = np.linalg.solve(ata, atb)           # (n_users, k)
+            # [..., None]/[..., 0]: explicit batched-vector RHS — the
+            # bare 2-D form is a removed legacy dispatch on numpy >= 2
+            uf = np.linalg.solve(ata, atb[..., None])[..., 0]
             # residuals vs CURRENT V (rmse partial rides along)
             counts = np.diff(np.r_[starts, len(u_arr)])
             pred = (np.repeat(uf, counts, axis=0) * vi).sum(axis=1)
@@ -1106,8 +1108,6 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
                 out[f"f{c}"] = uf[:, c]
             out["__sse"] = 0.0
             out.loc[out.index[0], "__sse"] = sse
-            out["__n"] = np.int64(0)
-            out.loc[out.index[0], "__n"] = np.int64(len(u_arr))
             return out
 
         # materialized: consumed twice (item-pass join + rmse fold) —
@@ -1120,7 +1120,7 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
         uf_schema = pa.schema(
             [("u", pa.int64())]
             + [(f"f{c}", pa.float64()) for c in range(k)]
-            + [("__sse", pa.float64()), ("__n", pa.int64())])
+            + [("__sse", pa.float64())])
         with_f = bucket_hash_join(
             keyed.map_batches(lambda b: b.drop(columns="__b"),
                               batch_format="pandas"),
@@ -1165,9 +1165,9 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
         ata_all = folded[[f"a{c}" for c in range(k * k)]].to_numpy(
             np.float64).reshape(n_items, k, k) + eye[None, :, :]
         atb_all = folded[[f"b{c}" for c in range(k)]].to_numpy(np.float64)
-        V = np.linalg.solve(ata_all, atb_all)
+        V = np.linalg.solve(ata_all, atb_all[..., None])[..., 0]
 
-    n_ratings = ratings.count()
+    n_ratings = keyed.count()   # materialized: metadata, no re-execution
     return pd.DataFrame({
         "iteration": np.arange(len(rmses), dtype=np.int64),
         "rmse": [float(np.sqrt(s / n_ratings)) for s in rmses],

@@ -279,9 +279,18 @@ class RealCodec:
         with av.open(media_ref) as container:
             for frame in container.decode(audio=0):
                 src_rate = int(frame.sample_rate)
+                ch = len(frame.layout.channels)
                 arr = frame.to_ndarray()
-                if arr.ndim == 2:  # channels x samples -> mono
+                if arr.ndim == 2 and arr.shape[0] > 1:
+                    # planar (fltp): channels x samples
                     arr = arr.mean(axis=0)
+                else:
+                    # packed (s16): one row of interleaved samples —
+                    # de-interleave before downmixing, a bare mean(axis=0)
+                    # would leave L/R alternating at 2x length
+                    arr = arr.reshape(-1)
+                    if ch > 1:
+                        arr = arr.reshape(-1, ch).mean(axis=1)
                 chunks.append(arr.astype(np.float64))
         x = (np.concatenate(chunks) if chunks
              else np.zeros(0, dtype=np.float64))

@@ -444,9 +444,11 @@ def test_media_phash_pairs_controlled_codec(ray_session):
             return g
 
     units = pd.DataFrame({
-        "unit_id": np.arange(4, dtype=np.int64),
+        "unit_id": np.arange(5, dtype=np.int64),
         "media_bytes": [bytes([1, 0]), bytes([1, 1]),   # near-dup pair
-                        bytes([2, 0]), bytes([3, 0])],  # distinct
+                        bytes([2, 0]), bytes([3, 0]),   # distinct
+                        None],   # null payload: must not corrupt the
+                                 # batch's hashes (int64+null -> float64)
     })
     got = (media_phash_pairs(rd.from_pandas(units),
                              codec_factory=GridCodec, max_hamming=3)
