@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_idle_rich_customers": relational.q22_idle_rich_customers,
         "q_merge_upsert": relational.merge_upsert_documents,
         "q_merge_cdc": relational.merge_cdc_documents,
+        "q_snapshot_diff": relational.snapshot_diff_documents,
+        "q_chi_square": relational.chi_square_type_band,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -1977,6 +1979,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, valid_from, "
             "LEAD(valid_from) OVER (PARTITION BY user_id "
             "ORDER BY valid_from, event_id) AS valid_to FROM s"
+        ),
+        "q_snapshot_diff": (
+            "WITH base AS (SELECT doc_id, text FROM documents), "
+            "v2 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN 'rev2:' || text ELSE text END AS text FROM documents "
+            "WHERE doc_id % 11 <> 0 "
+            "UNION ALL SELECT doc_id + 100000, "
+            "'new:' || CAST(doc_id AS VARCHAR) FROM documents "
+            "WHERE doc_id % 13 = 0) "
+            "SELECT COALESCE(base.doc_id, v2.doc_id) AS doc_id, "
+            "CASE WHEN v2.doc_id IS NULL THEN 'removed' "
+            "WHEN base.doc_id IS NULL THEN 'added' "
+            "WHEN base.text <> v2.text THEN 'changed' "
+            "ELSE 'unchanged' END AS change_type "
+            "FROM base FULL OUTER JOIN v2 ON base.doc_id = v2.doc_id"
+        ),
+        "q_chi_square": (
+            "WITH c AS (SELECT event_type, CASE WHEN value < 25.0 "
+            "THEN 'low' WHEN value < 75.0 THEN 'mid' ELSE 'high' END "
+            "AS band, CAST(COUNT(*) AS DOUBLE) AS o FROM events "
+            "GROUP BY 1, 2), "
+            "rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY 1), "
+            "ct AS (SELECT band, SUM(o) AS cl FROM c GROUP BY 1), "
+            "n AS (SELECT SUM(o) AS n FROM c), "
+            "cells AS (SELECT c.o AS o, "
+            "rt.r * ct.cl / (SELECT n FROM n) AS e FROM c "
+            "JOIN rt USING (event_type) JOIN ct USING (band)) "
+            "SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2, "
+            "CAST((SELECT COUNT(*) - 1 FROM rt) "
+            "   * (SELECT COUNT(*) - 1 FROM ct) AS BIGINT) AS dof, "
+            "CAST((SELECT n FROM n) AS BIGINT) AS n FROM cells"
         ),
         "q_merge_cdc": (
             "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "

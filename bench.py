@@ -230,6 +230,8 @@ QUERY_NAMES = [
     "q_audio_dup_pairs",
     "q_entity_resolution",
     "q_als_rmse",
+    "q_snapshot_diff",
+    "q_chi_square",
 ]
 
 

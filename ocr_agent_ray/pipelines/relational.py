@@ -3448,3 +3448,69 @@ def entity_resolution(sf_dir: str, *, max_dist: int = 2):
             "entity_id": b["entity_id"].astype("int64"),
             "entity_size": b["entity_size"].astype("int64"),
         }), batch_format="pandas")
+
+
+def chi_square_type_band(sf_dir: str, *, edges=(25.0, 75.0)):
+    """Pearson chi-square independence test of event_type × value band
+    (low/<25, mid/<75, high) — the statistical-QA op that answers
+    'does spend distribution actually differ by event type?'. The
+    contingency table folds as mergeable per-(type, band) count
+    partials (|types|×3 keys on the driver); the statistic
+    Σ (o−e)²/e with e = row·col/n and dof = (r−1)(c−1) is one tiny
+    driver computation. Columns: chi2 (round 6), dof, n."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    lo, hi = edges
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        band = np.select([v < lo, v < hi], ["low", "mid"], default="high")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "band": band, "o": np.int64(1)})
+
+    cells = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            _cells, batch_format="pandas", batch_size=65536),
+        ["event_type", "band"], {"o": ("o", "sum")})
+    o = cells.pivot_table(index="event_type", columns="band", values="o",
+                          fill_value=0, aggfunc="sum")
+    obs = o.to_numpy(dtype=np.float64)
+    n = obs.sum()
+    e = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    return pd.DataFrame({
+        "chi2": round_half_away(np.array([chi2]), 6),
+        "dof": np.int64((obs.shape[0] - 1) * (obs.shape[1] - 1)),
+        "n": np.int64(n),
+    })
+
+
+def snapshot_diff_documents(sf_dir: str):
+    """Driver-visible snapshot diff: version 2 of the documents table is
+    derived deterministically (every 7th text revised, every 11th doc
+    deleted, every 13th id-offset doc added — the merge_cdc recipe) and
+    diffed against version 1 via sources/maintenance.snapshot_diff.
+    Oracled by a FULL-OUTER-JOIN CASE over the same two versions.
+    Columns: doc_id, change_type."""
+    from ocr_agent_ray.sources.maintenance import snapshot_diff
+
+    base = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _v2(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b["doc_id"] % 11 != 0].copy()
+        rev = keep["doc_id"] % 7 == 0
+        keep.loc[rev, "text"] = "rev2:" + keep.loc[rev, "text"]
+        new = b[b["doc_id"] % 13 == 0]
+        new = pd.DataFrame({
+            "doc_id": new["doc_id"] + 100000,
+            "text": "new:" + new["doc_id"].astype(str),
+        })
+        return pd.concat([keep, new], ignore_index=True)
+
+    new = read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _v2, batch_format="pandas")
+    out = snapshot_diff(base, new, key="doc_id")
+    return out.map_batches(
+        lambda b: b.sort_values("doc_id").reset_index(drop=True),
+        batch_format="pandas")

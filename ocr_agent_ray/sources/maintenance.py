@@ -243,3 +243,56 @@ def merge_cdc(base, updates, *, key: str, version: str, op: str = "op",
 
     return bucket_map_groups(both, _resolve, bucket_col="__bucket",
                              num_buckets=num_buckets)
+
+
+def snapshot_diff(base, new, *, key: str, num_buckets: int = 16):
+    """Lakehouse snapshot diff: classify every key across two dataset
+    versions as added / removed / changed / unchanged — the audit
+    companion to merge_upsert/merge_cdc (what DID that merge do?).
+    Same one co-bucketed exchange as the merges: both sides tag and
+    hash their non-key payload per row (64-bit, row-order free), keys
+    co-locate by bucket, and the per-bucket kernel is one merge +
+    vectorized compare. Only (key, payload-hash, side) rows cross the
+    wire — never the payloads. Returns (key, change_type)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import stable_bucket_array
+
+    def _tag(side: int):
+        def _fn(b: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+
+            from pandas.util import hash_pandas_object
+
+            payload_cols = [c for c in b.columns if c != key]
+            h = hash_pandas_object(b[payload_cols],
+                                   index=False).to_numpy()
+            out = pd.DataFrame({key: b[key], "__h": h,
+                                "__side": np.int8(side)})
+            tbl = pa.Table.from_pandas(out[[key]], preserve_index=False)
+            out["__bucket"] = stable_bucket_array(
+                tbl.column(0).combine_chunks(), num_buckets
+            ).to_numpy(zero_copy_only=False)
+            return out
+
+        return _fn
+
+    both = base.map_batches(_tag(0), batch_format="pandas").union(
+        new.map_batches(_tag(1), batch_format="pandas"))
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["__side"] == 0][[key, "__h"]]
+        n = g[g["__side"] == 1][[key, "__h"]]
+        m = b.merge(n, on=key, how="outer", suffixes=("_b", "_n"),
+                    indicator=True)
+        change = np.select(
+            [m["_merge"] == "left_only", m["_merge"] == "right_only",
+             m["__h_b"] != m["__h_n"]],
+            ["removed", "added", "changed"], default="unchanged")
+        return pd.DataFrame({key: m[key],
+                             "change_type": change})
+
+    return bucket_map_groups(both, _classify, bucket_col="__bucket",
+                             num_buckets=num_buckets)

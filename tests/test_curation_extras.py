@@ -468,3 +468,47 @@ def test_image_phash_dup_pairs_planted(ray_session):
     expect = [(k * 10, k * 10 + 1) for k in range(50)]
     assert list(zip(got["unit_a"], got["unit_b"])) == expect
     assert (got["hamming"] == 0).all()
+
+
+def test_snapshot_diff_planted(ray_session):
+    import ray.data as rd
+
+    from ocr_agent_ray.sources.maintenance import snapshot_diff
+
+    base = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": np.array([0, 1, 3, 9], dtype=np.int64),
+                        "text": ["a", "B!", "d", "new"]})
+    got = (snapshot_diff(rd.from_pandas(base), rd.from_pandas(new),
+                         key="doc_id").to_pandas()
+           .set_index("doc_id")["change_type"])
+    assert got[0] == "unchanged"
+    assert got[1] == "changed"
+    assert got[2] == "removed"
+    assert got[3] == "unchanged"
+    assert got[9] == "added"
+
+
+def test_chi_square_independent_is_zero(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import chi_square_type_band
+
+    # perfectly independent 2x2: chi2 == 0; bands split at 25/75
+    rows = []
+    eid = 0
+    for t, tn in [("A", 10), ("B", 20)]:
+        for v, vn in [(10.0, 3), (50.0, 7)]:
+            for _ in range(tn * vn // 10):
+                rows.append((eid, pd.Timestamp("2024-01-01"), 1, t, v,
+                             "{}"))
+                eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = chi_square_type_band(str(tmp_path))
+    assert got["chi2"].iloc[0] == 0.0
+    assert got["dof"].iloc[0] == 1
+    assert got["n"].iloc[0] == len(df)
