@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_linear_attribution": relational.linear_attribution,
         "q_time_decay_attribution": relational.time_decay_attribution,
         "q_scd2_intervals": streaming.scd2_intervals,
+        "q_survival_curve": streaming.user_survival_curve,
+        "q_top_event_paths": streaming.top_event_paths,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1969,6 +1971,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (pid) GROUP BY 1"
+        ),
+        "q_survival_curve": (
+            # Kaplan-Meier: same ln/exp cumulative float expression as
+            # the pipeline; censored users leave the risk set but are
+            # not deaths
+            "WITH pu AS (SELECT user_id, MIN(ts) AS f, MAX(ts) AS l "
+            "FROM events GROUP BY 1), "
+            "mx AS (SELECT MAX(ts) AS m FROM events), "
+            "lt AS (SELECT CAST(date_diff('microsecond', f, l) "
+            "// 86400000000 AS BIGINT) AS t_day, "
+            "(date_diff('microsecond', l, (SELECT m FROM mx)) "
+            " < 3 * 86400000000) AS censored FROM pu), "
+            "g AS (SELECT t_day, "
+            "SUM(CASE WHEN censored THEN 0 ELSE 1 END) AS d, "
+            "COUNT(*) AS a FROM lt GROUP BY 1), "
+            "w AS (SELECT t_day, d, (SELECT COUNT(*) FROM lt) "
+            "- COALESCE(SUM(a) OVER (ORDER BY t_day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS n_risk FROM g) "
+            "SELECT t_day, CAST(n_risk AS BIGINT) AS n_risk, "
+            "CAST(d AS BIGINT) AS deaths, "
+            "ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) "
+            "/ CAST(n_risk AS DOUBLE))) OVER (ORDER BY t_day)), 6) "
+            "AS survival FROM w"
+        ),
+        "q_top_event_paths": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type, 1) OVER w AS p1, "
+            "LAG(event_type, 2) OVER w AS p2 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "t AS (SELECT p2 AS e1, p1 AS e2, event_type AS e3, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE p2 IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT e1, e2, e3, n FROM t "
+            "ORDER BY n DESC, e1, e2, e3 LIMIT 20"
         ),
         "q_scd2_intervals": (
             "WITH o AS (SELECT user_id, ts, event_id, event_type, "

@@ -232,6 +232,8 @@ QUERY_NAMES = [
     "q_als_rmse",
     "q_snapshot_diff",
     "q_chi_square",
+    "q_survival_curve",
+    "q_top_event_paths",
 ]
 
 

@@ -1255,3 +1255,112 @@ def scd2_intervals(sf_dir: str):
         lambda b: b.assign(__b=(b["user_id"] % 64).astype("int32")),
         batch_format="pandas", batch_size=65536)
     return bucket_map_groups(keyed, _runs, num_buckets=64)
+
+
+def user_survival_curve(sf_dir: str, *, censor_days: int = 3):
+    """Kaplan-Meier survival curve of user lifetimes — the churn
+    analysis every consumer warehouse runs: lifetime = days between a
+    user's first and last event; users still active within
+    ``censor_days`` of the corpus max timestamp are right-censored
+    (they count in the at-risk set but not as deaths). S(t) =
+    exp(Σ_{t'≤t} ln(1 − d/n)) over death days t.
+
+    Scale shape: per-user (first, last) fold as mergeable min/max
+    partials through one bucketed combine; the curve itself lives on
+    |distinct lifetime days| rows — a driver fold like every other
+    dimension-sized result. The float expression (ln/exp cumulative)
+    is written identically to the oracle. Columns: t_day, n_risk,
+    deaths, survival."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, columns=("ts", "user_id"))
+    per_user = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "user_id": b["user_id"],
+            "first_ts": b["ts"], "last_ts": b["ts"]}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id"],
+        {"first_ts": ("first_ts", "min"), "last_ts": ("last_ts", "max")},
+        num_buckets=16)
+
+    # corpus max ts: tiny mergeable fold
+    t_max = pd.concat(
+        [b for b in ev.map_batches(
+            lambda b: pd.DataFrame({"t": [b["ts"].max()]}),
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True)["t"].max()
+
+    def _lifetimes(b: pd.DataFrame) -> pd.DataFrame:
+        t_days = ((b["last_ts"].astype("datetime64[us]").astype("int64")
+                   - b["first_ts"].astype("datetime64[us]")
+                   .astype("int64")) // 86400000000).astype("int64")
+        age_us = (np.int64(pd.Timestamp(t_max).value // 1000)
+                  - b["last_ts"].astype("datetime64[us]")
+                  .astype("int64").to_numpy())
+        censored = age_us < censor_days * 86400000000
+        return pd.DataFrame({"t_day": t_days,
+                             "censored": censored.astype("int64"),
+                             "n": np.int64(1)})
+
+    counts = combine_partials_driver(
+        per_user.map_batches(_lifetimes, batch_format="pandas"),
+        ["t_day", "censored"], {"n": ("n", "sum")})
+    counts = counts.sort_values("t_day").reset_index(drop=True)
+
+    total = int(counts["n"].sum())
+    days = np.sort(counts["t_day"].unique())
+    d = (counts[counts["censored"] == 0].groupby("t_day")["n"].sum()
+         .reindex(days, fill_value=0).to_numpy(dtype=np.float64))
+    all_at_t = (counts.groupby("t_day")["n"].sum()
+                .reindex(days, fill_value=0).to_numpy(dtype=np.float64))
+    # at-risk just before t: total minus everyone who left earlier
+    left_before = np.r_[0.0, np.cumsum(all_at_t)[:-1]]
+    n_risk = total - left_before
+    surv = np.exp(np.cumsum(np.log(1.0 - d / n_risk)))
+    return pd.DataFrame({
+        "t_day": days.astype("int64"),
+        "n_risk": n_risk.astype("int64"),
+        "deaths": d.astype("int64"),
+        "survival": round_half_away(surv, 6),
+    })
+
+
+def top_event_paths(sf_dir: str, *, k: int = 20):
+    """Top-k event-type TRIGRAM paths (per-user consecutive triples,
+    ordered by (ts, event_id)) — the sequence-mining extension of the
+    bigram transition matrix: 'what do users actually do in threes?'.
+    One user-bucket exchange; the kernel is two shift-compares; triple
+    counts fold as |types|³-bounded partials on the driver. Columns:
+    e1, e2, e3, n (ties broken by path ascending)."""
+    from ocr_agent_ray.functions.textstats import round_half_away  # noqa: F401
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        same2 = g["user_id"].eq(g["user_id"].shift(2))
+        t = pd.DataFrame({
+            "e1": g["event_type"].shift(2),
+            "e2": g["event_type"].shift(1),
+            "e3": g["event_type"],
+        })[same2.to_numpy()]
+        out = (t.groupby(["e1", "e2", "e3"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    keyed = _read_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type")
+    ).map_batches(
+        lambda b: b.assign(__b=(b["user_id"] % 64).astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    folded = combine_partials_driver(
+        bucket_map_groups(keyed, _triples, num_buckets=64),
+        ["e1", "e2", "e3"], {"n": ("n", "sum")})
+    folded["n"] = folded["n"].astype("int64")
+    return (folded.sort_values(["n", "e1", "e2", "e3"],
+                               ascending=[False, True, True, True])
+            .head(k).reset_index(drop=True))

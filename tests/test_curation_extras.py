@@ -512,3 +512,66 @@ def test_chi_square_independent_is_zero(ray_session, tmp_path):
     assert got["chi2"].iloc[0] == 0.0
     assert got["dof"].iloc[0] == 1
     assert got["n"].iloc[0] == len(df)
+
+
+def test_survival_curve_textbook(ray_session, tmp_path):
+    """Hand-computed Kaplan-Meier: 5 users, lifetimes 1,1,2(censored),
+    3,4 days -> S(1)=3/5, S(3)=3/5*1/2, S(4)=0."""
+    from ocr_agent_ray.pipelines.streaming import user_survival_curve
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user lifetimes via (first, last) event pairs; corpus max is day 10
+    # so nobody is within the 3-day censor window except user 2, whose
+    # last event is day 8 (within 3 days of day 10 -> censored)
+    spans = {1: (0, 1), 2: (0, 1), 3: (6, 8), 4: (0, 3), 5: (0, 4),
+             9: (10, 10)}   # user 9 anchors corpus max at day 10
+    eid = 0
+    for u, (a, b) in spans.items():
+        for day in (a, b):
+            rows.append((eid, base + pd.Timedelta(days=day), u,
+                         "view", 0.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (user_survival_curve(str(tmp_path)).set_index("t_day"))
+    # lifetimes: u1=1, u2=1, u3=2(censored), u4=3, u5=4, u9=0(censored)
+    assert got.loc[0, "deaths"] == 0 and got.loc[0, "n_risk"] == 6
+    assert got.loc[1, "deaths"] == 2 and got.loc[1, "n_risk"] == 5
+    assert abs(got.loc[1, "survival"] - 3 / 5) < 1e-9
+    assert got.loc[2, "deaths"] == 0          # censored, not a death
+    assert got.loc[3, "deaths"] == 1 and got.loc[3, "n_risk"] == 2
+    assert abs(got.loc[3, "survival"] - (3 / 5) * (1 / 2)) < 1e-9
+    assert got.loc[4, "survival"] == 0.0
+
+
+def test_top_event_paths_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.streaming import top_event_paths
+
+    base = pd.Timestamp("2024-01-01")
+    seqs = {1: ["a", "b", "c", "d"], 2: ["a", "b", "c"],
+            3: ["x", "a", "b", "c"]}
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for j, e in enumerate(seq):
+            rows.append((eid, base + pd.Timedelta(minutes=j), u, e,
+                         0.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = top_event_paths(str(tmp_path))
+    assert (got.iloc[0][["e1", "e2", "e3"]].tolist(), got.iloc[0]["n"]) \
+        == (["a", "b", "c"], 3)
+    # no cross-user triples: total = 2 + 1 + 2 + 1(bcd)... count check
+    assert got["n"].sum() == 5
