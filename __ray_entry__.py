@@ -351,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_merge_cdc": relational.merge_cdc_documents,
         "q_snapshot_diff": relational.snapshot_diff_documents,
         "q_chi_square": relational.chi_square_type_band,
+        "q_cohort_matrix": relational.cohort_retention_matrix,
+        "q_benford_digits": relational.benford_first_digit,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -1971,6 +1973,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (pid) GROUP BY 1"
+        ),
+        "q_cohort_matrix": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events), "
+            "fw AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1) "
+            "SELECT fw.cw AS cohort_week, "
+            "CAST(date_diff('day', fw.cw, uw.w) // 7 AS BIGINT) "
+            "AS week_offset, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM uw JOIN fw USING (user_id) GROUP BY 1, 2"
+        ),
+        "q_benford_digits": (
+            "WITH d AS (SELECT CAST(FLOOR(o_totalprice "
+            "/ POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS BIGINT) "
+            "AS digit FROM orders WHERE o_totalprice > 0), "
+            "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM d GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c) "
+            "SELECT digit, n, "
+            "ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) "
+            "AS observed_p, "
+            "ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) "
+            "AS expected_p FROM c"
         ),
         "q_survival_curve": (
             # Kaplan-Meier: same ln/exp cumulative float expression as

@@ -234,6 +234,8 @@ QUERY_NAMES = [
     "q_chi_square",
     "q_survival_curve",
     "q_top_event_paths",
+    "q_cohort_matrix",
+    "q_benford_digits",
 ]
 
 

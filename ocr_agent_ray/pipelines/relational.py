@@ -3514,3 +3514,85 @@ def snapshot_diff_documents(sf_dir: str):
     return out.map_batches(
         lambda b: b.sort_values("doc_id").reset_index(drop=True),
         batch_format="pandas")
+
+
+def cohort_retention_matrix(sf_dir: str):
+    """Full cohort retention matrix — the heatmap behind weekly_retention
+    (which reports only consecutive-week survival): users grouped by
+    FIRST-ACTIVE week (the cohort), counted at every later week offset.
+    One user-bucketed pass over the distinct (week, user) pairs: a
+    user's cohort (min week) and all offsets are local to their bucket,
+    so the wire carries only |weeks|²-bounded (cohort, offset) partials.
+    Weeks start Monday, matching date_trunc('week'). Columns:
+    cohort_week, week_offset, n_users."""
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             distinct_rows)
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    def _wu(batch: pd.DataFrame) -> pd.DataFrame:
+        monday = (batch["ts"].dt.normalize()
+                  - pd.to_timedelta(batch["ts"].dt.dayofweek, unit="D"))
+        return pd.DataFrame({
+            "week": monday.astype("datetime64[us]"),
+            "user_id": batch["user_id"],
+        })
+
+    pairs = distinct_rows(
+        read_table(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            _wu, batch_format="pandas"),
+        ["week", "user_id"], num_buckets=8)
+
+    def _offsets(g: pd.DataFrame) -> pd.DataFrame:
+        cw = g.groupby("user_id", sort=False)["week"].transform("min")
+        off = ((g["week"].astype("datetime64[us]").astype("int64")
+                - cw.astype("datetime64[us]").astype("int64"))
+               // (7 * 86400000000)).astype("int64")
+        out = pd.DataFrame({"cohort_week": cw.astype("datetime64[us]"),
+                            "week_offset": off})
+        return (out.groupby(["cohort_week", "week_offset"], sort=False)
+                .size().reset_index(name="n_users"))
+
+    folded = combine_partials_driver(
+        bucket_map_groups(
+            pairs.map_batches(
+                lambda b: b.assign(__b=(b["user_id"] % 64)
+                                   .astype("int32")),
+                batch_format="pandas", batch_size=65536),
+            lambda g: _offsets(g.drop(columns="__b", errors="ignore")),
+            num_buckets=64),
+        ["cohort_week", "week_offset"], {"n_users": ("n_users", "sum")})
+    folded["n_users"] = folded["n_users"].astype("int64")
+    return (folded.sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True))
+
+
+def benford_first_digit(sf_dir: str):
+    """Benford's-law first-digit screen over order totals — the fraud/
+    data-quality test: observed first-significant-digit frequencies of
+    o_totalprice vs the Benford expectation log10(1+1/d), with the
+    chi-square distance. Digit extraction is pure float math
+    (x / 10^floor(log10 x)) written identically to the oracle; counts
+    fold as 9-key mergeable partials. Columns: digit, n, observed_p,
+    expected_p (round 6)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _digits(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["o_totalprice"].to_numpy(dtype=np.float64)
+        x = x[x > 0]
+        d = np.floor(x / np.power(10.0, np.floor(np.log10(x))))
+        return pd.DataFrame({"digit": d.astype("int64"),
+                             "n": np.int64(1)})
+
+    out = combine_partials_driver(
+        read_table(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            _digits, batch_format="pandas", batch_size=65536),
+        ["digit"], {"n": ("n", "sum")})
+    out = out.sort_values("digit").reset_index(drop=True)
+    total = float(out["n"].sum())
+    d = out["digit"].to_numpy(dtype=np.float64)
+    out["n"] = out["n"].astype("int64")
+    out["observed_p"] = round_half_away(
+        out["n"].to_numpy(dtype=np.float64) / total, 6)
+    out["expected_p"] = round_half_away(np.log10(1.0 + 1.0 / d), 6)
+    return out

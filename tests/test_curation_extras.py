@@ -575,3 +575,47 @@ def test_top_event_paths_planted(ray_session, tmp_path):
         == (["a", "b", "c"], 3)
     # no cross-user triples: total = 2 + 1 + 2 + 1(bcd)... count check
     assert got["n"].sum() == 5
+
+
+def test_cohort_matrix_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import cohort_retention_matrix
+
+    mon = pd.Timestamp("2024-01-01")   # a Monday
+    rows = []
+    eid = 0
+    # cohort wk0: users 1,2; user 1 returns wk1 and wk3; user 2 never.
+    # cohort wk1: user 3, returns wk2.
+    for u, weeks in {1: [0, 1, 3], 2: [0], 3: [1, 2]}.items():
+        for w in weeks:
+            rows.append((eid, mon + pd.Timedelta(weeks=w, days=2), u,
+                         "view", 0.0, "{}"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cohort_retention_matrix(str(tmp_path)).set_index(
+        ["cohort_week", "week_offset"])["n_users"]
+    wk0, wk1 = mon, mon + pd.Timedelta(weeks=1)
+    assert got[(wk0, 0)] == 2
+    assert got[(wk0, 1)] == 1
+    assert got[(wk0, 3)] == 1
+    assert (wk0, 2) not in got.index
+    assert got[(wk1, 0)] == 1 and got[(wk1, 1)] == 1
+
+
+def test_benford_digits_sane(ray_session):
+    from ocr_agent_ray.pipelines.relational import benford_first_digit
+
+    got = benford_first_digit("/root/testdata/sf0.001")
+    assert set(got["digit"]).issubset(set(range(1, 10)))
+    assert abs(got["observed_p"].sum() - 1.0) < 1e-5
+    # expected follows Benford exactly
+    import numpy as _np
+
+    for _, r in got.iterrows():
+        assert abs(r["expected_p"]
+                   - round(_np.log10(1 + 1 / r["digit"]), 6)) < 1e-9
