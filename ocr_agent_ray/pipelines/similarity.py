@@ -1015,25 +1015,27 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
     lineitem⋈orders join) — the matrix-factorization member of the ML
     family (k-means / logreg / PageRank / PCA live nearby).
 
-    Scale shape per iteration (the standard 'broadcast the small side'
-    ALS): ITEM factors are dimension-bounded (parts), so they broadcast
-    into the user pass — one user-bucket exchange where each bucket
-    solves its users' k×k normal equations BATCHED (np.add.reduceat
-    segment-sums of vvᵀ + one stacked np.linalg.solve, no per-user
-    Python solve loop); USER factors never gather on the driver — the
-    item pass re-joins them to the ratings by user bucket and folds
-    per-item k×k partials (items × (k²+k) floats) driver-side, mirroring
-    every other dimension-table fold in this repo. At web scale swap
-    the closure capture for an explicit ray.put of V.
+    Scale shape: ratings hash-exchange ONCE on the user key
+    (exchange_shards — the shard-reuse pattern of the window family);
+    every iteration is then a SINGLE reduce wave: each bucket solves
+    its users' k×k normal equations BATCHED (np.add.reduceat segment
+    sums of vvᵀ + one stacked np.linalg.solve, no per-user Python
+    loop) against the broadcast item factors, and — because the solved
+    user vectors are in hand — emits the ITEM-side normal-equation
+    partials (Σuuᵀ, Σru per item) plus its sse in the same kernel. No
+    per-iteration join, no user-factor materialization; the driver
+    folds items × (k²+k) floats (items are a dimension) and solves V.
+    At web scale swap the closure capture of V for an explicit
+    ray.put.
 
     Returns (iteration, rmse): training RMSE before each item-pass
     update, strictly decreasing on this data (pytest-asserted).
     No RNG anywhere (splitmix64-seeded init); reproducible up to float
-    summation order — cross-batch partials fold in arrival order, so
-    repeated runs agree to ~1e-12 relative, not bitwise."""
+    summation order — per-bucket partials fold in sorted (item,
+    bucket) order, repeated runs agree to ~1e-12 relative."""
     from ocr_agent_ray.functions.hashing import splitmix64
     from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
-    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
     from ocr_agent_ray.pipelines.joins import bucket_hash_join
 
     import pyarrow as pa
@@ -1060,14 +1062,15 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
 
     keyed = ratings.map_batches(
         lambda b: b.assign(__b=(b["u"] % 16).astype("int32")),
-        batch_format="pandas").materialize()
+        batch_format="pandas")
+    shards = exchange_shards(keyed, bucket_col="__b", num_buckets=16,
+                             mode="mod")
 
-    # item index: dimension-bounded distinct partkeys (driver fold)
-    item_ids = np.sort(pd.concat(
-        [b["i"] for b in keyed.map_batches(
-            lambda b: b[["i"]].drop_duplicates(), batch_format="pandas")
-         .iter_batches(batch_format="pandas", batch_size=None)],
-        ignore_index=True).unique())
+    # item index: dimension-bounded distinct partkeys, folded from one
+    # tiny reduce wave over the same shards
+    items_tbl = shards.reduce(
+        lambda g: g[["i"]].drop_duplicates()).to_pandas()
+    item_ids = np.sort(items_tbl["i"].unique())
     n_items = len(item_ids)
 
     # deterministic init in [-0.5, 0.5) / sqrt(k)
@@ -1076,15 +1079,25 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
     V = ((g.astype(np.float64) / 2.0**64) - 0.5) / np.sqrt(k)
 
     eye = lam * np.eye(k)
+    acol = [f"a{c}" for c in range(k * k)]
+    bcol = [f"b{c}" for c in range(k)]
     rmses: list[float] = []
+    n_ratings = 0
 
     for _ in range(iters):
         V_now = V  # rebind for closure capture (ray.put at web scale)
 
-        def _solve_users(gdf: pd.DataFrame) -> pd.DataFrame:
+        def _pass(gdf: pd.DataFrame) -> pd.DataFrame:
+            if gdf.empty:
+                return pd.DataFrame(
+                    {"item": pd.Series(dtype="int64"),
+                     "__bucket": pd.Series(dtype="int32"),
+                     **{c: pd.Series(dtype="float64")
+                        for c in acol + bcol}})
             # total order (ratings are unique per (u,i)): keeps the
             # reduceat summation order stable within a bucket
             gdf = gdf.sort_values(["u", "i"], kind="mergesort")
+            bucket = np.int32(gdf["__b"].iloc[0])
             u_arr = gdf["u"].to_numpy()
             idx = np.searchsorted(item_ids, gdf["i"].to_numpy())
             r = gdf["r"].to_numpy(dtype=np.float64)
@@ -1099,75 +1112,52 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
             # [..., None]/[..., 0]: explicit batched-vector RHS — the
             # bare 2-D form is a removed legacy dispatch on numpy >= 2
             uf = np.linalg.solve(ata, atb[..., None])[..., 0]
-            # residuals vs CURRENT V (rmse partial rides along)
             counts = np.diff(np.r_[starts, len(u_arr)])
-            pred = (np.repeat(uf, counts, axis=0) * vi).sum(axis=1)
+            uf_rows = np.repeat(uf, counts, axis=0)  # (n, k)
+            pred = (uf_rows * vi).sum(axis=1)
             sse = float(((pred - r) ** 2).sum())
-            out = pd.DataFrame({"u": u_arr[starts]})
-            for c in range(k):
-                out[f"f{c}"] = uf[:, c]
-            out["__sse"] = 0.0
-            out.loc[out.index[0], "__sse"] = sse
-            return out
 
-        # materialized: consumed twice (item-pass join + rmse fold) —
-        # without this the whole user solve would re-execute per consumer
-        user_f = bucket_map_groups(keyed, _solve_users,
-                                   num_buckets=16).materialize()
-
-        # item pass: re-join user factors to ratings (same user bucket),
-        # fold per-item k×k partials driver-side (items are a dimension)
-        uf_schema = pa.schema(
-            [("u", pa.int64())]
-            + [(f"f{c}", pa.float64()) for c in range(k)]
-            + [("__sse", pa.float64())])
-        with_f = bucket_hash_join(
-            keyed.map_batches(lambda b: b.drop(columns="__b"),
-                              batch_format="pandas"),
-            user_f, on="u", num_buckets=8,
-            left_schema=pa.schema([("u", pa.int64()), ("i", pa.int64()),
-                                   ("r", pa.float64())]),
-            right_schema=uf_schema)
-
-        def _item_partials(b: pd.DataFrame) -> pd.DataFrame:
-            uf = b[[f"f{c}" for c in range(k)]].to_numpy(np.float64)
-            r = b["r"].to_numpy(np.float64)
-            idx = np.searchsorted(item_ids, b["i"].to_numpy())
+            # item-side partials from the SAME kernel: Σuuᵀ, Σru per
+            # item present in this bucket
             order = np.argsort(idx, kind="stable")
-            idx, uf, r = idx[order], uf[order], r[order]
-            starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
-            outer = uf[:, :, None] * uf[:, None, :]
-            ata = np.add.reduceat(outer.reshape(len(uf), -1), starts,
-                                  axis=0)
-            atb = np.add.reduceat(r[:, None] * uf, starts, axis=0)
-            out = pd.DataFrame({"item": item_ids[idx[starts]]})
+            idx_s, uf_s, r_s = idx[order], uf_rows[order], r[order]
+            istarts = np.flatnonzero(
+                np.r_[True, idx_s[1:] != idx_s[:-1]])
+            i_ata = np.add.reduceat(
+                (uf_s[:, :, None] * uf_s[:, None, :])
+                .reshape(len(uf_s), -1), istarts, axis=0)
+            i_atb = np.add.reduceat(r_s[:, None] * uf_s, istarts, axis=0)
+            out = pd.DataFrame({"item": item_ids[idx_s[istarts]],
+                                "__bucket": bucket})
             for c in range(k * k):
-                out[f"a{c}"] = ata[:, c]
+                out[f"a{c}"] = i_ata[:, c]
             for c in range(k):
-                out[f"b{c}"] = atb[:, c]
-            return out
+                out[f"b{c}"] = i_atb[:, c]
+            # sse/count marker row (item = -1 never collides: real ids
+            # are non-negative partkeys)
+            marker = {"item": np.int64(-1), "__bucket": bucket,
+                      **{c: 0.0 for c in acol + bcol}}
+            marker["a0"] = sse
+            marker["b0"] = float(len(gdf))
+            return pd.concat([out, pd.DataFrame([marker])],
+                             ignore_index=True)
 
-        spec = {**{f"a{c}": (f"a{c}", "sum") for c in range(k * k)},
-                **{f"b{c}": (f"b{c}", "sum") for c in range(k)}}
-        from ocr_agent_ray.pipelines.agg import combine_partials_driver
-
-        folded = combine_partials_driver(
-            with_f.map_batches(_item_partials, batch_format="pandas"),
-            ["item"], spec)
-        # rmse partial fold (one row per user bucket carries its sse)
-        sse_total = float(pd.concat(
-            [b[["__sse"]] for b in user_f.iter_batches(
-                batch_format="pandas", batch_size=None)],
-            ignore_index=True)["__sse"].sum())
-        rmses.append(sse_total)
-
-        folded = folded.set_index("item").reindex(item_ids)
-        ata_all = folded[[f"a{c}" for c in range(k * k)]].to_numpy(
-            np.float64).reshape(n_items, k, k) + eye[None, :, :]
-        atb_all = folded[[f"b{c}" for c in range(k)]].to_numpy(np.float64)
+        parts = shards.reduce(_pass).to_pandas()
+        # deterministic fold order across buckets
+        parts = parts.sort_values(["item", "__bucket"],
+                                  kind="mergesort")
+        markers = parts[parts["item"] < 0]
+        rmses.append(float(markers["a0"].sum()))
+        n_ratings = int(markers["b0"].sum())
+        cells = parts[parts["item"] >= 0]
+        folded = (cells.groupby("item", sort=True)[acol + bcol].sum()
+                  .reindex(item_ids))
+        ata_all = folded[acol].to_numpy(np.float64).reshape(
+            n_items, k, k) + eye[None, :, :]
+        atb_all = folded[bcol].to_numpy(np.float64)
         V = np.linalg.solve(ata_all, atb_all[..., None])[..., 0]
 
-    n_ratings = keyed.count()   # materialized: metadata, no re-execution
+    shards.release()
     return pd.DataFrame({
         "iteration": np.arange(len(rmses), dtype=np.int64),
         "rmse": [float(np.sqrt(s / n_ratings)) for s in rmses],
