@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi_square": relational.chi_square_type_band,
         "q_cohort_matrix": relational.cohort_retention_matrix,
         "q_benford_digits": relational.benford_first_digit,
+        "q_weighted_median": relational.weighted_median_price,
+        "q_spike_days": relational.spike_days,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -1973,6 +1975,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (pid) GROUP BY 1"
+        ),
+        "q_weighted_median": (
+            # smallest x whose cumulative quantity-weight reaches half
+            # the total; quantities are integer-valued so all float
+            # sums/compares are exact
+            "WITH g AS (SELECT l_returnflag AS k, l_extendedprice AS x, "
+            "SUM(l_quantity) AS w FROM lineitem GROUP BY 1, 2), "
+            "t AS (SELECT k, SUM(w) AS tot FROM g GROUP BY 1), "
+            "c AS (SELECT g.k, g.x, SUM(g.w) OVER (PARTITION BY g.k "
+            "ORDER BY g.x ROWS UNBOUNDED PRECEDING) AS cum, t.tot "
+            "FROM g JOIN t USING (k)) "
+            "SELECT k AS l_returnflag, MIN(x) AS weighted_median "
+            "FROM c WHERE cum >= 0.5 * tot GROUP BY 1"
+        ),
+        "q_spike_days": (
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY 1), "
+            "m AS (SELECT quantile_cont(CAST(n_events AS DOUBLE), 0.5) "
+            "AS med FROM d) "
+            "SELECT day, n_events, ROUND((SELECT med FROM m), 6) "
+            "AS median_daily FROM d "
+            "WHERE CAST(n_events AS DOUBLE) > 1.05 * (SELECT med FROM m)"
         ),
         "q_cohort_matrix": (
             "WITH uw AS (SELECT DISTINCT user_id, "

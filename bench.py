@@ -236,6 +236,8 @@ QUERY_NAMES = [
     "q_top_event_paths",
     "q_cohort_matrix",
     "q_benford_digits",
+    "q_weighted_median",
+    "q_spike_days",
 ]
 
 

@@ -3596,3 +3596,108 @@ def benford_first_digit(sf_dir: str):
         out["n"].to_numpy(dtype=np.float64) / total, 6)
     out["expected_p"] = round_half_away(np.log10(1.0 + 1.0 / d), 6)
     return out
+
+
+def weighted_median_price(sf_dir: str, *, range_width: float = 2048.0):
+    """WEIGHTED median: per return flag, the smallest l_extendedprice x
+    such that the quantity-weighted mass at or below x reaches half the
+    total — the robust 'typical price per unit sold' (plain median
+    ignores volume). The quantile family's weighted member, built on
+    the range-parallel machinery: (flag, price) weight cells
+    pre-aggregate bucketed, one hash exchange on price // range_width,
+    a stats wave folds per-(range, flag) weight sums into driver
+    prefix offsets, and a second wave over the SAME shards finds each
+    range's first threshold crossing; qualifying candidates min-fold
+    per flag. Quantities are integer-valued, so every sum and the
+    0.5·W threshold compare are EXACT in float64 — bit-identical to
+    the oracle. Columns: l_returnflag, weighted_median."""
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import exchange_shards
+
+    cells = hash_partition_aggregate(
+        read_table(sf_dir, "lineitem",
+                   ["l_returnflag", "l_extendedprice", "l_quantity"])
+        .map_batches(lambda b: pd.DataFrame({
+            "k": b["l_returnflag"], "x": b["l_extendedprice"],
+            "w": b["l_quantity"].astype("float64")}),
+            batch_format="pandas", batch_size=65536),
+        ["k", "x"], {"w": ("w", "sum")}, num_buckets=16)
+
+    keyed = cells.map_batches(
+        lambda b: b.assign(__rb=(b["x"] // range_width).astype("int64")),
+        batch_format="pandas")
+    shards = exchange_shards(keyed, bucket_col="__rb", num_buckets=64,
+                             mode="mod")
+
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["__rb", "k"], sort=False)["w"].sum()
+               .reset_index(name="sw"))
+        return out
+
+    stats = shards.reduce(_stats).to_pandas()
+    if stats.empty:
+        shards.release()
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             "weighted_median": pd.Series(dtype="float64")})
+    off: dict = {}
+    tot: dict = {}
+    for kk, sub in stats.groupby("k"):
+        sub = sub.sort_values("__rb")
+        for rb, o in zip(sub["__rb"],
+                         sub["sw"].cumsum().shift(1, fill_value=0.0)):
+            off[(int(rb), kk)] = float(o)
+        tot[kk] = float(sub["sw"].sum())
+
+    def _cross(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["__rb"].iloc[0])
+        rows = []
+        for kk, sub in g.groupby("k", sort=False):
+            sub = sub.sort_values("x", kind="mergesort")
+            cum = off[(rb, kk)] + np.cumsum(sub["w"].to_numpy())
+            ok = cum >= 0.5 * tot[kk]
+            if ok.any():
+                rows.append((kk, float(sub["x"].to_numpy()[ok].min())))
+        out = pd.DataFrame(rows, columns=["l_returnflag",
+                                          "weighted_median"])
+        out["l_returnflag"] = out["l_returnflag"].astype("object")
+        out["weighted_median"] = out["weighted_median"].astype("float64")
+        return out
+
+    folded = combine_partials_driver(
+        shards.reduce(_cross, group_col="__rb"),
+        ["l_returnflag"], {"weighted_median": ("weighted_median", "min")})
+    shards.release()
+    return folded.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def spike_days(sf_dir: str, *, factor: float = 1.05):
+    """Volume spike detector: days whose event count exceeds
+    ``factor`` × the median daily count (default 1.05 — the synthetic
+    stream is near-uniform; real streams use 1.5-3×) — the ops-dashboard anomaly
+    primitive. Daily counts fold as mergeable partials (|days| keys on
+    the driver — a bounded dimension); the median is computed with the
+    same linear-interpolation rule as SQL quantile_cont. Columns: day,
+    n_events, median_daily."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = read_table(sf_dir, "events", ["ts"])
+    daily = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "day": b["ts"].dt.normalize().astype("datetime64[us]"),
+            "n": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["day"], {"n": ("n", "sum")})
+    counts = np.sort(daily["n"].to_numpy(dtype=np.float64))
+    # quantile_cont(0.5): linear interpolation at rank (n-1)/2
+    pos = (len(counts) - 1) / 2
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    med = counts[lo] + (counts[hi] - counts[lo]) * (pos - lo)
+    out = daily[daily["n"].to_numpy(dtype=np.float64)
+                > factor * med].copy()
+    out["n_events"] = out.pop("n").astype("int64")
+    out["median_daily"] = round_half_away(
+        np.full(len(out), med), 6)
+    return (out[["day", "n_events", "median_daily"]]
+            .sort_values("day").reset_index(drop=True))

@@ -619,3 +619,30 @@ def test_benford_digits_sane(ray_session):
     for _, r in got.iterrows():
         assert abs(r["expected_p"]
                    - round(_np.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+
+
+def test_weighted_median_planted(ray_session, tmp_path):
+    from ocr_agent_ray.pipelines.relational import weighted_median_price
+
+    # flag A: prices 10(w1), 20(w1), 30(w8) -> half of 10 is 5 ->
+    # cum at 30 first reaches 5 -> weighted median 30 (plain median 20)
+    li = pd.DataFrame({
+        "l_returnflag": ["A"] * 3 + ["B"] * 2,
+        "l_extendedprice": [10.0, 20.0, 30.0, 5.0, 7.0],
+        "l_quantity": [1.0, 1.0, 8.0, 3.0, 1.0],
+    })
+    for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        li[c] = np.arange(len(li), dtype=np.int64)
+    for c in ["l_discount", "l_tax"]:
+        li[c] = 0.0
+    li["l_linestatus"] = "O"
+    li["l_shipdate"] = pd.Timestamp("2024-01-01")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    got = weighted_median_price(str(tmp_path)).set_index("l_returnflag")
+    assert got.loc["A", "weighted_median"] == 30.0
+    # B: w 3@5, 1@7 -> half=2 -> cum at 5 is 3 >= 2 -> median 5
+    assert got.loc["B", "weighted_median"] == 5.0
