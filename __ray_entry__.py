@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2_intervals": streaming.scd2_intervals,
         "q_survival_curve": streaming.user_survival_curve,
         "q_top_event_paths": streaming.top_event_paths,
+        "q_rolling_median": streaming.rolling_median_value,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1053,6 +1054,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
             "FROM events GROUP BY 1"
+        ),
+        "q_rolling_median": (
+            "SELECT user_id, event_id, ts, "
+            "ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
+            "AS med7_value FROM events"
         ),
         "q_rolling_avg_value": (
             "SELECT user_id, event_id, ts, "

@@ -238,6 +238,7 @@ QUERY_NAMES = [
     "q_benford_digits",
     "q_weighted_median",
     "q_spike_days",
+    "q_rolling_median",
 ]
 
 

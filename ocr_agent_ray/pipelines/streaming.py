@@ -1364,3 +1364,34 @@ def top_event_paths(sf_dir: str, *, k: int = 20):
     return (folded.sort_values(["n", "e1", "e2", "e3"],
                                ascending=[False, True, True, True])
             .head(k).reset_index(drop=True))
+
+
+def rolling_median_value(sf_dir: str, *, window: int = 7):
+    """Trailing moving MEDIAN per user — the order-statistic sibling of
+    rolling_avg_value (robust to the value spikes the mean smears).
+    Same one user-bucket exchange; the kernel is a C-speed
+    groupby-rolling median. pandas' rolling median and SQL
+    quantile_cont(0.5) use the same linear-interpolation rule, and
+    round-6 absorbs their (a+b)/2 vs a+(b−a)·0.5 last-ulp difference.
+    Columns: user_id, event_id, ts, med7_value."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        med = (g.groupby("user_id", sort=False)["value"]
+               .rolling(window, min_periods=1).median().to_numpy())
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "ts": g["ts"],
+            "med7_value": round_half_away(med, 6),
+        })
+
+    keyed = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+    )
+    return bucket_map_groups(keyed, _roll, num_buckets=64)
