@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_token_counts": text.bpe_token_counts_per_doc,
         "q_fingerprints": text.fingerprints,
         "q_language_id": text.language_id,          # rows-only
+        "q_naive_bayes_langid": text.naive_bayes_langid,
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         "q_pii_scrub": text.pii_scrub,
         "q_repetition_scores": text.repetition_scores,
@@ -1983,6 +1984,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT per.event_type AS touch_type, "
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (pid) GROUP BY 1"
+        ),
+        "q_naive_bayes_langid": (
+            # multinomial NB trained on the corpus (labels = lang) and
+            # applied back; argmax over ROUND(score,6), lang-asc
+            # tie-break — pinned identically in the Ray pipeline
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "dwc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1, 2), "
+            "cw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "tl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t "
+            "FROM tok GROUP BY 1), "
+            "v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v "
+            "FROM tok), "
+            "pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd "
+            "FROM documents GROUP BY 1), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+            "sc AS (SELECT dwc.doc_id, pri.lang AS cand, "
+            "ln(pri.nd * 1.0 / nt.n) + SUM(dwc.n * "
+            "ln((COALESCE(cw.c, 0) + 1.0) / (tl.t + v.v))) AS score "
+            "FROM dwc CROSS JOIN pri CROSS JOIN nt CROSS JOIN v "
+            "JOIN tl ON tl.lang = pri.lang "
+            "LEFT JOIN cw ON cw.lang = pri.lang AND cw.word = dwc.word "
+            "GROUP BY dwc.doc_id, pri.lang, pri.nd, nt.n), "
+            "rk AS (SELECT doc_id, cand, ROUND(score, 6) AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY ROUND(score, 6) DESC, cand ASC) AS r FROM sc) "
+            "SELECT rk.doc_id, d.lang, rk.cand AS pred_lang, rk.score "
+            "FROM rk JOIN documents d ON d.doc_id = rk.doc_id "
+            "WHERE rk.r = 1"
         ),
         "q_weighted_median": (
             # smallest x whose cumulative quantity-weight reaches half

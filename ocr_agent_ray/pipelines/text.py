@@ -2174,3 +2174,149 @@ def mixture_weights(sf_dir: str, *, alpha: float = 0.5):
         "mix_weight": round_half_away(mix, 6),
         "sample_rate": round_half_away(mix * tot / t, 6),
     }).sort_values("source").reset_index(drop=True)
+
+
+def naive_bayes_langid(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained ON the corpus
+    (labels = the ``lang`` column) and applied back to every document —
+    the classic closed-form count-based text classifier, and the one
+    *learned* classifier here whose scores admit an EXACT SQL oracle
+    (training is pure counting; no iterative optimization, unlike
+    quality_classifier_scores / kmeans / ALS which are rows-only).
+
+    score(d, l) = ln(nd_l / N) + Σ_w n_w(d) · ln((C(l,w) + 1) / (T_l + V))
+
+    with add-one smoothing over the corpus vocabulary V. Distributed
+    shape (nothing vocabulary-sized ever reaches the driver):
+
+    - per-(doc, word) counts fold bucketed by word;
+    - the class-conditional count table pivots WIDE per word inside the
+      same word-bucket combine (k = |langs| bounded columns), so scoring
+      is ONE bucket_hash_join on word + a vectorized rows×k log-kernel +
+      a per-doc bucketed sum — the k class scores travel as columns,
+      never as a tokens×langs row blowup (the SQL twin pays that cross
+      join; we don't);
+    - priors / per-class token totals / |V| are k-sized driver scalars.
+
+    Prediction = argmax over ROUND(score, 6) with lexicographic lang
+    tie-break, pinned identically in the SQL twin (rounding before the
+    argmax makes the comparison deterministic across engines despite
+    float-sum ordering). Docs with zero tokens are excluded on both
+    sides (no evidence). Returns (doc_id, lang, pred_lang, score)."""
+    import math
+
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+    from ocr_agent_ray.pipelines.joins import (bucket_hash_join,
+                                               stable_bucket_array)
+
+    docs = _read_documents(sf_dir, columns=("doc_id", "lang", "text"))
+
+    # Priors: k rows on the driver (k = |langs|, a bounded dimension).
+    pri = combine_partials_driver(
+        docs.map_batches(
+            lambda b: pd.DataFrame({"lang": b["lang"],
+                                    "one": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas", batch_size=65536),
+        ["lang"], {"nd": ("one", "sum")})
+    langs = sorted(pri["lang"].tolist())
+    k = len(langs)
+    nd = dict(zip(pri["lang"], pri["nd"].astype(np.int64)))
+    n_docs = float(sum(nd.values()))
+
+    # Per-(doc, word) counts, bucketed by word. materialize(): three
+    # consumers (class counts, per-class totals, the scoring join) read
+    # it from the object store instead of re-tokenizing the corpus.
+    def _dwc_part(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[0-9a-z_]+")
+        out = pd.DataFrame({"doc_id": b["doc_id"], "lang": b["lang"],
+                            "word": toks}).explode("word")
+        out = out.dropna(subset=["word"])
+        g = out.groupby(["word", "doc_id", "lang"], as_index=False,
+                        sort=False).size()
+        return g.rename(columns={"size": "n"})
+
+    dwc = hash_partition_aggregate(
+        docs.map_batches(_dwc_part, batch_format="pandas", batch_size=8192),
+        ["word", "doc_id", "lang"], {"n": ("n", "sum")}).materialize()
+
+    # Per-class token totals: k values, mergeable partials.
+    tl = combine_partials_driver(dwc, ["lang"], {"t": ("n", "sum")})
+    t_by_lang = dict(zip(tl["lang"], tl["t"].astype(np.int64)))
+
+    # Class-conditional counts pivoted wide per word. Each word's k rows
+    # are co-resident in its bucket, so the pivot happens inside the
+    # bucket combine — no second shuffle.
+    def _cw_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["word", "lang"], as_index=False)["n"].sum()
+        tbl = pa.Table.from_pandas(g["word"].to_frame(),
+                                   preserve_index=False)
+        g["__b"] = stable_bucket_array(
+            tbl.column(0).combine_chunks(), 32).to_numpy(
+                zero_copy_only=False)
+        return g
+
+    def _cw_combine(g: pd.DataFrame) -> pd.DataFrame:
+        wide = g.pivot_table(index="word", columns="lang", values="n",
+                             aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=langs, fill_value=0)
+        out = pd.DataFrame({"word": wide.index.to_numpy(dtype=object)})
+        for j in range(k):
+            out[f"c{j}"] = wide[langs[j]].to_numpy(dtype=np.int64)
+        return out
+
+    cw_wide = bucket_map_groups(
+        dwc.map_batches(_cw_part, batch_format="pandas", batch_size=65536),
+        lambda g: _cw_combine(g.drop(columns="__b")),
+        bucket_col="__b", num_buckets=32).materialize()
+    vocab = float(cw_wide.count())
+
+    s = pa.string()
+    joined = bucket_hash_join(
+        dwc, cw_wide, on="word",
+        left_schema=pa.schema([("word", s), ("doc_id", pa.int64()),
+                               ("lang", s), ("n", pa.int64())]),
+        right_schema=pa.schema([("word", s)]
+                               + [(f"c{j}", pa.int64()) for j in range(k)]))
+
+    denom = np.array([float(t_by_lang[l]) + vocab for l in langs])
+
+    def _contrib(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.float64)
+        out = {"doc_id": b["doc_id"].astype("int64"), "lang": b["lang"]}
+        for j in range(k):
+            out[f"s{j}"] = n * np.log(
+                (b[f"c{j}"].to_numpy(dtype=np.float64) + 1.0) / denom[j])
+        return pd.DataFrame(out)
+
+    per_doc = hash_partition_aggregate(
+        joined.map_batches(_contrib, batch_format="pandas",
+                           batch_size=65536),
+        ["doc_id", "lang"], {f"s{j}": (f"s{j}", "sum") for j in range(k)})
+
+    log_prior = np.array([math.log(nd[l] * 1.0 / n_docs) for l in langs])
+    lang_arr = np.array(langs, dtype=object)
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        scores = np.column_stack(
+            [b[f"s{j}"].to_numpy(dtype=np.float64) + log_prior[j]
+             for j in range(k)])
+        r = round_half_away(scores, 6)
+        # argmax returns the FIRST max -> columns are lang-ascending, so
+        # ties break to the lexicographically smallest lang (SQL twin:
+        # ORDER BY ROUND(score,6) DESC, cand ASC).
+        idx = np.argmax(r, axis=1)
+        rows = np.arange(len(b))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "lang": b["lang"],
+            "pred_lang": lang_arr[idx],
+            "score": r[rows, idx],
+        })
+
+    return per_doc.map_batches(_final, batch_format="pandas",
+                               batch_size=65536)

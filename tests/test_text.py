@@ -474,3 +474,67 @@ def test_quality_classifier_matches_dense_gd(ray_session):
     assert (got["label"].to_numpy() == y.astype(np.int64)).all()
     acc = (got["pred"].to_numpy() == got["label"].to_numpy()).mean()
     assert acc >= 0.8, f"accuracy {acc:.3f}"
+
+
+def test_naive_bayes_langid_planted(ray_session, tmp_path):
+    """Separable two-language corpus: NB must recover the labels, and the
+    scores must match a dense numpy replication of the closed form."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.text import naive_bayes_langid
+
+    rng = np.random.default_rng(11)
+    vocab_a = "alpha beta gamma delta epsilon".split()
+    vocab_b = "uno dos tres cuatro cinco".split()
+    shared = "the and of".split()
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        own = vocab_a if lang == "aa" else vocab_b
+        words = list(rng.choice(own, size=12)) + list(
+            rng.choice(shared, size=4))
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+    rows.append({"doc_id": 99, "lang": "aa", "text": "..."})  # no tokens
+    df = pd.DataFrame(rows)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = (naive_bayes_langid(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert 99 not in got.index  # zero-token doc excluded
+    assert len(got) == 40
+    # separable vocab -> perfect recovery
+    assert (got["pred_lang"] == got["lang"]).all()
+
+    # dense replication of the closed form
+    langs = sorted(df["lang"].unique())
+    toks = {r["doc_id"]: r["text"].split() for _, r in df.iterrows()}
+    cw = {l: collections.Counter() for l in langs}
+    tl = collections.Counter()
+    nd = collections.Counter(df["lang"])
+    vocab = set()
+    for _, r in df.iterrows():
+        ws = r["text"].split() if r["text"] != "..." else []
+        cw[r["lang"]].update(ws)
+        tl[r["lang"]] += len(ws)
+        vocab.update(ws)
+    V = len(vocab)
+    N = len(df)
+    for doc_id, words in toks.items():
+        if doc_id == 99:
+            continue
+        scores = {}
+        for l in langs:
+            s = math.log(nd[l] / N)
+            for w in words:
+                s += math.log((cw[l][w] + 1) / (tl[l] + V))
+            scores[l] = float(round_half_away(s, 6))
+        best = max(sorted(scores), key=lambda l: scores[l])
+        assert got.loc[doc_id, "pred_lang"] == best
+        assert abs(got.loc[doc_id, "score"] - scores[best]) < 2e-6
