@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_agent_ray.pipelines import (
         dedup,
         interleave,
+        invindex,
         relational,
         similarity,
         streaming,
@@ -296,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sentence_stats": text.sentence_stats,
         "q_zipf_fit": text.zipf_fit,
         "q_keyword_search": text.keyword_search,
+        "q_indexed_search": invindex.indexed_keyword_search,
         "q_bm25_search": text.bm25_search,
         "q_mixture_weights": text.mixture_weights,
         "q_dup_source_matrix": dedup.dup_pair_source_matrix,
@@ -1448,6 +1450,35 @@ def oracle_sql() -> dict[str, str]:
         "q_keyword_search": (
             # AND-semantics TF-IDF search; raw ln(N/df) idf, same float
             # expression as the pipeline
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(tf.tf * ln(n.n / df.df)) AS score, "
+            "COUNT(*) AS matched FROM tf JOIN df USING (w), n "
+            "GROUP BY 1, 2) "
+            "SELECT sc.qid AS query_id, sc.doc_id, "
+            "ROUND(sc.score, 6) AS score FROM sc "
+            "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sc.qid "
+            "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
+        # index-backed physical plan, same logical result as
+        # q_keyword_search: the persisted-inverted-index path must agree
+        # with the corpus-rescan path AND the SQL oracle (the same
+        # two-plans-one-oracle discipline as the bucketed SEMI/ANTI
+        # join variants)
+        "q_indexed_search": (
             "WITH toks AS (SELECT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
             "FROM documents), "

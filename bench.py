@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "q_embedding_outliers",
     "q_decayed_user_scores",
     "q_keyword_search",
+    "q_indexed_search",
     "q_time_to_convert",
     "q_order_priority_check",
     "q_promo_revenue",
