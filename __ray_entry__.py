@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprints": text.fingerprints,
         "q_language_id": text.language_id,          # rows-only
         "q_naive_bayes_langid": text.naive_bayes_langid,
+        "q_readability": text.readability_scores,
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         "q_pii_scrub": text.pii_scrub,
         "q_repetition_scores": text.repetition_scores,
@@ -326,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_window_ranks": streaming.event_window_ranks,
         "q_daily_counts_gapfilled": streaming.daily_counts_gapfilled,
         "q_event_transitions": streaming.event_transitions,
+        "q_markov_next_event": streaming.markov_next_event,
         "q_trailing_hour_sum": streaming.trailing_hour_value_sum,
         "q_incremental_daily_counts": streaming.incremental_daily_counts,
         "q_cumulative_new_users": streaming.cumulative_new_users,
@@ -2016,6 +2018,27 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(per.wt / sz.n), 6) AS credit "
             "FROM per JOIN sz USING (pid) GROUP BY 1"
         ),
+        "q_readability": (
+            # Flesch with the pinned word/syllable/sentence regex rules;
+            # one float expression, identical on both sides
+            "WITH w AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word "
+            "FROM documents), "
+            "syl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+            "CAST(SUM(GREATEST(len(regexp_extract_all(word, "
+            "'[aeiouy]+')), 1)) AS BIGINT) AS n_syllables "
+            "FROM w GROUP BY 1), "
+            "sent AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_sentences FROM (SELECT doc_id, "
+            "trim(unnest(string_split_regex(text, '[.!?]+')), ' ') AS seg "
+            "FROM documents) WHERE seg <> '' GROUP BY 1) "
+            "SELECT syl.doc_id, syl.n_words, sent.n_sentences, "
+            "syl.n_syllables, "
+            "ROUND(206.835 - 1.015 * (syl.n_words * 1.0 / "
+            "sent.n_sentences) - 84.6 * (syl.n_syllables * 1.0 / "
+            "syl.n_words), 6) AS flesch "
+            "FROM syl JOIN sent USING (doc_id)"
+        ),
         "q_naive_bayes_langid": (
             # multinomial NB trained on the corpus (labels = lang) and
             # applied back; argmax over ROUND(score,6), lang-asc
@@ -2333,6 +2356,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev AS prev_type, event_type AS next_type, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM s "
             "WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "q_markov_next_event": (
+            # composed twin: transition matrix argmax (tie ->
+            # next_type asc) applied to each user's last event
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "t AS (SELECT prev AS prev_type, event_type AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2), "
+            "tot AS (SELECT prev_type, SUM(n) AS tot FROM t GROUP BY 1), "
+            "pred AS (SELECT t.prev_type, t.next_type AS pred_next_type, "
+            "ROUND(t.n * 1.0 / tot.tot, 6) AS confidence, "
+            "ROW_NUMBER() OVER (PARTITION BY t.prev_type "
+            "ORDER BY t.n DESC, t.next_type ASC) AS r "
+            "FROM t JOIN tot USING (prev_type)), "
+            "lst AS (SELECT user_id, event_type AS last_type FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) = 1) "
+            "SELECT lst.user_id, lst.last_type, p.pred_next_type, "
+            "p.confidence FROM lst "
+            "JOIN pred p ON p.prev_type = lst.last_type AND p.r = 1"
         ),
         "q_daily_counts_gapfilled": (
             "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "

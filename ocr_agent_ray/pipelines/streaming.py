@@ -1395,3 +1395,51 @@ def rolling_median_value(sf_dir: str, *, window: int = 7):
             batch_format="pandas", batch_size=65536)
     )
     return bucket_map_groups(keyed, _roll, num_buckets=64)
+
+
+def markov_next_event(sf_dir: str):
+    """Next-event prediction from a first-order Markov model: the global
+    event-type transition matrix (event_transitions — |types|² driver
+    rows) argmaxed per prev_type, applied to every user's LAST event
+    (last_event_per_user — bucketed top-1). The composed shape checks
+    second-order stage interaction the way curation_funnel does for the
+    text stack: the SQL twin rebuilds BOTH stages and must agree on
+    (user, last_type, prediction, confidence).
+
+    confidence = n(prev→pred) / Σ_next n(prev→next), ROUND(·,6); argmax
+    ties break next_type-ascending (pinned in the twin). Users whose
+    last event type was never observed as a transition source are
+    dropped on both sides (inner-join semantics: no evidence, no
+    prediction). The model is a broadcast scalar map at any corpus
+    size; only the per-user top-1 shuffles."""
+    trans = event_transitions(sf_dir)
+    if trans.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "last_type": pd.Series(dtype="object"),
+            "pred_next_type": pd.Series(dtype="object"),
+            "confidence": pd.Series(dtype="float64")})
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    tot = trans.groupby("prev_type")["n"].transform("sum")
+    trans["confidence"] = round_half_away(
+        trans["n"].to_numpy(dtype=np.float64)
+        / tot.to_numpy(dtype=np.float64), 6)
+    best = (trans.sort_values(["prev_type", "n", "next_type"],
+                              ascending=[True, False, True])
+            .drop_duplicates("prev_type", keep="first"))
+    pred = dict(zip(best["prev_type"], best["next_type"]))
+    conf = dict(zip(best["prev_type"], best["confidence"]))
+
+    def _apply(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["event_type"].isin(pred.keys())
+        b = b[m]
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "last_type": b["event_type"],
+            "pred_next_type": b["event_type"].map(pred),
+            "confidence": b["event_type"].map(conf).astype("float64"),
+        })
+
+    return last_event_per_user(sf_dir).map_batches(
+        _apply, batch_format="pandas", batch_size=65536)

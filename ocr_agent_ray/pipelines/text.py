@@ -2320,3 +2320,54 @@ def naive_bayes_langid(sf_dir: str):
 
     return per_doc.map_batches(_final, batch_format="pandas",
                                batch_size=65536)
+
+
+def readability_scores(sf_dir: str):
+    """Flesch reading-ease per document with every linguistic rule
+    pinned to a regex both engines implement identically — the classic
+    curation signal for audience-level filtering:
+
+    - words   = maximal ``[a-z]+`` runs of the lowercased text;
+    - syllables per word = max(1, count of ``[aeiouy]+`` vowel groups)
+      (the standard heuristic; the clamp covers vowel-less tokens);
+    - sentences = the sentence_stats rule ([.!?]+ terminators, space-only
+      trim, empties dropped).
+
+    flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W), ROUND(·,6) — one float
+    expression evaluated identically on both sides, so no sum-order
+    drift. Docs with zero words or zero sentences are excluded (the
+    ratios are undefined; inner-join semantics in the twin). Pure
+    per-batch map: explode → two C-speed grouped folds, no shuffle."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        ex = toks.explode().dropna()
+        n_words = (ex.groupby(level=0).size()
+                   .reindex(batch.index, fill_value=0)
+                   .to_numpy(dtype=np.int64))
+        syl = ex.str.count(r"[aeiouy]+").clip(lower=1)
+        n_syl = (syl.groupby(level=0).sum()
+                 .reindex(batch.index, fill_value=0)
+                 .to_numpy(dtype=np.int64))
+        segs = batch["text"].fillna("").str.split(r"[.!?]+", regex=True)
+        flat = segs.explode().str.strip(" ")
+        flat = flat[flat != ""]
+        n_sent = (flat.groupby(level=0).size()
+                  .reindex(batch.index, fill_value=0)
+                  .to_numpy(dtype=np.int64))
+        keep = (n_words > 0) & (n_sent > 0)
+        w = n_words[keep].astype(np.float64)
+        s = n_sent[keep].astype(np.float64)
+        y = n_syl[keep].astype(np.float64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "n_words": n_words[keep],
+            "n_sentences": n_sent[keep],
+            "n_syllables": n_syl[keep],
+            "flesch": round_half_away(
+                206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6),
+        })
+
+    return _read_documents(sf_dir).map_batches(
+        _score, batch_format="pandas", batch_size=8192)
