@@ -240,6 +240,8 @@ QUERY_NAMES = [
     "q_weighted_median",
     "q_spike_days",
     "q_rolling_median",
+    "q_readability",
+    "q_markov_next_event",
 ]
 
 

@@ -538,3 +538,39 @@ def test_naive_bayes_langid_planted(ray_session, tmp_path):
         best = max(sorted(scores), key=lambda l: scores[l])
         assert got.loc[doc_id, "pred_lang"] == best
         assert abs(got.loc[doc_id, "score"] - scores[best]) < 2e-6
+
+
+def test_readability_known_values(ray_session, tmp_path):
+    """Hand-computed Flesch on pinned regex rules; zero-word and
+    empty docs are dropped; a terminator-less doc counts 1 sentence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import readability_scores
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["The cat sat. The dog ran!",
+                 "Beautiful education requires dedication.",
+                 "!!!",
+                 "",
+                 "word"],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = (readability_scores(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.index.tolist() == [1, 2, 5]
+    # doc1: 6 words / 6 syllables / 2 sentences
+    assert got.loc[1, ["n_words", "n_sentences", "n_syllables"]].tolist() \
+        == [6, 2, 6]
+    assert abs(got.loc[1, "flesch"]
+               - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    # doc2: beautiful(3) education(4) requires(3) dedication(4) = 14
+    assert got.loc[2, ["n_words", "n_sentences", "n_syllables"]].tolist() \
+        == [4, 1, 14]
+    assert abs(got.loc[2, "flesch"]
+               - (206.835 - 1.015 * 4.0 - 84.6 * 3.5)) < 1e-9
+    # doc5: no [.!?] terminator still yields one sentence
+    assert got.loc[5, ["n_words", "n_sentences", "n_syllables"]].tolist() \
+        == [1, 1, 1]

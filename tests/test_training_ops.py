@@ -758,3 +758,43 @@ def test_three_step_funnel_planted_chain(ray_session, tmp_path):
                    str(tmp_path / "events.parquet"))
     got = three_step_funnel(str(tmp_path))
     assert got.iloc[0].tolist() == [2, 2, 1]
+
+
+def test_markov_next_event_planted(ray_session, tmp_path):
+    """Transition argmax applied to each user's last event: confidence
+    = n(prev->pred)/sum_next, ties break next_type-ascending, users
+    whose last type was never a transition source are dropped."""
+    from ocr_agent_ray.pipelines.streaming import markov_next_event
+
+    rows = [
+        # u1: A B A B  -> A->B x2, B->A x1... (see expectations below)
+        (1, "2024-01-01 00:00", 1, "A"), (2, "2024-01-01 00:01", 1, "B"),
+        (3, "2024-01-01 00:02", 1, "A"), (4, "2024-01-01 00:03", 1, "B"),
+        # u2: A C -> A->C; last C never a source -> dropped
+        (5, "2024-01-01 00:00", 2, "A"), (6, "2024-01-01 00:01", 2, "C"),
+        # u3: B A -> B->A; last A -> predicted
+        (7, "2024-01-01 00:00", 3, "B"), (8, "2024-01-01 00:01", 3, "A"),
+        # u4/u5 plant the D tie: D->X and D->Y once each
+        (9, "2024-01-01 00:00", 4, "D"), (10, "2024-01-01 00:01", 4, "X"),
+        (11, "2024-01-01 00:00", 5, "D"), (12, "2024-01-01 00:01", 5, "Y"),
+        # u6 ends on D -> tie broken to X at confidence 0.5
+        (13, "2024-01-01 00:00", 6, "A"), (14, "2024-01-01 00:01", 6, "D"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (markov_next_event(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    # transitions: A->B:2 A->C:1 A->D:1 (tot 4), B->A:2 (tot 2),
+    #              D->X:1 D->Y:1 (tot 2, tie -> X)
+    assert got.index.tolist() == [1, 3, 6]
+    assert got.loc[1, ["last_type", "pred_next_type"]].tolist() == ["B", "A"]
+    assert got.loc[1, "confidence"] == 1.0
+    assert got.loc[3, ["last_type", "pred_next_type"]].tolist() == ["A", "B"]
+    assert got.loc[3, "confidence"] == 0.5
+    assert got.loc[6, ["last_type", "pred_next_type"]].tolist() == ["D", "X"]
+    assert got.loc[6, "confidence"] == 0.5
