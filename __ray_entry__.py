@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford_digits": relational.benford_first_digit,
         "q_weighted_median": relational.weighted_median_price,
         "q_spike_days": relational.spike_days,
+        "q_price_band_join": relational.price_band_join,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -368,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_survival_curve": streaming.user_survival_curve,
         "q_top_event_paths": streaming.top_event_paths,
         "q_rolling_median": streaming.rolling_median_value,
+        "q_ewma_value": streaming.ewma_user_value,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1066,6 +1068,23 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id "
             "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
             "AS med7_value FROM events"
+        ),
+        "q_ewma_value": (
+            # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},
+            # s_1 = x_1 — the IDENTICAL float expression the Ray kernel
+            # evaluates (same literals, same op order)
+            "WITH s AS (SELECT user_id, event_id, ts, value, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS DOUBLE) AS r FROM events), "
+            "u AS (SELECT *, value * POWER(0.9, -r) AS ut FROM s), "
+            "c AS (SELECT user_id, event_id, ts, value, r, "
+            "SUM(ut) OVER (PARTITION BY user_id ORDER BY r) AS cum, "
+            "FIRST_VALUE(ut) OVER (PARTITION BY user_id ORDER BY r) AS u1, "
+            "FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY r) "
+            "AS x1 FROM u) "
+            "SELECT user_id, event_id, ts, value, "
+            "ROUND(POWER(0.9, r) * (0.1 * (cum - u1) + x1 / 0.9), 6) "
+            "AS ewma FROM c"
         ),
         "q_rolling_avg_value": (
             "SELECT user_id, event_id, ts, "
@@ -2070,6 +2089,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rk.doc_id, d.lang, rk.cand AS pred_lang, rk.score "
             "FROM rk JOIN documents d ON d.doc_id = rk.doc_id "
             "WHERE rk.r = 1"
+        ),
+        "q_price_band_join": (
+            # non-equi band self-join, canonical (price, key) ascending
+            # orientation; delta pinned to the pipeline default 2.0
+            "SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b, "
+            "a.o_totalprice AS price_a, b.o_totalprice AS price_b, "
+            "ROUND(b.o_totalprice - a.o_totalprice, 6) AS diff "
+            "FROM orders a JOIN orders b "
+            "ON b.o_totalprice >= a.o_totalprice "
+            "AND b.o_totalprice <= a.o_totalprice + 2.0 "
+            "AND (a.o_totalprice < b.o_totalprice OR "
+            "(a.o_totalprice = b.o_totalprice "
+            "AND a.o_orderkey < b.o_orderkey))"
         ),
         "q_weighted_median": (
             # smallest x whose cumulative quantity-weight reaches half

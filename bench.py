@@ -242,6 +242,8 @@ QUERY_NAMES = [
     "q_rolling_median",
     "q_readability",
     "q_markov_next_event",
+    "q_ewma_value",
+    "q_price_band_join",
 ]
 
 

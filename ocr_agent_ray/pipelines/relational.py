@@ -3701,3 +3701,98 @@ def spike_days(sf_dir: str, *, factor: float = 1.05):
         np.full(len(out), med), 6)
     return (out[["day", "n_events", "median_daily"]]
             .sort_values("day").reset_index(drop=True))
+
+
+def price_band_join(sf_dir: str, *, delta: float = 2.0,
+                    num_buckets: int = 64):
+    """Value-range (band) SELF-JOIN: every pair of orders whose
+    ``o_totalprice`` differ by at most ``delta`` — the non-equi join
+    the Dataset API has no primitive for, expressed as a range-bucketed
+    exchange so it stays one-pass at any scale:
+
+    1. a tiny partial fold finds the global [min, max] price (2 scalars
+       on the driver);
+    2. bucket width ``W = (max-min)/num_buckets`` (clamped so W ≥ 2δ);
+       each row lands in its value bucket, and rows within ``delta`` of
+       their bucket's LOWER edge also ship one boundary copy to the
+       bucket below — a pair can only straddle adjacent buckets, so
+       each qualifying pair materializes exactly once, in the bucket
+       owning its smaller (price, key) member;
+    3. the per-bucket kernel is one sort + two vectorized searchsorted
+       walks (window [v, v+δ] per anchor), no Python loop.
+
+    Canonical orientation (price_a, key_a) < (price_b, key_b) — the
+    same tie rule the SQL twin pins. Uniform values spread evenly;
+    a hot value concentrates its bucket (raise ``num_buckets`` or
+    pre-salt if a real corpus has value spikes). Output:
+    (key_a, key_b, price_a, price_b, diff)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    empty = pd.DataFrame({
+        "key_a": pd.Series(dtype="int64"),
+        "key_b": pd.Series(dtype="int64"),
+        "price_a": pd.Series(dtype="float64"),
+        "price_b": pd.Series(dtype="float64"),
+        "diff": pd.Series(dtype="float64")})
+    bounds = combine_partials_driver(
+        orders.map_batches(lambda b: pd.DataFrame({
+            "__k": np.int64(0),
+            "lo": [b["o_totalprice"].min()],
+            "hi": [b["o_totalprice"].max()]}),
+            batch_format="pandas", batch_size=65536),
+        ["__k"], {"lo": ("lo", "min"), "hi": ("hi", "max")})
+    if bounds.empty or not np.isfinite(bounds["lo"].iloc[0]):
+        return empty
+    vmin = float(bounds["lo"].iloc[0])
+    vmax = float(bounds["hi"].iloc[0])
+    span = vmax - vmin
+    nb = max(1, min(num_buckets, int(span / max(delta, 1e-12) / 2)))
+    width = span / nb if nb > 1 else max(span, 1.0)
+
+    def _scatter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_totalprice"])
+        v = b["o_totalprice"].to_numpy(dtype=np.float64)
+        vb = np.clip(((v - vmin) / width).astype(np.int64), 0, nb - 1)
+        anchor = pd.DataFrame({
+            "key": b["o_orderkey"].to_numpy(dtype=np.int64),
+            "price": v, "role": np.int8(0),
+            "__b": vb.astype("int32")})
+        sliver = (v - vmin) - vb * width < delta
+        sliver &= vb > 0
+        below = pd.DataFrame({
+            "key": anchor["key"].to_numpy()[sliver],
+            "price": v[sliver], "role": np.int8(1),
+            "__b": (vb[sliver] - 1).astype("int32")})
+        return pd.concat([anchor, below], ignore_index=True)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["price"].to_numpy(dtype=np.float64)
+        keys = g["key"].to_numpy(dtype=np.int64)
+        order = np.lexsort((keys, vals))
+        vals, keys = vals[order], keys[order]
+        a_mask = (g["role"].to_numpy()[order] == 0)
+        av, ak = vals[a_mask], keys[a_mask]
+        lo = np.searchsorted(vals, av, side="left")
+        hi = np.searchsorted(vals, av + delta, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty.copy()
+        ai = np.repeat(np.arange(len(av)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ci = np.arange(total) - np.repeat(starts, counts) \
+            + np.repeat(lo, counts)
+        va, ka = av[ai], ak[ai]
+        vc, kc = vals[ci], keys[ci]
+        keep = (vc > va) | ((vc == va) & (kc > ka))
+        from ocr_agent_ray.functions.textstats import round_half_away
+        return pd.DataFrame({
+            "key_a": ka[keep], "key_b": kc[keep],
+            "price_a": va[keep], "price_b": vc[keep],
+            "diff": round_half_away(vc[keep] - va[keep], 6)})
+
+    keyed = orders.map_batches(_scatter, batch_format="pandas",
+                               batch_size=65536)
+    return bucket_map_groups(keyed, _pairs, num_buckets=nb)

@@ -1443,3 +1443,56 @@ def markov_next_event(sf_dir: str):
 
     return last_event_per_user(sf_dir).map_batches(
         _apply, batch_format="pandas", batch_size=65536)
+
+
+def ewma_user_value(sf_dir: str, *, alpha: float = 0.1,
+                    num_buckets: int = 64):
+    """Per-user exponentially weighted moving average of ``value`` —
+    the streaming smoother behind rate limiting / anomaly thresholds.
+    Recurrence s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1}, evaluated with
+    the prefix-sum closed form so the whole user history is one
+    vectorized pass (no sequential Python loop):
+
+        u_i = x_i · β^(−i)         (β = 1−α)
+        s_t = β^t · (α·(Σ_{i≤t} u_i − u_1) + x_1/β)
+
+    The SQL twin evaluates the IDENTICAL float expression (same
+    literals, same op order), so ROUND(·,6) hash-matches. β^(−i) grows
+    exponentially with per-user history length — at α = 0.1 the factor
+    is ~3.4e4 at the corpus' deepest history (~100 events/user) and the
+    closed form is numerically exact to ~1e-13 relative; histories
+    thousands deep need a segmented restart (split the prefix sum every
+    k rows), which changes no public shape. One hash exchange on
+    user_id; whole-bucket C-speed groupby kernels."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    beta = 1.0 - alpha
+
+    def _ewma(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        r = (g.groupby("user_id", sort=False).cumcount() + 1) \
+            .to_numpy(dtype=np.float64)
+        x = g["value"].to_numpy(dtype=np.float64)
+        u = x * np.power(beta, -r)
+        g["__u"] = u
+        grp = g.groupby("user_id", sort=False)
+        cum = grp["__u"].cumsum().to_numpy(dtype=np.float64)
+        u1 = grp["__u"].transform("first").to_numpy(dtype=np.float64)
+        x1 = grp["value"].transform("first").to_numpy(dtype=np.float64)
+        ewma = np.power(beta, r) * (alpha * (cum - u1) + x1 / beta)
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "ts": g["ts"],
+            "value": g["value"],
+            "ewma": round_half_away(ewma, 6),
+        })
+
+    keyed = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id", "value"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % num_buckets).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+    )
+    return bucket_map_groups(keyed, _ewma, num_buckets=num_buckets)

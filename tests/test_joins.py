@@ -253,3 +253,59 @@ def test_fuzzy_name_pairs_non_ascii(ray_session, tmp_path):
     pairs = {(a, b): d for a, b, d in
              zip(out["custkey_a"], out["custkey_b"], out["hamming_dist"])}
     assert pairs == {(1, 2): 1}
+
+
+def _brute_band_pairs(keys, vals, delta):
+    rows = []
+    for i in range(len(keys)):
+        for j in range(len(keys)):
+            if i == j:
+                continue
+            a, b = (vals[i], keys[i]), (vals[j], keys[j])
+            if a < b and vals[j] - vals[i] <= delta:
+                rows.append((keys[i], keys[j]))
+    return sorted(rows)
+
+
+def test_price_band_join_planted_boundaries(ray_session, tmp_path):
+    """Inclusive delta edge, equal-value ties, and pairs straddling a
+    bucket boundary all match a brute-force O(n^2) reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import price_band_join
+
+    # span 0..100 with nb buckets => width ~12.5; plant a pair that
+    # straddles the 12.5 boundary (12.0, 13.5), an exact-delta pair
+    # (20.0, 22.0), an equal-value tie (50.0 x3) and isolated points
+    vals = [0.0, 12.0, 13.5, 20.0, 22.0, 22.000001, 50.0, 50.0, 50.0,
+            75.0, 100.0]
+    keys = list(range(1, len(vals) + 1))
+    pq.write_table(pa.table({"o_orderkey": pd.array(keys, dtype="int64"),
+                             "o_totalprice": pd.array(vals, dtype="float64")}),
+                   str(tmp_path / "orders.parquet"))
+    got = price_band_join(str(tmp_path), delta=2.0).to_pandas()
+    got_pairs = sorted(zip(got["key_a"], got["key_b"]))
+    assert got_pairs == _brute_band_pairs(keys, vals, 2.0)
+    # the exact-delta pair is INCLUDED (<=), like the SQL twin
+    assert (4, 5) in got_pairs
+
+
+def test_price_band_join_fuzz_vs_bruteforce(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import price_band_join
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(0, 500, size=400), 2)
+    keys = np.arange(1, 401, dtype=np.int64)
+    pq.write_table(pa.table({"o_orderkey": keys,
+                             "o_totalprice": vals}),
+                   str(tmp_path / "orders.parquet"))
+    got = price_band_join(str(tmp_path), delta=3.0,
+                          num_buckets=16).to_pandas()
+    got_pairs = sorted(zip(got["key_a"], got["key_b"]))
+    want = _brute_band_pairs(keys.tolist(), vals.tolist(), 3.0)
+    assert got_pairs == want
+    assert len(want) > 100  # the fuzz actually exercises pair volume

@@ -798,3 +798,37 @@ def test_markov_next_event_planted(ray_session, tmp_path):
     assert got.loc[3, "confidence"] == 0.5
     assert got.loc[6, ["last_type", "pred_next_type"]].tolist() == ["D", "X"]
     assert got.loc[6, "confidence"] == 0.5
+
+
+def test_ewma_matches_sequential_recurrence(ray_session, tmp_path):
+    """The closed-form kernel equals the textbook loop
+    s_1 = x_1, s_t = a*x_t + (1-a)*s_{t-1} to float precision."""
+    from ocr_agent_ray.pipelines.streaming import ewma_user_value
+
+    rng = np.random.default_rng(11)
+    n_users, per = 20, 60
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        np.tile(np.arange(per), n_users), unit="m")
+    df = pd.DataFrame({
+        "event_id": np.arange(n_users * per, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": np.repeat(np.arange(n_users, dtype=np.int64), per),
+        "event_type": "view",
+        "value": np.round(rng.uniform(0, 200, n_users * per), 3),
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (ewma_user_value(str(tmp_path), alpha=0.1).to_pandas()
+           .sort_values(["user_id", "ts", "event_id"])
+           .reset_index(drop=True))
+    want = []
+    for _, g in df.groupby("user_id"):
+        s = None
+        for x in g["value"]:
+            s = x if s is None else 0.1 * x + 0.9 * s
+            want.append(s)
+    # pipeline output is ROUND(·, 6): closed form vs loop within half-ulp
+    # of the 6-decimal rounding grid
+    assert np.allclose(got["ewma"].to_numpy(), np.array(want),
+                       rtol=0, atol=5.1e-7)
