@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_language_id": text.language_id,          # rows-only
         "q_naive_bayes_langid": text.naive_bayes_langid,
         "q_readability": text.readability_scores,
+        "q_textrank_keywords": text.textrank_keywords,  # rows-only (iterative; dense-reference pytest)
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         "q_pii_scrub": text.pii_scrub,
         "q_repetition_scores": text.repetition_scores,
@@ -396,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
         "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
         "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(_docs(sf)),  # rows-only (iterative; dense-reference pytest)
+        "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(_docs(sf)),
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
             dedup.ngram_jaccard_all_pairs(_docs(sf))
         ),
@@ -944,6 +946,27 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b) "
             "SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id"
+        ),
+        "q_dup_graph_hops": (
+            # multi-source BFS from each component's min-id root; the
+            # walk prunes at 10 hops — the same cycle cap the pipeline
+            # applies (near-dup components are shallow, so no truncation)
+            "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "
+            "edges AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT a, a FROM edges"
+            "  UNION"
+            "  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b), "
+            "comp AS (SELECT id, MIN(lbl) AS root FROM reach GROUP BY id), "
+            "walk(id, d) AS ("
+            "  SELECT id, 0 FROM comp WHERE id = root"
+            "  UNION"
+            "  SELECT e.a, w.d + 1 FROM edges e JOIN walk w ON w.id = e.b "
+            "  WHERE w.d < 10) "
+            "SELECT c.id AS doc_id, c.root AS root_id, "
+            "CAST(MIN(w.d) AS BIGINT) AS hops "
+            "FROM walk w JOIN comp c ON c.id = w.id GROUP BY 1, 2"
         ),
         "q_budget_sample": (
             "SELECT doc_id, source, n_chars FROM documents "

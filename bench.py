@@ -244,6 +244,8 @@ QUERY_NAMES = [
     "q_markov_next_event",
     "q_ewma_value",
     "q_price_band_join",
+    "q_textrank_keywords",
+    "q_dup_graph_hops",
 ]
 
 

@@ -2170,3 +2170,119 @@ def audio_dup_pairs_query(sf_dir: str):
         lambda b: b.rename(columns={"doc_id_a": "unit_a",
                                     "doc_id_b": "unit_b"}),
         batch_format="pandas")
+
+
+def dup_graph_hops(docs, *, threshold: float = 0.5, max_hops: int = 10,
+                   driver_max_edges: int = 2_000_000,
+                   num_buckets: int = 16):
+    """Multi-source BFS over the near-duplicate graph: hop distance from
+    each component's canonical root (its minimum doc_id — the node
+    ``duplicate_clusters`` elects and dedup-apply keeps) to every member
+    — the provenance-depth measure for duplication chains ("how far did
+    this text drift from the survivor"). Nodes farther than ``max_hops``
+    are dropped on BOTH sides (the SQL twin prunes walks at the same
+    cap); near-dup components are shallow, so the cap is a cycle guard,
+    not a truncation, at any realistic threshold.
+
+    Two-tier like ``duplicate_clusters``/``dup_graph_pagerank``: pair
+    sets ≤ ``driver_max_edges`` run a vectorized numpy frontier BFS;
+    larger graphs run each wave dataset-native — frontier⋈edges
+    ``bucket_hash_join`` on the frontier node, distinct new nodes, then
+    a ``bucket_anti_join`` against the visited set; per wave only the
+    frontier and visited (id, root, hops) tables materialize, never on
+    the driver. Output: (doc_id, root_id, hops)."""
+    import pandas as pd
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda b: pd.concat([
+            pd.DataFrame({"src": b["doc_id_a"], "dst": b["doc_id_b"]}),
+            pd.DataFrame({"src": b["doc_id_b"], "dst": b["doc_id_a"]}),
+        ], ignore_index=True),
+        batch_format="pandas", batch_size=65536).materialize()
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "root_id": pd.Series(dtype="int64"),
+                          "hops": pd.Series(dtype="int64")})
+    n_sym_edges = int(edges.count())
+    if n_sym_edges == 0:
+        return empty
+    if n_sym_edges <= driver_max_edges:
+        edf = edges.to_pandas()
+        nodes = np.unique(edf["src"].to_numpy())  # symmetric ⇒ covers all
+        s = np.searchsorted(nodes, edf["src"].to_numpy())
+        t = np.searchsorted(nodes, edf["dst"].to_numpy())
+        # component min via label propagation (diameter-bounded rounds)
+        lbl = nodes.copy()
+        while True:
+            nxt = lbl.copy()
+            np.minimum.at(nxt, t, lbl[s])
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[nodes == lbl] = 0
+        frontier = dist == 0
+        for d in range(1, max_hops + 1):
+            hit = frontier[s]
+            cand = np.zeros(len(nodes), dtype=bool)
+            cand[t[hit]] = True
+            new = cand & (dist < 0)
+            if not new.any():
+                break
+            dist[new] = d
+            frontier = new
+        keep = dist >= 0
+        return (pd.DataFrame({"doc_id": nodes[keep].astype("int64"),
+                              "root_id": lbl[keep].astype("int64"),
+                              "hops": dist[keep]})
+                .sort_values(["root_id", "hops", "doc_id"])
+                .reset_index(drop=True))
+
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.agg import distinct_rows
+    from ocr_agent_ray.pipelines.joins import bucket_anti_join, bucket_hash_join
+
+    # rebuild the canonical (a < b) pair view from the materialized
+    # symmetric edges so the expensive pair generation runs exactly once
+    pairs_m = edges.map_batches(
+        lambda b: pd.DataFrame({"doc_id_a": b["src"][b["src"] < b["dst"]],
+                                "doc_id_b": b["dst"][b["src"] < b["dst"]]}),
+        batch_format="pandas", batch_size=65536)
+    labels = duplicate_clusters(pairs_m, driver_max_edges=0)
+    if isinstance(labels, pd.DataFrame):
+        labels = rd.from_pandas(labels)
+    visited = labels.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"][b["doc_id"] == b["cluster_id"]],
+            "root_id": b["cluster_id"][b["doc_id"] == b["cluster_id"]],
+            "hops": np.int64(0)}),
+        batch_format="pandas", batch_size=65536).materialize()
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda b: pd.DataFrame({"src": b["doc_id"],
+                                    "root_id": b["root_id"]}),
+            batch_format="pandas", batch_size=65536)
+        nbr = bucket_hash_join(edges, fr, on="src",
+                               num_buckets=num_buckets)
+        cand = distinct_rows(
+            nbr.map_batches(
+                lambda b: pd.DataFrame({"doc_id": b["dst"],
+                                        "root_id": b["root_id"]}),
+                batch_format="pandas", batch_size=65536),
+            ["doc_id", "root_id"], num_buckets=num_buckets)
+        visited_keys = visited.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"]}),
+            batch_format="pandas", batch_size=65536)
+        new = bucket_anti_join(
+            cand, visited_keys, on="doc_id",
+            num_buckets=num_buckets).map_batches(
+                lambda b, _d=d: b.assign(hops=np.int64(_d)),
+                batch_format="pandas", batch_size=65536).materialize()
+        if int(new.count()) == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited

@@ -2371,3 +2371,91 @@ def readability_scores(sf_dir: str):
 
     return _read_documents(sf_dir).map_batches(
         _score, batch_format="pandas", batch_size=8192)
+
+
+def textrank_keywords(sf_dir: str, *, k: int = 5, damping: float = 0.85,
+                      iters: int = 20, min_len: int = 3):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per
+    document, PageRank over the word co-occurrence graph (undirected,
+    adjacent-token edges, weight = co-occurrence count), top-``k`` words
+    by converged score. TextRank is per-document by definition, so the
+    whole operator is ONE embarrassingly-parallel ``map_batches`` — no
+    shuffle at any corpus size.
+
+    The kernel vectorizes ACROSS the batch's documents, not per doc:
+    every doc's nodes get global ids (doc-offset + local vocab index),
+    edges of all docs form one flat COO array, and each power-iteration
+    round is two scatter-adds (out-strength, then weighted
+    contributions) over that flat array — 20 rounds regardless of doc
+    count, zero Python per-doc loops. Deterministic: fixed iteration
+    count, ties break word-ascending. Rows-only (iterative float
+    algorithm — no SQL twin); pytest checks the textbook per-doc dense
+    reference. Output: (doc_id, word, score, rank)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    tok_re = r"[a-z]{%d,}" % min_len
+
+    def _rank(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "word": pd.Series(dtype="object"),
+            "score": pd.Series(dtype="float64"),
+            "rank": pd.Series(dtype="int64")})
+        toks = batch["text"].fillna("").str.lower().str.findall(tok_re)
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return empty
+        doc_ids = batch["doc_id"].to_numpy()
+        flat = toks.explode().dropna().to_numpy()
+        tdoc = np.repeat(np.arange(len(batch)), lens)
+        # global node id = (doc index, word) — factorize the pair once
+        word_codes, word_vocab = pd.factorize(flat)
+        pair = tdoc.astype(np.int64) * (word_codes.max() + 1) + word_codes
+        node_ids, node_first = np.unique(pair, return_index=True)
+        node_of = np.searchsorted(node_ids, pair)
+        n_nodes = len(node_ids)
+        node_doc = tdoc[node_first]
+        node_word = word_codes[node_first]
+        # adjacent-token edges within each doc (symmetric, drop self)
+        same_doc = tdoc[1:] == tdoc[:-1]
+        s, t = node_of[:-1][same_doc], node_of[1:][same_doc]
+        keep = s != t
+        s, t = s[keep], t[keep]
+        if len(s) == 0:
+            return empty
+        src = np.concatenate([s, t])
+        dst = np.concatenate([t, s])
+        # collapse parallel edges into weights
+        eid = src.astype(np.int64) * n_nodes + dst
+        uniq, w = np.unique(eid, return_counts=True)
+        src = (uniq // n_nodes).astype(np.int64)
+        dst = (uniq % n_nodes).astype(np.int64)
+        w = w.astype(np.float64)
+        out_s = np.zeros(n_nodes)
+        np.add.at(out_s, src, w)
+        r = np.ones(n_nodes)
+        for _ in range(iters):
+            contrib = w * r[src] / out_s[src]
+            nxt = np.zeros(n_nodes)
+            np.add.at(nxt, dst, contrib)
+            r = (1.0 - damping) + damping * nxt
+        # top-k per doc, ties word-ascending
+        words = word_vocab.to_numpy() if hasattr(word_vocab, "to_numpy") \
+            else np.asarray(word_vocab, dtype=object)
+        nw = words[node_word]
+        order = np.lexsort((nw, -r, node_doc))
+        sdoc = node_doc[order]
+        starts = np.r_[0, np.flatnonzero(sdoc[1:] != sdoc[:-1]) + 1]
+        rank_in_doc = np.arange(len(sdoc)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(sdoc)]))
+        sel = rank_in_doc < k
+        idx = order[sel]
+        return pd.DataFrame({
+            "doc_id": doc_ids[node_doc[idx]],
+            "word": nw[idx],
+            "score": round_half_away(r[idx], 6),
+            "rank": (rank_in_doc[sel] + 1).astype("int64"),
+        })
+
+    return _read_documents(sf_dir).map_batches(
+        _rank, batch_format="pandas", batch_size=4096)

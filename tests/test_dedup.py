@@ -592,3 +592,32 @@ def test_minhash_store_estimate_matches_pairwise(tmp_path):
     # band keys really collide somewhere (the LSH route exists)
     keys = lsh_band_keys_batch(sigs, store.num_bands)
     assert (keys[0] == keys[1]).any()
+
+
+def test_dup_graph_hops_chain_and_both_tiers(ray_session):
+    """Planted A~B~C shingle chain (A!~C) plus an exact-dup pair:
+    hop distances match the hand-derived BFS, and the dataset-native
+    tier (driver_max_edges=0) agrees with the driver fast path."""
+    from ocr_agent_ray.pipelines.dedup import dup_graph_hops
+
+    w = [f"w{i}" for i in range(14)]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [" ".join(w[0:10]),    # A
+                 " ".join(w[2:12]),    # B: jaccard(A,B)=6/10
+                 " ".join(w[4:14]),    # C: jaccard(B,C)=6/10, (A,C)=4/12
+                 "zz yy xx ww vv uu tt ss rr qq",
+                 "zz yy xx ww vv uu tt ss rr qq"],
+    })
+    want = {(1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 4, 0), (5, 4, 1)}
+
+    fast = dup_graph_hops(rd.from_pandas(docs))
+    fast = fast if isinstance(fast, pd.DataFrame) else fast.to_pandas()
+    assert set(map(tuple, fast[["doc_id", "root_id", "hops"]]
+                   .to_numpy())) == want
+
+    native = dup_graph_hops(rd.from_pandas(docs), driver_max_edges=0)
+    native = native if isinstance(native, pd.DataFrame) \
+        else native.to_pandas()
+    assert set(map(tuple, native[["doc_id", "root_id", "hops"]]
+                   .to_numpy())) == want

@@ -574,3 +574,47 @@ def test_readability_known_values(ray_session, tmp_path):
     # doc5: no [.!?] terminator still yields one sentence
     assert got.loc[5, ["n_words", "n_sentences", "n_syllables"]].tolist() \
         == [1, 1, 1]
+
+
+def _dense_textrank(tokens, damping=0.85, iters=20):
+    """Textbook per-doc TextRank: adjacency from adjacent-token pairs."""
+    vocab = sorted(set(tokens))
+    ix = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    w = np.zeros((n, n))
+    for a, b in zip(tokens[:-1], tokens[1:]):
+        if a != b:
+            w[ix[a], ix[b]] += 1
+            w[ix[b], ix[a]] += 1
+    out = w.sum(axis=1)
+    r = np.ones(n)
+    for _ in range(iters):
+        contrib = (w / np.where(out == 0, 1, out)[:, None] * r[:, None]).sum(axis=0)
+        r = (1 - damping) + damping * contrib
+    return dict(zip(vocab, r))
+
+
+def test_textrank_matches_dense_reference(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import textrank_keywords
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog the quick fox",
+        2: "graph based ranking brings order into text graph ranking "
+           "works well for keyword extraction from text",
+        3: "aaa bbb aaa bbb aaa ccc",
+    }
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": list(docs), "text": list(docs.values())}),
+        preserve_index=False), str(tmp_path / "documents.parquet"))
+    got = textrank_keywords(str(tmp_path), k=3).to_pandas()
+    for did, text in docs.items():
+        toks = [t for t in text.split() if len(t) >= 3]
+        ref = _dense_textrank(toks)
+        top = sorted(ref.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:3]
+        sub = (got[got["doc_id"] == did].sort_values("rank"))
+        assert sub["word"].tolist() == [w for w, _ in top], did
+        assert np.allclose(sub["score"].to_numpy(),
+                           [s for _, s in top], atol=5.1e-7), did
