@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_naive_bayes_langid": text.naive_bayes_langid,
         "q_readability": text.readability_scores,
         "q_textrank_keywords": text.textrank_keywords,  # rows-only (iterative; dense-reference pytest)
+        "q_compression_ratio": text.compression_ratio,  # rows-only (SQL has no compressor; pinned pytest)
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         "q_pii_scrub": text.pii_scrub,
         "q_repetition_scores": text.repetition_scores,
@@ -362,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": relational.weighted_median_price,
         "q_spike_days": relational.spike_days,
         "q_price_band_join": relational.price_band_join,
+        "q_copurchase_pairs": relational.copurchase_pairs,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -2112,6 +2114,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rk.doc_id, d.lang, rk.cand AS pred_lang, rk.score "
             "FROM rk JOIN documents d ON d.doc_id = rk.doc_id "
             "WHERE rk.r = 1"
+        ),
+        "q_copurchase_pairs": (
+            # market-basket pair support; DISTINCT orderkey guards
+            # against a part repeated within one order
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2"
         ),
         "q_price_band_join": (
             # non-equi band self-join, canonical (price, key) ascending

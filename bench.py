@@ -246,6 +246,8 @@ QUERY_NAMES = [
     "q_price_band_join",
     "q_textrank_keywords",
     "q_dup_graph_hops",
+    "q_copurchase_pairs",
+    "q_compression_ratio",
 ]
 
 

@@ -3796,3 +3796,46 @@ def price_band_join(sf_dir: str, *, delta: float = 2.0,
     keyed = orders.map_batches(_scatter, batch_format="pandas",
                                batch_size=65536)
     return bucket_map_groups(keyed, _pairs, num_buckets=nb)
+
+
+def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
+                     num_buckets: int = 32):
+    """Market-basket co-purchase mining: part pairs appearing together
+    in at least ``min_support`` orders — the substrate for
+    recommendation and cross-sell rules. Shape at scale: baskets hash
+    to their order's bucket (one exchange), pair generation is a
+    per-bucket self-merge (basket sizes are bounded by order width, so
+    the k² blowup is a small constant per order), and global pair
+    counts fold as mergeable partials — the pair-count table never
+    touches the driver. Duplicate (order, part) rows collapse first so
+    a part repeated within one order counts that order once, matching
+    the twin's COUNT(DISTINCT orderkey). Output:
+    (part_a, part_b, n_orders) with part_a < part_b."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        # per-bucket partial: (pair) -> count of this bucket's orders
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().reset_index(name="n"))
+        return pd.DataFrame({
+            "part_a": out["l_partkey_a"].astype("int64"),
+            "part_b": out["l_partkey_b"].astype("int64"),
+            "n": out["n"].astype("int64")})
+
+    keyed = li.map_batches(
+        lambda b: b.assign(__b=(b["l_orderkey"] % num_buckets)
+                           .astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    partials = bucket_map_groups(keyed, _pairs, num_buckets=num_buckets)
+    counts = hash_partition_aggregate(
+        partials, ["part_a", "part_b"], {"n_orders": ("n", "sum")},
+        num_buckets=num_buckets)
+    return counts.map_batches(
+        lambda b: b[b["n_orders"] >= min_support],
+        batch_format="pandas", batch_size=65536)

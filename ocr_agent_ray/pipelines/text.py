@@ -2459,3 +2459,33 @@ def textrank_keywords(sf_dir: str, *, k: int = 5, damping: float = 0.85,
 
     return _read_documents(sf_dir).map_batches(
         _rank, batch_format="pandas", batch_size=4096)
+
+
+def compression_ratio(sf_dir: str, *, level: int = 6):
+    """Per-document zlib compression ratio — the classic redundancy /
+    quality proxy (boilerplate and template spam compress far below
+    natural prose; Gopher-style pipelines threshold on it). ratio =
+    len(zlib(text)) / len(utf8(text)), ROUND(·, 6); empty docs emit
+    ratio NULL-free by reporting 0 bytes and ratio 0. The per-doc
+    zlib call is C code on C-held bytes (the unavoidable per-item
+    unit of work, like a model forward); everything around it is one
+    ``map_batches`` — no shuffle. Rows-only: SQL has no compressor;
+    pytest pins exact values and the repetitive≪random ordering."""
+    import zlib
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    def _ratio(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        raw = [t.encode("utf-8") for t in texts]
+        n_raw = np.array([len(b) for b in raw], dtype=np.int64)
+        n_cmp = np.array([len(zlib.compress(b, level)) if b else 0
+                          for b in raw], dtype=np.int64)
+        ratio = np.where(n_raw > 0, n_cmp / np.maximum(n_raw, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bytes": n_raw,
+            "ratio": round_half_away(ratio, 6)})
+
+    return _read_documents(sf_dir).map_batches(
+        _ratio, batch_format="pandas", batch_size=8192)

@@ -618,3 +618,26 @@ def test_textrank_matches_dense_reference(ray_session, tmp_path):
         assert sub["word"].tolist() == [w for w, _ in top], did
         assert np.allclose(sub["score"].to_numpy(),
                            [s for _, s in top], atol=5.1e-7), did
+
+
+def test_compression_ratio_pinned_and_ordered(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import compression_ratio
+
+    rng = np.random.default_rng(3)
+    rand = "".join(chr(rng.integers(33, 127)) for _ in range(2000))
+    rep = "spam ham " * 250
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [rep, rand, ""]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = (compression_ratio(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    exp_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    assert abs(got.loc[1, "ratio"] - round(exp_rep, 6)) < 1e-12
+    assert got.loc[1, "ratio"] < 0.2 < 0.5 < got.loc[2, "ratio"]
+    assert got.loc[3, "n_bytes"] == 0 and got.loc[3, "ratio"] == 0.0
