@@ -373,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_event_paths": streaming.top_event_paths,
         "q_rolling_median": streaming.rolling_median_value,
         "q_ewma_value": streaming.ewma_user_value,
+        "q_event_throttle": streaming.event_throttle,
+        "q_psi_value_drift": streaming.psi_value_drift,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1093,6 +1095,55 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id "
             "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) "
             "AS med7_value FROM events"
+        ),
+        "q_psi_value_drift": (
+            # PSI between stream halves (midpoint-ts split), 10
+            # fixed-width value bins, Laplace (c+0.5)/(n+5.0) smoothing
+            # — the identical float expression the pipeline evaluates
+            "WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) tmin, "
+            "CAST(MAX(epoch_us(ts)) AS BIGINT) tmax, "
+            "MIN(value) vmin, MAX(value) vmax FROM events), "
+            "e AS (SELECT CAST(LEAST(FLOOR((value - b.vmin) / "
+            "GREATEST((b.vmax - b.vmin) / 10.0, 1e-12)), 9) AS BIGINT) "
+            "AS bucket, CASE WHEN epoch_us(ts) >= "
+            "b.tmin + (b.tmax - b.tmin) // 2 THEN 1 ELSE 0 END AS half "
+            "FROM events, b), "
+            "c AS (SELECT bucket, half, COUNT(*) AS n FROM e "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT half, CAST(SUM(n) AS DOUBLE) AS tot FROM c "
+            "GROUP BY 1), "
+            "g AS (SELECT unnest(range(10)) AS bucket), "
+            "f AS (SELECT g.bucket, "
+            "CAST(COALESCE(c0.n, 0) AS BIGINT) AS n_first, "
+            "CAST(COALESCE(c1.n, 0) AS BIGINT) AS n_second "
+            "FROM g LEFT JOIN c c0 ON c0.bucket = g.bucket "
+            "AND c0.half = 0 LEFT JOIN c c1 ON c1.bucket = g.bucket "
+            "AND c1.half = 1) "
+            "SELECT f.bucket, f.n_first, f.n_second, "
+            "ROUND(((f.n_first + 0.5) / (t0.tot + 5.0) - "
+            "(f.n_second + 0.5) / (t1.tot + 5.0)) * "
+            "ln(((f.n_first + 0.5) / (t0.tot + 5.0)) / "
+            "((f.n_second + 0.5) / (t1.tot + 5.0))), 6) AS psi_term "
+            "FROM f, (SELECT tot FROM t WHERE half = 0) t0, "
+            "(SELECT tot FROM t WHERE half = 1) t1"
+        ),
+        "q_event_throttle": (
+            # sequential keep-iff-gap-since-last-KEPT semantics: only a
+            # recursive walk expresses it (each kept row derives the
+            # next via the first event >= gap after it)
+            "WITH RECURSIVE s AS (SELECT user_id, event_id, ts, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS r FROM events), "
+            "keep(user_id, event_id, ts, r) AS ("
+            "  SELECT user_id, event_id, ts, r FROM s WHERE r = 1"
+            "  UNION ALL"
+            "  SELECT n.user_id, n.event_id, n.ts, n.r FROM keep k "
+            "  JOIN s n ON n.user_id = k.user_id "
+            "  AND n.ts >= k.ts + INTERVAL 10 MINUTE "
+            "  WHERE NOT EXISTS (SELECT 1 FROM s m "
+            "  WHERE m.user_id = k.user_id "
+            "  AND m.ts >= k.ts + INTERVAL 10 MINUTE AND m.r < n.r)) "
+            "SELECT user_id, event_id, ts FROM keep"
         ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},

@@ -248,6 +248,8 @@ QUERY_NAMES = [
     "q_dup_graph_hops",
     "q_copurchase_pairs",
     "q_compression_ratio",
+    "q_event_throttle",
+    "q_psi_value_drift",
 ]
 
 

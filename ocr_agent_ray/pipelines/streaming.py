@@ -1496,3 +1496,113 @@ def ewma_user_value(sf_dir: str, *, alpha: float = 0.1,
             batch_format="pandas", batch_size=65536)
     )
     return bucket_map_groups(keyed, _ewma, num_buckets=num_buckets)
+
+
+def event_throttle(sf_dir: str, *, gap_minutes: int = 10,
+                   num_buckets: int = 64):
+    """Streaming throttle / rate-limit dedup: per user, keep an event
+    iff ≥ ``gap_minutes`` have passed since the last KEPT event — the
+    genuinely SEQUENTIAL dedup semantics (each decision depends on the
+    previous decision, not the previous row, so no window function
+    expresses it; the SQL twin needs a recursive CTE). The classic
+    guard against client retry storms and duplicate webhooks.
+
+    One hash exchange on user_id; inside a bucket each user's chain is
+    walked with one ``searchsorted`` jump PER KEPT EVENT — work is
+    O(output), not O(input), so a retry storm of a million suppressed
+    duplicates costs one binary search. Ties at equal ts break
+    event_id-ascending, same as the twin. Output: (user_id, event_id,
+    ts) of kept events."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def _throttle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        users = g["user_id"].to_numpy()
+        starts = np.r_[0, np.flatnonzero(users[1:] != users[:-1]) + 1]
+        ends = np.r_[starts[1:], len(users)]
+        keep_idx = []
+        for s, e in zip(starts, ends):
+            i = s
+            while i < e:
+                keep_idx.append(i)
+                i = s + np.searchsorted(ts[s:e], ts[i] + gap_us,
+                                        side="left")
+        idx = np.asarray(keep_idx, dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[idx],
+            "event_id": g["event_id"].to_numpy()[idx],
+            "ts": g["ts"].to_numpy()[idx]})
+
+    keyed = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % num_buckets).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+    )
+    return bucket_map_groups(keyed, _throttle, num_buckets=num_buckets)
+
+
+def psi_value_drift(sf_dir: str, *, n_bins: int = 10):
+    """Population Stability Index between the first and second half of
+    the stream (split at the midpoint timestamp) over fixed-width
+    ``value`` bins — the standard drift screen for "did the
+    distribution my model sees move". Two tiny folds (global
+    min/max ts+value, then per-(half, bin) counts — ≤ 2·n_bins keys, a
+    bounded dimension) and a driver-side closing expression, identical
+    float-for-float to the SQL twin: p = (c+0.5)/(n+5.0) Laplace
+    smoothing, term = (p−q)·ln(p/q), ROUND(·,6). Output one row per
+    bin: (bucket, n_first, n_second, psi_term)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts", "value"))
+    bounds = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "__k": np.int64(0),
+            "tmin": [b["ts"].min()], "tmax": [b["ts"].max()],
+            "vmin": [b["value"].min()], "vmax": [b["value"].max()]}),
+            batch_format="pandas", batch_size=65536),
+        ["__k"], {"tmin": ("tmin", "min"), "tmax": ("tmax", "max"),
+                  "vmin": ("vmin", "min"), "vmax": ("vmax", "max")})
+    if bounds.empty:
+        return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "n_first": pd.Series(dtype="int64"),
+                             "n_second": pd.Series(dtype="int64"),
+                             "psi_term": pd.Series(dtype="float64")})
+    tmin = np.int64(pd.Timestamp(bounds["tmin"].iloc[0]).value // 1000)
+    tmax = np.int64(pd.Timestamp(bounds["tmax"].iloc[0]).value // 1000)
+    vmin = float(bounds["vmin"].iloc[0])
+    vmax = float(bounds["vmax"].iloc[0])
+    mid = tmin + (tmax - tmin) // 2
+    width = max((vmax - vmin) / float(n_bins), 1e-12)
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        v = b["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "bucket": np.minimum(np.floor((v - vmin) / width),
+                                 n_bins - 1).astype(np.int64),
+            "half": (us >= mid).astype(np.int64),
+            "n": np.int64(1)})
+
+    cells = combine_partials_driver(
+        ev.map_batches(_cells, batch_format="pandas", batch_size=65536),
+        ["bucket", "half"], {"n": ("n", "sum")})
+    grid = pd.DataFrame({"bucket": np.arange(n_bins, dtype=np.int64)})
+    c0 = cells[cells["half"] == 0][["bucket", "n"]].rename(
+        columns={"n": "n_first"})
+    c1 = cells[cells["half"] == 1][["bucket", "n"]].rename(
+        columns={"n": "n_second"})
+    out = grid.merge(c0, on="bucket", how="left") \
+              .merge(c1, on="bucket", how="left").fillna(0)
+    n_first = out["n_first"].to_numpy(dtype=np.float64)
+    n_second = out["n_second"].to_numpy(dtype=np.float64)
+    tot1, tot2 = n_first.sum(), n_second.sum()
+    p = (n_first + 0.5) / (tot1 + 5.0)
+    q = (n_second + 0.5) / (tot2 + 5.0)
+    out["n_first"] = out["n_first"].astype("int64")
+    out["n_second"] = out["n_second"].astype("int64")
+    out["psi_term"] = round_half_away((p - q) * np.log(p / q), 6)
+    return out

@@ -832,3 +832,71 @@ def test_ewma_matches_sequential_recurrence(ray_session, tmp_path):
     # of the 6-decimal rounding grid
     assert np.allclose(got["ewma"].to_numpy(), np.array(want),
                        rtol=0, atol=5.1e-7)
+
+
+def test_event_throttle_matches_greedy_loop(ray_session, tmp_path):
+    """Retry-storm fixture: bursts inside the gap are suppressed
+    relative to the last KEPT event (not the last row)."""
+    from ocr_agent_ray.pipelines.streaming import event_throttle
+
+    rng = np.random.default_rng(5)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(40):
+            t = t + pd.Timedelta(seconds=int(rng.integers(30, 900)))
+            rows.append((eid, t, uid))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = event_throttle(str(tmp_path), gap_minutes=10).to_pandas()
+    kept = set()
+    for uid, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        last = None
+        for _, row in g.iterrows():
+            if last is None or row["ts"] - last >= pd.Timedelta(minutes=10):
+                kept.add((uid, row["event_id"]))
+                last = row["ts"]
+    assert set(zip(got["user_id"], got["event_id"])) == kept
+    assert len(kept) < len(df)  # the storm actually suppressed events
+
+
+def test_psi_value_drift_detects_planted_shift(ray_session, tmp_path):
+    """Second half shifted by +5: PSI total is large; identical halves
+    give PSI ~0. Terms cross-checked against a direct computation."""
+    from ocr_agent_ray.pipelines.streaming import psi_value_drift
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(np.arange(n), unit="m")).astype("datetime64[us]")
+    vals = np.concatenate([rng.uniform(0, 10, n // 2),
+                           rng.uniform(5, 15, n // 2)])
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                       "ts": ts, "user_id": np.int64(1),
+                       "event_type": "view", "value": vals,
+                       "props": "{}"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = psi_value_drift(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert got["bucket"].tolist() == list(range(10))
+    assert (got["n_first"] + got["n_second"]).sum() == n
+    # direct recomputation of the smoothed terms
+    vmin, vmax = vals.min(), vals.max()
+    width = max((vmax - vmin) / 10.0, 1e-12)
+    b = np.minimum(np.floor((vals - vmin) / width), 9).astype(int)
+    half = np.arange(n) >= n // 2
+    c0 = np.bincount(b[~half], minlength=10).astype(float)
+    c1 = np.bincount(b[half], minlength=10).astype(float)
+    p = (c0 + 0.5) / (c0.sum() + 5.0)
+    q = (c1 + 0.5) / (c1.sum() + 5.0)
+    want = (p - q) * np.log(p / q)
+    assert np.allclose(got["psi_term"].to_numpy(), want, atol=5.1e-7)
+    assert got["psi_term"].sum() > 0.25  # the shift is visible
