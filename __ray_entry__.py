@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_readability": text.readability_scores,
         "q_textrank_keywords": text.textrank_keywords,  # rows-only (iterative; dense-reference pytest)
         "q_compression_ratio": text.compression_ratio,  # rows-only (SQL has no compressor; pinned pytest)
+        "q_unicode_clean": text.unicode_clean,
         "q_winnowing": text.winnowing_fingerprints,  # rows-only
         "q_pii_scrub": text.pii_scrub,
         "q_repetition_scores": text.repetition_scores,
@@ -364,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_spike_days": relational.spike_days,
         "q_price_band_join": relational.price_band_join,
         "q_copurchase_pairs": relational.copurchase_pairs,
+        "q_copurchase_triples": relational.copurchase_triples,
         "q_order_gap_days": relational.customer_order_gap_days,
         "q_first_touch_attribution": relational.first_touch_attribution,
         "q_linear_attribution": relational.linear_attribution,
@@ -2175,6 +2177,30 @@ def oracle_sql() -> dict[str, str]:
             "ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2"
+        ),
+        "q_copurchase_triples": (
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "c.l_partkey AS part_c, "
+            "CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "JOIN lineitem c ON a.l_orderkey = c.l_orderkey "
+            "AND b.l_partkey < c.l_partkey "
+            "GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT a.l_orderkey) >= 2"
+        ),
+        "q_unicode_clean": (
+            # same rules, same order: tab/newline -> space, control
+            # strip, THEN NFC (nfc_normalize truncates at embedded NUL,
+            # so controls must go first), collapse, trim
+            "SELECT doc_id, trim(regexp_replace(nfc_normalize("
+            "regexp_replace(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), "
+            "'[\\x00-\\x1f\\x7f-\\x9f]', '', 'g')), '  +', ' ', 'g'), "
+            "' ') AS clean_text, "
+            "CAST(trim(regexp_replace(nfc_normalize(regexp_replace("
+            "regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), "
+            "'[\\x00-\\x1f\\x7f-\\x9f]', '', 'g')), '  +', ' ', 'g'), ' ') "
+            "<> text AS BIGINT) AS changed FROM documents"
         ),
         "q_price_band_join": (
             # non-equi band self-join, canonical (price, key) ascending

@@ -250,6 +250,8 @@ QUERY_NAMES = [
     "q_compression_ratio",
     "q_event_throttle",
     "q_psi_value_drift",
+    "q_copurchase_triples",
+    "q_unicode_clean",
 ]
 
 

@@ -3839,3 +3839,45 @@ def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
     return counts.map_batches(
         lambda b: b[b["n_orders"] >= min_support],
         batch_format="pandas", batch_size=65536)
+
+
+def copurchase_triples(sf_dir: str, *, min_support: int = 2,
+                       num_buckets: int = 32):
+    """Apriori level-3: part TRIPLES appearing together in at least
+    ``min_support`` orders. Same basket exchange as
+    ``copurchase_pairs``; the per-bucket kernel chains a second
+    self-merge (baskets are order-width bounded, so k³ per basket is a
+    small constant) and triple counts fold as mergeable partials.
+    Canonical part_a < part_b < part_c. Output:
+    (part_a, part_b, part_c, n_orders)."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        m = m.merge(g.rename(columns={"l_partkey": "l_partkey_c"}),
+                    on="l_orderkey")
+        m = m[m["l_partkey_b"] < m["l_partkey_c"]]
+        out = (m.groupby(["l_partkey_a", "l_partkey_b", "l_partkey_c"],
+                         sort=False).size().reset_index(name="n"))
+        return pd.DataFrame({
+            "part_a": out["l_partkey_a"].astype("int64"),
+            "part_b": out["l_partkey_b"].astype("int64"),
+            "part_c": out["l_partkey_c"].astype("int64"),
+            "n": out["n"].astype("int64")})
+
+    keyed = li.map_batches(
+        lambda b: b.assign(__b=(b["l_orderkey"] % num_buckets)
+                           .astype("int32")),
+        batch_format="pandas", batch_size=65536)
+    partials = bucket_map_groups(keyed, _triples, num_buckets=num_buckets)
+    counts = hash_partition_aggregate(
+        partials, ["part_a", "part_b", "part_c"],
+        {"n_orders": ("n", "sum")}, num_buckets=num_buckets)
+    return counts.map_batches(
+        lambda b: b[b["n_orders"] >= min_support],
+        batch_format="pandas", batch_size=65536)

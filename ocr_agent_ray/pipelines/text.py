@@ -2489,3 +2489,32 @@ def compression_ratio(sf_dir: str, *, level: int = 6):
 
     return _read_documents(sf_dir).map_batches(
         _ratio, batch_format="pandas", batch_size=8192)
+
+
+def unicode_clean(sf_dir: str):
+    """Unicode canonicalization for ingest hygiene: NFC-normalize,
+    strip C0/C1 control characters (newlines and tabs become spaces
+    first, so line joins don't weld words), collapse space runs, trim.
+    Every rule is a regex/normal form both engines implement
+    identically (pandas ``str.normalize('NFC')`` == DuckDB
+    ``nfc_normalize``; character-class regexes shared verbatim).
+    Pure per-batch map, no shuffle. Output: (doc_id, clean_text,
+    changed) with changed = 1 iff cleaning altered the text."""
+
+    def _clean(batch: pd.DataFrame) -> pd.DataFrame:
+        # control strip runs BEFORE NFC: controls never participate in
+        # composition, and DuckDB's nfc_normalize (utf8proc) truncates
+        # at an embedded NUL, so normalizing first would diverge
+        raw = batch["text"].fillna("")
+        s = raw.str.replace("[\\t\\n\\r]", " ", regex=True)
+        s = s.str.replace("[\\x00-\\x1f\\x7f-\\x9f]", "", regex=True)
+        s = s.str.normalize("NFC")
+        s = s.str.replace("  +", " ", regex=True)
+        s = s.str.strip(" ")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "clean_text": s,
+            "changed": (s != raw).astype("int64")})
+
+    return _read_documents(sf_dir).map_batches(
+        _clean, batch_format="pandas", batch_size=16384)

@@ -641,3 +641,65 @@ def test_compression_ratio_pinned_and_ordered(ray_session, tmp_path):
     assert abs(got.loc[1, "ratio"] - round(exp_rep, 6)) < 1e-12
     assert got.loc[1, "ratio"] < 0.2 < 0.5 < got.loc[2, "ratio"]
     assert got.loc[3, "n_bytes"] == 0 and got.loc[3, "ratio"] == 0.0
+
+
+def test_unicode_clean_matches_duckdb_on_real_unicode(ray_session, tmp_path):
+    """The synthetic corpus is ASCII; this planted frame proves the
+    NFC + control-strip + collapse pipeline is byte-identical to the
+    DuckDB twin on decomposed accents, C0/C1 controls, and tab/newline
+    welds."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import unicode_clean
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["café  du\tmonde",          # decomposed e + tab
+                 "a\x00b\x07c\x9fd",               # C0 + C1 controls
+                 "line1\nline2\r\nline3",          # newline welds
+                 "  already   spaced  ",
+                 "café du monde"],            # precomposed twin of 1
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = (unicode_clean(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    import __ray_entry__ as entry
+    want = (con.execute(entry.oracle_sql()["q_unicode_clean"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["changed"].tolist() == want["changed"].tolist()
+    # NFC makes the decomposed and precomposed spellings identical
+    assert got.loc[0, "clean_text"] == "café du monde"
+    assert got.loc[4, "clean_text"] == "café du monde"
+    assert got.loc[1, "clean_text"] == "abcd"
+    assert got.loc[2, "clean_text"] == "line1 line2 line3"
+
+
+def test_copurchase_triples_planted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import copurchase_triples
+
+    # orders 1,2 share basket {10,20,30}; order 3 has {10,20,30,40};
+    # order 4 is {10,20} only
+    rows = [(1, 10), (1, 20), (1, 30), (1, 10),   # dup line collapses
+            (2, 10), (2, 20), (2, 30),
+            (3, 10), (3, 20), (3, 30), (3, 40),
+            (4, 10), (4, 20)]
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "lineitem.parquet"))
+    got = (copurchase_triples(str(tmp_path), min_support=2).to_pandas()
+           .sort_values(["part_a", "part_b", "part_c"])
+           .reset_index(drop=True))
+    assert got[["part_a", "part_b", "part_c"]].values.tolist() == \
+        [[10, 20, 30]]
+    assert got["n_orders"].tolist() == [3]
