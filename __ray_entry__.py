@@ -377,6 +377,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ewma_value": streaming.ewma_user_value,
         "q_event_throttle": streaming.event_throttle,
         "q_psi_value_drift": streaming.psi_value_drift,
+        "q_nearest_event_join": streaming.nearest_event_join,
+        "q_daily_autocorr": streaming.daily_autocorr,
+        "q_theil_sen_trend": streaming.theil_sen_trend,
+        "q_dow_seasonality": streaming.dow_seasonality,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1146,6 +1150,71 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE m.user_id = k.user_id "
             "  AND m.ts >= k.ts + INTERVAL 10 MINUTE AND m.r < n.r)) "
             "SELECT user_id, event_id, ts FROM keep"
+        ),
+        "q_nearest_event_join": (
+            # bidirectional temporal nearest neighbor; tie rule is
+            # ORDER BY gap, ts, event_id — exactly the kernel's
+            # before-wins-on-tie + run-start pick
+            "WITH p AS (SELECT user_id, event_id AS pid, ts AS pts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "o AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type <> 'purchase'), "
+            "j AS (SELECT p.user_id, p.pid, o.event_id AS oid, "
+            "ABS(epoch_us(o.ts) - epoch_us(p.pts)) AS gap_us, "
+            "ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY "
+            "ABS(epoch_us(o.ts) - epoch_us(p.pts)), o.ts, o.event_id) "
+            "AS r FROM p JOIN o ON o.user_id = p.user_id) "
+            "SELECT user_id, pid AS purchase_event_id, "
+            "oid AS nearest_event_id, gap_us FROM j WHERE r = 1"
+        ),
+        "q_daily_autocorr": (
+            # ACF over observed-day pairs exactly k days apart; integer
+            # sums, one final float division — same expression as the
+            # kernel
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "l AS (SELECT CAST(range AS BIGINT) AS k FROM range(1, 8)), "
+            "p AS (SELECT l.k, d1.c AS x, d2.c AS y FROM l, d d1 "
+            "JOIN d d2 ON date_diff('day', d1.day, d2.day) = l.k) "
+            "SELECT k AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "ROUND(CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS DOUBLE)"
+            " / SQRT(CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS "
+            "DOUBLE) * CAST(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y) AS "
+            "DOUBLE)), 6) AS autocorr FROM p GROUP BY k "
+            "HAVING COUNT(*) >= 1 AND "
+            "(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x)) * "
+            "(COUNT(*) * SUM(y*y) - SUM(y) * SUM(y)) <> 0"
+        ),
+        "q_theil_sen_trend": (
+            # median of pairwise slopes over the bounded daily series;
+            # intercept uses the UNROUNDED slope (same nesting as the
+            # kernel); MEDIAN == numpy median (quantile_cont 0.5)
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "d0 AS (SELECT MIN(day) AS day0 FROM d), "
+            "ix AS (SELECT CAST(date_diff('day', d0.day0, d.day) AS "
+            "DOUBLE) AS i, CAST(d.c AS DOUBLE) AS c FROM d, d0), "
+            "s AS (SELECT (b.c - a.c) / (b.i - a.i) AS slope "
+            "FROM ix a JOIN ix b ON a.i < b.i), "
+            "m AS (SELECT MEDIAN(slope) AS sl FROM s) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ix) AS n_days, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_pairs, "
+            "ROUND(m.sl, 6) AS slope, "
+            "(SELECT ROUND(MEDIAN(c - m.sl * i), 6) FROM ix) "
+            "AS intercept FROM m"
+        ),
+        "q_dow_seasonality": (
+            # pandas dayofweek is Monday=0 == isodow-1
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(c) AS DOUBLE) AS tot_c, "
+            "CAST(COUNT(*) AS DOUBLE) AS tot_d FROM d) "
+            "SELECT CAST(isodow(day) - 1 AS BIGINT) AS dow, "
+            "CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "CAST(SUM(c) AS BIGINT) AS n_events, "
+            "ROUND((CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) "
+            "/ (t.tot_c / t.tot_d), 6) AS seasonal_index "
+            "FROM d, t GROUP BY dow, t.tot_c, t.tot_d"
         ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},

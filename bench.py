@@ -252,6 +252,10 @@ QUERY_NAMES = [
     "q_psi_value_drift",
     "q_copurchase_triples",
     "q_unicode_clean",
+    "q_nearest_event_join",
+    "q_daily_autocorr",
+    "q_theil_sen_trend",
+    "q_dow_seasonality",
 ]
 
 

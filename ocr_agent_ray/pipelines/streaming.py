@@ -1606,3 +1606,208 @@ def psi_value_drift(sf_dir: str, *, n_bins: int = 10):
     out["n_second"] = out["n_second"].astype("int64")
     out["psi_term"] = round_half_away((p - q) * np.log(p / q), 6)
     return out
+
+
+def nearest_event_join(sf_dir: str, *, num_buckets: int = 64):
+    """Bidirectional temporal NEAREST-NEIGHBOR join: for every purchase
+    event, the same user's closest non-purchase event by |ts diff| —
+    the "what happened around the conversion" enrichment. Distinct from
+    the as-of join (backward-only) and the interval join (bounded
+    window): the nearest neighbor may sit on either side and is
+    unbounded.
+
+    One hash exchange on user bucket; the kernel is fully vectorized
+    across users via the composite int64 key (dense user rank × span
+    stride + ts offset, the ``views_before_purchase`` encoding): each
+    purchase resolves with two ``searchsorted`` probes (candidate
+    before / candidate after) plus one run-start probe so ties land on
+    the lowest event_id at the winning timestamp. Tie between equal
+    gaps breaks to the EARLIER event (then event_id asc) — the exact
+    ORDER BY (gap, ts, event_id) rule of the SQL twin. Purchases whose
+    user has no non-purchase events drop (inner semantics).
+
+    Columns: user_id, purchase_event_id, nearest_event_id, gap_us.
+    """
+
+    def _key(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__b=(b["user_id"] % num_buckets).astype("int32"))
+
+    def _nearest(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "purchase_event_id": pd.Series(dtype="int64"),
+            "nearest_event_id": pd.Series(dtype="int64"),
+            "gap_us": pd.Series(dtype="int64")})
+        if not len(g):
+            return empty
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        u = g["user_id"].to_numpy()
+        eid = g["event_id"].to_numpy().astype("int64")
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        uu, dense = np.unique(u, return_inverse=True)
+        tmin = t.min()
+        stride = np.int64(t.max() - tmin) + np.int64(2)
+        if int(len(uu)) * int(stride) >= 2 ** 63:
+            raise OverflowError(
+                "nearest-join composite key overflow: raise num_buckets")
+        enc = dense.astype(np.int64) * stride + (t - tmin)
+        # others sorted by (enc, event_id): equal-ts runs are event_id asc
+        o_order = np.lexsort((eid[~is_p], enc[~is_p]))
+        o_enc = enc[~is_p][o_order]
+        o_eid = eid[~is_p][o_order]
+        p_enc = enc[is_p]
+        if not len(p_enc) or not len(o_enc):
+            return empty
+        p_user = p_enc // stride
+        i = np.searchsorted(o_enc, p_enc, side="left")
+        # after candidate: first other with enc >= p (run start by constr.)
+        va = i < len(o_enc)
+        ia = np.minimum(i, len(o_enc) - 1)
+        va &= (o_enc[ia] // stride) == p_user
+        gap_a = np.where(va, o_enc[ia] - p_enc, np.int64(0))
+        # before candidate: last other with enc < p; jump to its run start
+        vb = i > 0
+        ib = np.maximum(i - 1, 0)
+        vb &= (o_enc[ib] // stride) == p_user
+        gap_b = np.where(vb, p_enc - o_enc[ib], np.int64(0))
+        jb = np.searchsorted(o_enc, o_enc[ib], side="left")
+        keep = va | vb
+        # after wins only on strictly smaller gap; ties go to the
+        # earlier (before) candidate = ORDER BY gap, ts, event_id
+        pick_a = va & (~vb | (gap_a < gap_b))
+        idx = np.where(pick_a, ia, jb)
+        gap = np.where(pick_a, gap_a, gap_b)
+        return pd.DataFrame({
+            "user_id": u[is_p][keep].astype("int64"),
+            "purchase_event_id": eid[is_p][keep],
+            "nearest_event_id": o_eid[idx[keep]],
+            "gap_us": gap[keep].astype("int64")})
+
+    keyed = _read_events(
+        sf_dir, columns=("event_id", "ts", "user_id", "event_type")) \
+        .map_batches(_key, batch_format="pandas", batch_size=65536)
+    return bucket_map_groups(keyed, _nearest, num_buckets=num_buckets)
+
+
+def _daily_counts_driver(sf_dir: str) -> pd.DataFrame:
+    """Per-day event counts folded to the driver — the bounded series
+    (one row per calendar day, a dimension not a fact) behind the
+    time-series screens below. Mergeable count partials per batch, one
+    small combine; the events table itself never materializes."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts",))
+    days = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "day": b["ts"].dt.floor("D"), "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["day"], {"c": ("c", "sum")})
+    if days.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="datetime64[us]"),
+                             "c": pd.Series(dtype="int64")})
+    days = days.sort_values("day").reset_index(drop=True)
+    days["c"] = days["c"].astype("int64")
+    return days
+
+
+def daily_autocorr(sf_dir: str, *, max_lag: int = 7):
+    """Autocorrelation function of the daily event-count series at lags
+    1..``max_lag`` — the seasonality/persistence screen (a weekly cycle
+    shows as a lag-7 spike). Pairs are formed on OBSERVED days exactly
+    ``k`` calendar days apart (missing days form no pair — identical
+    inner-join semantics in the twin), and the Pearson r per lag closes
+    from integer sums so everything before the final division is exact:
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    Output: (lag, n_pairs, autocorr), one row per lag with ≥1 pair and
+    a nonzero denominator."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    day_i = days["day"].to_numpy().astype("datetime64[D]").astype("int64")
+    c = days["c"].to_numpy()
+    pos = {int(d): j for j, d in enumerate(day_i)}
+    out = []
+    for k in range(1, max_lag + 1):
+        j2 = np.array([pos.get(int(d) + k, -1) for d in day_i],
+                      dtype=np.int64)
+        m = j2 >= 0
+        x = c[m].astype(np.int64)
+        y = c[j2[m]].astype(np.int64)
+        n = np.int64(len(x))
+        if n == 0:
+            continue
+        num = n * np.sum(x * y) - np.sum(x) * np.sum(y)
+        d1 = n * np.sum(x * x) - np.sum(x) * np.sum(x)
+        d2 = n * np.sum(y * y) - np.sum(y) * np.sum(y)
+        den = np.sqrt(np.float64(d1) * np.float64(d2))
+        if den == 0.0:
+            continue
+        out.append((np.int64(k), n,
+                    float(round_half_away(np.float64(num) / den, 6))))
+    return pd.DataFrame(out, columns=["lag", "n_pairs", "autocorr"]) \
+        .astype({"lag": "int64", "n_pairs": "int64"})
+
+
+def theil_sen_trend(sf_dir: str):
+    """Theil–Sen robust trend of the daily event-count series: the
+    MEDIAN over all pairwise slopes (c_j − c_i)/(day_j − day_i), i<j —
+    the estimator that shrugs off outlier days where OLS
+    (``value_time_regression``) folds. Intercept = median(c_i −
+    slope·day_i) with day measured in days since the first observed
+    day, using the UNROUNDED slope (same nesting as the twin). The
+    daily series is a bounded dimension (one row per calendar day), so
+    the O(days²) pair sweep closes on the driver after one mergeable
+    count fold. Output: one row (n_days, n_pairs, slope, intercept)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    if days.empty:
+        return pd.DataFrame({"n_days": pd.Series(dtype="int64"),
+                             "n_pairs": pd.Series(dtype="int64"),
+                             "slope": pd.Series(dtype="float64"),
+                             "intercept": pd.Series(dtype="float64")})
+    day_i = days["day"].to_numpy().astype("datetime64[D]").astype("int64")
+    idx = (day_i - day_i[0]).astype(np.float64)
+    c = days["c"].to_numpy().astype(np.float64)
+    di = idx[None, :] - idx[:, None]
+    iu = np.triu_indices(len(idx), k=1)
+    slopes = (c[None, :] - c[:, None])[iu] / di[iu]
+    slope = float(np.median(slopes))
+    intercept = float(np.median(c - slope * idx))
+    return pd.DataFrame({
+        "n_days": [np.int64(len(idx))],
+        "n_pairs": [np.int64(len(slopes))],
+        "slope": [float(round_half_away(np.float64(slope), 6))],
+        "intercept": [float(round_half_away(np.float64(intercept), 6))]})
+
+
+def dow_seasonality(sf_dir: str):
+    """Day-of-week seasonal profile of the event stream: for each
+    weekday (0=Monday, ISO−1 — pinned explicitly because pandas
+    ``dayofweek`` and DuckDB ``dayofweek`` disagree on the week
+    start), the mean daily count over days of that weekday divided by
+    the overall mean daily count. Index > 1 = busy weekday. Same
+    bounded daily fold as the ACF; float expression is
+    (sum/n)/(tot/n_tot), identical literal order in the twin.
+    Output: (dow, n_days, n_events, seasonal_index)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    if days.empty:
+        return pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                             "n_days": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "seasonal_index": pd.Series(dtype="float64")})
+    days["dow"] = days["day"].dt.dayofweek.astype("int64")
+    tot_c = np.float64(days["c"].sum())
+    tot_d = np.float64(len(days))
+    g = days.groupby("dow", sort=True).agg(
+        n_days=("c", "size"), n_events=("c", "sum")).reset_index()
+    si = (g["n_events"].to_numpy(np.float64)
+          / g["n_days"].to_numpy(np.float64)) / (tot_c / tot_d)
+    g["n_days"] = g["n_days"].astype("int64")
+    g["n_events"] = g["n_events"].astype("int64")
+    g["seasonal_index"] = round_half_away(si, 6)
+    return g

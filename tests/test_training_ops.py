@@ -900,3 +900,198 @@ def test_psi_value_drift_detects_planted_shift(ray_session, tmp_path):
     want = (p - q) * np.log(p / q)
     assert np.allclose(got["psi_term"].to_numpy(), want, atol=5.1e-7)
     assert got["psi_term"].sum() > 0.25  # the shift is visible
+
+
+def test_nearest_event_join_planted_ties(ray_session, tmp_path):
+    """Planted fixture exercising every branch of the nearest-neighbor
+    pick: exact ts match (gap 0), equal-gap tie -> earlier event wins,
+    equal-ts run -> lowest event_id wins, before-only / after-only
+    edges, and a user with no non-purchase events (dropped)."""
+    from ocr_agent_ray.pipelines.streaming import nearest_event_join
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.to_timedelta(1, unit="m")
+    rows = [
+        # user 1: purchase at t+10; views at t+7 and t+13 -> equal 3m
+        # gap, tie goes to the EARLIER view (event_id 100)
+        (100, t0 + 7 * m, 1, "view"),
+        (101, t0 + 13 * m, 1, "view"),
+        (1, t0 + 10 * m, 1, "purchase"),
+        # user 2: purchase at t+5; clicks BOTH at t+5 (gap 0 run) ->
+        # lowest event_id (200) wins
+        (201, t0 + 5 * m, 2, "click"),
+        (200, t0 + 5 * m, 2, "click"),
+        (2, t0 + 5 * m, 2, "purchase"),
+        # user 3: purchase before every other event (after-only)
+        (300, t0 + 9 * m, 3, "view"),
+        (3, t0 + 1 * m, 3, "purchase"),
+        # user 4: purchase after every other event (before-only)
+        (400, t0 + 2 * m, 4, "view"),
+        (4, t0 + 30 * m, 4, "purchase"),
+        # user 5: only purchases -> dropped
+        (5, t0 + 3 * m, 5, "purchase"),
+        # user 6: nearer-after beats farther-before
+        (600, t0 + 0 * m, 6, "view"),
+        (601, t0 + 12 * m, 6, "view"),
+        (6, t0 + 10 * m, 6, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (nearest_event_join(str(tmp_path)).to_pandas()
+           .set_index("purchase_event_id").sort_index())
+    assert got.index.tolist() == [1, 2, 3, 4, 6]
+    assert got.loc[1, "nearest_event_id"] == 100   # tie -> earlier
+    assert got.loc[1, "gap_us"] == 3 * 60_000_000
+    assert got.loc[2, "nearest_event_id"] == 200   # gap-0 run start
+    assert got.loc[2, "gap_us"] == 0
+    assert got.loc[3, "nearest_event_id"] == 300
+    assert got.loc[4, "nearest_event_id"] == 400
+    assert got.loc[6, "nearest_event_id"] == 601   # 2m after < 10m before
+    assert got.loc[6, "gap_us"] == 2 * 60_000_000
+
+
+def test_nearest_event_join_brute_force(ray_session, tmp_path):
+    """Randomized fixture vs an O(n^2) per-purchase argmin with the
+    exact (gap, ts, event_id) tie order."""
+    from ocr_agent_ray.pipelines.streaming import nearest_event_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ts = (pd.to_datetime("2024-03-01")
+          + pd.to_timedelta(rng.integers(0, 5000, n), unit="s"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 12, n).astype(np.int64),
+        "event_type": rng.choice(["purchase", "view", "click"], n,
+                                 p=[0.3, 0.4, 0.3]),
+        "value": 1.0, "props": "{}"})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = (nearest_event_join(str(tmp_path)).to_pandas()
+           .sort_values("purchase_event_id").reset_index(drop=True))
+    want = []
+    us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    for i in np.flatnonzero((df["event_type"] == "purchase").to_numpy()):
+        o = df[(df["user_id"] == df["user_id"].iloc[i])
+               & (df["event_type"] != "purchase")]
+        if not len(o):
+            continue
+        gaps = np.abs(us[o.index.to_numpy()] - us[i])
+        cand = sorted(zip(gaps, us[o.index.to_numpy()],
+                          o["event_id"].to_numpy()))
+        want.append((int(df["user_id"].iloc[i]),
+                     int(df["event_id"].iloc[i]),
+                     int(cand[0][2]), int(cand[0][0])))
+    want = pd.DataFrame(want, columns=["user_id", "purchase_event_id",
+                                       "nearest_event_id", "gap_us"]) \
+        .sort_values("purchase_event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"))
+
+
+def test_daily_autocorr_planted_weekly_cycle(ray_session, tmp_path):
+    """A pure 7-day cycle shows r(7) = +1 (exact) and negative r at the
+    antiphase lags; values match a direct numpy Pearson computation."""
+    from ocr_agent_ray.pipelines.streaming import daily_autocorr
+
+    days = pd.date_range("2024-01-01", periods=42, freq="D")
+    counts = np.tile([5, 9, 13, 17, 13, 9, 5], 6)  # period-7 wave
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for j in range(int(c)):
+            rows.append((eid, d + pd.to_timedelta(j, unit="m"), 1))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = daily_autocorr(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.set_index("lag")
+    assert got.loc[7, "autocorr"] == 1.0
+    assert got.loc[7, "n_pairs"] == 35
+    c = counts.astype(np.float64)
+    for k in range(1, 8):
+        want = np.corrcoef(c[:-k], c[k:])[0, 1]
+        assert abs(got.loc[k, "autocorr"] - want) < 5.1e-7
+
+
+def test_theil_sen_ignores_outlier_day(ray_session, tmp_path):
+    """A clean slope-2 series with one wild outlier day: Theil-Sen
+    recovers slope 2 while OLS would not; matches direct numpy."""
+    from ocr_agent_ray.pipelines.streaming import theil_sen_trend
+
+    days = pd.date_range("2024-02-01", periods=15, freq="D")
+    counts = 3 + 2 * np.arange(15)
+    counts[7] = 500  # outlier day
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for j in range(int(c)):
+            rows.append((eid, d + pd.to_timedelta(j, unit="s"), 1))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = theil_sen_trend(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert got["n_days"].iloc[0] == 15
+    assert got["n_pairs"].iloc[0] == 15 * 14 // 2
+    assert got["slope"].iloc[0] == 2.0  # robust to the planted spike
+    # direct recomputation
+    idx = np.arange(15, dtype=np.float64)
+    c = counts.astype(np.float64)
+    iu = np.triu_indices(15, k=1)
+    slopes = (c[None, :] - c[:, None])[iu] / (idx[None, :]
+                                              - idx[:, None])[iu]
+    sl = np.median(slopes)
+    assert abs(got["intercept"].iloc[0]
+               - np.median(c - sl * idx)) < 5.1e-7
+
+
+def test_dow_seasonality_planted_weekend_dip(ray_session, tmp_path):
+    """Weekdays at 10/day, weekend at 4/day: indices land exactly on
+    (10 or 4) / overall-mean; dow keying is Monday=0."""
+    from ocr_agent_ray.pipelines.streaming import dow_seasonality
+
+    days = pd.date_range("2024-01-01", periods=28, freq="D")  # Mon start
+    rows = []
+    eid = 0
+    for d in days:
+        c = 4 if d.dayofweek >= 5 else 10
+        for j in range(c):
+            rows.append((eid, d + pd.to_timedelta(j, unit="m"), 1))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["event_type"] = "view"
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = dow_seasonality(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.set_index("dow").sort_index()
+    mean_daily = (5 * 10 + 2 * 4) / 7.0
+    assert got.index.tolist() == list(range(7))
+    assert (got["n_days"] == 4).all()
+    for dow in range(5):
+        assert abs(got.loc[dow, "seasonal_index"]
+                   - 10.0 / mean_daily) < 5.1e-7
+    for dow in (5, 6):
+        assert abs(got.loc[dow, "seasonal_index"]
+                   - 4.0 / mean_daily) < 5.1e-7
