@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
         "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
         "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
+        "q_neighbor_jaccard": lambda sf: dedup.dup_graph_neighbor_jaccard(
+            _docs(sf)),
         "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(_docs(sf)),  # rows-only (iterative; dense-reference pytest)
         "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(_docs(sf)),
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
@@ -2432,6 +2434,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(COUNT(*) AS BIGINT) FROM w "
             "JOIN pairs p ON p.doc_id_a = w.b AND p.doc_id_b = w.c) "
             "AS n_triangles"
+        ),
+        "q_neighbor_jaccard": (
+            # per-edge neighborhood Jaccard over the same pair graph:
+            # common neighbors via wedges centered anywhere, degrees
+            # over the symmetrized edge list
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "sym AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM sym GROUP BY u), "
+            "wp AS (SELECT s1.v AS b, s2.v AS c FROM sym s1 "
+            "JOIN sym s2 ON s2.u = s1.u AND s2.v > s1.v), "
+            "com AS (SELECT b, c, CAST(COUNT(*) AS BIGINT) AS nc "
+            "FROM wp GROUP BY b, c) "
+            "SELECT p.doc_id_a, p.doc_id_b, "
+            "COALESCE(com.nc, 0) AS n_common, "
+            "ROUND(CAST(COALESCE(com.nc, 0) AS DOUBLE) / "
+            "CAST(da.d + db.d - COALESCE(com.nc, 0) AS DOUBLE), 6) "
+            "AS jaccard FROM pairs p "
+            "LEFT JOIN com ON com.b = p.doc_id_a AND com.c = p.doc_id_b "
+            "JOIN deg da ON da.u = p.doc_id_a "
+            "JOIN deg db ON db.u = p.doc_id_b"
         ),
         "q_order_priority_check": (
             "SELECT o_orderpriority, "

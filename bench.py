@@ -256,6 +256,7 @@ QUERY_NAMES = [
     "q_daily_autocorr",
     "q_theil_sen_trend",
     "q_dow_seasonality",
+    "q_neighbor_jaccard",
 ]
 
 

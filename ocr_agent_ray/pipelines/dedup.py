@@ -2286,3 +2286,128 @@ def dup_graph_hops(docs, *, threshold: float = 0.5, max_hops: int = 10,
         visited = visited.union(new).materialize()
         frontier = new
     return visited
+
+
+def dup_graph_neighbor_jaccard(docs, *, threshold: float = 0.5,
+                               num_buckets: int = 16):
+    """Neighborhood-Jaccard per EDGE of the near-duplicate graph — the
+    classic link-prediction / community-strength feature: for each
+    near-dup pair (a, b), J(N(a), N(b)) over the full neighbor sets.
+    High values mean a and b sit inside a dense template family (their
+    duplicates duplicate each other); values near 0 flag bridge edges
+    between otherwise unrelated clusters — useful for deciding whether
+    a transitive dedup merge is safe.
+
+    Dataset-native plan (the ``dup_graph_triangles`` idiom): symmetrize
+    edges → per-center unordered neighbor pairs via ``key_map_groups``
+    (each center emits C(deg,2) rows, one per common-neighbor claim) →
+    bucketed count per pair = |N(a) ∩ N(b)| → LEFT bucket join back
+    onto the edge set on a composite key (edges with no common
+    neighbor keep 0) → two bucketed degree joins. No driver
+    materialization of edges, wedges, or counts; hub blowup is bounded
+    by the pair threshold (at web scale, orient by degree first, as the
+    triangles docstring notes).
+
+    Columns: doc_id_a, doc_id_b, n_common, jaccard (ROUND 6).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda b: b[["doc_id_a", "doc_id_b"]],
+        batch_format="pandas", batch_size=65536).materialize()
+
+    sym = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["doc_id_a"].to_numpy(),
+                                 b["doc_id_b"].to_numpy()]),
+            "v": np.concatenate([b["doc_id_b"].to_numpy(),
+                                 b["doc_id_a"].to_numpy()])}),
+        batch_format="pandas", batch_size=65536)
+
+    deg = hash_partition_aggregate(
+        sym, ["u"], {"deg": ("v", "count")}, num_buckets=num_buckets)
+
+    def _npairs(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["v"].unique())
+        if len(nb) < 2:
+            return pd.DataFrame({"b": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({"b": nb[i], "c": nb[j]})
+
+    wedges = key_map_groups(sym, _npairs, key_col="u",
+                            num_buckets=num_buckets)
+    common = hash_partition_aggregate(
+        wedges.map_batches(lambda b: b.assign(n=np.int64(1)),
+                           batch_format="pandas", batch_size=65536),
+        ["b", "c"], {"n_common": ("n", "sum")}, num_buckets=num_buckets)
+
+    ek_edges = edges.map_batches(
+        lambda b: pd.DataFrame({
+            "ek": b["doc_id_a"].astype(str) + ":"
+                  + b["doc_id_b"].astype(str),
+            "doc_id_a": b["doc_id_a"].astype("int64"),
+            "doc_id_b": b["doc_id_b"].astype("int64")}),
+        batch_format="pandas", batch_size=65536)
+    ek_common = common.map_batches(
+        lambda b: pd.DataFrame({
+            "ek": b["b"].astype(str) + ":" + b["c"].astype(str),
+            "n_common": b["n_common"].astype("int64")}),
+        batch_format="pandas", batch_size=65536)
+    j1 = bucket_hash_join(
+        ek_edges, ek_common, on="ek", how="left",
+        num_buckets=num_buckets,
+        left_schema=pa.schema([("ek", pa.string()),
+                               ("doc_id_a", pa.int64()),
+                               ("doc_id_b", pa.int64())]),
+        right_schema=pa.schema([("ek", pa.string()),
+                                ("n_common", pa.int64())]))
+
+    dega = deg.map_batches(
+        lambda b: pd.DataFrame({"doc_id_a": b["u"].astype("int64"),
+                                "deg_a": b["deg"].astype("int64")}),
+        batch_format="pandas", batch_size=65536)
+    degb = deg.map_batches(
+        lambda b: pd.DataFrame({"doc_id_b": b["u"].astype("int64"),
+                                "deg_b": b["deg"].astype("int64")}),
+        batch_format="pandas", batch_size=65536)
+    j2 = bucket_hash_join(
+        j1, dega, on="doc_id_a", how="inner", num_buckets=num_buckets,
+        left_schema=pa.schema([("ek", pa.string()),
+                               ("doc_id_a", pa.int64()),
+                               ("doc_id_b", pa.int64()),
+                               ("n_common", pa.int64())]),
+        right_schema=pa.schema([("doc_id_a", pa.int64()),
+                                ("deg_a", pa.int64())]))
+    j3 = bucket_hash_join(
+        j2, degb, on="doc_id_b", how="inner", num_buckets=num_buckets,
+        left_schema=pa.schema([("ek", pa.string()),
+                               ("doc_id_a", pa.int64()),
+                               ("doc_id_b", pa.int64()),
+                               ("n_common", pa.int64()),
+                               ("deg_a", pa.int64())]),
+        right_schema=pa.schema([("doc_id_b", pa.int64()),
+                                ("deg_b", pa.int64())]))
+
+    def _close(b: pd.DataFrame) -> pd.DataFrame:
+        from ocr_agent_ray.functions.textstats import round_half_away
+
+        nc = b["n_common"].fillna(0).to_numpy(dtype=np.int64)
+        da = b["deg_a"].to_numpy(dtype=np.int64)
+        db = b["deg_b"].to_numpy(dtype=np.int64)
+        union = (da + db - nc).astype(np.float64)
+        return pd.DataFrame({
+            "doc_id_a": b["doc_id_a"].astype("int64"),
+            "doc_id_b": b["doc_id_b"].astype("int64"),
+            "n_common": nc,
+            "jaccard": round_half_away(
+                nc.astype(np.float64) / union, 6)})
+
+    return j3.map_batches(_close, batch_format="pandas",
+                          batch_size=65536)

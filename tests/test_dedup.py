@@ -621,3 +621,25 @@ def test_dup_graph_hops_chain_and_both_tiers(ray_session):
         else native.to_pandas()
     assert set(map(tuple, native[["doc_id", "root_id", "hops"]]
                    .to_numpy())) == want
+
+
+def test_neighbor_jaccard_triangle_and_pendant(ray_session):
+    """Planted K3 (three identical docs) + an isolated exact-dup pair:
+    every triangle edge has one common neighbor (J = 1/3), the pendant
+    edge has none (J = 0, surviving the LEFT join with n_common 0)."""
+    from ocr_agent_ray.pipelines.dedup import dup_graph_neighbor_jaccard
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [t1, t1, t1, t2, t2],
+    })
+    got = dup_graph_neighbor_jaccard(rd.from_pandas(docs))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    assert list(map(tuple, got[["doc_id_a", "doc_id_b"]].to_numpy())) \
+        == [(1, 2), (1, 3), (2, 3), (4, 5)]
+    assert got["n_common"].tolist() == [1, 1, 1, 0]
+    assert got.loc[:2, "jaccard"].tolist() == [0.333333] * 3
+    assert got.loc[3, "jaccard"] == 0.0
