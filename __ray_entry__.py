@@ -2263,15 +2263,18 @@ def oracle_sql() -> dict[str, str]:
         "q_unicode_clean": (
             # same rules, same order: tab/newline -> space, control
             # strip, THEN NFC (nfc_normalize truncates at embedded NUL,
-            # so controls must go first), collapse, trim
+            # so controls must go first), collapse, trim. COALESCE pins
+            # NULL text to '' on both sides (the pipeline fillna('')s),
+            # so a NULL row is (clean_text='', changed=0), not NULLs.
             "SELECT doc_id, trim(regexp_replace(nfc_normalize("
-            "regexp_replace(regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), "
+            "regexp_replace(regexp_replace(COALESCE(text, ''), "
+            "'[\\t\\n\\r]', ' ', 'g'), "
             "'[\\x00-\\x1f\\x7f-\\x9f]', '', 'g')), '  +', ' ', 'g'), "
             "' ') AS clean_text, "
             "CAST(trim(regexp_replace(nfc_normalize(regexp_replace("
-            "regexp_replace(text, '[\\t\\n\\r]', ' ', 'g'), "
+            "regexp_replace(COALESCE(text, ''), '[\\t\\n\\r]', ' ', 'g'), "
             "'[\\x00-\\x1f\\x7f-\\x9f]', '', 'g')), '  +', ' ', 'g'), ' ') "
-            "<> text AS BIGINT) AS changed FROM documents"
+            "<> COALESCE(text, '') AS BIGINT) AS changed FROM documents"
         ),
         "q_price_band_join": (
             # non-equi band self-join, canonical (price, key) ascending

@@ -40,7 +40,34 @@ from ocr_agent_ray.pipelines import smb
 from ocr_agent_ray.pipelines.joins import stable_bucket_array
 
 _META = "_invindex_meta.json"
-INDEX_VERSION = 1
+INDEX_VERSION = 2
+
+
+def source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the documents table backing an index.
+
+    Hashes the (relative path, size, mtime_ns) of every file under
+    ``documents.parquet`` / ``documents.lance`` in ``sf_dir`` — cheap
+    stat calls only, no data read — so regenerating the table in place
+    invalidates a persisted index built from the old rows."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in ("documents.parquet", "documents.lance"):
+        root = os.path.join(sf_dir, name)
+        if os.path.isfile(root):
+            st = os.stat(root)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        elif os.path.isdir(root):
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames.sort()
+                for f in sorted(filenames):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    rel = os.path.relpath(p, sf_dir)
+                    h.update(
+                        f"{rel}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
 
 
 def build_inverted_index(sf_dir: str, index_dir: str, *,
@@ -70,7 +97,8 @@ def build_inverted_index(sf_dir: str, index_dir: str, *,
                                   num_buckets=num_buckets)
     meta = {"version": INDEX_VERSION, "n_docs": n_docs,
             "num_buckets": num_buckets, "postings": manifest["rows"],
-            "source": os.path.abspath(sf_dir)}
+            "source": os.path.abspath(sf_dir),
+            "fingerprint": source_fingerprint(sf_dir)}
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -193,17 +221,36 @@ def indexed_keyword_search(sf_dir: str, *, k: int = 20,
         index_dir = f"/tmp/graft_invindex/{tag}"
     marker = os.path.join(index_dir, _META)
     want_src = os.path.abspath(sf_dir)
+    want_fp = source_fingerprint(sf_dir)
     ok = False
     if os.path.exists(marker):
         try:
             m = _load_meta(index_dir)
-            ok = m.get("version") == INDEX_VERSION and \
-                m.get("source") == want_src
+            ok = (m.get("version") == INDEX_VERSION
+                  and m.get("source") == want_src
+                  and m.get("fingerprint") == want_fp)
         except (json.JSONDecodeError, OSError):
             ok = False
     if not ok:
         import shutil
+        import uuid
 
-        shutil.rmtree(index_dir, ignore_errors=True)
-        build_inverted_index(sf_dir, index_dir)
+        # Build into a private temp dir, then swap it in with renames so
+        # a concurrent reader never sees a half-built (or vanishing)
+        # index: the old dir is renamed aside first — open handles keep
+        # working on POSIX — and only then removed.
+        parent = os.path.dirname(index_dir) or "."
+        os.makedirs(parent, exist_ok=True)
+        tmp = f"{index_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        trash = f"{index_dir}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        build_inverted_index(sf_dir, tmp)
+        try:
+            if os.path.exists(index_dir):
+                os.rename(index_dir, trash)
+            os.rename(tmp, index_dir)
+        except OSError:
+            # Lost a swap race to a concurrent builder: its index is as
+            # fresh as ours (same fingerprint gate) — use it.
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
     return search_index(index_dir, _SEARCH_QUERIES, k=k)

@@ -3759,7 +3759,13 @@ def price_band_join(sf_dir: str, *, delta: float = 2.0,
             "key": b["o_orderkey"].to_numpy(dtype=np.int64),
             "price": v, "role": np.int8(0),
             "__b": vb.astype("int32")})
-        sliver = (v - vmin) - vb * width < delta
+        # Inclusive sliver margin (<= plus a relative ulp guard): a pair
+        # exactly delta apart straddling a bucket edge must still get a
+        # downward copy even when float truncation placed the anchor a
+        # half-ulp below the reconstructed edge. An extra copy cannot
+        # duplicate output — each pair is emitted only in its anchor's
+        # bucket (role-0 rows never copy).
+        sliver = (v - vmin) - vb * width <= delta * (1.0 + 1e-9)
         sliver &= vb > 0
         below = pd.DataFrame({
             "key": anchor["key"].to_numpy()[sliver],

@@ -2247,6 +2247,11 @@ def naive_bayes_langid(sf_dir: str):
     # Per-class token totals: k values, mergeable partials.
     tl = combine_partials_driver(dwc, ["lang"], {"t": ("n", "sum")})
     t_by_lang = dict(zip(tl["lang"], tl["t"].astype(np.int64)))
+    # A lang whose every doc has zero tokens never reaches dwc; the SQL
+    # twin's INNER JOIN on the totals CTE drops such candidate classes,
+    # so mirror that here instead of KeyError-ing on t_by_lang[l].
+    langs = [l for l in langs if l in t_by_lang]
+    k = len(langs)
 
     # Class-conditional counts pivoted wide per word. Each word's k rows
     # are co-resident in its bucket, so the pivot happens inside the
@@ -2421,8 +2426,13 @@ def textrank_keywords(sf_dir: str, *, k: int = 5, damping: float = 0.85,
         s, t = node_of[:-1][same_doc], node_of[1:][same_doc]
         keep = s != t
         s, t = s[keep], t[keep]
-        if len(s) == 0:
-            return empty
+        # No early-out on an edge-less batch: isolated nodes must score
+        # (1-damping) regardless of which docs share their Ray block —
+        # the zero-edge arrays flow through the scatter-adds unchanged,
+        # leaving every node at the converged isolated score. (An early
+        # `return empty` here made the row set batch-boundary-dependent:
+        # the same single-token doc appeared when co-batched with an
+        # edge-bearing doc but vanished alone.)
         src = np.concatenate([s, t])
         dst = np.concatenate([t, s])
         # collapse parallel edges into weights

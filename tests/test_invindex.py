@@ -119,3 +119,43 @@ def test_stale_index_rebuilds(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         r1.sort_values(["query_id", "doc_id"]).reset_index(drop=True),
         r2.sort_values(["query_id", "doc_id"]).reset_index(drop=True))
+
+
+def test_regenerated_table_invalidates_index(ray_session, tmp_path):
+    """ADVICE r4 (medium): regenerating documents.parquet in the same
+    sf_dir must invalidate the persisted index — the content
+    fingerprint in the meta, not just (version, source), gates reuse."""
+    from ocr_agent_ray.pipelines.invindex import indexed_keyword_search
+
+    _corpus(tmp_path, n=40, seed=3)
+    idx = str(tmp_path / "fpidx")
+    r1 = indexed_keyword_search(str(tmp_path), index_dir=idx).to_pandas()
+
+    # regenerate the table IN PLACE with different content: every doc
+    # now contains both "join" and "hash", so query 0 must hit all docs
+    df = pd.DataFrame({"doc_id": range(10),
+                       "text": ["join hash extra"] * 10})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    r2 = indexed_keyword_search(str(tmp_path), index_dir=idx).to_pandas()
+    q0 = r2[r2["query_id"] == 0]
+    assert len(q0) == 10, "stale index served after table regeneration"
+    assert not r1.equals(r2)
+
+
+def test_index_build_is_atomic_swap(ray_session, tmp_path):
+    """The rebuild writes to a temp dir and swaps via rename — no
+    window where index_dir exists half-built, and no .build/.old
+    leftovers after the swap."""
+    import os
+
+    from ocr_agent_ray.pipelines.invindex import indexed_keyword_search
+
+    _corpus(tmp_path, n=20, seed=5)
+    idx = str(tmp_path / "atomicidx")
+    indexed_keyword_search(str(tmp_path), index_dir=idx)
+    parent = os.path.dirname(idx)
+    leftovers = [d for d in os.listdir(parent)
+                 if d.startswith(os.path.basename(idx) + ".")]
+    assert leftovers == [], leftovers
+    assert os.path.exists(os.path.join(idx, "_invindex_meta.json"))

@@ -309,3 +309,37 @@ def test_price_band_join_fuzz_vs_bruteforce(ray_session, tmp_path):
     want = _brute_band_pairs(keys.tolist(), vals.tolist(), 3.0)
     assert got_pairs == want
     assert len(want) > 100  # the fuzz actually exercises pair volume
+
+
+def test_price_band_join_exact_delta_at_dirty_edges(ray_session, tmp_path):
+    """ADVICE r4: pairs EXACTLY delta apart straddling a bucket edge,
+    with dirty (non-representable) decimal anchors so the truncated
+    division can place the anchor a half-ulp off the reconstructed
+    edge — the inclusive sliver margin must keep every such pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import price_band_join
+
+    rng = np.random.default_rng(23)
+    # dirty anchors on a 0.1 grid; each plants its exact-delta partner
+    anchors = np.round(rng.uniform(0.1, 400.0, size=150) * 10) / 10.0
+    vals = np.concatenate([anchors, anchors + 2.0,
+                           rng.uniform(0, 410, size=100)])
+    keys = np.arange(1, len(vals) + 1, dtype=np.int64)
+    for nb in (4, 16, 64):
+        pq.write_table(pa.table({"o_orderkey": keys,
+                                 "o_totalprice": vals}),
+                       str(tmp_path / "orders.parquet"))
+        got = price_band_join(str(tmp_path), delta=2.0,
+                              num_buckets=nb).to_pandas()
+        got_pairs = sorted(zip(got["key_a"], got["key_b"]))
+        # the SQL twin (and the kernel) pin the b <= a + delta float
+        # form, NOT (b - a) <= delta — the two differ by an ulp on
+        # dirty anchors, so the reference must use the twin's form
+        want = sorted(
+            (int(keys[i]), int(keys[j]))
+            for i in range(len(vals)) for j in range(len(vals))
+            if ((vals[i], keys[i]) < (vals[j], keys[j])
+                and vals[j] <= vals[i] + 2.0))
+        assert got_pairs == want, f"num_buckets={nb}"

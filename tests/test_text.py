@@ -703,3 +703,96 @@ def test_copurchase_triples_planted(ray_session, tmp_path):
     assert got[["part_a", "part_b", "part_c"]].values.tolist() == \
         [[10, 20, 30]]
     assert got["n_orders"].tolist() == [3]
+
+
+def test_naive_bayes_langid_zero_token_lang(ray_session, tmp_path):
+    """ADVICE r4: a lang whose EVERY doc has zero tokens must be
+    dropped as a candidate class (the SQL twin's INNER JOIN on the
+    per-class totals CTE), not KeyError the pipeline."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from ocr_agent_ray.pipelines.text import naive_bayes_langid
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "lang": ["aa", "aa", "bb", "bb", "zz"],   # zz: only a no-token doc
+        "text": ["alpha beta alpha", "alpha alpha gamma",
+                 "uno dos uno", "dos dos tres", "..."],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    got = (naive_bayes_langid(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.execute(entry.oracle_sql()["q_naive_bayes_langid"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], atol=2e-6)
+    # zz is never predicted (no token evidence -> dropped candidate)
+    assert "zz" not in set(got["pred_lang"])
+
+
+def test_textrank_isolated_nodes_batch_independent(ray_session, tmp_path):
+    """ADVICE r4: a doc whose graph has no edges (single distinct
+    token) must appear in the output with the converged isolated score
+    (1 - damping) whether or not an edge-bearing doc shares its Ray
+    block — the row set may not depend on batching."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import textrank_keywords
+
+    solo = {"doc_id": 1, "text": "lonely lonely lonely"}
+    edgy = {"doc_id": 2, "text": "alpha beta alpha beta gamma"}
+
+    # corpus A: the isolated doc ALONE (whole batch edge-less)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame([solo]),
+                                        preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    a = textrank_keywords(str(tmp_path), k=3).to_pandas()
+    assert a["doc_id"].tolist() == [1]
+    assert a["word"].tolist() == ["lonely"]
+    assert abs(a["score"].iloc[0] - 0.15) < 1e-9
+
+    # corpus B: co-batched with an edge-bearing doc — identical rows
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame([solo, edgy]),
+                                        preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    b = textrank_keywords(str(tmp_path), k=3).to_pandas()
+    b1 = b[b["doc_id"] == 1].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b1)
+
+
+def test_unicode_clean_null_text_matches_twin(ray_session, tmp_path):
+    """ADVICE r4: NULL text is pinned to (clean_text='', changed=0) on
+    BOTH sides via COALESCE in the twin / fillna in the pipeline."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from ocr_agent_ray.pipelines.text import unicode_clean
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["plain", None, " pad  me "]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = (unicode_clean(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = (con.execute(entry.oracle_sql()["q_unicode_clean"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["changed"].tolist() == want["changed"].tolist()
+    assert got.loc[1, "clean_text"] == "" and got.loc[1, "changed"] == 0
