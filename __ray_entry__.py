@@ -304,7 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_indexed_search": invindex.indexed_keyword_search,
         "q_bm25_search": text.bm25_search,
         "q_mixture_weights": text.mixture_weights,
-        "q_dup_source_matrix": dedup.dup_pair_source_matrix,
+        "q_dup_source_matrix": lambda sf: dedup.dup_pair_source_matrix(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
         "q_bpe_merges": text.learn_bpe_merges,  # rows-only (iterative tokenizer training; golden pytest)
         "q_bpe_compression": text.bpe_compression_stats,  # rows-only (applies the trained merges; invariant pytest)
         "q_bigram_perplexity": text.bigram_perplexity,
@@ -403,15 +404,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": lambda sf: dedup.simhash_dedup(_docs(sf)),       # rows-only
         "q_ngram_jaccard": lambda sf: dedup.ngram_jaccard_all_pairs(_docs(sf)),
         "q_ngram_containment": lambda sf: dedup.ngram_containment_all_pairs(_docs(sf)),
-        "q_ngram_dedup_apply": dedup.ngram_dedup_apply,
-        "q_ngram_dup_degrees": dedup.ngram_dup_degree_distribution,
-        "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(_docs(sf)),
+        "q_ngram_dedup_apply": lambda sf: dedup.ngram_dedup_apply(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
+        "q_ngram_dup_degrees": lambda sf: dedup.ngram_dup_degree_distribution(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
+        "q_dup_graph_triangles": lambda sf: dedup.dup_graph_triangles(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_neighbor_jaccard": lambda sf: dedup.dup_graph_neighbor_jaccard(
-            _docs(sf)),
-        "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(_docs(sf)),  # rows-only (iterative; dense-reference pytest)
-        "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(_docs(sf)),
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
+        "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),  # rows-only (iterative; dense-reference pytest)
+        "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_ngram_dup_clusters": lambda sf: dedup.duplicate_clusters(
-            dedup.ngram_jaccard_all_pairs(_docs(sf))
+            dedup.shared_ngram_pairs(sf)
         ),
         "q_embedding_near_dup": lambda sf: dedup.embedding_near_dup(
             _emb(sf), threshold=0.3
@@ -454,7 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_html_main_text": _html_main_text,  # rows-only (DOM heuristic)
         # --- round-4 second-session additions (appended AFTER the
         # sampled window so the rotation above stays intact)
-        "q_dedup_best_survivor": dedup.dedup_best_survivor,
+        "q_dedup_best_survivor": lambda sf: dedup.dedup_best_survivor(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
         "q_contamination_fraction": text.contamination_fraction,
         "q_type_token_stats": text.type_token_stats,
         "q_user_rfm": streaming.user_rfm,
@@ -472,7 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dominant_suppliers": relational.q20_dominant_suppliers,
         "q_views_before_purchase": streaming.views_before_purchase,
         "q_dup_graph_kcore": lambda sf: dedup.dup_graph_kcore(
-            _docs(sf), k=2
+            _docs(sf), k=2, pairs=dedup.shared_ngram_pairs(sf)
         ),  # rows-only (iterative peel; brute-force-peel pytest)
         "q_smb_orders_customer": _smb_orders_customer,
     }

@@ -506,7 +506,8 @@ def semantic_dedup_kmeans(sf_dir: str, *, k: int = 8, iters: int = 3,
     return key_map_groups(assigned, kern, key_col="cluster", num_buckets=8)
 
 
-def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
+def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4,
+                      pairs=None):
     """End-to-end near-dup dedup APPLICATION: exact n-gram Jaccard pairs
     → connected components → keep one representative (the component's
     min doc_id) → emit the surviving corpus rows. The whole chain is
@@ -521,7 +522,8 @@ def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
     from ocr_agent_ray.sources.readers import read_table
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
     clusters = duplicate_clusters(pairs)
     cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
     drop = cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"]
@@ -530,7 +532,8 @@ def ngram_dedup_apply(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
     return broadcast_semi_filter(out, drop, "doc_id", keep=False)
 
 
-def dedup_best_survivor(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
+def dedup_best_survivor(sf_dir: str, *, threshold: float = 0.5, n: int = 4,
+                        pairs=None):
     """Quality-aware near-dup survivor election (the RefinedWeb/FineWeb
     variant of ngram_dedup_apply): exact n-gram Jaccard pairs → connected
     components → keep the HIGHEST-QUALITY doc per cluster (quality =
@@ -547,7 +550,8 @@ def dedup_best_survivor(sf_dir: str, *, threshold: float = 0.5, n: int = 4):
     from ocr_agent_ray.sources.readers import read_table
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
     clusters = duplicate_clusters(pairs)
     cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
 
@@ -906,6 +910,87 @@ def ngram_jaccard_all_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id
     return scored.map_batches(_filter, batch_format="pandas")
 
 
+PAIRS_CACHE_VERSION = 1
+
+
+def shared_ngram_pairs(sf_dir: str, *, threshold: float = 0.5, n: int = 4,
+                       cache_root: str = "/tmp/graft_dup_pairs"):
+    """Materialize-once / read-many near-dup pair table (VERDICT r4 #1).
+
+    Six graph-analytics queries (hops, k-core, pagerank, triangles,
+    neighbor-Jaccard, source-matrix) all consume the SAME exact n-gram
+    Jaccard pair set; rebuilding it per query re-runs the inverted-index
+    exchange and the two verification joins six times per corpus. This
+    persists the pair table ONCE per (corpus fingerprint, threshold, n)
+    as partitioned parquet under ``cache_root`` and returns a Dataset
+    reading it — the invindex persist pattern (content fingerprint in
+    the meta gates staleness; temp-dir build + rename swap keeps
+    concurrent readers safe). At 100 TB this is the difference between
+    one pair-build per corpus version and one per downstream query."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.invindex import source_fingerprint
+    from ocr_agent_ray.sources.readers import read_table
+
+    tag = os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    key = f"thr{threshold:g}_n{n}_v{PAIRS_CACHE_VERSION}"
+    cache_dir = os.path.join(cache_root, tag, key)
+    marker = os.path.join(cache_dir, "_pairs_meta.json")
+    want_fp = source_fingerprint(sf_dir)
+
+    def _load_ok():
+        try:
+            with open(marker) as f:
+                m = json.load(f)
+            if (m.get("version") == PAIRS_CACHE_VERSION
+                    and m.get("fingerprint") == want_fp):
+                return m
+        except (json.JSONDecodeError, OSError):
+            pass
+        return None
+
+    meta = _load_ok() if os.path.exists(marker) else None
+    if meta is None:
+        docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+        mat = ngram_jaccard_all_pairs(
+            docs, threshold=threshold, n=n).materialize()
+        n_rows = int(mat.count())
+        os.makedirs(os.path.dirname(cache_dir), exist_ok=True)
+        tmp = f"{cache_dir}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        if n_rows:
+            mat.write_parquet(os.path.join(tmp, "data"))
+        with open(os.path.join(tmp, "_pairs_meta.json"), "w") as f:
+            json.dump({"version": PAIRS_CACHE_VERSION,
+                       "fingerprint": want_fp, "rows": n_rows,
+                       "threshold": threshold, "n": n}, f)
+        trash = f"{cache_dir}.old-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            if os.path.exists(cache_dir):
+                os.rename(cache_dir, trash)
+            os.rename(tmp, cache_dir)
+        except OSError:
+            # lost the swap race to a concurrent builder whose index is
+            # equally fresh (same fingerprint gate) — read theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        meta = _load_ok()
+        if meta is None:  # should not happen; rebuild-in-memory fallback
+            return mat
+
+    if not meta.get("rows"):
+        return rd.from_arrow(pa.table({
+            "doc_id_a": pa.array([], pa.int64()),
+            "doc_id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    return rd.read_parquet(os.path.join(cache_dir, "data"))
+
+
 def ngram_containment_all_pairs(ds, *, text_col: str = "text",
                                 id_col: str = "doc_id", n: int = 4,
                                 threshold: float = 0.8):
@@ -1161,7 +1246,7 @@ def duplicate_gram_spans(ds, *, n: int = 8, text_col: str = "text",
 
 
 def ngram_dup_degree_distribution(sf_dir: str, *, threshold: float = 0.5,
-                                  n: int = 4):
+                                  n: int = 4, pairs=None):
     """Degree distribution of the near-dup pair graph — the health
     metric that tells a corpus owner whether duplication is pairwise
     (degree 1) or hub-shaped (boilerplate families). Per-doc degrees
@@ -1174,7 +1259,8 @@ def ngram_dup_degree_distribution(sf_dir: str, *, threshold: float = 0.5,
     from ocr_agent_ray.sources.readers import read_table
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
 
     def _sym(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1457,7 +1543,7 @@ def cdc_chunk_dedup(ds, *, window: int = 16, mask_bits: int = 6,
     })
 
 
-def dup_graph_triangles(docs, *, threshold: float = 0.5):
+def dup_graph_triangles(docs, *, threshold: float = 0.5, pairs=None):
     """Triangle count of the near-duplicate graph — the cluster-density
     signal (triangle-rich dup graphs mean template families rather than
     pairwise accidents). Distributed node-iterator shape over the exact
@@ -1477,7 +1563,8 @@ def dup_graph_triangles(docs, *, threshold: float = 0.5):
     from ocr_agent_ray.pipelines.exchange import key_map_groups
     from ocr_agent_ray.pipelines.joins import bucket_semi_join
 
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
     edges = pairs.map_batches(
         lambda b: b[["doc_id_a", "doc_id_b"]],
         batch_format="pandas", batch_size=65536).materialize()
@@ -1522,7 +1609,7 @@ def dup_graph_triangles(docs, *, threshold: float = 0.5):
 
 def dup_graph_pagerank(docs, *, threshold: float = 0.5, damping: float = 0.85,
                        iters: int = 20, driver_max_edges: int = 2_000_000,
-                       num_buckets: int = 16):
+                       num_buckets: int = 16, pairs=None):
     """PageRank over the (undirected) near-duplicate graph — ranks the
     'template hubs' whose text radiates through the corpus; the classic
     iterative graph algorithm expressed in the engine's idiom.
@@ -1539,7 +1626,8 @@ def dup_graph_pagerank(docs, *, threshold: float = 0.5, damping: float = 0.85,
     power iteration on BOTH paths."""
     import pandas as pd
 
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
     # symmetric (src, dst): each undirected edge contributes both ways
     edges = pairs.map_batches(
         lambda b: pd.concat([
@@ -1648,7 +1736,7 @@ def _pagerank_native(edges, *, damping: float, iters: int,
 
 
 def dup_graph_kcore(docs, *, k: int = 2, threshold: float = 0.5,
-                    max_rounds: int = 100):
+                    max_rounds: int = 100, pairs=None):
     """k-core of the near-duplicate graph — the iterative-peel shape:
     repeatedly drop nodes with degree < k until fixpoint. The surviving
     core separates dense template families (every member near-dups ≥ k
@@ -1670,7 +1758,8 @@ def dup_graph_kcore(docs, *, k: int = 2, threshold: float = 0.5,
     from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
     from ocr_agent_ray.pipelines.joins import bucket_anti_join
 
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
     # symmetric edge list: degree(src) = row count per src
     edges = pairs.map_batches(
         lambda b: pd.DataFrame({
@@ -1941,7 +2030,7 @@ class MinHashStore:
 
 
 def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
-                           n: int = 4):
+                           n: int = 4, pairs=None):
     """Near-dup SOURCE-pair matrix — the corpus diagnostic that tells you
     WHERE duplication lives: counts of exact word-n-gram Jaccard pairs
     (ngram_jaccard_all_pairs, recall 1.0) grouped by the unordered pair
@@ -1957,7 +2046,8 @@ def dup_pair_source_matrix(sf_dir: str, *, threshold: float = 0.5,
     from ocr_agent_ray.sources.readers import read_table
 
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold, n=n)
 
     def _src(col_out: str):
         def _fn(b: pd.DataFrame) -> pd.DataFrame:
@@ -2174,7 +2264,7 @@ def audio_dup_pairs_query(sf_dir: str):
 
 def dup_graph_hops(docs, *, threshold: float = 0.5, max_hops: int = 10,
                    driver_max_edges: int = 2_000_000,
-                   num_buckets: int = 16):
+                   num_buckets: int = 16, pairs=None):
     """Multi-source BFS over the near-duplicate graph: hop distance from
     each component's canonical root (its minimum doc_id — the node
     ``duplicate_clusters`` elects and dedup-apply keeps) to every member
@@ -2193,7 +2283,8 @@ def dup_graph_hops(docs, *, threshold: float = 0.5, max_hops: int = 10,
     the driver. Output: (doc_id, root_id, hops)."""
     import pandas as pd
 
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
     edges = pairs.map_batches(
         lambda b: pd.concat([
             pd.DataFrame({"src": b["doc_id_a"], "dst": b["doc_id_b"]}),
@@ -2289,7 +2380,7 @@ def dup_graph_hops(docs, *, threshold: float = 0.5, max_hops: int = 10,
 
 
 def dup_graph_neighbor_jaccard(docs, *, threshold: float = 0.5,
-                               num_buckets: int = 16):
+                               num_buckets: int = 16, pairs=None):
     """Neighborhood-Jaccard per EDGE of the near-duplicate graph — the
     classic link-prediction / community-strength feature: for each
     near-dup pair (a, b), J(N(a), N(b)) over the full neighbor sets.
@@ -2317,7 +2408,8 @@ def dup_graph_neighbor_jaccard(docs, *, threshold: float = 0.5,
     from ocr_agent_ray.pipelines.exchange import key_map_groups
     from ocr_agent_ray.pipelines.joins import bucket_hash_join
 
-    pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
     edges = pairs.map_batches(
         lambda b: b[["doc_id_a", "doc_id_b"]],
         batch_format="pandas", batch_size=65536).materialize()

@@ -643,3 +643,44 @@ def test_neighbor_jaccard_triangle_and_pendant(ray_session):
     assert got["n_common"].tolist() == [1, 1, 1, 0]
     assert got.loc[:2, "jaccard"].tolist() == [0.333333] * 3
     assert got.loc[3, "jaccard"] == 0.0
+
+
+def test_shared_ngram_pairs_cache(ray_session, tmp_path):
+    """VERDICT r4 #1: the persisted pair table is value-identical to a
+    fresh build, serves cache hits without rebuilding, and a
+    regenerated corpus invalidates it (content fingerprint)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.dedup import (ngram_jaccard_all_pairs,
+                                               shared_ngram_pairs)
+
+    texts = [BASE, BASE, BASE.replace("dog", "cat"),
+             "totally different words entirely unrelated content here"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    root = str(tmp_path / "paircache")
+
+    fresh = (ngram_jaccard_all_pairs(
+        rd.read_parquet(str(tmp_path / "documents.parquet")))
+        .to_pandas().sort_values(["doc_id_a", "doc_id_b"])
+        .reset_index(drop=True))
+    c1 = (shared_ngram_pairs(str(tmp_path), cache_root=root).to_pandas()
+          .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+    c2 = (shared_ngram_pairs(str(tmp_path), cache_root=root).to_pandas()
+          .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fresh, c1[fresh.columns])
+    pd.testing.assert_frame_equal(fresh, c2[fresh.columns])
+    assert len(fresh) >= 2  # the planted exact + near pairs
+
+    # regenerate the corpus -> the cache must rebuild, not serve stale
+    df2 = pd.DataFrame({"doc_id": [0, 1], "text": ["x y z w", "a b c d"]})
+    pq.write_table(pa.Table.from_pandas(df2, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    c3 = shared_ngram_pairs(str(tmp_path), cache_root=root)
+    assert c3.count() == 0  # no shared 4-grams in the regenerated corpus
+
+    # empty pair set keeps the declared Dataset schema (to_pandas() of
+    # an empty Dataset drops columns — a Ray quirk, so check the schema)
+    assert c3.schema().names == ["doc_id_a", "doc_id_b", "jaccard"]
