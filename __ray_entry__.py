@@ -492,34 +492,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # NO prior round sampled (84% previously-unsampled), moving union
     # driver coverage from 94 toward all 180. The rotation history lives
     # in NOTES.md; round 5 should rotate onto the ~32 still-unsampled.
+    # ROUND-5 window: same 8-entry marquee core; the other 42 slots are
+    # oracled queries NO prior round (r1-r4 union = 136 keys) sampled —
+    # 84% previously-unsampled, moving union driver coverage toward all
+    # 212 oracles. Includes the ten NOTES.md queued names plus the
+    # session-5/6/7 additions. History in NOTES.md.
     priority = [
         # marquee core (kept every round)
         "q_flagship_span_counts", "q_media_manifest", "q_page_fanout",
         "q_exact_dedup", "q_minhash_pairs", "q_ngram_jaccard",
         "q_curation_funnel", "q_sessionize",
-        # relational / TPC-H shapes — never driver-sampled before
-        "q_q6_revenue", "q_large_orders", "q_shipping_priority",
-        "q_regional_supplier_volume", "q_returned_items",
-        "q_order_priority_check", "q_promo_revenue",
-        "q_customer_order_distribution", "q_customers_no_urgent_anti",
-        "q_urgent_customers_semi", "q_bloom_pruned_join",
-        "q_fuzzy_name_pairs", "q_customer_event_outer",
-        "q_join_size_profile", "q_null_aware_stats", "q_cube_counts",
-        "q_rollup_counts",
-        # window / streaming — never driver-sampled before
-        "q_event_window_ranks", "q_trailing_hour_sum",
-        "q_trailing_week_active", "q_rolling_avg_value",
-        "q_event_transitions", "q_daily_counts_gapfilled",
-        "q_cumulative_new_users", "q_cohort_retention_matrix",
-        "q_three_step_funnel", "q_first_touch_attribution",
-        "q_time_to_convert", "q_decayed_user_scores", "q_order_gap_days",
-        "q_event_streaks", "q_incremental_daily_counts",
-        # text curation / analysis — never driver-sampled before
-        "q_top_collocations", "q_zipf_fit", "q_source_vocab_overlap",
-        "q_sentence_stats", "q_chunk_documents", "q_source_quota_cap",
-        "q_train_val_test_split", "q_mixture_sample",
-        # embeddings — never driver-sampled before
-        "q_embedding_outliers", "q_label_centroids",
+        # NOTES.md round-5 queue — never driver-sampled before
+        "q_readability", "q_markov_next_event", "q_ewma_value",
+        "q_price_band_join", "q_dup_graph_hops", "q_copurchase_pairs",
+        "q_event_throttle", "q_psi_value_drift", "q_copurchase_triples",
+        "q_unicode_clean",
+        # near-dup graph family (shared pairs cache this round)
+        "q_neighbor_jaccard", "q_dup_graph_triangles",
+        "q_dup_source_matrix", "q_dedup_best_survivor",
+        # relational / TPC-H closers — never driver-sampled before
+        "q_min_cost_supplier", "q_important_parts",
+        "q_returnflag_priority", "q_supplier_cnt_by_part",
+        "q_dominant_suppliers", "q_late_supplier_blame",
+        "q_edit_distance_pairs", "q_entity_resolution",
+        "q_smb_orders_customer",
+        # streaming / temporal — never driver-sampled before
+        "q_nearest_event_join", "q_daily_autocorr", "q_theil_sen_trend",
+        "q_dow_seasonality", "q_scd2_intervals", "q_merge_cdc",
+        "q_linear_attribution", "q_views_before_purchase", "q_user_rfm",
+        # text curation / statistics — never driver-sampled before
+        "q_naive_bayes_langid", "q_indexed_search", "q_pareto_skyline",
+        "q_gini_doc_lengths", "q_blocklist_hits", "q_boilerplate_strip",
+        "q_contamination_fraction", "q_type_token_stats",
+        "q_benford_digits", "q_chi_square",
     ]
     assert len(priority) == 50, len(priority)
     assert all(k in qs for k in priority), [k for k in priority
