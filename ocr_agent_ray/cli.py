@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 EXIT_NOTHING_ENQUEUED = 2
@@ -152,20 +153,56 @@ def cmd_reset(args) -> int:
     return 0
 
 
+def merge_output_markdown(store, output_md: str, *,
+                          max_docs: int = 1_000_000,
+                          batch_size: int = 256) -> int:
+    """Fold committed output into one markdown file in doc order.
+
+    Streams the distributed sort's result through the driver one batch
+    at a time (``iter_batches``) and appends to the file as it goes —
+    driver memory stays one batch regardless of corpus size (the old
+    ``take_all()`` materialized the whole corpus driver-side). A single
+    markdown file is a fixture-scale parity surface (markdown_merge.py
+    lines 18-47); ``max_docs`` aborts loudly (raising ValueError and
+    removing the partial file) if a production-scale corpus is pointed
+    at it by mistake. Returns the number of docs merged."""
+    ds = store.read_output().sort("doc_id")
+    n_docs = 0
+    with open(output_md, "w", encoding="utf-8") as f:
+        f.write("# OCR Output\n")
+        for batch in ds.iter_batches(batch_size=batch_size,
+                                     batch_format="pyarrow"):
+            for d in batch.to_pylist():
+                n_docs += 1
+                if max_docs and n_docs > max_docs:
+                    f.close()
+                    os.remove(output_md)
+                    raise ValueError(
+                        f"merge aborted at max_docs={max_docs}: a single"
+                        " markdown file is a fixture-scale surface;"
+                        " raise --max-docs only deliberately")
+                spans = d["spans"]
+                parts: list[str] = []
+                for i in range(0, len(spans), 2):
+                    parts += [spans[i]["text"], "", spans[i + 1]["text"],
+                              "", "---", ""]
+                if parts:
+                    f.write("\n" + "\n".join(parts))
+    return n_docs
+
+
 def cmd_merge(args) -> int:
     _ray_init(args.num_cpus)
     from ocr_agent_ray.state.checkpoint import CheckpointStore
 
     store = CheckpointStore(args.out)
-    docs = store.read_output().sort("doc_id").take_all()
-    lines: list[str] = ["# OCR Output", ""]
-    for d in docs:
-        spans = d["spans"]
-        for i in range(0, len(spans), 2):
-            lines += [spans[i]["text"], "", spans[i + 1]["text"], "", "---", ""]
-    with open(args.output_md, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines).rstrip() + "\n")
-    print(f"merged {len(docs)} docs -> {args.output_md}")
+    try:
+        n_docs = merge_output_markdown(store, args.output_md,
+                                       max_docs=args.max_docs)
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}))
+        return 3
+    print(f"merged {n_docs} docs -> {args.output_md}")
     import ray
 
     ray.shutdown()
@@ -304,6 +341,10 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--out", required=True)
     m.add_argument("--output-md", required=True)
     m.add_argument("--num-cpus", type=int, default=None)
+    m.add_argument("--max-docs", type=int, default=1_000_000,
+                   help="abort if the corpus exceeds this many docs "
+                        "(0 = unlimited); one markdown file is a "
+                        "fixture-scale surface")
     m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query")
