@@ -3804,6 +3804,27 @@ def price_band_join(sf_dir: str, *, delta: float = 2.0,
     return bucket_map_groups(keyed, _pairs, num_buckets=nb)
 
 
+
+MAX_BASKET = 1024  # hot-basket cap: an order this wide is degenerate data
+
+
+def _drop_hot_baskets(g, level: str):
+    """Drop baskets with > MAX_BASKET distinct parts before the k-way
+    self-merge (the dedup MAX_BUCKET discipline): C(k,2)/C(k,3) on a
+    degenerate multi-thousand-item order explodes the exchange. Logged,
+    never silent; normal order widths (TPC-H <= 7) are untouched."""
+    sizes = g.groupby("l_orderkey")["l_partkey"].transform("size")
+    if int(sizes.max() if len(sizes) else 0) > MAX_BASKET:
+        import logging
+
+        hot = g.loc[sizes > MAX_BASKET, "l_orderkey"].nunique()
+        logging.getLogger(__name__).warning(
+            "copurchase_%s: dropping %d hot basket(s) wider than "
+            "MAX_BASKET=%d (degenerate orders; widest=%d parts)",
+            level, hot, MAX_BASKET, int(sizes.max()))
+        g = g[sizes <= MAX_BASKET]
+    return g
+
 def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
                      num_buckets: int = 32):
     """Market-basket co-purchase mining: part pairs appearing together
@@ -3824,6 +3845,7 @@ def copurchase_pairs(sf_dir: str, *, min_support: int = 2,
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        g = _drop_hot_baskets(g, "pairs")
         m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         # per-bucket partial: (pair) -> count of this bucket's orders
@@ -3863,6 +3885,7 @@ def copurchase_triples(sf_dir: str, *, min_support: int = 2,
 
     def _triples(g: pd.DataFrame) -> pd.DataFrame:
         g = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        g = _drop_hot_baskets(g, "triples")
         m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
         m = m[m["l_partkey_a"] < m["l_partkey_b"]]
         m = m.merge(g.rename(columns={"l_partkey": "l_partkey_c"}),
