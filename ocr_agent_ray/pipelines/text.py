@@ -247,29 +247,32 @@ def token_entropy(sf_dir: str):
         _entropy, batch_format="pandas", batch_size=8192)
 
 
-def bigram_perplexity(sf_dir: str):
+def bigram_perplexity(sf_dir: str, *,
+                      broadcast_max_counts: int = 2_000_000):
     """CCNet-style LM quality scoring: per-doc perplexity under an
     add-one-smoothed bigram model trained on the corpus itself —
     p(w2|w1) = (B(w1,w2)+1) / (U(w1)+V). High perplexity = text unlike
     the corpus (gibberish / boilerplate), the classic filter signal.
 
-    Fully distributed: unigram/bigram count tables fold bucketed (never
-    on the driver — at 100 TB the vocab doesn't broadcast); every doc's
-    adjacent-pair rows rejoin the two count tables with bucket hash
-    joins (composite string key for the bigram side); per-doc mean log
-    prob folds bucketed by doc. Docs with < 2 tokens are excluded
-    (no bigrams — same rule as the SQL twin).
+    SINGLE corpus pass (the tagged-union scan): one tokenize per batch
+    emits per-batch unigram partials (``u`` set) and per-bigram
+    occurrence rows (``bg`` set), materialized so downstream consumers
+    filter object-store blocks instead of re-tokenizing. Both count
+    tables then fold in ONE bucketed exchange (keys disjoint by
+    construction: unigram keys never contain a space, bigram keys
+    always do — the r4→r5 change; previously unigram and bigram counts
+    each paid their own exchange over the occurrence-sized union).
 
-    SINGLE corpus pass: one scan tokenizes each batch once and emits a
-    tagged union (per-batch unigram partials with ``u`` set, per-bigram
-    occurrence rows with ``bg`` set), materialized so the three
-    downstream consumers (unigram table, bigram table, join left side)
-    filter object-store blocks instead of re-reading + re-tokenizing
-    the corpus (the previous shape scanned it three times). The
-    materialized union is pair-occurrence-sized and spills to the
-    object store; the count tables built from it stay vocab-bounded.
+    Two-tier rejoin (the dup_graph_pagerank discipline): count tables
+    ≤ ``broadcast_max_counts`` rows ride the task closure into one
+    vectorized log-prob map over the occurrence rows; larger vocabs
+    fall back to the fully-distributed pair of bucket hash joins (at
+    100 TB the vocab doesn't broadcast). Identical arithmetic on both
+    tiers; the per-doc mean log-prob fold is bucketed either way.
 
-    Returns (doc_id, n_bigrams, ppl) with ppl = exp(-mean ln p)."""
+    Docs with < 2 tokens are excluded (no bigrams — same rule as the
+    SQL twin). Returns (doc_id, n_bigrams, ppl), ppl = exp(-mean ln p).
+    """
     import pyarrow as pa
 
     from ocr_agent_ray.functions.textstats import round_half_away
@@ -297,11 +300,13 @@ def bigram_perplexity(sf_dir: str):
         w1 = words[:-1][same]
         w2 = words[1:][same]
         doc = batch["doc_id"].loc[row[:-1][same]].to_numpy()
+        # generator concat beats np.char.add ~10x on object arrays
+        bg = np.fromiter((a + " " + c for a, c in zip(w1, w2)),
+                         dtype=object, count=len(w1))
         pair_part = pd.DataFrame({
             "doc_id": pd.array(doc, dtype="Int64"),
             "w1": w1,
-            "bg": np.char.add(np.char.add(w1.astype(str), " "),
-                              w2.astype(str)),
+            "bg": bg,
             "u": pd.array([pd.NA] * len(w1), dtype="Int64"),
         })
         return pd.concat([uni_part, pair_part], ignore_index=True)
@@ -309,57 +314,104 @@ def bigram_perplexity(sf_dir: str):
     tagged = docs.map_batches(_tagged, batch_format="pandas",
                               batch_size=8192).materialize()
 
-    def _uni_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        f = batch[batch["u"].notna()]
-        return pd.DataFrame({"w1": f["w1"],
-                             "u": f["u"].astype("int64")})
+    # ONE count exchange: key = the unigram word or the bigram string
+    # (disjoint key spaces — bigram keys contain a space), per-batch
+    # pre-count so only (key, partial) rows ride the exchange.
+    def _count_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        isu = batch["u"].notna().to_numpy()
+        out = []
+        if isu.any():
+            f = batch[isu]
+            out.append(pd.DataFrame({
+                "key": f["w1"].to_numpy(dtype=object),
+                "is_bg": np.zeros(len(f), dtype=np.int64),
+                "cnt": f["u"].astype("int64").to_numpy()}))
+        if (~isu).any():
+            c = batch.loc[~isu, "bg"].value_counts()
+            out.append(pd.DataFrame({
+                "key": c.index.to_numpy(dtype=object),
+                "is_bg": np.ones(len(c), dtype=np.int64),
+                "cnt": c.to_numpy().astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"key": pd.Series(dtype="object"),
+                                 "is_bg": pd.Series(dtype="int64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
 
-    uni = hash_partition_aggregate(
-        tagged.map_batches(_uni_rows, batch_format="pandas",
+    counts = hash_partition_aggregate(
+        tagged.map_batches(_count_rows, batch_format="pandas",
                            batch_size=65536),
-        ["w1"], {"u": ("u", "sum")}).materialize()
-    vocab = uni.count()
+        ["key", "is_bg"], {"cnt": ("cnt", "sum")}).materialize()
+    n_counts = int(counts.count())
+    vocab = int(counts.map_batches(
+        lambda b: pd.DataFrame({"n": [int((b["is_bg"] == 0).sum())]}),
+        batch_format="pandas").sum("n"))
 
     def _pair_sel(batch: pd.DataFrame) -> pd.DataFrame:
         f = batch[batch["bg"].notna()]
         return pd.DataFrame({"doc_id": f["doc_id"].astype("int64"),
                              "w1": f["w1"], "bg": f["bg"]})
 
-    def _big_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = batch["bg"].value_counts()
-        return pd.DataFrame({"bg": counts.index, "b": counts.to_numpy()})
-
     pair_rows = tagged.map_batches(_pair_sel, batch_format="pandas",
                                    batch_size=65536)
-    big = hash_partition_aggregate(
-        pair_rows.map_batches(_big_partial, batch_format="pandas",
-                              batch_size=65536),
-        ["bg"], {"b": ("b", "sum")}).materialize()
 
-    s = pa.string()
-    j1 = bucket_hash_join(
-        pair_rows, big, on="bg",
-        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
-                               ("bg", s)]),
-        right_schema=pa.schema([("bg", s), ("b", pa.int64())]))
-    j2 = bucket_hash_join(
-        j1, uni, on="w1",
-        left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
-                               ("bg", s), ("b", pa.int64())]),
-        right_schema=pa.schema([("w1", s), ("u", pa.int64())]))
+    if n_counts <= broadcast_max_counts:
+        # small-vocab tier: both count tables ride the closure (Ray
+        # ships it once per task via the object store)
+        cdf = counts.to_pandas()
+        u_map = dict(zip(cdf.loc[cdf["is_bg"] == 0, "key"],
+                         cdf.loc[cdf["is_bg"] == 0, "cnt"].astype(np.int64)))
+        b_map = dict(zip(cdf.loc[cdf["is_bg"] == 1, "key"],
+                         cdf.loc[cdf["is_bg"] == 1, "cnt"].astype(np.int64)))
 
-    def _logp(batch: pd.DataFrame) -> pd.DataFrame:
-        lp = np.log((batch["b"].to_numpy(dtype=np.float64) + 1.0)
-                    / (batch["u"].to_numpy(dtype=np.float64) + vocab))
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "one": np.ones(len(batch), dtype=np.int64),
-            "lp": lp,
-        })
+        def _logp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch["bg"].map(b_map).to_numpy(dtype=np.float64)
+            u = batch["w1"].map(u_map).to_numpy(dtype=np.float64)
+            lp = np.log((b + 1.0) / (u + vocab))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "one": np.ones(len(batch), dtype=np.int64),
+                "lp": lp})
+
+        scored = pair_rows.map_batches(_logp_rows, batch_format="pandas",
+                                       batch_size=65536)
+    else:
+        # large-vocab tier: fully distributed rejoin via two bucket
+        # hash joins (composite string key on the bigram side)
+        s = pa.string()
+        big = counts.map_batches(
+            lambda b: b.loc[b["is_bg"] == 1, ["key", "cnt"]].rename(
+                columns={"key": "bg", "cnt": "b"}),
+            batch_format="pandas", batch_size=65536)
+        uni = counts.map_batches(
+            lambda b: b.loc[b["is_bg"] == 0, ["key", "cnt"]].rename(
+                columns={"key": "w1", "cnt": "u"}),
+            batch_format="pandas", batch_size=65536)
+        j1 = bucket_hash_join(
+            pair_rows, big, on="bg",
+            left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
+                                   ("bg", s)]),
+            right_schema=pa.schema([("bg", s), ("b", pa.int64())]))
+        j2 = bucket_hash_join(
+            j1, uni, on="w1",
+            left_schema=pa.schema([("doc_id", pa.int64()), ("w1", s),
+                                   ("bg", s), ("b", pa.int64())]),
+            right_schema=pa.schema([("w1", s), ("u", pa.int64())]))
+
+        def _logp(batch: pd.DataFrame) -> pd.DataFrame:
+            lp = np.log((batch["b"].to_numpy(dtype=np.float64) + 1.0)
+                        / (batch["u"].to_numpy(dtype=np.float64) + vocab))
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "one": np.ones(len(batch), dtype=np.int64),
+                "lp": lp})
+
+        scored = j2.map_batches(_logp, batch_format="pandas",
+                                batch_size=65536)
 
     per_doc = hash_partition_aggregate(
-        j2.map_batches(_logp, batch_format="pandas", batch_size=65536),
-        ["doc_id"], {"n_bigrams": ("one", "sum"), "slp": ("lp", "sum")})
+        scored, ["doc_id"], {"n_bigrams": ("one", "sum"),
+                             "slp": ("lp", "sum")})
 
     def _final(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["n_bigrams"].to_numpy(dtype=np.float64)

@@ -841,3 +841,30 @@ def test_copurchase_hot_basket_cap(ray_session, tmp_path, caplog):
         kept = _drop_hot_baskets(g, "pairs")
     assert kept["l_orderkey"].tolist() == [2]
     assert any("hot basket" in r.message for r in caplog.records)
+
+
+def test_bigram_perplexity_tiers_identical(ray_session, tmp_path):
+    """The broadcast tier and the fully-distributed bucket-join tier
+    compute identical (doc_id, n_bigrams, ppl) — the two-tier rejoin
+    may never change values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import bigram_perplexity
+
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta epsilon zeta".split()
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.integers(0, 30)))}
+            for i in range(60)]
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows),
+                                        preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    a = (bigram_perplexity(str(tmp_path)).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (bigram_perplexity(str(tmp_path), broadcast_max_counts=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # docs with < 2 tokens are excluded on both tiers
+    short = [r["doc_id"] for r in rows if len(r["text"].split()) < 2]
+    assert not set(short) & set(a["doc_id"])
