@@ -72,3 +72,43 @@ def test_read_table_prefers_lance(ray_session, tmp_path):
     out = read_table(str(tmp_path), "documents", ["doc_id"]).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
     assert list(out.columns) == ["doc_id"]
+
+
+def test_read_table_dispatches_to_lance(ray_session, tmp_path, monkeypatch):
+    """The flagship input path per BASELINE.json input_hint: read_table
+    must route a ``documents.lance`` dataset dir through
+    ``read_lance_table`` (and honor column projection), falling back to
+    parquet otherwise. The lance wheel is not installable in this
+    container (no network), so the routing is proven against a stub
+    ``lance`` module + a stubbed ``ray.data.read_lance`` boundary; on a
+    real deployment the identical call sites read Lance unchanged
+    (`ray.data.read_lance(uri, columns=...)`)."""
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from ocr_agent_ray.sources import readers
+    from ocr_agent_ray.sources.corpus import generate_documents
+
+    table = generate_documents(20, seed=9)
+    lance_dir = tmp_path / "documents.lance"
+    (lance_dir / "_versions").mkdir(parents=True)
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    calls = {}
+
+    def fake_read_lance(path, *, columns=None, override_num_blocks=None):
+        calls["path"] = path
+        calls["columns"] = columns
+        t = table.select(columns) if columns else table
+        return rd.from_arrow(t)
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance)
+
+    ds = readers.read_table(str(tmp_path), "documents",
+                            columns=["doc_id"])
+    assert calls["path"] == str(lance_dir)
+    assert calls["columns"] == ["doc_id"]
+    assert ds.schema().names == ["doc_id"]
+    assert ds.count() == 20
