@@ -376,7 +376,28 @@ class OcrStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time as _time
 
+        import pyarrow.compute as pc
+
         t0 = _time.monotonic()
+        # Arrow-level bail-out: a batch with no (media kind, empty text)
+        # row needs no inference — skip the four full-column to_pylist
+        # copies entirely (inference is per-image anyway, so the copies
+        # were pure overhead on text-only or cache-hit batches).
+        media_mask = pc.fill_null(pc.is_in(
+            batch["kind"],
+            value_set=pa.array(sorted(MEDIA_KINDS), pa.string())), False)
+        empty_text = pc.fill_null(pc.equal(batch["text"], ""), True)
+        if not pc.any(pc.and_(media_mask, empty_text)).as_py():
+            out = batch.append_column(
+                "error_message", pa.nulls(len(batch), pa.string()))
+            if self.spool is not None:
+                wall_ms = int((_time.monotonic() - t0) * 1000)
+                self.spool.append(
+                    "ocr",
+                    self.spool.rows_for(
+                        "ocr", batch["partition_id"].to_pylist(), wall_ms))
+            return out
+
         kinds = batch["kind"].to_pylist()
         texts = batch["text"].to_pylist()
         refs = batch["media_ref"].to_pylist()
