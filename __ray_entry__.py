@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_daily_autocorr": streaming.daily_autocorr,
         "q_theil_sen_trend": streaming.theil_sen_trend,
         "q_dow_seasonality": streaming.dow_seasonality,
+        "q_cusum_changepoint": streaming.cusum_changepoint,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -436,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),  # rows-only (k-means clusters; invariants pytest-checked)
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
+        "q_rrf_hybrid_search": similarity.rrf_hybrid_search,
         "q_embedding_norms": similarity.embedding_norms,
         "q_token_entropy": text.token_entropy,
         "q_email_domains": text.email_domain_counts,
@@ -1230,6 +1232,34 @@ def oracle_sql() -> dict[str, str]:
             "/ (t.tot_c / t.tot_d), 6) AS seasonal_index "
             "FROM d, t GROUP BY dow, t.tot_c, t.tot_d"
         ),
+        "q_cusum_changepoint": (
+            # CUSUM mean-shift estimator: argmax_t<n |cumsum(c) - t*mean|
+            # per event type; float expression order pinned to the
+            # pipeline (cum and totals as exact ints, one double cast
+            # per term, ties -> earliest day)
+            "WITH d AS (SELECT event_type, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "tm AS (SELECT event_type, "
+            "CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean, "
+            "SUM(c) AS tot, COUNT(*) AS n FROM d GROUP BY 1), "
+            "s AS (SELECT event_type, day, "
+            "SUM(c) OVER w AS cum, row_number() OVER w AS rn "
+            "FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)), "
+            "dev AS (SELECT s.event_type, s.day, s.rn, s.cum, tm.n, tm.tot, "
+            "abs(CAST(s.cum AS DOUBLE) - CAST(s.rn AS DOUBLE) * tm.mean) "
+            "AS adev FROM s JOIN tm ON s.event_type = tm.event_type "
+            "WHERE s.rn < tm.n), "
+            "best AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+            "ORDER BY adev DESC, day) AS rk FROM dev) "
+            "SELECT event_type, day AS change_day, "
+            "ROUND(adev, 6) AS cusum_stat, "
+            "ROUND(CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE), 6) "
+            "AS mean_before, "
+            "ROUND(CAST(tot - cum AS DOUBLE) / CAST(n - rn AS DOUBLE), 6) "
+            "AS mean_after, CAST(n AS BIGINT) AS n_days "
+            "FROM best WHERE rk = 1 ORDER BY event_type"
+        ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},
             # s_1 = x_1 — the IDENTICAL float expression the Ray kernel
@@ -1718,6 +1748,73 @@ def oracle_sql() -> dict[str, str]:
             "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
             "QUALIFY row_number() OVER (PARTITION BY sc.qid "
             "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
+        "q_rrf_hybrid_search": (
+            # Reciprocal Rank Fusion of the BM25 arm (same CTEs as
+            # q_bm25_search: top-20 membership by unrounded score,
+            # fusion rank over the arm's ROUNDED output contract) and
+            # the exact-cosine arm (same construction as
+            # q_knn_bruteforce with vec_id < 3, rank <= 20);
+            # rrf = sum over present arms of 1/(60 + rank)
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            "FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
+            "AS score, COUNT(*) AS matched "
+            "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2), "
+            "lexsel AS (SELECT sc.qid AS query_id, sc.doc_id, "
+            "ROUND(sc.score, 6) AS rscore FROM sc "
+            "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sc.qid "
+            "ORDER BY sc.score DESC, sc.doc_id) <= 20), "
+            "lex AS (SELECT query_id, doc_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY rscore DESC, doc_id) "
+            "AS lex_rank FROM lexsel), "
+            "qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) "
+            "AS qe FROM embeddings WHERE vec_id < 3), "
+            "scored AS (SELECT qv.qid AS query_id, e.vec_id AS doc_id, "
+            "list_cosine_similarity(qv.qe, CAST(e.embedding AS DOUBLE[])) "
+            "AS cos FROM qv CROSS JOIN embeddings e "
+            "WHERE e.vec_id <> qv.qid), "
+            "sem AS (SELECT query_id, doc_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos DESC, doc_id) AS sem_rank "
+            "FROM scored QUALIFY sem_rank <= 20), "
+            "fused AS (SELECT COALESCE(lex.query_id, sem.query_id) "
+            "AS query_id, COALESCE(lex.doc_id, sem.doc_id) AS doc_id, "
+            "COALESCE(lex.lex_rank, 0) AS lex_rank, "
+            "COALESCE(sem.sem_rank, 0) AS sem_rank, "
+            "COALESCE(1.0 / (60.0 + CAST(lex.lex_rank AS DOUBLE)), 0.0) "
+            "+ COALESCE(1.0 / (60.0 + CAST(sem.sem_rank AS DOUBLE)), 0.0) "
+            "AS rrf FROM lex FULL JOIN sem "
+            "ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(doc_id AS BIGINT) AS doc_id, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf DESC, doc_id) AS fused_rank, "
+            "ROUND(rrf, 6) AS rrf_score, "
+            "CAST(lex_rank AS BIGINT) AS lex_rank, "
+            "CAST(sem_rank AS BIGINT) AS sem_rank "
+            "FROM fused QUALIFY fused_rank <= 10"
         ),
         "q_mixture_weights": (
             "WITH tl AS (SELECT source, "

@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "q_minhash_pairs",
     "q_simhash_pairs",
     "q_knn_bruteforce",
+    "q_rrf_hybrid_search",
     "q_knn_lsh",
     "q_embedding_near_dup",
     "q_latest_order_asof",
@@ -258,6 +259,7 @@ QUERY_NAMES = [
     "q_daily_autocorr",
     "q_theil_sen_trend",
     "q_dow_seasonality",
+    "q_cusum_changepoint",
     "q_neighbor_jaccard",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",

@@ -1162,3 +1162,54 @@ def als_factorize(sf_dir: str, *, k: int = 8, iters: int = 3,
         "iteration": np.arange(len(rmses), dtype=np.int64),
         "rmse": [float(np.sqrt(s / n_ratings)) for s in rmses],
     })
+
+
+def rrf_hybrid_search(sf_dir: str, *, k_arm: int = 20, k_out: int = 10,
+                      rrf_k: int = 60, num_queries: int = 3):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    Buettcher, SIGIR'09) — the standard lexical ⊕ dense combiner in
+    modern retrieval stacks: fuse the BM25 top-``k_arm`` ranking over
+    ``documents`` with the exact-cosine top-``k_arm`` ranking over
+    ``embeddings`` (the synthetic corpus keys ``vec_id`` to
+    ``doc_id`` 1:1; the dense query vector for query q is the
+    embedding with ``vec_id == q``, mirroring ``knn_bruteforce``).
+
+        rrf(d) = Σ_arm [d ∈ top-k_arm]  · 1 / (rrf_k + rank_arm(d))
+
+    Both arms are the distributed part (BM25's two bounded corpus
+    passes; brute-force cosine's partial-topk matmul reduction); the
+    fusion itself runs on the bounded union of the two top-k lists
+    (≤ 2·Q·k_arm rows REGARDLESS of corpus size), so driver residency
+    is by construction, not by accident. Lexical ranks order by the
+    arm's ROUNDED score (the arm's output contract) then doc_id;
+    semantic ranks come from the arm itself. Absent-arm rank is 0
+    (COALESCE'd to 0 in the twin so int columns stay non-null).
+    Columns: query_id, doc_id, fused_rank, rrf_score, lex_rank,
+    sem_rank."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.text import bm25_search
+
+    lex = bm25_search(sf_dir, k=k_arm).to_pandas()
+    lex = lex[lex["query_id"] < num_queries]
+    lex = lex.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    lex["lex_rank"] = lex.groupby("query_id").cumcount() + 1
+    sem = knn_bruteforce(sf_dir, k=k_arm,
+                         num_queries=num_queries).to_pandas()
+    sem = sem.rename(columns={"vec_id": "doc_id", "rank": "sem_rank"})
+    f = lex[["query_id", "doc_id", "lex_rank"]].merge(
+        sem[["query_id", "doc_id", "sem_rank"]],
+        on=["query_id", "doc_id"], how="outer")
+    lr = f["lex_rank"].fillna(0).to_numpy(np.int64)
+    sr = f["sem_rank"].fillna(0).to_numpy(np.int64)
+    rrf = (np.where(lr > 0, 1.0 / (np.float64(rrf_k) + lr), 0.0)
+           + np.where(sr > 0, 1.0 / (np.float64(rrf_k) + sr), 0.0))
+    f["lex_rank"], f["sem_rank"], f["rrf_score"] = lr, sr, rrf
+    f = f.sort_values(["query_id", "rrf_score", "doc_id"],
+                      ascending=[True, False, True])
+    f["fused_rank"] = (f.groupby("query_id").cumcount() + 1).astype("int64")
+    out = f[f["fused_rank"] <= k_out].reset_index(drop=True)
+    out["rrf_score"] = round_half_away(out["rrf_score"].to_numpy(), 6)
+    return out[["query_id", "doc_id", "fused_rank", "rrf_score",
+                "lex_rank", "sem_rank"]].astype(
+        {"query_id": "int64", "doc_id": "int64"})

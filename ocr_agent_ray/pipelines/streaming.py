@@ -1811,3 +1811,65 @@ def dow_seasonality(sf_dir: str):
     g["n_events"] = g["n_events"].astype("int64")
     g["seasonal_index"] = round_half_away(si, 6)
     return g
+
+
+def cusum_changepoint(sf_dir: str):
+    """Per-event-type mean-shift changepoint over the daily count
+    series — the CUSUM estimator (Page 1954 / Pettitt's location form):
+    with S_t = Σ_{i≤t} c_i − t·mean, the changepoint is the day
+    maximizing |S_t| over t < n (the last index is excluded — S_n ≈ 0
+    by construction and an "after" side must exist). A drift in the
+    event rate shows as a V in S_t whose vertex is the shift day.
+
+    Distributed shape: ONE mergeable (event_type, day) count fold —
+    the series is a bounded dimension (#types × calendar days), so the
+    per-type argmax closes on the driver; at 100 TB the fold output is
+    the same bounded table. Float discipline pinned to the twin:
+    S_t = CAST(cumsum AS DOUBLE) − CAST(t AS DOUBLE)·mean with
+    mean = CAST(total AS DOUBLE)/n, means as exact-int sums / counts;
+    ties on |S_t| break to the earliest day (numpy argmax = first max,
+    twin orders by abs DESC, day ASC). Types with a single observed
+    day are dropped (no split exists — the twin's t < n filter drops
+    them identically). Columns: event_type, change_day, cusum_stat,
+    mean_before, mean_after, n_days."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts", "event_type"))
+    days = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.floor("D"), "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["event_type", "day"], {"c": ("c", "sum")})
+    cols = ["event_type", "change_day", "cusum_stat",
+            "mean_before", "mean_after", "n_days"]
+    if days.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "change_day": pd.Series(dtype="datetime64[us]"),
+            "cusum_stat": pd.Series(dtype="float64"),
+            "mean_before": pd.Series(dtype="float64"),
+            "mean_after": pd.Series(dtype="float64"),
+            "n_days": pd.Series(dtype="int64")})
+    rows = []
+    for et, g in days.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        cnt = g["c"].to_numpy(np.int64)
+        n = len(cnt)
+        if n < 2:
+            continue
+        mean = np.float64(cnt.sum()) / np.float64(n)
+        t = np.arange(1, n, dtype=np.float64)  # t = 1..n-1 (< n)
+        dev = np.cumsum(cnt)[:-1].astype(np.float64) - t * mean
+        adev = np.abs(dev)
+        i = int(np.argmax(adev))  # first max = earliest day on ties
+        before = np.float64(cnt[:i + 1].sum()) / np.float64(i + 1)
+        after = np.float64(cnt[i + 1:].sum()) / np.float64(n - i - 1)
+        rows.append((et, g["day"].iloc[i],
+                     float(round_half_away(adev[i], 6)),
+                     float(round_half_away(before, 6)),
+                     float(round_half_away(after, 6)),
+                     np.int64(n)))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.astype({"n_days": "int64"}).reset_index(drop=True)

@@ -347,3 +347,48 @@ def test_als_matches_dense_reference(ray_session, tmp_path):
             Vn[ii] = np.linalg.solve(uf.T @ uf + eye, uf.T @ r)
         V = Vn
     assert np.allclose(got["rmse"].to_numpy(), rmses, rtol=1e-8)
+
+
+def test_rrf_hybrid_search_matches_brute_fusion(ray_session):
+    """RRF output equals a direct driver-side fusion of the two arms'
+    outputs (same sf_dir), and a doc present in BOTH arms' top-k beats
+    any doc with only one arm at the same or worse rank."""
+    from ocr_agent_ray.pipelines.similarity import rrf_hybrid_search
+    from ocr_agent_ray.pipelines.text import bm25_search
+
+    got = rrf_hybrid_search(SF)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+
+    lex = bm25_search(SF, k=20).to_pandas()
+    lex = lex[lex["query_id"] < 3]
+    lex = lex.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True])
+    lex["lr"] = lex.groupby("query_id").cumcount() + 1
+    sem = knn_bruteforce(SF, k=20, num_queries=3).to_pandas()
+    want = {}
+    for qid in range(3):
+        ranks: dict[int, list[int]] = {}
+        for _, r in lex[lex["query_id"] == qid].iterrows():
+            ranks.setdefault(int(r["doc_id"]), [0, 0])[0] = int(r["lr"])
+        for _, r in sem[sem["query_id"] == qid].iterrows():
+            ranks.setdefault(int(r["vec_id"]), [0, 0])[1] = int(r["rank"])
+        scored = sorted(
+            ((sum(1.0 / (60 + x) for x in v if x), d)
+             for d, v in ranks.items()),
+            key=lambda t: (-t[0], t[1]))
+        want[qid] = scored[:10]
+    for qid in range(3):
+        sub = got[got["query_id"] == qid].sort_values("fused_rank")
+        assert sub["doc_id"].tolist() == [d for _, d in want[qid]]
+        assert np.allclose(sub["rrf_score"].to_numpy(),
+                           [s for s, _ in want[qid]], atol=5.1e-7)
+        # both-arm docs dominate single-arm docs of equal-or-worse ranks
+        both = sub[(sub["lex_rank"] > 0) & (sub["sem_rank"] > 0)]
+        single = sub[(sub["lex_rank"] == 0) | (sub["sem_rank"] == 0)]
+        for _, b in both.iterrows():
+            worse = single[
+                ((single["lex_rank"] >= b["lex_rank"])
+                 | (single["lex_rank"] == 0))
+                & ((single["sem_rank"] >= b["sem_rank"])
+                   | (single["sem_rank"] == 0))]
+            assert (worse["rrf_score"] <= b["rrf_score"] + 1e-12).all()

@@ -1095,3 +1095,51 @@ def test_dow_seasonality_planted_weekend_dip(ray_session, tmp_path):
     for dow in (5, 6):
         assert abs(got.loc[dow, "seasonal_index"]
                    - 4.0 / mean_daily) < 5.1e-7
+
+
+def test_cusum_changepoint_planted_shift(ray_session, tmp_path):
+    """Daily counts 10x10 then 30x10 for type 'shift': the changepoint
+    must land on the LAST low-regime day with |S_t| = t*(mean - 10) =
+    10*(20-10) = 100 and exact regime means. A constant-rate type gets
+    stat 0 at the earliest day (deterministic tie); a single-day type
+    is dropped (no split exists)."""
+    from ocr_agent_ray.pipelines.streaming import cusum_changepoint
+
+    rows = []
+    eid = 0
+    day0 = pd.Timestamp("2024-03-01")
+    for d in range(20):
+        per_day = 10 if d < 10 else 30
+        for i in range(per_day):
+            rows.append((eid, day0 + pd.Timedelta(days=d, minutes=i),
+                         1, "shift"))
+            eid += 1
+    for d in range(8):   # constant rate: 5/day
+        for i in range(5):
+            rows.append((eid, day0 + pd.Timedelta(days=d, minutes=i),
+                         2, "flat"))
+            eid += 1
+    rows.append((eid, day0, 3, "oneday"))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = cusum_changepoint(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert set(got["event_type"]) == {"shift", "flat"}  # oneday dropped
+
+    s = got[got["event_type"] == "shift"].iloc[0]
+    assert pd.Timestamp(s["change_day"]) == day0 + pd.Timedelta(days=9)
+    assert s["cusum_stat"] == 100.0
+    assert s["mean_before"] == 10.0
+    assert s["mean_after"] == 30.0
+    assert s["n_days"] == 20
+
+    f = got[got["event_type"] == "flat"].iloc[0]
+    assert f["cusum_stat"] == 0.0
+    assert pd.Timestamp(f["change_day"]) == day0  # earliest-day tie
+    assert f["mean_before"] == 5.0 and f["mean_after"] == 5.0
