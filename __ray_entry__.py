@@ -438,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_rrf_hybrid_search": similarity.rrf_hybrid_search,
+        "q_embedding_dbscan": similarity.embedding_dbscan,
         "q_embedding_norms": similarity.embedding_norms,
         "q_token_entropy": text.token_entropy,
         "q_email_domains": text.email_domain_counts,
@@ -1815,6 +1816,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(lex_rank AS BIGINT) AS lex_rank, "
             "CAST(sem_rank AS BIGINT) AS sem_rank "
             "FROM fused QUALIFY fused_rank <= 10"
+        ),
+        "q_embedding_dbscan": (
+            # deterministic DBSCAN: core iff >= min_pts-1 = 3 neighbors
+            # at cosine >= 0.32; clusters = min-id components of the
+            # core-core graph (singleton cores label themselves);
+            # border -> MIN cluster over core neighbors; noise -> -1
+            "WITH RECURSIVE "
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "pr AS (SELECT a.vec_id AS va, b.vec_id AS vb "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.32), "
+            "edges AS (SELECT va, vb FROM pr "
+            "UNION ALL SELECT vb, va FROM pr), "
+            "deg AS (SELECT va AS id, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM edges GROUP BY 1), "
+            "core AS (SELECT id FROM deg WHERE d >= 3), "
+            "ce AS (SELECT va, vb FROM edges "
+            "WHERE va IN (SELECT id FROM core) "
+            "AND vb IN (SELECT id FROM core)), "
+            "reach(id, lbl) AS ("
+            "  SELECT DISTINCT va, va FROM ce"
+            "  UNION"
+            "  SELECT ce.va, r.lbl FROM ce JOIN reach r ON r.id = ce.vb), "
+            "comp AS (SELECT id, MIN(lbl) AS cl FROM reach GROUP BY id), "
+            "corecl AS (SELECT c.id, COALESCE(comp.cl, c.id) AS cl "
+            "FROM core c LEFT JOIN comp ON comp.id = c.id), "
+            "bord AS (SELECT edges.va AS id, MIN(corecl.cl) AS cl "
+            "FROM edges JOIN corecl ON corecl.id = edges.vb "
+            "WHERE edges.va NOT IN (SELECT id FROM core) GROUP BY 1) "
+            "SELECT emb.vec_id, "
+            "CASE WHEN corecl.id IS NOT NULL THEN 'core' "
+            "WHEN bord.id IS NOT NULL THEN 'border' "
+            "ELSE 'noise' END AS role, "
+            "CAST(COALESCE(corecl.cl, bord.cl, -1) AS BIGINT) "
+            "AS cluster_id, "
+            "CAST(COALESCE(deg.d, 0) AS BIGINT) AS n_neighbors "
+            "FROM embeddings emb "
+            "LEFT JOIN deg ON deg.id = emb.vec_id "
+            "LEFT JOIN corecl ON corecl.id = emb.vec_id "
+            "LEFT JOIN bord ON bord.id = emb.vec_id"
         ),
         "q_mixture_weights": (
             "WITH tl AS (SELECT source, "

@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "q_simhash_pairs",
     "q_knn_bruteforce",
     "q_rrf_hybrid_search",
+    "q_embedding_dbscan",
     "q_knn_lsh",
     "q_embedding_near_dup",
     "q_latest_order_asof",

@@ -1213,3 +1213,205 @@ def rrf_hybrid_search(sf_dir: str, *, k_arm: int = 20, k_out: int = 10,
     return out[["query_id", "doc_id", "fused_rank", "rrf_score",
                 "lex_rank", "sem_rank"]].astype(
         {"query_id": "int64", "doc_id": "int64"})
+
+
+def embedding_dbscan(sf_dir: str, *, cos_threshold: float = 0.32,
+                     min_pts: int = 4, num_blocks: int = 4,
+                     num_buckets: int = 16):
+    """DBSCAN density clustering over the embedding column (Ester et
+    al., KDD'96), deterministic variant: a point is CORE iff it has
+    ≥ min_pts−1 neighbors at cosine ≥ ``cos_threshold``; clusters are
+    connected components of the core-core graph labeled by minimum
+    vec_id; a non-core point with ≥1 core neighbor is BORDER and
+    attaches to the MINIMUM cluster id among its core neighbors
+    (classic DBSCAN is scan-order-dependent exactly there — the min
+    rule pins one answer both engines can compute); everything else is
+    NOISE (cluster_id −1, kept as a plain BIGINT so the hash stays
+    int-typed).
+
+    Distributed shape: the exact neighbor graph comes from a
+    bucket-pair block exchange — each vector is replicated to the
+    ``num_blocks`` block pairs containing its block (vec_id mod
+    num_blocks), every unordered block pair is ONE task computing its
+    cross-block cosine tile (same-block pairs only in the diagonal
+    tile, so each pair materializes exactly once). Exact all-pairs is
+    inherently quadratic — that cost is the op's definition; the ANN
+    siblings (``knn_lsh``, ``knn_ivf``) are the 100 TB path when
+    approximate density is acceptable, and ``num_blocks`` scales the
+    tile grid so no task holds more than 2/num_blocks of the table.
+    Degree/core/border run as bucketed aggregates + hash joins;
+    components reuse ``duplicate_clusters``' two-tier min-label
+    propagation (driver ≤2M edges, dataset-native above).
+    Columns: vec_id, role, cluster_id, n_neighbors."""
+    import pyarrow as pa
+
+    import ray.data as _rd
+
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.dedup import duplicate_clusters
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    B = int(num_blocks)
+    i64 = pa.int64()
+
+    def _replicate(tbl: pa.Table) -> pa.Table:
+        # Arrow-native so the list<float> column never round-trips
+        # through pandas object arrays (which poisons the exchange's
+        # arrow<->pandas conversions with ndarray metadata)
+        h = (tbl.column("vec_id").to_numpy(zero_copy_only=False)
+             .astype(np.int64) % B)
+        parts = []
+        for i in range(B):
+            for j in range(i, B):
+                m = (h == i) if i == j else ((h == i) | (h == j))
+                idx = np.nonzero(m)[0]
+                if idx.size == 0:
+                    continue
+                sub = tbl.take(pa.array(idx))
+                parts.append(sub.append_column(
+                    "bp", pa.array(np.full(idx.size, i * B + j,
+                                           dtype=np.int64))))
+        if not parts:
+            return tbl.append_column(
+                "bp", pa.array([], pa.int64())).slice(0, 0)
+        return pa.concat_tables(parts)
+
+    def _tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bp = int(g["bp"].iloc[0])
+        bi, bj = divmod(bp, B)
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        unit = _unit(np.stack(g["embedding"].to_numpy()))
+        cos = unit @ unit.T
+        ia, jb = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, jb] >= cos_threshold
+        if bi != bj:  # same-block pairs belong to the diagonal tile
+            keep &= (ids[ia] % B) != (ids[jb] % B)
+        return pd.DataFrame({"vec_id_a": ids[ia[keep]],
+                             "vec_id_b": ids[jb[keep]]})
+
+    edges = key_map_groups(
+        _read_embeddings(sf_dir).map_batches(_replicate,
+                                             batch_format="pyarrow"),
+        _tile_pairs, key_col="bp", num_buckets=min(num_buckets, B * B),
+    ).materialize()
+
+    deg = hash_partition_aggregate(
+        edges.map_batches(lambda b: pd.DataFrame({
+            "vec_id": np.concatenate([b["vec_id_a"].to_numpy(np.int64),
+                                      b["vec_id_b"].to_numpy(np.int64)]),
+            "c": np.int64(1)}), batch_format="pandas"),
+        ["vec_id"], {"n_neighbors": ("c", "sum")},
+        num_buckets=num_buckets).materialize()
+
+    core = deg.map_batches(
+        lambda b: b[b["n_neighbors"] >= (min_pts - 1)][["vec_id"]]
+        .assign(is_core=True), batch_format="pandas").materialize()
+    core_schema = pa.schema([("vec_id", i64), ("is_core", pa.bool_())])
+    edge_schema = pa.schema([("vec_id_a", i64), ("vec_id_b", i64)])
+
+    flagged = bucket_hash_join(
+        bucket_hash_join(
+            edges,
+            core.map_batches(lambda b: b.rename(
+                columns={"vec_id": "vec_id_a", "is_core": "a_core"}),
+                batch_format="pandas"),
+            on="vec_id_a", how="left", num_buckets=num_buckets,
+            left_schema=edge_schema,
+            right_schema=pa.schema([("vec_id_a", i64),
+                                    ("a_core", pa.bool_())])),
+        core.map_batches(lambda b: b.rename(
+            columns={"vec_id": "vec_id_b", "is_core": "b_core"}),
+            batch_format="pandas"),
+        on="vec_id_b", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("vec_id_a", i64), ("vec_id_b", i64),
+                               ("a_core", pa.bool_())]),
+        right_schema=pa.schema([("vec_id_b", i64),
+                                ("b_core", pa.bool_())])).materialize()
+
+    cc = flagged.map_batches(
+        lambda b: b[b["a_core"].fillna(False) & b["b_core"].fillna(False)]
+        [["vec_id_a", "vec_id_b"]].rename(columns={
+            "vec_id_a": "doc_id_a", "vec_id_b": "doc_id_b"}),
+        batch_format="pandas")
+    comp = duplicate_clusters(cc)
+    comp_ds = (_rd.from_pandas(comp) if isinstance(comp, pd.DataFrame)
+               else comp)
+    comp_ds = comp_ds.map_batches(
+        lambda b: b.rename(columns={"doc_id": "vec_id",
+                                    "cluster_id": "comp_cl"}),
+        batch_format="pandas").materialize()
+    comp_schema = pa.schema([("vec_id", i64), ("comp_cl", i64)])
+
+    # core → its component label, or itself (singleton core)
+    corecl = bucket_hash_join(
+        core, comp_ds, on="vec_id", how="left", num_buckets=num_buckets,
+        left_schema=core_schema, right_schema=comp_schema,
+    ).map_batches(lambda b: pd.DataFrame({
+        "vec_id": b["vec_id"].to_numpy(np.int64),
+        "core_cl": np.where(b["comp_cl"].notna(),
+                            b["comp_cl"].fillna(-1).to_numpy(np.int64),
+                            b["vec_id"].to_numpy(np.int64))}),
+        batch_format="pandas").materialize()
+    corecl_schema = pa.schema([("vec_id", i64), ("core_cl", i64)])
+
+    # border candidates: (non-core endpoint, core neighbor) directed rows
+    def _border_edges(b: pd.DataFrame) -> pd.DataFrame:
+        ac = b["a_core"].fillna(False).to_numpy(bool)
+        bc = b["b_core"].fillna(False).to_numpy(bool)
+        a = b["vec_id_a"].to_numpy(np.int64)
+        v = b["vec_id_b"].to_numpy(np.int64)
+        m1 = ~ac & bc   # a is border candidate, b core
+        m2 = ac & ~bc   # b is border candidate, a core
+        return pd.DataFrame({
+            "bid": np.concatenate([a[m1], v[m2]]),
+            "vec_id": np.concatenate([v[m1], a[m2]])})  # the core nbr
+
+    bord = hash_partition_aggregate(
+        bucket_hash_join(
+            flagged.map_batches(_border_edges, batch_format="pandas"),
+            corecl, on="vec_id", num_buckets=num_buckets,
+            left_schema=pa.schema([("bid", i64), ("vec_id", i64)]),
+            right_schema=corecl_schema,
+        ).map_batches(lambda b: b[["bid", "core_cl"]],
+                      batch_format="pandas"),
+        ["bid"], {"bord_cl": ("core_cl", "min")},
+        num_buckets=num_buckets,
+    ).map_batches(lambda b: b.rename(columns={"bid": "vec_id"}),
+                  batch_format="pandas").materialize()
+
+    ids = read_table(sf_dir, "embeddings", ["vec_id"])
+    out = bucket_hash_join(
+        bucket_hash_join(
+            bucket_hash_join(
+                ids, deg, on="vec_id", how="left",
+                num_buckets=num_buckets,
+                left_schema=pa.schema([("vec_id", i64)]),
+                right_schema=pa.schema([("vec_id", i64),
+                                        ("n_neighbors", i64)])),
+            corecl, on="vec_id", how="left", num_buckets=num_buckets,
+            left_schema=pa.schema([("vec_id", i64), ("n_neighbors", i64)]),
+            right_schema=corecl_schema),
+        bord, on="vec_id", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("vec_id", i64), ("n_neighbors", i64),
+                               ("core_cl", i64)]),
+        right_schema=pa.schema([("vec_id", i64), ("bord_cl", i64)]))
+
+    def _assemble(b: pd.DataFrame) -> pd.DataFrame:
+        is_core = b["core_cl"].notna().to_numpy(bool)
+        is_bord = ~is_core & b["bord_cl"].notna().to_numpy(bool)
+        role = np.where(is_core, "core",
+                        np.where(is_bord, "border", "noise"))
+        cl = np.where(is_core, b["core_cl"].fillna(-1).to_numpy(np.int64),
+                      np.where(is_bord,
+                               b["bord_cl"].fillna(-1).to_numpy(np.int64),
+                               np.int64(-1)))
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(np.int64),
+            "role": role,
+            "cluster_id": cl.astype(np.int64),
+            "n_neighbors": b["n_neighbors"].fillna(0)
+            .to_numpy(np.int64)})
+
+    return out.map_batches(_assemble, batch_format="pandas")

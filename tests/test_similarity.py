@@ -392,3 +392,55 @@ def test_rrf_hybrid_search_matches_brute_fusion(ray_session):
                 & ((single["sem_rank"] >= b["sem_rank"])
                    | (single["sem_rank"] == 0))]
             assert (worse["rrf_score"] <= b["rrf_score"] + 1e-12).all()
+
+
+def test_embedding_dbscan_matches_brute_and_tile_invariance(ray_session):
+    """DBSCAN output equals a dense brute-force reference (degree, core
+    rule, min-id components, min-cluster border attach, noise), and is
+    invariant to the block-tile grid size (num_blocks=1 computes every
+    pair in one tile; 4 splits into 10 tiles — identical edges)."""
+    from ocr_agent_ray.pipelines.similarity import _unit, embedding_dbscan
+
+    got = embedding_dbscan(SF).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got1 = embedding_dbscan(SF, num_blocks=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got1)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(np.int64)
+    unit = _unit(np.stack(t["embedding"].to_numpy()))
+    adj = (unit @ unit.T) >= 0.32
+    np.fill_diagonal(adj, False)
+    deg = adj.sum(1)
+    core = deg >= 3
+    lbl = np.where(core, ids, np.int64(-1))
+    sub = adj & core[:, None] & core[None, :]
+    for _ in range(len(ids)):
+        new = lbl.copy()
+        for k in np.nonzero(core)[0]:
+            nb = np.nonzero(sub[k])[0]
+            if nb.size:
+                new[k] = min(lbl[k], lbl[nb].min())
+        if (new == lbl).all():
+            break
+        lbl = new
+    role, cl = [], []
+    for k in range(len(ids)):
+        if core[k]:
+            role.append("core")
+            cl.append(int(lbl[k]))
+        else:
+            nbrs = [int(lbl[j]) for j in np.nonzero(adj[k])[0] if core[j]]
+            role.append("border" if nbrs else "noise")
+            cl.append(min(nbrs) if nbrs else -1)
+    want = pd.DataFrame({"vec_id": ids, "role": role,
+                         "cluster_id": np.array(cl, dtype=np.int64),
+                         "n_neighbors": deg.astype(np.int64)}) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["vec_id", "role", "cluster_id", "n_neighbors"]], want)
+    # the structure is non-trivial: all three roles and >1 cluster
+    assert set(got["role"]) == {"core", "border", "noise"}
+    assert got.loc[got["cluster_id"] >= 0, "cluster_id"].nunique() > 1
