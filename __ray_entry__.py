@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_bruteforce": similarity.knn_bruteforce,
         "q_rrf_hybrid_search": similarity.rrf_hybrid_search,
         "q_embedding_dbscan": similarity.embedding_dbscan,
+        "q_silhouette_by_label": similarity.silhouette_by_label,
         "q_embedding_norms": similarity.embedding_norms,
         "q_token_entropy": text.token_entropy,
         "q_email_domains": text.email_domain_counts,
@@ -1857,6 +1858,28 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN deg ON deg.id = emb.vec_id "
             "LEFT JOIN corecl ON corecl.id = emb.vec_id "
             "LEFT JOIN bord ON bord.id = emb.vec_id"
+        ),
+        "q_silhouette_by_label": (
+            # exact silhouette under cosine distance; singleton-cluster
+            # and single-cluster points score 0 (sklearn convention)
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "p AS (SELECT a.vec_id AS i, b.label AS lbl, "
+            "SUM(1.0 - list_cosine_similarity(a.v, b.v)) AS sum_d, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt "
+            "FROM e a JOIN e b ON a.vec_id <> b.vec_id GROUP BY 1, 2), "
+            "pv AS (SELECT e.vec_id, e.label, "
+            "MAX(CASE WHEN p.lbl = e.label THEN p.sum_d / p.cnt END) AS a, "
+            "MIN(CASE WHEN p.lbl <> e.label THEN p.sum_d / p.cnt END) AS b "
+            "FROM e JOIN p ON p.i = e.vec_id GROUP BY 1, 2), "
+            "s AS (SELECT label, CASE "
+            "WHEN a IS NULL OR b IS NULL THEN 0.0 "
+            "WHEN greatest(a, b) = 0.0 THEN 0.0 "
+            "ELSE (b - a) / greatest(a, b) END AS sil FROM pv) "
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(SUM(sil) / COUNT(*), 6) AS mean_silhouette "
+            "FROM s GROUP BY 1 ORDER BY 1"
         ),
         "q_mixture_weights": (
             "WITH tl AS (SELECT source, "

@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "q_knn_bruteforce",
     "q_rrf_hybrid_search",
     "q_embedding_dbscan",
+    "q_silhouette_by_label",
     "q_knn_lsh",
     "q_embedding_near_dup",
     "q_latest_order_asof",

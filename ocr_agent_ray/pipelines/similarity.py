@@ -1415,3 +1415,139 @@ def embedding_dbscan(sf_dir: str, *, cos_threshold: float = 0.32,
             .to_numpy(np.int64)})
 
     return out.map_batches(_assemble, batch_format="pandas")
+
+
+def silhouette_by_label(sf_dir: str, *, num_blocks: int = 4,
+                        num_buckets: int = 16):
+    """Exact silhouette score of the ``label`` clustering under cosine
+    distance (Rousseeuw 1987) — the standard cluster-quality metric:
+    a(i) = mean distance to own-cluster points, b(i) = min over other
+    clusters of the mean distance to that cluster,
+    s(i) = (b−a)/max(a,b); singleton clusters and degenerate
+    max(a,b)=0 points score 0 (the sklearn convention, pinned in the
+    twin). Reported per label: n, mean_silhouette.
+
+    Distributed shape: the same bucket-pair block-tile exchange as
+    ``embedding_dbscan``, but each tile emits PARTIAL SUMS
+    (vec_id, label_other, sum_dist, cnt) instead of pairs — the
+    exchange output is N × |labels| rows, not N², so only the tile
+    matmuls are quadratic (inherent to exact silhouette; sampled
+    silhouette is the approximation path at 100 TB). One bucketed
+    combine, then a per-vector kernel and a tiny per-label fold.
+    Columns: label, n, mean_silhouette."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    B = int(num_blocks)
+
+    def _replicate(tbl: pa.Table) -> pa.Table:
+        h = (tbl.column("vec_id").to_numpy(zero_copy_only=False)
+             .astype(np.int64) % B)
+        parts = []
+        for i in range(B):
+            for j in range(i, B):
+                m = (h == i) if i == j else ((h == i) | (h == j))
+                idx = np.nonzero(m)[0]
+                if idx.size == 0:
+                    continue
+                sub = tbl.take(pa.array(idx))
+                parts.append(sub.append_column(
+                    "bp", pa.array(np.full(idx.size, i * B + j,
+                                           dtype=np.int64))))
+        if not parts:
+            return tbl.append_column(
+                "bp", pa.array([], pa.int64())).slice(0, 0)
+        return pa.concat_tables(parts)
+
+    def _tile_partials(g: pd.DataFrame) -> pd.DataFrame:
+        bp = int(g["bp"].iloc[0])
+        bi, bj = divmod(bp, B)
+        ids = g["vec_id"].to_numpy(np.int64)
+        labels = g["label"].to_numpy(np.int64)
+        unit = _unit(np.stack(g["embedding"].to_numpy()))
+        dist = 1.0 - unit @ unit.T
+        h = ids % B
+        if bi == bj:
+            pair_mask = ~np.eye(len(ids), dtype=bool)
+        else:  # only cross-block pairs; same-block in the diagonal tile
+            pair_mask = h[:, None] != h[None, :]
+        uniq = np.unique(labels)
+        rows = []
+        for lb in uniq:
+            sel = (labels == lb)[None, :] & pair_mask
+            cnt = sel.sum(axis=1)
+            m = cnt > 0
+            if not m.any():
+                continue
+            rows.append(pd.DataFrame({
+                "vec_id": ids[m], "lbl": np.int64(lb),
+                "sum_d": np.where(sel, dist, 0.0).sum(axis=1)[m],
+                "cnt": cnt[m].astype(np.int64)}))
+        if not rows:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "lbl": pd.Series(dtype="int64"),
+                                 "sum_d": pd.Series(dtype="float64"),
+                                 "cnt": pd.Series(dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    partials = key_map_groups(
+        read_table(sf_dir, "embeddings",
+                   ["vec_id", "embedding", "label"]).map_batches(
+            _replicate, batch_format="pyarrow"),
+        _tile_partials, key_col="bp", num_buckets=min(num_buckets, B * B))
+
+    sums = hash_partition_aggregate(
+        partials, ["vec_id", "lbl"],
+        {"sum_d": ("sum_d", "sum"), "cnt": ("cnt", "sum")},
+        num_buckets=num_buckets)
+
+    own = read_table(sf_dir, "embeddings", ["vec_id", "label"])
+
+    # per-vector silhouette: join the (vec_id, lbl) mean-distance rows
+    # with the vector's own label, then one bounded per-label fold
+    def _per_vec(g: pd.DataFrame) -> pd.DataFrame:
+        # g: all (lbl, sum_d, cnt) rows of ONE vec_id + its own label
+        own_lb = np.int64(g["own_label"].iloc[0])
+        mine = g[g["lbl"] == own_lb]
+        others = g[g["lbl"] != own_lb]
+        if len(mine) == 0 or len(others) == 0:
+            s = 0.0  # singleton own cluster, or single-cluster data
+        else:
+            a = float(mine["sum_d"].iloc[0]) / float(mine["cnt"].iloc[0])
+            b = float((others["sum_d"] / others["cnt"]).min())
+            mx = max(a, b)
+            s = 0.0 if mx == 0.0 else (b - a) / mx
+        return pd.DataFrame({"label": [own_lb], "sil": [s],
+                             "one": [np.int64(1)]})
+
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    i64 = pa.int64()
+    joined = bucket_hash_join(
+        sums,
+        own.map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "own_label": b["label"].astype("int64")}),
+            batch_format="pandas"),
+        on="vec_id", num_buckets=num_buckets,
+        left_schema=pa.schema([("vec_id", i64), ("lbl", i64),
+                               ("sum_d", pa.float64()), ("cnt", i64)]),
+        right_schema=pa.schema([("vec_id", i64), ("own_label", i64)]))
+
+    per_vec = key_map_groups(joined, _per_vec, key_col="vec_id",
+                             num_buckets=num_buckets)
+    out = combine_partials_driver(
+        per_vec, ["label"], {"sum_sil": ("sil", "sum"),
+                             "n": ("one", "sum")})
+    out = out.sort_values("label").reset_index(drop=True)
+    res = pd.DataFrame({
+        "label": out["label"].astype("int64"),
+        "n": out["n"].astype("int64"),
+        "mean_silhouette": round_half_away(
+            (out["sum_sil"] / out["n"].astype(np.float64)).to_numpy(), 6),
+    })
+    return res

@@ -444,3 +444,42 @@ def test_embedding_dbscan_matches_brute_and_tile_invariance(ray_session):
     # the structure is non-trivial: all three roles and >1 cluster
     assert set(got["role"]) == {"core", "border", "noise"}
     assert got.loc[got["cluster_id"] >= 0, "cluster_id"].nunique() > 1
+
+
+def test_silhouette_by_label_matches_dense_reference(ray_session):
+    """Silhouette per label equals a dense O(N²) reference (cosine
+    distance, sklearn conventions: singleton/single-cluster points
+    score 0)."""
+    from ocr_agent_ray.pipelines.similarity import (_unit,
+                                                    silhouette_by_label)
+
+    got = silhouette_by_label(SF)
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()) \
+        .sort_values("label").reset_index(drop=True)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    labels = t["label"].to_numpy(np.int64)
+    unit = _unit(np.stack(t["embedding"].to_numpy()))
+    dist = 1.0 - unit @ unit.T
+    uniq = np.unique(labels)
+    sil = np.zeros(len(labels))
+    for i in range(len(labels)):
+        same = (labels == labels[i])
+        same[i] = False
+        if not same.any():
+            continue
+        a = dist[i, same].mean()
+        b = min(dist[i, labels == lb].mean()
+                for lb in uniq if lb != labels[i])
+        mx = max(a, b)
+        sil[i] = 0.0 if mx == 0.0 else (b - a) / mx
+    want = pd.DataFrame({
+        "label": uniq.astype(np.int64),
+        "n": np.array([(labels == lb).sum() for lb in uniq], np.int64),
+        "mean_silhouette": [round(float(sil[labels == lb].mean()), 6)
+                            for lb in uniq]})
+    assert got["label"].tolist() == want["label"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["mean_silhouette"], want["mean_silhouette"],
+                       atol=5.1e-7)
