@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_theil_sen_trend": streaming.theil_sen_trend,
         "q_dow_seasonality": streaming.dow_seasonality,
         "q_cusum_changepoint": streaming.cusum_changepoint,
+        "q_ab_test_zscore": streaming.ab_test_zscore,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -440,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rrf_hybrid_search": similarity.rrf_hybrid_search,
         "q_embedding_dbscan": similarity.embedding_dbscan,
         "q_silhouette_by_label": similarity.silhouette_by_label,
+        "q_mmr_rerank": similarity.mmr_rerank,
         "q_embedding_norms": similarity.embedding_norms,
         "q_token_entropy": text.token_entropy,
         "q_email_domains": text.email_domain_counts,
@@ -1261,6 +1263,33 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(CAST(tot - cum AS DOUBLE) / CAST(n - rn AS DOUBLE), 6) "
             "AS mean_after, CAST(n AS BIGINT) AS n_days "
             "FROM best WHERE rk = 1 ORDER BY event_type"
+        ),
+        "q_ab_test_zscore": (
+            # pooled two-proportion z-test; arm = user_id % 2,
+            # converted iff >= 1 purchase event; counts exact ints
+            # until the final divisions (same order as the pipeline)
+            "WITH u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) "
+            "AS arm, MAX(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) AS conv FROM events GROUP BY 1), "
+            "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1), "
+            "w AS (SELECT "
+            "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
+            "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
+            "MAX(CASE WHEN arm = 0 THEN c END) AS c_a, "
+            "MAX(CASE WHEN arm = 1 THEN c END) AS c_b FROM a) "
+            "SELECT n_a, n_b, c_a AS conv_a, c_b AS conv_b, "
+            "ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS p_a, "
+            "ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS p_b, "
+            "ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) "
+            "- CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift, "
+            "ROUND(CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b "
+            "THEN 0.0 ELSE (CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) "
+            "- CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)) "
+            "/ sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+            "* (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
+            "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) "
+            "END, 6) AS z_score FROM w"
         ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},

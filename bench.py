@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "q_rrf_hybrid_search",
     "q_embedding_dbscan",
     "q_silhouette_by_label",
+    "q_mmr_rerank",
     "q_knn_lsh",
     "q_embedding_near_dup",
     "q_latest_order_asof",
@@ -262,6 +263,7 @@ QUERY_NAMES = [
     "q_theil_sen_trend",
     "q_dow_seasonality",
     "q_cusum_changepoint",
+    "q_ab_test_zscore",
     "q_neighbor_jaccard",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",

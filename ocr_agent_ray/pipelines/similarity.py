@@ -1551,3 +1551,62 @@ def silhouette_by_label(sf_dir: str, *, num_blocks: int = 4,
             (out["sum_sil"] / out["n"].astype(np.float64)).to_numpy(), 6),
     })
     return res
+
+
+def mmr_rerank(sf_dir: str, *, lam: float = 0.7, k: int = 10,
+               pool: int = 20, num_queries: int = 3):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware top-k used to de-duplicate
+    retrieval results before they reach a context window: greedily pick
+
+        argmax_d  lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)
+
+    from each query's cosine top-``pool`` candidates until ``k`` are
+    chosen (ties → lower vec_id; the first pick is the top candidate).
+
+    Distributed shape: candidate generation is ``knn_bruteforce``'s
+    partial-topk reduction (the corpus-sized part); the greedy runs on
+    the BOUNDED pool (Q × pool² sims) — driver residency by
+    construction, like the RRF fusion. Iterative greedy selection has
+    no SQL twin, so this entry is rows-only; the pytest pins a dense
+    reference. Columns: query_id, vec_id, mmr_rank, mmr_score."""
+    import pyarrow.parquet as pq_mod
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    cand = knn_bruteforce(sf_dir, k=pool, num_queries=num_queries) \
+        .to_pandas()
+    need = sorted(set(cand["vec_id"]) | set(range(num_queries)))
+    t = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", need)]).to_pandas()
+    t = t.sort_values("vec_id")
+    pos = {int(v): i for i, v in enumerate(t["vec_id"])}
+    unit = _unit(np.stack(t["embedding"].to_numpy()))
+
+    out = []
+    for qid in range(num_queries):
+        sub = cand[cand["query_id"] == qid].sort_values("rank")
+        ids = sub["vec_id"].to_numpy(np.int64)
+        if ids.size == 0:
+            continue
+        rel = sub["cosine"].to_numpy(np.float64)  # arm's rounded contract
+        mat = unit[[pos[int(v)] for v in ids]]
+        sims = mat @ mat.T
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        while remaining and len(chosen) < k:
+            best_i, best_s = None, -np.inf
+            for i in remaining:
+                div = max((sims[i, j] for j in chosen), default=0.0)
+                s = lam * rel[i] - (1.0 - lam) * div
+                if (s > best_s
+                        or (s == best_s and ids[i] < ids[best_i])):
+                    best_i, best_s = i, s
+            chosen.append(best_i)
+            remaining.remove(best_i)
+            out.append((np.int64(qid), ids[best_i],
+                        np.int64(len(chosen)),
+                        float(round_half_away(np.float64(best_s), 6))))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "mmr_rank",
+                                      "mmr_score"])

@@ -1873,3 +1873,54 @@ def cusum_changepoint(sf_dir: str):
                      np.int64(n)))
     out = pd.DataFrame(rows, columns=cols)
     return out.astype({"n_days": "int64"}).reset_index(drop=True)
+
+
+def ab_test_zscore(sf_dir: str, *, convert_type: str = "purchase"):
+    """Two-proportion z-test between deterministic experiment arms —
+    the experimentation primitive over the event stream: users are
+    assigned arm = user_id % 2 (a hash-stable split), a user CONVERTS
+    iff they have ≥1 ``convert_type`` event, and the pooled two-
+    proportion z statistic tests p_b − p_a:
+
+        z = (p_b − p_a) / sqrt(pp·(1−pp)·(1/n_a + 1/n_b)),
+        pp = (c_a + c_b) / (n_a + n_b)
+
+    Distributed shape: per-user conversion folds as a bucketed
+    MAX aggregate over (user_id) — users are unbounded, so the fold is
+    hash-partitioned, and only the TWO arm rows reach the driver.
+    Float expression order identical in the twin (counts stay exact
+    ints until the final divisions). Columns: n_a, n_b, conv_a,
+    conv_b, p_a, p_b, lift, z_score."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, ("user_id", "event_type"))
+    per_user = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "conv": (b["event_type"] == convert_type).astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id"], {"converted": ("conv", "max")})
+    arms = combine_partials_driver(
+        per_user.map_batches(lambda b: pd.DataFrame({
+            "arm": b["user_id"].to_numpy(np.int64) % 2,
+            "n": np.int64(1),
+            "c": b["converted"].astype("int64")}),
+            batch_format="pandas"),
+        ["arm"], {"n": ("n", "sum"), "c": ("c", "sum")})
+    arms = arms.sort_values("arm")
+    n_a, n_b = (np.int64(x) for x in arms["n"].to_numpy())
+    c_a, c_b = (np.int64(x) for x in arms["c"].to_numpy())
+    p_a = np.float64(c_a) / np.float64(n_a)
+    p_b = np.float64(c_b) / np.float64(n_b)
+    pp = np.float64(c_a + c_b) / np.float64(n_a + n_b)
+    se = np.sqrt(pp * (1.0 - pp)
+                 * (1.0 / np.float64(n_a) + 1.0 / np.float64(n_b)))
+    z = (p_b - p_a) / se if se > 0 else np.float64(0.0)
+    return pd.DataFrame({
+        "n_a": [n_a], "n_b": [n_b], "conv_a": [c_a], "conv_b": [c_b],
+        "p_a": [float(round_half_away(p_a, 6))],
+        "p_b": [float(round_half_away(p_b, 6))],
+        "lift": [float(round_half_away(p_b - p_a, 6))],
+        "z_score": [float(round_half_away(z, 6))]})

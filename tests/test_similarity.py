@@ -483,3 +483,47 @@ def test_silhouette_by_label_matches_dense_reference(ray_session):
     assert got["n"].tolist() == want["n"].tolist()
     assert np.allclose(got["mean_silhouette"], want["mean_silhouette"],
                        atol=5.1e-7)
+
+
+def test_mmr_rerank_dense_reference_and_diversity(ray_session):
+    """MMR selection equals a dense greedy reference; the first pick is
+    the relevance top-1; and MMR actually diversifies: its picks'
+    mean pairwise similarity never exceeds plain top-k's."""
+    from ocr_agent_ray.pipelines.similarity import (_unit, knn_bruteforce,
+                                                    mmr_rerank)
+
+    got = mmr_rerank(SF)
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+
+    cand = knn_bruteforce(SF, k=20, num_queries=3).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    pos = {int(v): i for i, v in enumerate(t["vec_id"])}
+    unit = _unit(np.stack(t["embedding"].to_numpy()))
+    lam = 0.7
+    for qid in range(3):
+        sub = cand[cand["query_id"] == qid].sort_values("rank")
+        ids = sub["vec_id"].to_numpy(np.int64)
+        rel = sub["cosine"].to_numpy(np.float64)
+        mat = unit[[pos[int(v)] for v in ids]]
+        sims = mat @ mat.T
+        chosen, remaining = [], list(range(len(ids)))
+        while remaining and len(chosen) < 10:
+            scored = []
+            for i in remaining:
+                div = max((sims[i, j] for j in chosen), default=0.0)
+                scored.append((lam * rel[i] - (1 - lam) * div, -ids[i], i))
+            scored.sort(reverse=True)
+            chosen.append(scored[0][2])
+            remaining.remove(scored[0][2])
+        want_ids = [int(ids[i]) for i in chosen]
+        g = got[got["query_id"] == qid].sort_values("mmr_rank")
+        assert g["vec_id"].tolist() == want_ids
+        assert g["vec_id"].iloc[0] == int(ids[0])  # top-1 = relevance top-1
+        # diversity: mean pairwise sim of MMR picks <= plain top-10's
+        def _mps(sel):
+            m = unit[[pos[v] for v in sel]]
+            s = m @ m.T
+            iu = np.triu_indices(len(sel), k=1)
+            return s[iu].mean()
+        assert _mps(want_ids) <= _mps([int(v) for v in ids[:10]]) + 1e-12

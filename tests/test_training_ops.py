@@ -1143,3 +1143,40 @@ def test_cusum_changepoint_planted_shift(ray_session, tmp_path):
     assert f["cusum_stat"] == 0.0
     assert pd.Timestamp(f["change_day"]) == day0  # earliest-day tie
     assert f["mean_before"] == 5.0 and f["mean_after"] == 5.0
+
+
+def test_ab_test_zscore_planted_split(ray_session, tmp_path):
+    """Arms split by user_id parity: 100 even users with 30 converting,
+    100 odd users with 60 converting — z must equal the pooled
+    two-proportion formula computed by hand; multi-event users count
+    once."""
+    from ocr_agent_ray.pipelines.streaming import ab_test_zscore
+
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-05-01")
+    for u in range(200):
+        arm = u % 2
+        rank = u // 2
+        converts = rank < (30 if arm == 0 else 60)
+        rows.append((eid, t0, u, "view")); eid += 1
+        if converts:  # duplicate purchases must not double-count
+            rows.append((eid, t0, u, "purchase")); eid += 1
+            rows.append((eid, t0, u, "purchase")); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    got = ab_test_zscore(str(tmp_path))
+    got = (got if isinstance(got, pd.DataFrame) else got.to_pandas()).iloc[0]
+    assert (got["n_a"], got["n_b"]) == (100, 100)
+    assert (got["conv_a"], got["conv_b"]) == (30, 60)
+    assert got["p_a"] == 0.3 and got["p_b"] == 0.6
+    assert got["lift"] == 0.3
+    pp = 90 / 200
+    se = np.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    assert abs(got["z_score"] - round(0.3 / se, 6)) < 5.1e-7
