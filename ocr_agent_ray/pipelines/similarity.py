@@ -1215,6 +1215,83 @@ def rrf_hybrid_search(sf_dir: str, *, k_arm: int = 20, k_out: int = 10,
         {"query_id": "int64", "doc_id": "int64"})
 
 
+def _flat_unit_matrix(tbl) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 unit matrix) from an arrow table — the list<float>
+    column flattens ZERO-COPY to one contiguous values buffer and
+    reshapes, never materializing one ndarray object per row (the 10×
+    overhead the first tile-exchange draft paid)."""
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    arr = tbl.column("embedding").combine_chunks()
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    mat = vals.reshape(len(ids), len(vals) // max(len(ids), 1))
+    return ids, _unit(mat)
+
+
+def _allpairs_cosine_edges(sf_dir: str, *, cos_threshold: float,
+                           num_blocks: int):
+    """Exact all-pairs cosine edge list (vec_id_a < vec_id_b, cosine ≥
+    threshold) as a Dataset of id pairs.
+
+    The Dataset API cannot express a self-cross-product without
+    replicating one side through a shuffle (the first draft paid
+    num_blocks× replication plus per-row ndarray conversions), so this
+    drops to raw Ray tasks — the documented escape hatch for shared
+    read-only state: each block (vec_id mod num_blocks) is packed ONCE
+    into the object store as (ids, contiguous float64 unit matrix) and
+    every tile task reads its two blocks zero-copy from shared plasma
+    memory; the table crosses the wire once, not num_blocks times, and
+    the tile work is a pure dgemm. Cosines stay float64 so the
+    threshold comparison matches the DuckDB twin bit-for-bit. At
+    100 TB the pack reads are partition-pruned (hash-partitioned
+    layout keyed by the same block id — the smb.write_bucketed
+    discipline); against this repo's single-file tables each pack
+    task reads the one file column-pruned and filters its block.
+    Exact all-pairs is inherently quadratic — the ANN siblings
+    (knn_lsh / knn_ivf) are the approximate path when that cost is
+    unacceptable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    import ray
+    import ray.data as _rd
+
+    B = int(num_blocks)
+    path = f"{sf_dir}/embeddings.parquet"
+
+    @ray.remote
+    def _pack(b: int):
+        t = pq_mod.read_table(path, columns=["vec_id", "embedding"])
+        ids, unit = _flat_unit_matrix(t)
+        m = ids % B == b
+        return ids[m], unit[m]
+
+    @ray.remote
+    def _tile(blk_a, blk_b, same: bool):
+        ids_a, ua = blk_a
+        ids_b, ub = blk_b
+        if ids_a.size == 0 or ids_b.size == 0:
+            return pa.table({"vec_id_a": pa.array([], pa.int64()),
+                             "vec_id_b": pa.array([], pa.int64())})
+        cos = ua @ ub.T
+        if same:
+            ia, jb = np.triu_indices(len(ids_a), k=1)
+            keep = cos[ia, jb] >= cos_threshold
+            a, bb = ids_a[ia[keep]], ids_b[jb[keep]]
+        else:
+            ia, jb = np.nonzero(cos >= cos_threshold)
+            a, bb = ids_a[ia], ids_b[jb]
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        return pa.table({"vec_id_a": pa.array(lo, pa.int64()),
+                         "vec_id_b": pa.array(hi, pa.int64())})
+
+    blocks = [_pack.remote(b) for b in range(B)]
+    tiles = [_tile.remote(blocks[i], blocks[j], i == j)
+             for i in range(B) for j in range(i, B)]
+    return _rd.from_arrow_refs(tiles)
+
+
 def embedding_dbscan(sf_dir: str, *, cos_threshold: float = 0.32,
                      min_pts: int = 4, num_blocks: int = 4,
                      num_buckets: int = 16):
@@ -1229,19 +1306,13 @@ def embedding_dbscan(sf_dir: str, *, cos_threshold: float = 0.32,
     NOISE (cluster_id −1, kept as a plain BIGINT so the hash stays
     int-typed).
 
-    Distributed shape: the exact neighbor graph comes from a
-    bucket-pair block exchange — each vector is replicated to the
-    ``num_blocks`` block pairs containing its block (vec_id mod
-    num_blocks), every unordered block pair is ONE task computing its
-    cross-block cosine tile (same-block pairs only in the diagonal
-    tile, so each pair materializes exactly once). Exact all-pairs is
-    inherently quadratic — that cost is the op's definition; the ANN
-    siblings (``knn_lsh``, ``knn_ivf``) are the 100 TB path when
-    approximate density is acceptable, and ``num_blocks`` scales the
-    tile grid so no task holds more than 2/num_blocks of the table.
-    Degree/core/border run as bucketed aggregates + hash joins;
-    components reuse ``duplicate_clusters``' two-tier min-label
-    propagation (driver ≤2M edges, dataset-native above).
+    Distributed shape: the exact neighbor graph comes from
+    ``_allpairs_cosine_edges`` — blocks packed once into the object
+    store, one zero-copy dgemm task per unordered block pair (see its
+    docstring for the scale contract). Degree/core/border run as
+    bucketed aggregates + hash joins; components reuse
+    ``duplicate_clusters``' two-tier min-label propagation (driver
+    ≤2M edges, dataset-native above).
     Columns: vec_id, role, cluster_id, n_neighbors."""
     import pyarrow as pa
 
@@ -1249,53 +1320,13 @@ def embedding_dbscan(sf_dir: str, *, cos_threshold: float = 0.32,
 
     from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
     from ocr_agent_ray.pipelines.dedup import duplicate_clusters
-    from ocr_agent_ray.pipelines.exchange import key_map_groups
     from ocr_agent_ray.pipelines.joins import bucket_hash_join
 
-    B = int(num_blocks)
     i64 = pa.int64()
 
-    def _replicate(tbl: pa.Table) -> pa.Table:
-        # Arrow-native so the list<float> column never round-trips
-        # through pandas object arrays (which poisons the exchange's
-        # arrow<->pandas conversions with ndarray metadata)
-        h = (tbl.column("vec_id").to_numpy(zero_copy_only=False)
-             .astype(np.int64) % B)
-        parts = []
-        for i in range(B):
-            for j in range(i, B):
-                m = (h == i) if i == j else ((h == i) | (h == j))
-                idx = np.nonzero(m)[0]
-                if idx.size == 0:
-                    continue
-                sub = tbl.take(pa.array(idx))
-                parts.append(sub.append_column(
-                    "bp", pa.array(np.full(idx.size, i * B + j,
-                                           dtype=np.int64))))
-        if not parts:
-            return tbl.append_column(
-                "bp", pa.array([], pa.int64())).slice(0, 0)
-        return pa.concat_tables(parts)
-
-    def _tile_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        bp = int(g["bp"].iloc[0])
-        bi, bj = divmod(bp, B)
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy(np.int64)
-        unit = _unit(np.stack(g["embedding"].to_numpy()))
-        cos = unit @ unit.T
-        ia, jb = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, jb] >= cos_threshold
-        if bi != bj:  # same-block pairs belong to the diagonal tile
-            keep &= (ids[ia] % B) != (ids[jb] % B)
-        return pd.DataFrame({"vec_id_a": ids[ia[keep]],
-                             "vec_id_b": ids[jb[keep]]})
-
-    edges = key_map_groups(
-        _read_embeddings(sf_dir).map_batches(_replicate,
-                                             batch_format="pyarrow"),
-        _tile_pairs, key_col="bp", num_buckets=min(num_buckets, B * B),
-    ).materialize()
+    edges = _allpairs_cosine_edges(
+        sf_dir, cos_threshold=cos_threshold,
+        num_blocks=num_blocks).materialize()
 
     deg = hash_partition_aggregate(
         edges.map_batches(lambda b: pd.DataFrame({
