@@ -1458,130 +1458,91 @@ def silhouette_by_label(sf_dir: str, *, num_blocks: int = 4,
     max(a,b)=0 points score 0 (the sklearn convention, pinned in the
     twin). Reported per label: n, mean_silhouette.
 
-    Distributed shape: the same bucket-pair block-tile exchange as
-    ``embedding_dbscan``, but each tile emits PARTIAL SUMS
-    (vec_id, label_other, sum_dist, cnt) instead of pairs — the
-    exchange output is N × |labels| rows, not N², so only the tile
-    matmuls are quadratic (inherent to exact silhouette; sampled
-    silhouette is the approximation path at 100 TB). One bucketed
-    combine, then a per-vector kernel and a tiny per-label fold.
-    Columns: label, n, mean_silhouette."""
+    Distributed shape: under cosine distance exact silhouette is
+    LINEAR, not quadratic — Σ_{j∈lb, j≠i} (1 − u_i·u_j) =
+    cnt_lb − u_i·S_lb with S_lb = Σ_{j∈lb} u_j (the self term cancels:
+    u_i·u_i = 1 exactly offsets the count the self-pair would add).
+    Pass 1 folds per-label (count, Σ unit vector) as mergeable
+    partials — |labels|×dim values, broadcast back via ray.put.
+    Pass 2 scores each batch with ONE rows×dim × dim×|labels| matmul
+    and emits per-label silhouette partials. Nothing quadratic, no
+    shuffle beyond the two tiny folds — the 100 TB path IS the exact
+    path here. (The first draft tiled an N×N distance matrix; the
+    closed form deleted it.) Columns: label, n, mean_silhouette."""
     import pyarrow as pa
 
+    import ray
+
     from ocr_agent_ray.functions.textstats import round_half_away
-    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
-                                             hash_partition_aggregate)
-    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
 
-    B = int(num_blocks)
+    def _label_sums(tbl: pa.Table) -> pd.DataFrame:
+        ids, unit = _flat_unit_matrix(tbl)
+        lab = (tbl.column("label").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        onehot = np.zeros((len(lab), len(uniq)), dtype=np.float64)
+        onehot[np.arange(len(lab)), inv] = 1.0
+        s = onehot.T @ unit                       # |labels| × dim
+        cnt = onehot.sum(axis=0).astype(np.int64)
+        dim = unit.shape[1] if len(ids) else 0
+        out = pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "v": s.ravel(),
+            "c": np.zeros(len(uniq) * dim, dtype=np.int64)})
+        out.loc[out["dim"] == 0, "c"] = cnt  # counts ride the dim-0 rows
+        return out
 
-    def _replicate(tbl: pa.Table) -> pa.Table:
-        h = (tbl.column("vec_id").to_numpy(zero_copy_only=False)
-             .astype(np.int64) % B)
-        parts = []
-        for i in range(B):
-            for j in range(i, B):
-                m = (h == i) if i == j else ((h == i) | (h == j))
-                idx = np.nonzero(m)[0]
-                if idx.size == 0:
-                    continue
-                sub = tbl.take(pa.array(idx))
-                parts.append(sub.append_column(
-                    "bp", pa.array(np.full(idx.size, i * B + j,
-                                           dtype=np.int64))))
-        if not parts:
-            return tbl.append_column(
-                "bp", pa.array([], pa.int64())).slice(0, 0)
-        return pa.concat_tables(parts)
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding", "label"])
+    folded = combine_partials_driver(
+        ds.map_batches(_label_sums, batch_format="pyarrow"),
+        ["label", "dim"], {"v": ("v", "sum"), "c": ("c", "sum")})
+    folded = folded.sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.sort(folded["label"].unique()).astype(np.int64)
+    dim = int(folded["dim"].max()) + 1
+    s_mat = (folded["v"].to_numpy(np.float64)
+             .reshape(len(labels), dim).T)        # dim × |labels|
+    counts = folded.loc[folded["dim"] == 0] \
+        .sort_values("label")["c"].to_numpy(np.int64)
+    ref = ray.put((labels, s_mat, counts))
 
-    def _tile_partials(g: pd.DataFrame) -> pd.DataFrame:
-        bp = int(g["bp"].iloc[0])
-        bi, bj = divmod(bp, B)
-        ids = g["vec_id"].to_numpy(np.int64)
-        labels = g["label"].to_numpy(np.int64)
-        unit = _unit(np.stack(g["embedding"].to_numpy()))
-        dist = 1.0 - unit @ unit.T
-        h = ids % B
-        if bi == bj:
-            pair_mask = ~np.eye(len(ids), dtype=bool)
-        else:  # only cross-block pairs; same-block in the diagonal tile
-            pair_mask = h[:, None] != h[None, :]
-        uniq = np.unique(labels)
-        rows = []
-        for lb in uniq:
-            sel = (labels == lb)[None, :] & pair_mask
-            cnt = sel.sum(axis=1)
-            m = cnt > 0
-            if not m.any():
-                continue
-            rows.append(pd.DataFrame({
-                "vec_id": ids[m], "lbl": np.int64(lb),
-                "sum_d": np.where(sel, dist, 0.0).sum(axis=1)[m],
-                "cnt": cnt[m].astype(np.int64)}))
-        if not rows:
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "lbl": pd.Series(dtype="int64"),
-                                 "sum_d": pd.Series(dtype="float64"),
-                                 "cnt": pd.Series(dtype="int64")})
-        return pd.concat(rows, ignore_index=True)
+    def _score(tbl: pa.Table) -> pd.DataFrame:
+        lbs, smat, cnts = ray.get(ref)
+        ids, unit = _flat_unit_matrix(tbl)
+        lab = (tbl.column("label").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        if len(ids) == 0:
+            return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                                 "sil": pd.Series(dtype="float64"),
+                                 "one": pd.Series(dtype="int64")})
+        dots = unit @ smat                        # rows × |labels|
+        sums = cnts[None, :].astype(np.float64) - dots
+        own = np.searchsorted(lbs, lab)
+        r = np.arange(len(ids))
+        own_cnt = cnts[own]
+        a = np.where(own_cnt > 1,
+                     sums[r, own] / np.maximum(own_cnt - 1, 1), 0.0)
+        means = sums / cnts[None, :].astype(np.float64)
+        means[r, own] = np.inf                    # exclude own label
+        b = means.min(axis=1)
+        mx = np.maximum(a, b)
+        sil = np.where((own_cnt <= 1) | ~np.isfinite(b) | (mx == 0.0),
+                       0.0, (b - a) / np.where(mx == 0.0, 1.0, mx))
+        return pd.DataFrame({"label": lab, "sil": sil,
+                             "one": np.ones(len(ids), np.int64)})
 
-    partials = key_map_groups(
-        read_table(sf_dir, "embeddings",
-                   ["vec_id", "embedding", "label"]).map_batches(
-            _replicate, batch_format="pyarrow"),
-        _tile_partials, key_col="bp", num_buckets=min(num_buckets, B * B))
-
-    sums = hash_partition_aggregate(
-        partials, ["vec_id", "lbl"],
-        {"sum_d": ("sum_d", "sum"), "cnt": ("cnt", "sum")},
-        num_buckets=num_buckets)
-
-    own = read_table(sf_dir, "embeddings", ["vec_id", "label"])
-
-    # per-vector silhouette: join the (vec_id, lbl) mean-distance rows
-    # with the vector's own label, then one bounded per-label fold
-    def _per_vec(g: pd.DataFrame) -> pd.DataFrame:
-        # g: all (lbl, sum_d, cnt) rows of ONE vec_id + its own label
-        own_lb = np.int64(g["own_label"].iloc[0])
-        mine = g[g["lbl"] == own_lb]
-        others = g[g["lbl"] != own_lb]
-        if len(mine) == 0 or len(others) == 0:
-            s = 0.0  # singleton own cluster, or single-cluster data
-        else:
-            a = float(mine["sum_d"].iloc[0]) / float(mine["cnt"].iloc[0])
-            b = float((others["sum_d"] / others["cnt"]).min())
-            mx = max(a, b)
-            s = 0.0 if mx == 0.0 else (b - a) / mx
-        return pd.DataFrame({"label": [own_lb], "sil": [s],
-                             "one": [np.int64(1)]})
-
-    from ocr_agent_ray.pipelines.joins import bucket_hash_join
-
-    i64 = pa.int64()
-    joined = bucket_hash_join(
-        sums,
-        own.map_batches(lambda b: pd.DataFrame({
-            "vec_id": b["vec_id"].astype("int64"),
-            "own_label": b["label"].astype("int64")}),
-            batch_format="pandas"),
-        on="vec_id", num_buckets=num_buckets,
-        left_schema=pa.schema([("vec_id", i64), ("lbl", i64),
-                               ("sum_d", pa.float64()), ("cnt", i64)]),
-        right_schema=pa.schema([("vec_id", i64), ("own_label", i64)]))
-
-    per_vec = key_map_groups(joined, _per_vec, key_col="vec_id",
-                             num_buckets=num_buckets)
     out = combine_partials_driver(
-        per_vec, ["label"], {"sum_sil": ("sil", "sum"),
-                             "n": ("one", "sum")})
+        ds.map_batches(_score, batch_format="pyarrow"),
+        ["label"], {"sum_sil": ("sil", "sum"), "n": ("one", "sum")})
     out = out.sort_values("label").reset_index(drop=True)
-    res = pd.DataFrame({
+    return pd.DataFrame({
         "label": out["label"].astype("int64"),
         "n": out["n"].astype("int64"),
         "mean_silhouette": round_half_away(
             (out["sum_sil"] / out["n"].astype(np.float64)).to_numpy(), 6),
     })
-    return res
 
 
 def mmr_rerank(sf_dir: str, *, lam: float = 0.7, k: int = 10,
