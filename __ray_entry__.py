@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dow_seasonality": streaming.dow_seasonality,
         "q_cusum_changepoint": streaming.cusum_changepoint,
         "q_ab_test_zscore": streaming.ab_test_zscore,
+        "q_seasonal_decompose": streaming.seasonal_decompose_daily,
+        "q_holt_linear": streaming.holt_linear_daily,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1290,6 +1292,61 @@ def oracle_sql() -> dict[str, str]:
             "* (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
             "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) "
             "END, 6) AS z_score FROM w"
+        ),
+        "q_seasonal_decompose": (
+            # classical additive decomposition on the gapfilled daily
+            # grid: centered 7-day MA trend (full windows only),
+            # day-of-week seasonal means of the detrended series,
+            # residual = x - trend - seasonal; isodow-1 == pandas
+            # dayofweek (Monday=0)
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "grid AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g AS (SELECT grid.day, COALESCE(d.c, 0) AS c FROM grid "
+            "LEFT JOIN d USING (day)), "
+            "w AS (SELECT day, c, "
+            "CAST(SUM(c) OVER win AS DOUBLE) / 7.0 AS trend, "
+            "COUNT(*) OVER win AS wn FROM g WINDOW win AS "
+            "(ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+            "f AS (SELECT day, c, trend, "
+            "CAST(c AS DOUBLE) - trend AS det, "
+            "isodow(day) - 1 AS dow FROM w WHERE wn = 7), "
+            "s AS (SELECT dow, SUM(det) / COUNT(*) AS seas "
+            "FROM f GROUP BY 1) "
+            "SELECT f.day, f.c AS cnt, ROUND(f.trend, 6) AS trend, "
+            "ROUND(s.seas, 6) AS seasonal, "
+            "ROUND(CAST(f.c AS DOUBLE) - f.trend - s.seas, 6) "
+            "AS residual FROM f JOIN s USING (dow) ORDER BY f.day"
+        ),
+        "q_holt_linear": (
+            # Holt double exponential smoothing replayed as a recursive
+            # CTE over the gapfilled daily grid; float literal order
+            # identical to the pipeline loop (alpha=0.5, beta=0.3)
+            "WITH RECURSIVE "
+            "d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "grid AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g AS (SELECT row_number() OVER (ORDER BY grid.day) AS rn, "
+            "grid.day, COALESCE(d.c, 0) AS c FROM grid "
+            "LEFT JOIN d USING (day)), "
+            "h(rn, day, c, s, b) AS ("
+            "  SELECT g1.rn, g1.day, g1.c, CAST(g1.c AS DOUBLE), "
+            "  CAST(g2.c - g1.c AS DOUBLE) "
+            "  FROM g g1 JOIN g g2 ON g2.rn = 2 WHERE g1.rn = 1"
+            "  UNION ALL"
+            "  SELECT g.rn, g.day, g.c, "
+            "  0.5 * CAST(g.c AS DOUBLE) + (1.0 - 0.5) * (h.s + h.b), "
+            "  0.3 * ((0.5 * CAST(g.c AS DOUBLE) "
+            "+ (1.0 - 0.5) * (h.s + h.b)) - h.s) + (1.0 - 0.3) * h.b "
+            "  FROM g JOIN h ON g.rn = h.rn + 1) "
+            "SELECT day, c AS cnt, ROUND(s, 6) AS level, "
+            "ROUND(b, 6) AS trend_rate FROM h ORDER BY day"
         ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},

@@ -264,6 +264,8 @@ QUERY_NAMES = [
     "q_dow_seasonality",
     "q_cusum_changepoint",
     "q_ab_test_zscore",
+    "q_seasonal_decompose",
+    "q_holt_linear",
     "q_neighbor_jaccard",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",

@@ -1924,3 +1924,99 @@ def ab_test_zscore(sf_dir: str, *, convert_type: str = "purchase"):
         "p_b": [float(round_half_away(p_b, 6))],
         "lift": [float(round_half_away(p_b - p_a, 6))],
         "z_score": [float(round_half_away(z, 6))]})
+
+
+def seasonal_decompose_daily(sf_dir: str, *, period: int = 7):
+    """Additive seasonal decomposition of the daily event-count series
+    (classical decomposition, the STL-lite every monitoring stack
+    runs): on the GAPFILLED day grid (missing days count 0, mirroring
+    ``daily_counts_gapfilled``), trend_t = centered ``period``-day
+    moving average (full windows only), seasonal = per-day-of-week
+    mean of (x − trend), residual = x − trend − seasonal. Emits only
+    days with a full centered window so no nullable floats cross the
+    hash. Same bounded daily fold as the other screens — the series
+    is a calendar-sized dimension; float expressions (win_sum/7.0,
+    Σdet/cnt) are written in the twin's exact order. Columns: day,
+    cnt, trend, seasonal, residual."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    cols = ["day", "cnt", "trend", "seasonal", "residual"]
+    if len(days) < period:
+        return pd.DataFrame({
+            "day": pd.Series(dtype="datetime64[us]"),
+            "cnt": pd.Series(dtype="int64"),
+            "trend": pd.Series(dtype="float64"),
+            "seasonal": pd.Series(dtype="float64"),
+            "residual": pd.Series(dtype="float64")})
+    # gapfill to the full calendar grid (missing days = 0)
+    grid = pd.date_range(days["day"].min(), days["day"].max(),
+                         freq="D")
+    x = days.set_index("day")["c"].reindex(grid, fill_value=0) \
+        .to_numpy(np.int64)
+    n = len(x)
+    half = period // 2
+    csum = np.concatenate([[0], np.cumsum(x)])
+    t_idx = np.arange(half, n - half)
+    trend = (csum[t_idx + half + 1] - csum[t_idx - half]) \
+        .astype(np.float64) / np.float64(period)
+    det = x[t_idx].astype(np.float64) - trend
+    dow = pd.DatetimeIndex(grid).dayofweek.to_numpy()[t_idx]
+    seasonal_mean = {}
+    for d in range(7):
+        m = dow == d
+        if m.any():
+            seasonal_mean[d] = det[m].sum() / np.float64(m.sum())
+    seasonal = np.array([seasonal_mean[d] for d in dow])
+    resid = x[t_idx].astype(np.float64) - trend - seasonal
+    return pd.DataFrame({
+        "day": pd.Series(grid[t_idx]).astype("datetime64[us]"),
+        "cnt": x[t_idx],
+        "trend": round_half_away(trend, 6),
+        "seasonal": round_half_away(seasonal, 6),
+        "residual": round_half_away(resid, 6)})
+
+
+def holt_linear_daily(sf_dir: str, *, alpha: float = 0.5,
+                      beta: float = 0.3):
+    """Holt linear (double) exponential smoothing of the daily
+    event-count series — EWMA's trend-aware sibling (level + trend
+    state): on the gapfilled day grid,
+
+        s_1 = x_1,  b_1 = x_2 − x_1
+        s_t = α·x_t + (1−α)·(s_{t−1} + b_{t−1})
+        b_t = β·(s_t − s_{t−1}) + (1−β)·b_{t−1}
+
+    The recurrence is genuinely sequential, but the series is the
+    bounded calendar dimension, so the loop closes on the driver
+    after the one mergeable daily fold (the EWMA entry documents the
+    segmented-restart path for unbounded keys). The twin replays the
+    identical recurrence as a recursive CTE with the same float
+    literal order (the ``event_throttle`` precedent). Requires ≥2
+    days. Columns: day, cnt, level, trend_rate."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    if len(days) < 2:
+        return pd.DataFrame({
+            "day": pd.Series(dtype="datetime64[us]"),
+            "cnt": pd.Series(dtype="int64"),
+            "level": pd.Series(dtype="float64"),
+            "trend_rate": pd.Series(dtype="float64")})
+    grid = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    x = days.set_index("day")["c"].reindex(grid, fill_value=0) \
+        .to_numpy(np.int64)
+    n = len(x)
+    s = np.empty(n, np.float64)
+    b = np.empty(n, np.float64)
+    s[0] = np.float64(x[0])
+    b[0] = np.float64(x[1] - x[0])
+    a, bt = np.float64(alpha), np.float64(beta)
+    for t in range(1, n):
+        s[t] = a * np.float64(x[t]) + (1.0 - a) * (s[t - 1] + b[t - 1])
+        b[t] = bt * (s[t] - s[t - 1]) + (1.0 - bt) * b[t - 1]
+    return pd.DataFrame({
+        "day": pd.Series(grid).astype("datetime64[us]"),
+        "cnt": x,
+        "level": round_half_away(s, 6),
+        "trend_rate": round_half_away(b, 6)})

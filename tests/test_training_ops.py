@@ -1180,3 +1180,69 @@ def test_ab_test_zscore_planted_split(ray_session, tmp_path):
     pp = 90 / 200
     se = np.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
     assert abs(got["z_score"] - round(0.3 / se, 6)) < 5.1e-7
+
+
+def _write_daily_events(tmp_path, counts, day0="2024-06-03"):
+    rows, eid = [], 0
+    t0 = pd.Timestamp(day0)
+    for d, c in enumerate(counts):
+        for i in range(c):
+            rows.append((eid, t0 + pd.Timedelta(days=d, minutes=i),
+                         1, "view"))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["value"] = 1.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    return t0
+
+
+def test_seasonal_decompose_pure_weekly_pattern(ray_session, tmp_path):
+    """A perfectly periodic weekly series (no trend) decomposes into a
+    constant trend, the exact centered dow effects, and zero residual;
+    only full-window days are emitted."""
+    from ocr_agent_ray.pipelines.streaming import seasonal_decompose_daily
+
+    effect = [5, 0, 2, 8, 3, 1, 6]  # Monday-first weekly pattern
+    counts = [10 + effect[d % 7] for d in range(28)]
+    t0 = _write_daily_events(tmp_path, counts)  # 2024-06-03 is a Monday
+
+    got = seasonal_decompose_daily(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got) == 28 - 6  # centered window trims 3 each side
+    assert pd.Timestamp(got["day"].iloc[0]) == t0 + pd.Timedelta(days=3)
+    base = 10 + np.mean(effect)
+    assert np.allclose(got["trend"], base)
+    want_seasonal = np.array(effect) - np.mean(effect)
+    dow = pd.DatetimeIndex(got["day"]).dayofweek.to_numpy()
+    assert np.allclose(got["seasonal"], want_seasonal[dow], atol=5.1e-7)
+    assert np.allclose(got["residual"], 0.0, atol=5.1e-7)
+
+
+def test_holt_linear_matches_recurrence_with_gap(ray_session, tmp_path):
+    """Holt output equals a direct recurrence replay, including a
+    missing calendar day gapfilled as 0, and the level tracks a linear
+    ramp to within the smoothing lag."""
+    from ocr_agent_ray.pipelines.streaming import holt_linear_daily
+
+    counts = [4, 6, 8, 10, 0, 14, 16, 18, 20, 22]  # day 4 written as gap
+    rows_counts = list(counts)
+    rows_counts[4] = 0  # plant the gap by emitting no events that day
+    t0 = _write_daily_events(tmp_path, rows_counts)
+
+    got = holt_linear_daily(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got) == 10
+    assert got["cnt"].tolist() == rows_counts
+    x = np.array(rows_counts, dtype=np.float64)
+    s, b = [x[0]], [x[1] - x[0]]
+    for t in range(1, len(x)):
+        s_new = 0.5 * x[t] + 0.5 * (s[-1] + b[-1])
+        b.append(0.3 * (s_new - s[-1]) + 0.7 * b[-1])
+        s.append(s_new)
+    assert np.allclose(got["level"], np.round(s, 6), atol=5.1e-7)
+    assert np.allclose(got["trend_rate"], np.round(b, 6), atol=5.1e-7)
+    assert abs(got["trend_rate"].iloc[-1] - 2.0) < 1.5  # ~ +2/day ramp
