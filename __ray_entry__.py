@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_neighbor_jaccard": lambda sf: dedup.dup_graph_neighbor_jaccard(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
+        "q_clustering_coefficient": lambda sf:
+            dedup.dup_graph_clustering_coefficient(
+                _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),  # rows-only (iterative; dense-reference pytest)
         "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(
@@ -2719,6 +2722,27 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN com ON com.b = p.doc_id_a AND com.c = p.doc_id_b "
             "JOIN deg da ON da.u = p.doc_id_a "
             "JOIN deg db ON db.u = p.doc_id_b"
+        ),
+        "q_clustering_coefficient": (
+            # local clustering coefficient over the same pair graph:
+            # T(v) = closed wedges centered at v (e1.v < e2.v picks
+            # each unordered leaf pair once; closure via the pairs
+            # table, whose ids are already ordered a < b)
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "sym AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM sym GROUP BY 1), "
+            "tri AS (SELECT e1.u AS id, CAST(COUNT(*) AS BIGINT) AS t "
+            "FROM sym e1 JOIN sym e2 ON e2.u = e1.u AND e1.v < e2.v "
+            "JOIN pairs p ON p.doc_id_a = e1.v AND p.doc_id_b = e2.v "
+            "GROUP BY 1) "
+            "SELECT deg.id AS doc_id, deg.d AS degree, "
+            "COALESCE(tri.t, 0) AS triangles, "
+            "ROUND(2.0 * CAST(COALESCE(tri.t, 0) AS DOUBLE) "
+            "/ (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6) "
+            "AS clustering_coeff FROM deg "
+            "LEFT JOIN tri ON tri.id = deg.id WHERE deg.d >= 2"
         ),
         "q_order_priority_check": (
             "SELECT o_orderpriority, "

@@ -2503,3 +2503,50 @@ def dup_graph_neighbor_jaccard(docs, *, threshold: float = 0.5,
 
     return j3.map_batches(_close, batch_format="pandas",
                           batch_size=65536)
+
+
+def dup_graph_clustering_coefficient(docs, *, threshold: float = 0.5,
+                                     num_buckets: int = 16, pairs=None):
+    """Local clustering coefficient per node of the near-dup graph —
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the
+    template-family density score per document (cc ≈ 1: v sits inside
+    a near-clique of mutual duplicates; cc ≈ 0: v is a hub joining
+    unrelated families, where transitive dedup merges are risky).
+
+    Rides ``dup_graph_neighbor_jaccard`` (and therefore the shared
+    pairs cache): each triangle {v,x,y} is counted by BOTH of v's
+    edges in it as one common neighbor, so T(v) = Σ_{e∋v} n_common(e)
+    / 2 — one explode of the per-edge rows to both endpoints + one
+    bucketed sum; degree falls out of the same fold. Columns: doc_id,
+    degree, triangles, clustering_coeff."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    nj = dup_graph_neighbor_jaccard(docs, threshold=threshold,
+                                    num_buckets=num_buckets, pairs=pairs)
+    both = nj.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": np.concatenate([b["doc_id_a"].to_numpy(),
+                                      b["doc_id_b"].to_numpy()]),
+            "nc": np.concatenate([b["n_common"].to_numpy(np.int64),
+                                  b["n_common"].to_numpy(np.int64)]),
+            "one": np.int64(1)}),
+        batch_format="pandas", batch_size=65536)
+    agg = hash_partition_aggregate(
+        both, ["doc_id"], {"sum_nc": ("nc", "sum"),
+                           "degree": ("one", "sum")},
+        num_buckets=num_buckets)
+
+    def _cc(b: pd.DataFrame) -> pd.DataFrame:
+        from ocr_agent_ray.functions.textstats import round_half_away
+        d = b["degree"].to_numpy(np.int64)
+        t = b["sum_nc"].to_numpy(np.int64) // 2
+        m = d >= 2
+        cc = (2.0 * t[m].astype(np.float64)
+              / (d[m].astype(np.float64) * (d[m] - 1).astype(np.float64)))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy()[m],
+            "degree": d[m],
+            "triangles": t[m],
+            "clustering_coeff": round_half_away(cc, 6)})
+
+    return agg.map_batches(_cc, batch_format="pandas")

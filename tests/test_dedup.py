@@ -645,6 +645,33 @@ def test_neighbor_jaccard_triangle_and_pendant(ray_session):
     assert got.loc[3, "jaccard"] == 0.0
 
 
+def test_clustering_coefficient_k3_path_pendant(ray_session):
+    """Planted K3 (cc = 1 for all three), a path A-B-C (center has two
+    neighbors but no closing edge -> cc = 0), and an isolated dup pair
+    (degree 1 -> excluded by the deg >= 2 filter)."""
+    from ocr_agent_ray.pipelines.dedup import (
+        dup_graph_clustering_coefficient)
+
+    k3 = "alpha beta gamma delta epsilon zeta eta theta"
+    w = [f"w{i}" for i in range(14)]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": [k3, k3, k3,                 # K3: 1-2, 1-3, 2-3
+                 " ".join(w[0:10]),          # path: 4-5, 5-6 (not 4-6)
+                 " ".join(w[2:12]),
+                 " ".join(w[4:14]),
+                 "zz yy xx ww vv uu tt ss",  # pendant pair 7-8
+                 "zz yy xx ww vv uu tt ss"],
+    })
+    got = dup_graph_clustering_coefficient(rd.from_pandas(docs))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [1, 2, 3, 5]
+    assert got["degree"].tolist() == [2, 2, 2, 2]
+    assert got["triangles"].tolist() == [1, 1, 1, 0]
+    assert got["clustering_coeff"].tolist() == [1.0, 1.0, 1.0, 0.0]
+
+
 def test_shared_ngram_pairs_cache(ray_session, tmp_path):
     """VERDICT r4 #1: the persisted pair table is value-identical to a
     fresh build, serves cache hits without rebuilding, and a
