@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dow_seasonality": streaming.dow_seasonality,
         "q_cusum_changepoint": streaming.cusum_changepoint,
         "q_ab_test_zscore": streaming.ab_test_zscore,
+        "q_anova_f": relational.anova_f_value_by_type,
+        "q_ks_source_lengths": text.ks_source_lengths,
+        "q_length_auc_lang": text.length_auc_lang,
         "q_seasonal_decompose": streaming.seasonal_decompose_daily,
         "q_holt_linear": streaming.holt_linear_daily,
         "q_trailing_week_active": streaming.trailing_week_active_users,
@@ -1295,6 +1298,71 @@ def oracle_sql() -> dict[str, str]:
             "* (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) "
             "* (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) "
             "END, 6) AS z_score FROM w"
+        ),
+        "q_anova_f": (
+            # one-way ANOVA from per-group moment partials (n, Σx,
+            # Σx²); F and eta² are ratios, so the 1e-12 float-fold
+            # noise cancels before the 6-decimal round
+            "WITH g AS (SELECT event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s, "
+            "SUM(value * value) AS ss FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st FROM g), "
+            "parts AS (SELECT "
+            "SUM(CAST(g.n AS DOUBLE) * (g.s / CAST(g.n AS DOUBLE) "
+            "- t.st / CAST(t.nt AS DOUBLE)) "
+            "* (g.s / CAST(g.n AS DOUBLE) "
+            "- t.st / CAST(t.nt AS DOUBLE))) AS ssb, "
+            "SUM(g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) AS ssw "
+            "FROM g, t GROUP BY t.k, t.nt) "
+            "SELECT t.k AS n_groups, t.nt AS n_total, "
+            "ROUND((p.ssb / CAST(t.k - 1 AS DOUBLE)) "
+            "/ (p.ssw / CAST(t.nt - t.k AS DOUBLE)), 6) AS f_stat, "
+            "ROUND(p.ssb / (p.ssb + p.ssw), 6) AS eta_squared "
+            "FROM t, parts p"
+        ),
+        "q_ks_source_lengths": (
+            # two-sample KS over grouped length counts; every division
+            # is int/int -> double, so the per-length ECDF gaps are
+            # bitwise-identical to the pipeline and the argmax
+            # tie-break (smallest length at max D) matches exactly
+            "WITH f AS (SELECT source, n_chars FROM documents "
+            "WHERE source IN ('src0', 'src1')), "
+            "g AS (SELECT n_chars AS len, "
+            "CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS ca, "
+            "CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS cb FROM f GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+            "CAST(SUM(cb) AS BIGINT) AS nb FROM g), "
+            "c AS (SELECT len, SUM(ca) OVER (ORDER BY len) AS cca, "
+            "SUM(cb) OVER (ORDER BY len) AS ccb FROM g), "
+            "d AS (SELECT len, ABS(CAST(cca AS DOUBLE) "
+            "/ CAST(t.na AS DOUBLE) - CAST(ccb AS DOUBLE) "
+            "/ CAST(t.nb AS DOUBLE)) AS dd FROM c, t) "
+            "SELECT t.na AS n_a, t.nb AS n_b, "
+            "ROUND((SELECT MAX(dd) FROM d), 6) AS ks_d, "
+            "(SELECT MIN(len) FROM d "
+            "WHERE dd = (SELECT MAX(dd) FROM d)) AS at_len FROM t"
+        ),
+        "q_length_auc_lang": (
+            # Mann-Whitney AUC of n_chars predicting lang='en' via
+            # grouped counts; the doubled numerator stays exact
+            # integer so the single final division is bitwise equal
+            "WITH g AS (SELECT n_chars AS len, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS p, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS q FROM documents GROUP BY 1), "
+            "c AS (SELECT p, q, COALESCE(SUM(q) OVER (ORDER BY len "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "AS qb FROM g), "
+            "t AS (SELECT CAST(SUM(p) AS BIGINT) AS np, "
+            "CAST(SUM(q) AS BIGINT) AS nq, "
+            "CAST(SUM(p * (2 * qb + q)) AS BIGINT) AS num2 FROM c) "
+            "SELECT np AS n_pos, nq AS n_neg, "
+            "ROUND(CAST(num2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) "
+            "* CAST(nq AS DOUBLE)), 6) AS auc FROM t"
         ),
         "q_seasonal_decompose": (
             # classical additive decomposition on the gapfilled daily

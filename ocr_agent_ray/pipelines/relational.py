@@ -3486,6 +3486,44 @@ def chi_square_type_band(sf_dir: str, *, edges=(25.0, 75.0)):
     })
 
 
+def anova_f_value_by_type(sf_dir: str):
+    """One-way ANOVA of event value by event_type — the k-group
+    generalization of the A/B z-test ('do the spend distributions
+    differ across event types at all?'):
+
+        F = (SSB / (k−1)) / (SSW / (N−k)),
+        SSB = Σ_g n_g·(mean_g − grand)²,  SSW = Σ_g (Σx² − (Σx)²/n)_g
+
+    Distributed shape: the same mergeable moment partials as
+    ``value_stats_by_type`` (n, Σx, Σx² per type — three numbers per
+    key over the wire); the driver finishes the algebra on k rows.
+    eta² = SSB/(SSB+SSW) is the effect size. Columns: n_groups,
+    n_total, f_stat, eta_squared."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda b: b.assign(v2=b["value"] * b["value"]),
+            batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("value", "count"), "s": ("value", "sum"),
+         "ss": ("v2", "sum")})
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    k = np.int64(len(g))
+    nt = np.int64(n.sum())
+    grand = s.sum() / np.float64(nt)
+    ssb = float((n.astype(np.float64)
+                 * (s / n.astype(np.float64) - grand) ** 2).sum())
+    ssw = float((ss - s * s / n.astype(np.float64)).sum())
+    f = (ssb / np.float64(k - 1)) / (ssw / np.float64(nt - k))
+    return pd.DataFrame({
+        "n_groups": [k], "n_total": [nt],
+        "f_stat": round_half_away(np.array([f]), 6),
+        "eta_squared": round_half_away(np.array([ssb / (ssb + ssw)]), 6)})
+
+
 def snapshot_diff_documents(sf_dir: str):
     """Driver-visible snapshot diff: version 2 of the documents table is
     derived deterministically (every 7th text revised, every 11th doc

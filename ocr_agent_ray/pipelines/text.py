@@ -2580,3 +2580,89 @@ def unicode_clean(sf_dir: str):
 
     return _read_documents(sf_dir).map_batches(
         _clean, batch_format="pandas", batch_size=16384)
+
+
+def ks_source_lengths(sf_dir: str, *, source_a: str = "src0",
+                      source_b: str = "src1"):
+    """Two-sample Kolmogorov–Smirnov D between the document-length
+    distributions of two sources — the distribution-drift screen a
+    curation pipeline runs when a new crawl snapshot lands ('did this
+    source's length profile shift?'). D = max |ECDF_a − ECDF_b|,
+    evaluated at the union of observed lengths (the ECDF difference
+    only changes at jump points, so that evaluation set is exact).
+
+    Distributed shape: lengths fold as per-(n_chars) count partials —
+    the key space is bounded by the max document length, so the
+    cumulative pass runs on the driver over a dimension-sized table.
+    Ties at the max D break to the smallest length. All divisions are
+    int/int → float64, bitwise-identical to the SQL twin. Columns:
+    n_a, n_b, ks_d, at_len."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["source"].isin([source_a, source_b])
+        sub = b.loc[m]
+        return pd.DataFrame({
+            "len": sub["n_chars"].astype("int64"),
+            "ca": (sub["source"] == source_a).astype("int64"),
+            "cb": (sub["source"] == source_b).astype("int64")})
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("source", "n_chars")).map_batches(
+            _cells, batch_format="pandas", batch_size=65536),
+        ["len"], {"ca": ("ca", "sum"), "cb": ("cb", "sum")})
+    g = g.sort_values("len").reset_index(drop=True)
+    na = np.int64(g["ca"].sum())
+    nb = np.int64(g["cb"].sum())
+    cca = np.cumsum(g["ca"].to_numpy(np.int64))
+    ccb = np.cumsum(g["cb"].to_numpy(np.int64))
+    dd = np.abs(cca / np.float64(na) - ccb / np.float64(nb))
+    ks = dd.max()
+    at_len = np.int64(g["len"].to_numpy(np.int64)[dd == ks].min())
+    return pd.DataFrame({
+        "n_a": [na], "n_b": [nb],
+        "ks_d": round_half_away(np.array([ks]), 6),
+        "at_len": [at_len]})
+
+
+def length_auc_lang(sf_dir: str, *, lang: str = "en"):
+    """Mann–Whitney AUC of document length as a one-feature classifier
+    for a language label ('does length alone separate <lang> docs from
+    the rest?') — the ranking-quality primitive behind every quality-
+    classifier evaluation. With grouped counts per distinct length,
+
+        AUC = Σ_len pos_len·(neg_below + ½·neg_at) / (P·N)
+
+    computed as EXACT integers (doubled to clear the ½): 2·num =
+    Σ pos·(2·cum_neg_before + neg); one final int/int division makes
+    the result bitwise-identical to the SQL twin — no float-order
+    caveat at all. Distributed shape: per-(n_chars) count partials
+    (bounded key space), cumulative pass on the driver in arbitrary-
+    precision Python ints (no overflow at any corpus size). Columns:
+    n_pos, n_neg, auc."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        pos = (b["lang"] == lang).astype("int64")
+        return pd.DataFrame({"len": b["n_chars"].astype("int64"),
+                             "p": pos, "q": 1 - pos})
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("lang", "n_chars")).map_batches(
+            _cells, batch_format="pandas", batch_size=65536),
+        ["len"], {"p": ("p", "sum"), "q": ("q", "sum")})
+    g = g.sort_values("len").reset_index(drop=True)
+    p = [int(x) for x in g["p"]]
+    q = [int(x) for x in g["q"]]
+    total_p, total_n = sum(p), sum(q)
+    num2, qb = 0, 0
+    for pi, qi in zip(p, q):
+        num2 += pi * (2 * qb + qi)
+        qb += qi
+    auc = np.float64(num2) / (2.0 * np.float64(total_p)
+                              * np.float64(total_n))
+    return pd.DataFrame({
+        "n_pos": [np.int64(total_p)], "n_neg": [np.int64(total_n)],
+        "auc": round_half_away(np.array([auc]), 6)})

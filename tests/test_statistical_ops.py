@@ -326,3 +326,71 @@ def test_growth_and_retention_invariants(ray_session):
     r = weekly_retention(SF)
     assert (r["retained_users"] <= r["active_users"]).all()
     assert r["week"].is_monotonic_increasing
+
+
+def test_anova_f_planted_two_groups(ray_session, tmp_path):
+    """Hand-computed one-way ANOVA: groups [1,2,3] and [4,5,6] give
+    SSB 13.5, SSW 4 -> F = 13.5, eta^2 = 13.5/17.5."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import anova_f_value_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 3 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = anova_f_value_by_type(str(tmp_path))
+    assert got["n_groups"].tolist() == [2]
+    assert got["n_total"].tolist() == [6]
+    assert got["f_stat"].tolist() == [13.5]
+    assert got["eta_squared"].tolist() == [0.771429]
+
+
+def test_ks_planted_shifted_samples(ray_session, tmp_path):
+    """src0 lengths {1,2,3,4} vs src1 {3,4,5,6}: max ECDF gap is 0.5,
+    first reached at length 2; an unrelated source is ignored."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.text import ks_source_lengths
+
+    docs = pd.DataFrame({
+        "doc_id": range(9),
+        "text": ["x"] * 9,
+        "lang": ["en"] * 9,
+        "source": ["src0"] * 4 + ["src1"] * 4 + ["srcZ"],
+        "n_chars": [1, 2, 3, 4, 3, 4, 5, 6, 100]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ks_source_lengths(str(tmp_path))
+    assert got["n_a"].tolist() == [4]
+    assert got["n_b"].tolist() == [4]
+    assert got["ks_d"].tolist() == [0.5]
+    assert got["at_len"].tolist() == [2]
+
+
+def test_length_auc_separation_and_ties(ray_session, tmp_path):
+    """Perfect separation -> AUC 1.0; a tied length counts half
+    (planted case 0.125 checked against the pairwise definition)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.text import length_auc_lang
+
+    def _write(lens_pos, lens_neg, d):
+        docs = pd.DataFrame({
+            "doc_id": range(len(lens_pos) + len(lens_neg)),
+            "text": ["x"] * (len(lens_pos) + len(lens_neg)),
+            "lang": ["en"] * len(lens_pos) + ["de"] * len(lens_neg),
+            "source": "src0",
+            "n_chars": lens_pos + lens_neg})
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(d / "documents.parquet"))
+
+    _write([3, 4], [1, 2], tmp_path)
+    got = length_auc_lang(str(tmp_path))
+    assert got["auc"].tolist() == [1.0]
+    assert got["n_pos"].tolist() == [2] and got["n_neg"].tolist() == [2]
+
+    _write([1, 2], [2, 3], tmp_path)  # overwrite: one tie at len 2
+    got = length_auc_lang(str(tmp_path))
+    assert got["auc"].tolist() == [0.125]
