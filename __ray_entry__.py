@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anova_f": relational.anova_f_value_by_type,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
+        "q_spearman_len_tokens": text.spearman_chars_tokens,
         "q_seasonal_decompose": streaming.seasonal_decompose_daily,
         "q_holt_linear": streaming.holt_linear_daily,
         "q_trailing_week_active": streaming.trailing_week_active_users,
@@ -422,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clustering_coefficient": lambda sf:
             dedup.dup_graph_clustering_coefficient(
                 _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
+        "q_harmonic_2hop": lambda sf: dedup.dup_graph_harmonic_2hop(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),  # rows-only (iterative; dense-reference pytest)
         "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(
@@ -1363,6 +1366,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT np AS n_pos, nq AS n_neg, "
             "ROUND(CAST(num2 AS DOUBLE) / (2.0 * CAST(np AS DOUBLE) "
             "* CAST(nq AS DOUBLE)), 6) AS auc FROM t"
+        ),
+        "q_spearman_len_tokens": (
+            # Spearman rho via exact grouped average ranks
+            # (cnt_below + (cnt+1)/2 — halves exact in float64), then
+            # Pearson moments over the per-row ranks; formula written
+            # in the pipeline's operation order
+            "WITH d AS (SELECT n_chars AS x, "
+            "CAST(LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) "
+            "AS BIGINT) AS y FROM documents), "
+            "gx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM d GROUP BY 1), "
+            "rxm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) - c "
+            "AS DOUBLE) + (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r "
+            "FROM gx), "
+            "gy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM d GROUP BY 1), "
+            "rym AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) - c "
+            "AS DOUBLE) + (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r "
+            "FROM gy), "
+            "j AS (SELECT rxm.r AS rx, rym.r AS ry FROM d "
+            "JOIN rxm ON rxm.v = d.x JOIN rym ON rym.v = d.y), "
+            "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(rx) AS sx, "
+            "SUM(ry) AS sy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, "
+            "SUM(rx * ry) AS sxy FROM j) "
+            "SELECT CAST(n AS BIGINT) AS n_docs, "
+            "ROUND(CASE WHEN n * sxx - sx * sx <= 0.0 "
+            "OR n * syy - sy * sy <= 0.0 THEN 0.0 "
+            "ELSE (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) "
+            "* SQRT(n * syy - sy * sy)) END, 6) AS spearman_rho FROM m"
         ),
         "q_seasonal_decompose": (
             # classical additive decomposition on the gapfilled daily
@@ -2811,6 +2843,29 @@ def oracle_sql() -> dict[str, str]:
             "/ (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6) "
             "AS clustering_coeff FROM deg "
             "LEFT JOIN tri ON tri.id = deg.id WHERE deg.d >= 2"
+        ),
+        "q_harmonic_2hop": (
+            # radius-2 harmonic centrality: distance-2 set = distinct
+            # neighbor pairs through a shared middle, minus direct
+            # edges (sym holds both directions, so one NOT EXISTS
+            # probe covers it) minus self (e1.v <> e2.v)
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "sym AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM sym GROUP BY 1), "
+            "two AS (SELECT DISTINCT e1.v AS a, e2.v AS w FROM sym e1 "
+            "JOIN sym e2 ON e2.u = e1.u AND e1.v <> e2.v), "
+            "d2 AS (SELECT a, w FROM two WHERE NOT EXISTS "
+            "(SELECT 1 FROM sym s WHERE s.u = two.a AND s.v = two.w)), "
+            "n2 AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM d2 GROUP BY 1) "
+            "SELECT deg.id AS doc_id, deg.d AS n_dist1, "
+            "COALESCE(n2.c, 0) AS n_dist2, "
+            "ROUND(CAST(deg.d AS DOUBLE) "
+            "+ 0.5 * CAST(COALESCE(n2.c, 0) AS DOUBLE), 6) "
+            "AS harmonic_2hop FROM deg "
+            "LEFT JOIN n2 ON n2.id = deg.id"
         ),
         "q_order_priority_check": (
             "SELECT o_orderpriority, "

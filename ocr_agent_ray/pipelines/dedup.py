@@ -2550,3 +2550,96 @@ def dup_graph_clustering_coefficient(docs, *, threshold: float = 0.5,
             "clustering_coeff": round_half_away(cc, 6)})
 
     return agg.map_batches(_cc, batch_format="pandas")
+
+
+def dup_graph_harmonic_2hop(docs, *, threshold: float = 0.5,
+                            num_buckets: int = 16, pairs=None):
+    """Radius-2 truncated harmonic centrality per node of the near-dup
+    graph — h2(v) = |N1(v)| + ½·|N2(v)| (N2 = nodes at distance
+    exactly 2): the 'template reach' score, separating documents whose
+    duplication radiates beyond their immediate family from ones in a
+    closed clique (where N2 is empty and h2 collapses to the degree).
+
+    Distributed shape over the shared pair table: symmetric edges →
+    per-MIDDLE-node neighbor pairs via one key exchange (same wedge
+    discipline as ``dup_graph_triangles``; bounded here by the pair
+    threshold — orient by degree before the wedge stage at true web
+    scale), distinct-(a,w) via one bucketed fold, direct edges removed
+    by a large-large bucketed ANTI join on the composite key, per-node
+    counts by one more fold, then a LEFT bucket join onto the degree
+    table. Nothing is driver-resident. Columns: doc_id, n_dist1,
+    n_dist2, harmonic_2hop."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.joins import (bucket_anti_join,
+                                               bucket_hash_join)
+
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    sym = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["doc_id_a"].to_numpy(np.int64),
+                                 b["doc_id_b"].to_numpy(np.int64)]),
+            "v": np.concatenate([b["doc_id_b"].to_numpy(np.int64),
+                                 b["doc_id_a"].to_numpy(np.int64)])}),
+        batch_format="pandas", batch_size=65536).materialize()
+
+    deg = hash_partition_aggregate(
+        sym.map_batches(lambda b: b.assign(one=np.int64(1)),
+                        batch_format="pandas", batch_size=65536),
+        ["u"], {"d": ("one", "sum")}, num_buckets=num_buckets)
+
+    def _nbr_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        nb = np.sort(g["v"].unique())
+        if len(nb) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({
+            "a": np.concatenate([nb[i], nb[j]]),
+            "w": np.concatenate([nb[j], nb[i]])})
+
+    cand = key_map_groups(sym, _nbr_pairs, key_col="u",
+                          num_buckets=num_buckets)
+    dist = hash_partition_aggregate(
+        cand.map_batches(lambda b: b.assign(one=np.int64(1)),
+                         batch_format="pandas", batch_size=65536),
+        ["a", "w"], {"one": ("one", "sum")}, num_buckets=num_buckets)
+    keyed = dist.map_batches(
+        lambda b: pd.DataFrame({
+            "a": b["a"].astype("int64"),
+            "ek": b["a"].astype(str) + ":" + b["w"].astype(str)}),
+        batch_format="pandas", batch_size=65536)
+    ekeys = sym.map_batches(
+        lambda b: pd.DataFrame({
+            "ek": b["u"].astype(str) + ":" + b["v"].astype(str)}),
+        batch_format="pandas", batch_size=65536)
+    d2 = bucket_anti_join(
+        keyed, ekeys, on="ek", num_buckets=num_buckets,
+        left_schema=pa.schema([("a", pa.int64()), ("ek", pa.string())]))
+    n2 = hash_partition_aggregate(
+        d2.map_batches(lambda b: pd.DataFrame({
+            "u": b["a"].astype("int64"), "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["u"], {"c": ("c", "sum")}, num_buckets=num_buckets)
+
+    joined = bucket_hash_join(
+        deg, n2, on="u", how="left", num_buckets=num_buckets,
+        left_schema=pa.schema([("u", pa.int64()), ("d", pa.int64())]),
+        right_schema=pa.schema([("u", pa.int64()), ("c", pa.int64())]))
+
+    def _finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["d"].to_numpy(np.int64)
+        c = b["c"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": b["u"].to_numpy(np.int64),
+            "n_dist1": d,
+            "n_dist2": c,
+            "harmonic_2hop": round_half_away(
+                d.astype(np.float64) + 0.5 * c.astype(np.float64), 6)})
+
+    return joined.map_batches(_finish, batch_format="pandas",
+                              batch_size=65536)

@@ -2666,3 +2666,81 @@ def length_auc_lang(sf_dir: str, *, lang: str = "en"):
     return pd.DataFrame({
         "n_pos": [np.int64(total_p)], "n_neg": [np.int64(total_n)],
         "auc": round_half_away(np.array([auc]), 6)})
+
+
+def spearman_chars_tokens(sf_dir: str):
+    """Spearman rank correlation between document length (n_chars) and
+    token count — the nonparametric association screen (rank-based, so
+    outlier documents can't dominate the way they do in Pearson).
+
+    EXACT average ranks from grouped counts: rank(v) = cnt_below(v) +
+    (cnt(v)+1)/2 — halves are exact in float64, so the only float
+    noise is the final moment fold, which cancels in the ratio.
+    Distributed shape: pass 1 is ONE tagged scan folding BOTH marginal
+    histograms (key space bounded by the max document length); the
+    driver turns them into rank maps and broadcasts two sorted
+    (values, ranks) arrays via ray.put; pass 2 re-derives (x, y) per
+    row, looks ranks up with searchsorted (vectorized), and folds
+    six-moment Pearson partials. A production run at corpus scale
+    would persist the tokenized feature column instead of tokenizing
+    twice. Columns: n_docs, spearman_rho."""
+    import ray
+
+    from ocr_agent_ray.functions.textstats import (round_half_away,
+                                                   token_counts)
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _xy(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x": b["n_chars"].astype("int64"),
+            "y": token_counts(b["text"].fillna("")).astype("int64")})
+
+    def _tagged(b: pd.DataFrame) -> pd.DataFrame:
+        xy = _xy(b)
+        return pd.DataFrame({
+            "axis": ["x"] * len(xy) + ["y"] * len(xy),
+            "v": np.concatenate([xy["x"].to_numpy(np.int64),
+                                 xy["y"].to_numpy(np.int64)]),
+            "c": np.int64(1)})
+
+    marg = combine_partials_driver(
+        _read_documents(sf_dir, ("n_chars", "text")).map_batches(
+            _tagged, batch_format="pandas", batch_size=16384),
+        ["axis", "v"], {"c": ("c", "sum")})
+
+    def _rank_map(sub: pd.DataFrame):
+        sub = sub.sort_values("v")
+        c = sub["c"].to_numpy(np.int64)
+        below = np.cumsum(c) - c
+        ranks = below.astype(np.float64) + (c.astype(np.float64)
+                                            + 1.0) / 2.0
+        return sub["v"].to_numpy(np.int64), ranks
+
+    vx, rx = _rank_map(marg[marg["axis"] == "x"])
+    vy, ry = _rank_map(marg[marg["axis"] == "y"])
+    ref = ray.put((vx, rx, vy, ry))
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        vx, rx, vy, ry = ray.get(ref)
+        xy = _xy(b)
+        gx = rx[np.searchsorted(vx, xy["x"].to_numpy(np.int64))]
+        gy = ry[np.searchsorted(vy, xy["y"].to_numpy(np.int64))]
+        return pd.DataFrame({
+            "k": np.int64(0), "n": np.int64(1), "sx": gx, "sy": gy,
+            "sxx": gx * gx, "syy": gy * gy, "sxy": gx * gy})
+
+    m = combine_partials_driver(
+        _read_documents(sf_dir, ("n_chars", "text")).map_batches(
+            _moments, batch_format="pandas", batch_size=16384),
+        ["k"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+                "syy": ("syy", "sum"), "sxy": ("sxy", "sum")})
+    n = np.float64(m["n"].iloc[0])
+    sx, sy = np.float64(m["sx"].iloc[0]), np.float64(m["sy"].iloc[0])
+    sxx, syy = np.float64(m["sxx"].iloc[0]), np.float64(m["syy"].iloc[0])
+    sxy = np.float64(m["sxy"].iloc[0])
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    rho = (n * sxy - sx * sy) / denom if denom > 0 else np.float64(0.0)
+    return pd.DataFrame({
+        "n_docs": [np.int64(m["n"].iloc[0])],
+        "spearman_rho": round_half_away(np.array([rho]), 6)})

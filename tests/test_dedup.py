@@ -711,3 +711,28 @@ def test_shared_ngram_pairs_cache(ray_session, tmp_path):
     # empty pair set keeps the declared Dataset schema (to_pandas() of
     # an empty Dataset drops columns — a Ray quirk, so check the schema)
     assert c3.schema().names == ["doc_id_a", "doc_id_b", "jaccard"]
+
+
+def test_harmonic_2hop_path_and_clique(ray_session):
+    """Planted 5-node path (each end sees one node at distance 2, the
+    center sees two) + a K3 whose N2 is empty (h2 collapses to the
+    degree) — hand-computed h2 = deg + 0.5*|N2|."""
+    from ocr_agent_ray.pipelines.dedup import dup_graph_harmonic_2hop
+
+    k3 = "alpha beta gamma delta epsilon zeta eta theta"
+    w = [f"w{i}" for i in range(18)]
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "text": [" ".join(w[0:10]), " ".join(w[2:12]),
+                 " ".join(w[4:14]), " ".join(w[6:16]),
+                 " ".join(w[8:18]),                     # path 1-2-3-4-5
+                 k3, k3, k3],                           # K3: 6,7,8
+    })
+    got = dup_graph_harmonic_2hop(rd.from_pandas(docs))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    assert got["n_dist1"].tolist() == [1, 2, 2, 2, 1, 2, 2, 2]
+    assert got["n_dist2"].tolist() == [1, 1, 2, 1, 1, 0, 0, 0]
+    assert got["harmonic_2hop"].tolist() == \
+        [1.5, 2.5, 3.0, 2.5, 1.5, 2.0, 2.0, 2.0]

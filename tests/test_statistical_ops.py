@@ -394,3 +394,29 @@ def test_length_auc_separation_and_ties(ray_session, tmp_path):
     _write([1, 2], [2, 3], tmp_path)  # overwrite: one tie at len 2
     got = length_auc_lang(str(tmp_path))
     assert got["auc"].tolist() == [0.125]
+
+
+def test_spearman_ties_and_monotone(ray_session, tmp_path):
+    """Tie-heavy planted case hand-computed via average ranks:
+    x=[1,2,2,3] vs token counts [10,20,20,5] -> rho = -1.5/4.5; a
+    perfectly monotone pair gives rho 1.0."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.text import spearman_chars_tokens
+
+    def _write(n_chars, tok_counts, d):
+        docs = pd.DataFrame({
+            "doc_id": range(len(n_chars)),
+            "text": [" ".join(["t"] * k) for k in tok_counts],
+            "lang": "en", "source": "src0", "n_chars": n_chars})
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(d / "documents.parquet"))
+
+    _write([1, 2, 2, 3], [10, 20, 20, 5], tmp_path)
+    got = spearman_chars_tokens(str(tmp_path))
+    assert got["n_docs"].tolist() == [4]
+    assert got["spearman_rho"].tolist() == [-0.333333]
+
+    _write([5, 1, 9, 3], [50, 10, 90, 30], tmp_path)
+    got = spearman_chars_tokens(str(tmp_path))
+    assert got["spearman_rho"].tolist() == [1.0]
