@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
+        "q_quality_pct_rank": text.quality_pct_rank_by_source,
+        "q_user_burstiness": streaming.user_burstiness,
         "q_seasonal_decompose": streaming.seasonal_decompose_daily,
         "q_holt_linear": streaming.holt_linear_daily,
         "q_trailing_week_active": streaming.trailing_week_active_users,
@@ -1395,6 +1397,56 @@ def oracle_sql() -> dict[str, str]:
             "OR n * syy - sy * sy <= 0.0 THEN 0.0 "
             "ELSE (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) "
             "* SQRT(n * syy - sy * sy)) END, 6) AS spearman_rho FROM m"
+        ),
+        "q_quality_pct_rank": (
+            # per-source PERCENT_RANK of the quality score via grouped
+            # counts: exact ints until one final division (bitwise
+            # match); single-doc sources pin pct_rank to 0
+            "WITH base AS (SELECT doc_id, source, "
+            "LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) AS n_tokens, "
+            "LEN(list_filter(regexp_extract_all(lower(text), "
+            "'[0-9A-Za-z_]+'), "
+            f"w -> w IN {_STOP_LIST})) AS n_stop FROM documents), "
+            "s AS (SELECT doc_id, source, "
+            "ROUND(0.5 * LEAST(n_tokens, 100) / 100.0 "
+            "+ 0.5 * ROUND(CAST(n_stop AS DOUBLE) "
+            "/ GREATEST(n_tokens, 1), 6), 6) AS quality_score "
+            "FROM base), "
+            "g AS (SELECT source, quality_score AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2), "
+            "cc AS (SELECT source, v, SUM(c) OVER (PARTITION BY source "
+            "ORDER BY v) - c AS below FROM g), "
+            "t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n "
+            "FROM g GROUP BY 1) "
+            "SELECT s.doc_id, s.source, s.quality_score, "
+            "CASE WHEN t.n = 1 THEN 0.0 ELSE "
+            "ROUND(CAST(cc.below AS DOUBLE) / CAST(t.n - 1 AS DOUBLE), 6) "
+            "END AS pct_rank FROM s "
+            "JOIN cc ON cc.source = s.source AND cc.v = s.quality_score "
+            "JOIN t ON t.source = s.source"
+        ),
+        "q_user_burstiness": (
+            # inter-arrival CV per user from moment partials — the
+            # same (non-Welford) formula order as the pipeline;
+            # GREATEST clamps the constant-gap cancellation
+            "WITH d AS (SELECT user_id, "
+            "date_diff('microsecond', lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts) "
+            "AS g_us FROM events), "
+            "a AS (SELECT user_id, CAST(COUNT(g_us) AS BIGINT) AS n, "
+            "CAST(SUM(g_us) AS BIGINT) AS s_us, "
+            "SUM((CAST(g_us AS DOUBLE) / 1000000.0) "
+            "* (CAST(g_us AS DOUBLE) / 1000000.0)) AS ss "
+            "FROM d GROUP BY 1) "
+            "SELECT user_id, n + 1 AS n_events, "
+            "ROUND(CAST(s_us AS DOUBLE) / 1000000.0 "
+            "/ CAST(n AS DOUBLE), 6) AS mean_gap_s, "
+            "ROUND(CASE WHEN s_us = 0 THEN 0.0 ELSE "
+            "SQRT(GREATEST((ss - (CAST(s_us AS DOUBLE) / 1000000.0) "
+            "* (CAST(s_us AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0), 0.0)) "
+            "/ (CAST(s_us AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)) "
+            "END, 6) AS cv_gap FROM a WHERE n >= 2"
         ),
         "q_seasonal_decompose": (
             # classical additive decomposition on the gapfilled daily

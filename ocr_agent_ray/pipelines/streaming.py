@@ -2020,3 +2020,65 @@ def holt_linear_daily(sf_dir: str, *, alpha: float = 0.5,
         "cnt": x,
         "level": round_half_away(s, 6),
         "trend_rate": round_half_away(b, 6)})
+
+
+def user_burstiness(sf_dir: str, *, min_events: int = 3):
+    """Inter-arrival burstiness per user — coefficient of variation of
+    the gaps between a user's consecutive events (cv ≈ 0: metronomic
+    bot-like cadence; cv ≫ 1: bursty human sessions). The behavioural
+    screen bot-filtering runs before events feed training data.
+
+    Distributed shape: the same user-bucket exchange as
+    ``event_deltas`` — one sort per bucket, exact int64 gap diffs
+    masked at user boundaries, then a vectorized per-user moment fold
+    (n, Σg, Σg²) INSIDE the bucket kernel so only three numbers per
+    user cross to the output. Gaps are converted us → seconds by one
+    exact /1e6 before squaring to keep Σg² in comfortable float64
+    range. stddev via the same moment formula as the SQL twin (NOT
+    Welford, so the expressions match); cv is scale-free so the
+    1e-12 fold noise cancels. Columns: user_id, n_events, mean_gap_s,
+    cv_gap."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    min_gaps = min_events - 1
+
+    def _cv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        t = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        gap_us = np.concatenate([[0], t[1:] - t[:-1]])
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        # Σgap stays exact int64 (it telescopes to last-first), so the
+        # 6-decimal round of the large mean can't flip on fold order;
+        # only Σg² is a float fold, and cv is a ratio so that cancels
+        g = gap_us.astype(np.float64) / 1000000.0
+        df = pd.DataFrame({"user_id": uid[~first],
+                           "g_us": gap_us[~first],
+                           "g2": g[~first] * g[~first]})
+        a = df.groupby("user_id", sort=True).agg(
+            n=("g_us", "size"), s_us=("g_us", "sum"),
+            ss=("g2", "sum")).reset_index()
+        a = a[a["n"] >= min_gaps].reset_index(drop=True)
+        n = a["n"].to_numpy(np.int64).astype(np.float64)
+        s_us = a["s_us"].to_numpy(np.int64)
+        ss = a["ss"].to_numpy(np.float64)
+        s = s_us.astype(np.float64) / 1000000.0
+        mean = s / n
+        # constant gaps cancel to a tiny negative: clamp (twin GREATEST)
+        sd = np.sqrt(np.maximum((ss - s * s / n) / (n - 1.0), 0.0))
+        cv = np.where(s_us == 0, 0.0, sd / mean)
+        return pd.DataFrame({
+            "user_id": a["user_id"].to_numpy(np.int64),
+            "n_events": a["n"].to_numpy(np.int64) + 1,
+            "mean_gap_s": round_half_away(mean, 6),
+            "cv_gap": round_half_away(cv, 6)})
+
+    keyed = (
+        _read_events(sf_dir, ("event_id", "ts", "user_id"))
+        .map_batches(lambda b: b.assign(
+            __b=(b["user_id"] % 64).astype("int32")),
+            batch_format="pandas", batch_size=65536)
+    )
+    return bucket_map_groups(keyed, _cv, num_buckets=64)

@@ -2744,3 +2744,63 @@ def spearman_chars_tokens(sf_dir: str):
     return pd.DataFrame({
         "n_docs": [np.int64(m["n"].iloc[0])],
         "spearman_rho": round_half_away(np.array([rho]), 6)})
+
+
+def quality_pct_rank_by_source(sf_dir: str):
+    """Per-source percentile rank of the quality score — the
+    calibration step behind per-dump quantile filtering (keep the top
+    X% of EACH source, so a systematically verbose source can't crowd
+    out the others the way a single global threshold lets it).
+
+    pct_rank = cnt_strictly_below / (n_source − 1) — PERCENT_RANK
+    semantics, exact ints until one final division. Distributed shape:
+    pass 1 folds per-(source, score) counts (scores are rounded to 6
+    in [0,1], so the key space is bounded at ~1e6 per source); the
+    driver builds per-source cumulative rank maps and broadcasts them
+    via ray.put; pass 2 re-scores each doc and looks its percentile up
+    with searchsorted. Columns: doc_id, source, quality_score,
+    pct_rank."""
+    import ray
+
+    from ocr_agent_ray.functions.textstats import (quality_features,
+                                                   round_half_away)
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _scores(b: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(b["text"])
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "source": b["source"],
+            "quality_score": feats["quality_score"]})
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("doc_id", "source", "text")).map_batches(
+            lambda b: _scores(b).assign(c=np.int64(1)),
+            batch_format="pandas", batch_size=16384),
+        ["source", "quality_score"], {"c": ("c", "sum")})
+
+    maps = {}
+    for src, sub in g.groupby("source"):
+        sub = sub.sort_values("quality_score")
+        c = sub["c"].to_numpy(np.int64)
+        n = np.int64(c.sum())
+        below = np.cumsum(c) - c
+        pct = (np.zeros(len(c)) if n == 1
+               else below.astype(np.float64) / np.float64(n - 1))
+        maps[src] = (sub["quality_score"].to_numpy(np.float64),
+                     round_half_away(pct, 6))
+    ref = ray.put(maps)
+
+    def _lookup(b: pd.DataFrame) -> pd.DataFrame:
+        maps = ray.get(ref)
+        out = _scores(b)
+        pct = np.empty(len(out))
+        for src, idx in out.groupby("source").indices.items():
+            vals, ranks = maps[src]
+            pct[idx] = ranks[np.searchsorted(
+                vals, out["quality_score"].to_numpy(np.float64)[idx])]
+        out["pct_rank"] = pct
+        return out
+
+    return _read_documents(sf_dir, ("doc_id", "source", "text")) \
+        .map_batches(_lookup, batch_format="pandas", batch_size=16384)

@@ -420,3 +420,58 @@ def test_spearman_ties_and_monotone(ray_session, tmp_path):
     _write([5, 1, 9, 3], [50, 10, 90, 30], tmp_path)
     got = spearman_chars_tokens(str(tmp_path))
     assert got["spearman_rho"].tolist() == [1.0]
+
+
+def test_quality_pct_rank_ties_and_singleton(ray_session, tmp_path):
+    """Ties share the strictly-below count (both 0.02 docs get 1/3);
+    a single-doc source pins pct_rank to 0."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.text import quality_pct_rank_by_source
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x", "x y z w", "x y z w", "the the the the", "z"],
+        "lang": "en",
+        "source": ["A", "A", "A", "A", "B"],
+        "n_chars": [1, 7, 7, 15, 1]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = quality_pct_rank_by_source(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["quality_score"].tolist() == [0.005, 0.02, 0.02, 0.52,
+                                             0.005]
+    assert got["pct_rank"].tolist() == [0.0, 0.333333, 0.333333, 1.0,
+                                        0.0]
+
+
+def test_user_burstiness_metronome_vs_bursty(ray_session, tmp_path):
+    """Metronomic user (equal gaps) -> cv 0; bursty user gaps
+    [1,1,28]s -> cv = sqrt(243)/10; a 2-event user is excluded."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import user_burstiness
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i, off in enumerate([0, 10, 20, 30]):          # user 1
+        rows.append((100 + i, base + pd.Timedelta(seconds=off), 1))
+    for i, off in enumerate([0, 1, 2, 30]):            # user 2
+        rows.append((200 + i, base + pd.Timedelta(seconds=off), 2))
+    for i, off in enumerate([0, 5]):                   # user 3: excluded
+        rows.append((300 + i, base + pd.Timedelta(seconds=off), 3))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["event_type"] = "view"
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = user_burstiness(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == [1, 2]
+    assert got["n_events"].tolist() == [4, 4]
+    assert got["mean_gap_s"].tolist() == [10.0, 10.0]
+    assert got["cv_gap"].tolist() == [0.0, 1.558846]
