@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_burstiness": streaming.user_burstiness,
         "q_seasonal_decompose": streaming.seasonal_decompose_daily,
         "q_holt_linear": streaming.holt_linear_daily,
+        "q_holt_winters": streaming.holt_winters_daily,
         "q_trailing_week_active": streaming.trailing_week_active_users,
         "q_profile_columns": _profile_columns,
         "q_check_constraints": _check_constraints,
@@ -1502,6 +1503,55 @@ def oracle_sql() -> dict[str, str]:
             "  FROM g JOIN h ON g.rn = h.rn + 1) "
             "SELECT day, c AS cnt, ROUND(s, 6) AS level, "
             "ROUND(b, 6) AS trend_rate FROM h ORDER BY day"
+        ),
+        "q_holt_winters": (
+            # Holt-Winters additive smoothing replayed as a recursive
+            # CTE carrying the 7-slot seasonal buffer as a DOUBLE[]
+            # list; init sums exact ints; float literal order matches
+            # the pipeline loop (alpha=0.5, beta=0.3, gamma=0.2);
+            # anchor requires a full second season (rn=14 exists)
+            "WITH RECURSIVE "
+            "d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "grid AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g AS (SELECT row_number() OVER (ORDER BY grid.day) AS rn, "
+            "grid.day, COALESCE(d.c, 0) AS c FROM grid "
+            "LEFT JOIN d USING (day)), "
+            "init AS (SELECT "
+            "(SELECT SUM(c) FROM g WHERE rn <= 7) AS sum1, "
+            "(SELECT SUM(c) FROM g WHERE rn > 7 AND rn <= 14) AS sum2, "
+            "(SELECT list(CAST(c AS DOUBLE) ORDER BY rn) FROM g "
+            "WHERE rn <= 7) AS xs), "
+            "h(rn, day, c, l, b, se, buf) AS ("
+            "  SELECT g.rn, g.day, g.c, "
+            "  CAST(i.sum1 AS DOUBLE) / 7.0, "
+            "  (CAST(i.sum2 AS DOUBLE) / 7.0 "
+            "- CAST(i.sum1 AS DOUBLE) / 7.0) / 7.0, "
+            "  CAST(NULL AS DOUBLE), "
+            "  list_transform(i.xs, "
+            "v -> v - CAST(i.sum1 AS DOUBLE) / 7.0) "
+            "  FROM g, init i WHERE g.rn = 7 "
+            "  AND EXISTS (SELECT 1 FROM g WHERE rn = 14)"
+            "  UNION ALL"
+            "  SELECT g.rn, g.day, g.c, "
+            "  0.5 * (CAST(g.c AS DOUBLE) - h.buf[1]) "
+            "+ (1.0 - 0.5) * (h.l + h.b), "
+            "  0.3 * ((0.5 * (CAST(g.c AS DOUBLE) - h.buf[1]) "
+            "+ (1.0 - 0.5) * (h.l + h.b)) - h.l) + (1.0 - 0.3) * h.b, "
+            "  0.2 * (CAST(g.c AS DOUBLE) "
+            "- (0.5 * (CAST(g.c AS DOUBLE) - h.buf[1]) "
+            "+ (1.0 - 0.5) * (h.l + h.b))) + (1.0 - 0.2) * h.buf[1], "
+            "  list_append(h.buf[2:7], "
+            "  0.2 * (CAST(g.c AS DOUBLE) "
+            "- (0.5 * (CAST(g.c AS DOUBLE) - h.buf[1]) "
+            "+ (1.0 - 0.5) * (h.l + h.b))) + (1.0 - 0.2) * h.buf[1]) "
+            "  FROM g JOIN h ON g.rn = h.rn + 1) "
+            "SELECT day, c AS cnt, ROUND(l, 6) AS level, "
+            "ROUND(b, 6) AS trend_rate, ROUND(se, 6) AS seasonal "
+            "FROM h WHERE rn > 7 ORDER BY day"
         ),
         "q_ewma_value": (
             # prefix-sum closed form of s_t = 0.1·x_t + 0.9·s_{t-1},

@@ -2082,3 +2082,67 @@ def user_burstiness(sf_dir: str, *, min_events: int = 3):
             batch_format="pandas", batch_size=65536)
     )
     return bucket_map_groups(keyed, _cv, num_buckets=64)
+
+
+def holt_winters_daily(sf_dir: str, *, alpha: float = 0.5,
+                       beta: float = 0.3, gamma: float = 0.2,
+                       period: int = 7):
+    """Holt-Winters ADDITIVE (triple) exponential smoothing of the
+    daily event-count series — the seasonal-aware closer of the
+    smoothing family (level + trend + rotating per-weekday seasonal
+    state):
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+
+    init over the first two seasons: l_m = mean(x_1..m), b_m =
+    (mean(x_{m+1..2m}) − mean(x_1..m))/m, s_i = x_i − l_m. The season
+    sums stay exact ints so the init is deterministic; the recurrence
+    replays in the twin as a recursive CTE carrying the seasonal
+    buffer as a DOUBLE[7] list (same float literal order). Same
+    bounded-calendar driver loop as ``holt_linear_daily``. Requires
+    ≥ 2·period gapfilled days. Columns: day, cnt, level, trend_rate,
+    seasonal."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "day": pd.Series(dtype="datetime64[us]"),
+        "cnt": pd.Series(dtype="int64"),
+        "level": pd.Series(dtype="float64"),
+        "trend_rate": pd.Series(dtype="float64"),
+        "seasonal": pd.Series(dtype="float64")})
+    if len(days) < 2:
+        return empty
+    grid = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    x = days.set_index("day")["c"].reindex(grid, fill_value=0) \
+        .to_numpy(np.int64)
+    n, m = len(x), period
+    if n < 2 * m:
+        return empty
+    sum1 = int(x[:m].sum())
+    sum2 = int(x[m:2 * m].sum())
+    fm = np.float64(m)
+    lev = np.float64(sum1) / fm
+    b = (np.float64(sum2) / fm - np.float64(sum1) / fm) / fm
+    buf = [np.float64(x[i]) - lev for i in range(m)]
+    a, bt, g = np.float64(alpha), np.float64(beta), np.float64(gamma)
+    out_l = np.empty(n - m, np.float64)
+    out_b = np.empty(n - m, np.float64)
+    out_s = np.empty(n - m, np.float64)
+    for t in range(m, n):
+        xt = np.float64(x[t])
+        s_old = buf[0]
+        l_new = a * (xt - s_old) + (1.0 - a) * (lev + b)
+        b_new = bt * (l_new - lev) + (1.0 - bt) * b
+        s_new = g * (xt - l_new) + (1.0 - g) * s_old
+        buf = buf[1:] + [s_new]
+        out_l[t - m], out_b[t - m], out_s[t - m] = l_new, b_new, s_new
+        lev, b = l_new, b_new
+    return pd.DataFrame({
+        "day": pd.Series(grid[m:]).astype("datetime64[us]"),
+        "cnt": x[m:],
+        "level": round_half_away(out_l, 6),
+        "trend_rate": round_half_away(out_b, 6),
+        "seasonal": round_half_away(out_s, 6)})

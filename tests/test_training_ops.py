@@ -1246,3 +1246,50 @@ def test_holt_linear_matches_recurrence_with_gap(ray_session, tmp_path):
     assert np.allclose(got["level"], np.round(s, 6), atol=5.1e-7)
     assert np.allclose(got["trend_rate"], np.round(b, 6), atol=5.1e-7)
     assert abs(got["trend_rate"].iloc[-1] - 2.0) < 1.5  # ~ +2/day ramp
+
+
+def test_holt_winters_constant_and_seasonal(ray_session, tmp_path):
+    """A constant series is a fixed point (level=c, trend=0,
+    seasonal=0); a pure additive weekly pattern replays the direct
+    recurrence including the rotating seasonal buffer."""
+    from ocr_agent_ray.pipelines.streaming import holt_winters_daily
+
+    _write_daily_events(tmp_path, [5] * 21)
+    got = holt_winters_daily(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got) == 14
+    assert got["level"].tolist() == [5.0] * 14
+    assert got["trend_rate"].tolist() == [0.0] * 14
+    assert got["seasonal"].tolist() == [0.0] * 14
+
+    effect = [0, 3, 1, 4, 2, 6, 5]
+    counts = [10 + effect[d % 7] for d in range(28)]
+    tmp2 = tmp_path / "seasonal"
+    tmp2.mkdir()
+    _write_daily_events(tmp2, counts)
+    got = holt_winters_daily(str(tmp2))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    assert len(got) == 21
+    x = np.array(counts, dtype=np.float64)
+    lev = x[:7].mean()
+    b = (x[7:14].mean() - x[:7].mean()) / 7.0
+    buf = list(x[:7] - lev)
+    want_l, want_b, want_s = [], [], []
+    for t in range(7, 28):
+        s_old = buf[0]
+        l_new = 0.5 * (x[t] - s_old) + 0.5 * (lev + b)
+        b_new = 0.3 * (l_new - lev) + 0.7 * b
+        s_new = 0.2 * (x[t] - l_new) + 0.8 * s_old
+        buf = buf[1:] + [s_new]
+        want_l.append(l_new); want_b.append(b_new); want_s.append(s_new)
+        lev, b = l_new, b_new
+    assert np.allclose(got["level"], np.round(want_l, 6), atol=5.1e-7)
+    assert np.allclose(got["trend_rate"], np.round(want_b, 6),
+                       atol=5.1e-7)
+    assert np.allclose(got["seasonal"], np.round(want_s, 6),
+                       atol=5.1e-7)
+    # the seasonal state converges toward the centered weekly effect
+    last_week = got["seasonal"].tail(7).to_numpy()
+    dow = np.array(effect[(21 + 0) % 7:] + effect[:(21 + 0) % 7],
+                   dtype=np.float64)
+    assert np.corrcoef(last_week, dow - dow.mean())[0, 1] > 0.9
