@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
         "q_quality_pct_rank": text.quality_pct_rank_by_source,
+        "q_source_js_divergence": text.source_js_divergence,
         "q_user_burstiness": streaming.user_burstiness,
         "q_seasonal_decompose": streaming.seasonal_decompose_daily,
         "q_holt_linear": streaming.holt_linear_daily,
@@ -1808,6 +1809,36 @@ def oracle_sql() -> dict[str, str]:
             "LN((sc.c / sn.ps) / (top.cq / qn.qs))), 6) AS kl "
             "FROM sc JOIN sn ON sc.source = sn.source "
             "JOIN top ON sc.w = top.w CROSS JOIN qn GROUP BY sc.source"
+        ),
+        "q_source_js_divergence": (
+            # Jensen-Shannon vs corpus over the top-100 support; the
+            # q-side sum runs over the FULL source x top-word grid
+            # (p=0 rows contribute q*ln(q/(q/2)) = q*ln2), so the
+            # grid is built explicitly and LEFT-joined
+            "WITH toks AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cq FROM toks "
+            "GROUP BY 1 ORDER BY cq DESC, w LIMIT 100), "
+            "qn AS (SELECT CAST(SUM(cq) AS DOUBLE) AS qs FROM top), "
+            "srcs AS (SELECT DISTINCT source FROM documents), "
+            "grid AS (SELECT s.source, top.w, CAST(top.cq AS DOUBLE) "
+            "AS cq FROM srcs s CROSS JOIN top), "
+            "sc AS (SELECT t.source, t.w, CAST(COUNT(*) AS DOUBLE) AS c "
+            "FROM toks t JOIN top ON t.w = top.w GROUP BY 1, 2), "
+            "f AS (SELECT g.source, g.w, COALESCE(sc.c, 0.0) AS c, "
+            "g.cq FROM grid g LEFT JOIN sc "
+            "ON sc.source = g.source AND sc.w = g.w), "
+            "sn AS (SELECT source, SUM(c) AS ps FROM f GROUP BY 1) "
+            "SELECT f.source, ROUND("
+            "0.5 * SUM(CASE WHEN f.c > 0 THEN (f.c / sn.ps) "
+            "* LN((f.c / sn.ps) "
+            "/ (0.5 * ((f.c / sn.ps) + (f.cq / qn.qs)))) "
+            "ELSE 0.0 END) "
+            "+ 0.5 * SUM((f.cq / qn.qs) * LN((f.cq / qn.qs) "
+            "/ (0.5 * ((f.c / sn.ps) + (f.cq / qn.qs))))), 6) AS jsd "
+            "FROM f JOIN sn USING (source) CROSS JOIN qn "
+            "GROUP BY f.source"
         ),
         "q_source_vocab_overlap": (
             "WITH p AS (SELECT DISTINCT source, "

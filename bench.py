@@ -266,7 +266,17 @@ QUERY_NAMES = [
     "q_ab_test_zscore",
     "q_seasonal_decompose",
     "q_holt_linear",
+    "q_holt_winters",
     "q_neighbor_jaccard",
+    "q_clustering_coefficient",
+    "q_harmonic_2hop",
+    "q_anova_f",
+    "q_ks_source_lengths",
+    "q_length_auc_lang",
+    "q_spearman_len_tokens",
+    "q_quality_pct_rank",
+    "q_user_burstiness",
+    "q_source_js_divergence",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

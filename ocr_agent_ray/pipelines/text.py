@@ -459,14 +459,10 @@ def sentence_stats(sf_dir: str):
         _stats, batch_format="pandas", batch_size=8192)
 
 
-def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
-    """Distribution drift per source: KL(p_source ‖ p_corpus) over the
-    corpus's top-k words (restricting to a shared finite support keeps
-    the divergence well-defined — q > 0 everywhere by construction, and
-    p=0 terms contribute 0). Two passes: corpus top-k via bucketed
-    partial counts (top_words shape), then per-(source, top-word)
-    counts as a tiny combine (sources × k keys), KL vectorized."""
-    from ocr_agent_ray.functions.textstats import round_half_away
+def _source_topk_counts(sf_dir: str, top_k: int):
+    """Shared two-fold scan for the divergence screens: corpus top-k
+    words (tops, q_total) via bucketed partial counts, then
+    per-(source, top-word) counts (sc) as a tiny combine."""
     from ocr_agent_ray.pipelines.agg import (
         combine_partials_driver,
         hash_partition_aggregate,
@@ -509,6 +505,19 @@ def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
         _read_documents(sf_dir, columns=("source", "text")).map_batches(
             _src_counts, batch_format="pandas", batch_size=8192),
         ["source", "word"], {"c": ("c", "sum")})
+    return tops, q_counts, q_total, sc
+
+
+def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
+    """Distribution drift per source: KL(p_source ‖ p_corpus) over the
+    corpus's top-k words (restricting to a shared finite support keeps
+    the divergence well-defined — q > 0 everywhere by construction, and
+    p=0 terms contribute 0). Two passes: corpus top-k via bucketed
+    partial counts (top_words shape), then per-(source, top-word)
+    counts as a tiny combine (sources × k keys), KL vectorized."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    _, q_counts, q_total, sc = _source_topk_counts(sf_dir, top_k)
     ps = sc.groupby("source")["c"].transform("sum").to_numpy(
         dtype=np.float64)
     p = sc["c"].to_numpy(dtype=np.float64) / ps
@@ -517,6 +526,36 @@ def source_kl_divergence(sf_dir: str, *, top_k: int = 100):
     out = sc.groupby("source", as_index=False)["term"].sum().rename(
         columns={"term": "kl"})
     out["kl"] = round_half_away(out["kl"].to_numpy(), 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def source_js_divergence(sf_dir: str, *, top_k: int = 100):
+    """Jensen-Shannon divergence per source vs the corpus over the
+    top-k support — KL's symmetric, bounded sibling (≤ ln 2), the
+    score mixture rebalancing actually thresholds on (KL explodes on
+    rare-word sources; JS saturates). Unlike KL the q-side sum needs
+    the FULL support including words the source never uses, so the
+    driver reindexes each source's count vector over the top-k grid
+    (sources × k — dimension-sized). Same two folds as the KL screen
+    (shared scan). Columns: source, jsd."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    tops, _, q_total, sc = _source_topk_counts(sf_dir, top_k)
+    words = tops["word"].to_numpy()
+    qv = tops["n"].to_numpy(np.float64) / np.float64(q_total)
+    rows = []
+    for src, sub in sc.groupby("source"):
+        cvec = sub.set_index("word")["c"] \
+            .reindex(words, fill_value=0).to_numpy(np.float64)
+        p = cvec / cvec.sum()
+        mm = 0.5 * (p + qv)
+        termp = np.zeros_like(p)
+        mask = p > 0
+        termp[mask] = p[mask] * np.log(p[mask] / mm[mask])
+        termq = qv * np.log(qv / mm)
+        rows.append((src, 0.5 * termp.sum() + 0.5 * termq.sum()))
+    out = pd.DataFrame(rows, columns=["source", "jsd"])
+    out["jsd"] = round_half_away(out["jsd"].to_numpy(), 6)
     return out.sort_values("source").reset_index(drop=True)
 
 

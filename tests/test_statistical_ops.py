@@ -475,3 +475,43 @@ def test_user_burstiness_metronome_vs_bursty(ray_session, tmp_path):
     assert got["n_events"].tolist() == [4, 4]
     assert got["mean_gap_s"].tolist() == [10.0, 10.0]
     assert got["cv_gap"].tolist() == [0.0, 1.558846]
+
+
+def test_js_divergence_zero_and_symmetric(ray_session, tmp_path):
+    """A single-source corpus has p = q exactly -> jsd 0; two mirrored
+    sources get equal jsd matching the direct formula (full support
+    including each source's zero-count words)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.text import source_js_divergence
+
+    def _write(texts_by_source, d):
+        rows = []
+        for src, texts in texts_by_source.items():
+            for t in texts:
+                rows.append((len(rows), t, "en", src, len(t)))
+        docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                           "source", "n_chars"])
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(d / "documents.parquet"))
+
+    _write({"A": ["x x y", "y x"]}, tmp_path)
+    got = source_js_divergence(str(tmp_path))
+    assert got["jsd"].tolist() == [0.0]
+
+    # mirrored: A has x twice/y once + one 'only_a'; B swaps roles
+    tmp2 = tmp_path / "two"
+    tmp2.mkdir()
+    _write({"A": ["x x y za"], "B": ["y y x zb"]}, tmp2)
+    got = source_js_divergence(str(tmp2)).set_index("source")
+    assert got.loc["A", "jsd"] == got.loc["B", "jsd"] > 0
+
+    # direct-formula replay for source A: corpus q over support
+    # {x:3, y:3, za:1, zb:1}/8, p_A = {x:.5, y:.25, za:.25, zb:0}
+    q = np.array([3, 3, 1, 1], dtype=np.float64) / 8.0
+    p = np.array([2, 1, 1, 0], dtype=np.float64) / 4.0
+    mm = 0.5 * (p + q)
+    tp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / mm), 0.0)
+    tq = q * np.log(q / mm)
+    want = round(0.5 * tp.sum() + 0.5 * tq.sum(), 6)
+    assert abs(got.loc["A", "jsd"] - want) < 2e-6
