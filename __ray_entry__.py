@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cusum_changepoint": streaming.cusum_changepoint,
         "q_ab_test_zscore": streaming.ab_test_zscore,
         "q_anova_f": relational.anova_f_value_by_type,
+        "q_welch_ttest": relational.welch_ttest_values,
+        "q_kendall_tau": streaming.kendall_tau_daily,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1327,6 +1329,60 @@ def oracle_sql() -> dict[str, str]:
             "/ (p.ssw / CAST(t.nt - t.k AS DOUBLE)), 6) AS f_stat, "
             "ROUND(p.ssb / (p.ssb + p.ssw), 6) AS eta_squared "
             "FROM t, parts p"
+        ),
+        "q_welch_ttest": (
+            # Welch's t from the same (n, Σx, Σx²) moment partials as
+            # the ANOVA; the CTE chain replays the kernel's float
+            # nesting (variance → per-group se → pooled se²) exactly
+            "WITH g AS (SELECT event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s, "
+            "SUM(value * value) AS ss FROM events "
+            "WHERE event_type IN ('purchase', 'view') GROUP BY 1), "
+            "m AS (SELECT "
+            "a.n AS na, b.n AS nb, "
+            "a.s / CAST(a.n AS DOUBLE) AS ma, "
+            "b.s / CAST(b.n AS DOUBLE) AS mb, "
+            "((a.ss - a.s * a.s / CAST(a.n AS DOUBLE)) "
+            "/ CAST(a.n - 1 AS DOUBLE)) / CAST(a.n AS DOUBLE) AS sea, "
+            "((b.ss - b.s * b.s / CAST(b.n AS DOUBLE)) "
+            "/ CAST(b.n - 1 AS DOUBLE)) / CAST(b.n AS DOUBLE) AS seb "
+            "FROM g a, g b "
+            "WHERE a.event_type = 'purchase' AND b.event_type = 'view' "
+            "AND a.n >= 2 AND b.n >= 2) "
+            "SELECT 'purchase' AS type_a, 'view' AS type_b, "
+            "na AS n_a, nb AS n_b, "
+            "ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b, "
+            "ROUND((ma - mb) / SQRT(sea + seb), 6) AS t_stat, "
+            "ROUND((sea + seb) * (sea + seb) "
+            "/ (sea * sea / CAST(na - 1 AS DOUBLE) "
+            "+ seb * seb / CAST(nb - 1 AS DOUBLE)), 6) AS df_welch "
+            "FROM m WHERE sea + seb > 0"
+        ),
+        "q_kendall_tau": (
+            # Mann–Kendall tau-b over the bounded daily series: pair
+            # counts and tie corrections are exact int64; one final
+            # division before the 6-decimal round
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "p AS (SELECT a.c AS ya, b.c AS yb FROM d a JOIN d b "
+            "ON a.day < b.day), "
+            "cd AS (SELECT "
+            "CAST(SUM(CASE WHEN yb > ya THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS conc, "
+            "CAST(SUM(CASE WHEN yb < ya THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS disc, CAST(COUNT(*) AS BIGINT) AS n0 FROM p), "
+            "t AS (SELECT CAST(COALESCE(SUM(cnt * (cnt - 1) / 2), 0) "
+            "AS BIGINT) AS t2 FROM "
+            "(SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY c)), "
+            "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d) "
+            "SELECT nd.n_days, cd.conc AS n_concordant, "
+            "cd.disc AS n_discordant, "
+            "ROUND(CAST(cd.conc - cd.disc AS DOUBLE) "
+            "/ SQRT(CAST(cd.n0 AS DOUBLE) "
+            "* CAST(cd.n0 - t.t2 AS DOUBLE)), 6) AS tau_b "
+            "FROM cd, t, nd "
+            "WHERE nd.n_days >= 2 "
+            "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
         ),
         "q_ks_source_lengths": (
             # two-sample KS over grouped length counts; every division

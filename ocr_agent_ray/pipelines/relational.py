@@ -3524,6 +3524,70 @@ def anova_f_value_by_type(sf_dir: str):
         "eta_squared": round_half_away(np.array([ssb / (ssb + ssw)]), 6)})
 
 
+def welch_ttest_values(sf_dir: str, *, type_a: str = "purchase",
+                       type_b: str = "view"):
+    """Welch's unequal-variance t-test of event ``value`` between two
+    event types — the pairwise drill-down after ``anova_f_value_by_type``
+    says the groups differ ('is purchase spend different from view
+    spend, without assuming equal variances?'):
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))   (Welch–Satterthwaite)
+
+    with v the Bessel-corrected sample variance from the same mergeable
+    (n, Σx, Σx²) moment partials the ANOVA uses — three numbers per type
+    over the wire, the algebra closes on two driver rows. The twin
+    replays the identical float nesting (sea = va/na first, then the
+    ratio) so the 6-decimal round sees the same values. Columns:
+    type_a, type_b, n_a, n_b, mean_a, mean_b, t_stat, df_welch."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda b: b[b["event_type"].isin([type_a, type_b])].assign(
+                v2=lambda x: x["value"] * x["value"]),
+            batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("value", "count"), "s": ("value", "sum"),
+         "ss": ("v2", "sum")})
+    g = g.set_index("event_type")
+    empty = pd.DataFrame({
+        "type_a": pd.Series(dtype="object"),
+        "type_b": pd.Series(dtype="object"),
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "mean_a": pd.Series(dtype="float64"),
+        "mean_b": pd.Series(dtype="float64"),
+        "t_stat": pd.Series(dtype="float64"),
+        "df_welch": pd.Series(dtype="float64")})
+    if type_a not in g.index or type_b not in g.index:
+        return empty
+    na, nb = np.int64(g.loc[type_a, "n"]), np.int64(g.loc[type_b, "n"])
+    if na < 2 or nb < 2:
+        return empty
+    sa, sb = np.float64(g.loc[type_a, "s"]), np.float64(g.loc[type_b, "s"])
+    ssa = np.float64(g.loc[type_a, "ss"])
+    ssb = np.float64(g.loc[type_b, "ss"])
+    ma, mb = sa / np.float64(na), sb / np.float64(nb)
+    va = (ssa - sa * sa / np.float64(na)) / np.float64(na - 1)
+    vb = (ssb - sb * sb / np.float64(nb)) / np.float64(nb - 1)
+    sea, seb = va / np.float64(na), vb / np.float64(nb)
+    se2 = sea + seb
+    if se2 <= 0.0:
+        return empty
+    t = (ma - mb) / np.sqrt(se2)
+    dfw = (se2 * se2) / (sea * sea / np.float64(na - 1)
+                         + seb * seb / np.float64(nb - 1))
+    return pd.DataFrame({
+        "type_a": [type_a], "type_b": [type_b],
+        "n_a": [na], "n_b": [nb],
+        "mean_a": round_half_away(np.array([ma]), 6),
+        "mean_b": round_half_away(np.array([mb]), 6),
+        "t_stat": round_half_away(np.array([t]), 6),
+        "df_welch": round_half_away(np.array([dfw]), 6)})
+
+
 def snapshot_diff_documents(sf_dir: str):
     """Driver-visible snapshot diff: version 2 of the documents table is
     derived deterministically (every 7th text revised, every 11th doc

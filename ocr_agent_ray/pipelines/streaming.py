@@ -2022,6 +2022,53 @@ def holt_linear_daily(sf_dir: str, *, alpha: float = 0.5,
         "trend_rate": round_half_away(b, 6)})
 
 
+def kendall_tau_daily(sf_dir: str):
+    """Kendall tau-b rank correlation between calendar time and the
+    daily event count — the nonparametric monotone-trend test
+    (Mann–Kendall): counts concordant vs discordant day pairs instead
+    of fitting anything, so a single outlier day can't fake a trend
+    the way it can in OLS. Days are distinct (no x-ties), so
+
+        tau_b = (C − D) / sqrt(n0 · (n0 − T)),   n0 = n(n−1)/2,
+        T = Σ over tied count-values t·(t−1)/2
+
+    Everything up to the final division is exact int64 (pair counts,
+    tie corrections), so the twin matches bit-for-bit before the
+    6-decimal round. The daily series is a bounded dimension (one row
+    per calendar day — ≤366/year), folded by the same mergeable count
+    partials as the rest of the family; the O(n²) pair compare runs on
+    that bounded series, never on events. Columns: n_days,
+    n_concordant, n_discordant, tau_b."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days": pd.Series(dtype="int64"),
+        "n_concordant": pd.Series(dtype="int64"),
+        "n_discordant": pd.Series(dtype="int64"),
+        "tau_b": pd.Series(dtype="float64")})
+    n = len(days)
+    if n < 2:
+        return empty
+    c = days["c"].to_numpy(np.int64)  # already day-sorted
+    diff = c[None, :] - c[:, None]
+    upper = np.triu(np.ones((n, n), dtype=bool), k=1)
+    conc = np.int64((diff[upper] > 0).sum())
+    disc = np.int64((diff[upper] < 0).sum())
+    n0 = np.int64(n * (n - 1) // 2)
+    _, tie_counts = np.unique(c, return_counts=True)
+    t2 = np.int64((tie_counts * (tie_counts - 1) // 2).sum())
+    den = np.sqrt(np.float64(n0) * np.float64(n0 - t2))
+    if den == 0.0:
+        return empty
+    tau = np.float64(conc - disc) / den
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "n_concordant": [conc],
+        "n_discordant": [disc],
+        "tau_b": round_half_away(np.array([tau]), 6)})
+
+
 def user_burstiness(sf_dir: str, *, min_events: int = 3):
     """Inter-arrival burstiness per user — coefficient of variation of
     the gaps between a user's consecutive events (cv ≈ 0: metronomic

@@ -515,3 +515,60 @@ def test_js_divergence_zero_and_symmetric(ray_session, tmp_path):
     tq = q * np.log(q / mm)
     want = round(0.5 * tp.sum() + 0.5 * tq.sum(), 6)
     assert abs(got.loc["A", "jsd"] - want) < 2e-6
+
+
+def test_welch_ttest_planted(ray_session, tmp_path):
+    """Hand-computed Welch: purchase [1,2,3] vs view [2,4,6,8] gives
+    v_a=1, v_b=20/3, se2=2, t=(2-5)/sqrt(2), df=216/53."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import welch_ttest_values
+
+    ev = pd.DataFrame({
+        "event_type": ["purchase"] * 3 + ["view"] * 4 + ["click"],
+        "value": [1.0, 2.0, 3.0, 2.0, 4.0, 6.0, 8.0, 99.0]})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = welch_ttest_values(str(tmp_path))
+    assert got["n_a"].tolist() == [3] and got["n_b"].tolist() == [4]
+    assert got["mean_a"].tolist() == [2.0]
+    assert got["mean_b"].tolist() == [5.0]
+    assert got["t_stat"].tolist() == [round(-3.0 / np.sqrt(2.0), 6)]
+    assert got["df_welch"].tolist() == [round(216.0 / 53.0, 6)]
+
+    # degenerate: one side missing -> empty frame, stable schema
+    ev2 = ev[ev["event_type"] != "view"]
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = welch_ttest_values(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["type_a", "type_b", "n_a", "n_b",
+                                 "mean_a", "mean_b", "t_stat", "df_welch"]
+
+
+def test_kendall_tau_planted(ray_session, tmp_path):
+    """Daily counts [1,2,2,3]: C=5, D=0, n0=6, tie term 1 ->
+    tau_b = 5/sqrt(30); strictly decreasing counts -> tau_b = -1."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import kendall_tau_daily
+
+    def _write(counts, d):
+        ts = []
+        for i, c in enumerate(counts):
+            base = pd.Timestamp("2024-03-01") + pd.Timedelta(days=i)
+            ts += [base + pd.Timedelta(minutes=j) for j in range(c)]
+        ev = pd.DataFrame({"ts": pd.Series(ts, dtype="datetime64[us]")})
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       str(d / "events.parquet"))
+
+    _write([1, 2, 2, 3], tmp_path)
+    got = kendall_tau_daily(str(tmp_path))
+    assert got["n_days"].tolist() == [4]
+    assert got["n_concordant"].tolist() == [5]
+    assert got["n_discordant"].tolist() == [0]
+    assert got["tau_b"].tolist() == [round(5.0 / np.sqrt(30.0), 6)]
+
+    _write([3, 2, 1], tmp_path)
+    got = kendall_tau_daily(str(tmp_path))
+    assert got["tau_b"].tolist() == [-1.0]
