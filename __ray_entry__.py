@@ -387,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anova_f": relational.anova_f_value_by_type,
         "q_welch_ttest": relational.welch_ttest_values,
         "q_kendall_tau": streaming.kendall_tau_daily,
+        "q_skew_kurtosis": relational.skew_kurtosis_by_type,
+        "q_ols_chars_model": relational.ols_chars_model,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1383,6 +1385,78 @@ def oracle_sql() -> dict[str, str]:
             "FROM cd, t, nd "
             "WHERE nd.n_days >= 2 "
             "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
+        ),
+        "q_skew_kurtosis": (
+            # third/fourth-moment statistics from the same raw-moment
+            # SUM partials; the CTE chain replays the kernel's float
+            # nesting (scaled moments -> central moments -> statistics)
+            "WITH g AS (SELECT event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s1, "
+            "SUM(value * value) AS s2, "
+            "SUM(value * value * value) AS s3, "
+            "SUM((value * value) * (value * value)) AS s4 "
+            "FROM events GROUP BY 1), "
+            "c AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nf, "
+            "s1 / CAST(n AS DOUBLE) AS m, "
+            "s2 / CAST(n AS DOUBLE) AS t2, "
+            "s3 / CAST(n AS DOUBLE) AS t3, "
+            "s4 / CAST(n AS DOUBLE) AS t4 "
+            "FROM g WHERE n >= 4), "
+            "cm AS (SELECT event_type, n, nf, "
+            "t2 - m * m AS m2, "
+            "t3 - 3.0 * m * t2 + 2.0 * m * m * m AS m3, "
+            "t4 - 4.0 * m * t3 + 6.0 * m * m * t2 "
+            "- 3.0 * m * m * m * m AS m4 "
+            "FROM c) "
+            "SELECT event_type, n, "
+            "ROUND((m3 / POWER(m2, 1.5)) "
+            "* (SQRT(nf * (nf - 1.0)) / (nf - 2.0)), 6) AS skewness, "
+            "ROUND(((nf + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0) "
+            "* ((nf - 1.0) / ((nf - 2.0) * (nf - 3.0))), 6) "
+            "AS kurtosis_excess "
+            "FROM cm WHERE m2 > 0.0 ORDER BY event_type"
+        ),
+        "q_ols_chars_model": (
+            # every Gram-matrix sum is exact integer arithmetic, so both
+            # engines cast the SAME values to double and evaluate the
+            # SAME Cramer-rule determinant expressions
+            "WITH f AS (SELECT "
+            "CAST(LEN(regexp_extract_all(text, '[0-9A-Za-z_]+')) "
+            "AS BIGINT) AS x1, "
+            "CAST(LEN(regexp_extract_all(text, '[aeiou]')) "
+            "AS BIGINT) AS x2, "
+            "CAST(n_chars AS BIGINT) AS y FROM documents), "
+            "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x1) AS DOUBLE) AS sx1, "
+            "CAST(SUM(x2) AS DOUBLE) AS sx2, "
+            "CAST(SUM(x1 * x1) AS DOUBLE) AS sx11, "
+            "CAST(SUM(x1 * x2) AS DOUBLE) AS sx12, "
+            "CAST(SUM(x2 * x2) AS DOUBLE) AS sx22, "
+            "CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(x1 * y) AS DOUBLE) AS sx1y, "
+            "CAST(SUM(x2 * y) AS DOUBLE) AS sx2y, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy FROM f), "
+            "d AS (SELECT *, CAST(n AS DOUBLE) AS nf, "
+            "CAST(n AS DOUBLE) * (sx11 * sx22 - sx12 * sx12) "
+            "- sx1 * (sx1 * sx22 - sx12 * sx2) "
+            "+ sx2 * (sx1 * sx12 - sx11 * sx2) AS det FROM g "
+            "WHERE n >= 4), "
+            "b AS (SELECT *, "
+            "(sy * (sx11 * sx22 - sx12 * sx12) "
+            "- sx1 * (sx1y * sx22 - sx12 * sx2y) "
+            "+ sx2 * (sx1y * sx12 - sx11 * sx2y)) / det AS b0, "
+            "(nf * (sx1y * sx22 - sx12 * sx2y) "
+            "- sy * (sx1 * sx22 - sx12 * sx2) "
+            "+ sx2 * (sx1 * sx2y - sx1y * sx2)) / det AS b1, "
+            "(nf * (sx11 * sx2y - sx1y * sx12) "
+            "- sx1 * (sx1 * sx2y - sx1y * sx2) "
+            "+ sy * (sx1 * sx12 - sx11 * sx2)) / det AS b2 "
+            "FROM d WHERE det <> 0.0) "
+            "SELECT n, ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, "
+            "ROUND(b2, 6) AS b2, "
+            "ROUND(1.0 - (syy - b0 * sy - b1 * sx1y - b2 * sx2y) "
+            "/ (syy - sy * sy / nf), 6) AS r2 "
+            "FROM b WHERE syy - sy * sy / nf <> 0.0"
         ),
         "q_ks_source_lengths": (
             # two-sample KS over grouped length counts; every division

@@ -3588,6 +3588,136 @@ def welch_ttest_values(sf_dir: str, *, type_a: str = "purchase",
         "df_welch": round_half_away(np.array([dfw]), 6)})
 
 
+def skew_kurtosis_by_type(sf_dir: str):
+    """Sample skewness and excess kurtosis of event ``value`` per
+    event_type — the third/fourth-moment tail screens that mean/stddev
+    (``value_stats_by_type``) can't see ('is purchase spend heavy-tailed
+    or lopsided?'). Fisher–Pearson adjusted sample skewness and the
+    bias-corrected excess kurtosis (the pandas ``.skew()``/``.kurt()``
+    conventions):
+
+        G1 = (m3 / m2^1.5) · sqrt(n(n−1)) / (n−2)
+        G2 = ((n+1)·(m4/m2² − 3) + 6) · (n−1) / ((n−2)(n−3))
+
+    from the mergeable raw-moment partials (n, Σx, Σx², Σx³, Σx⁴) — five
+    numbers per type over the wire, central moments and the statistics
+    close on k driver rows. The SQL twin replays the identical float
+    nesting from the same SUM moments, so the 6-decimal round sees the
+    same values (the ANOVA-family precedent). Columns: event_type, n,
+    skewness, kurtosis_excess."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda b: b.assign(v2=b["value"] * b["value"],
+                               v3=b["value"] * b["value"] * b["value"],
+                               v4=(b["value"] * b["value"])
+                                  * (b["value"] * b["value"])),
+            batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("value", "count"), "s1": ("value", "sum"),
+         "s2": ("v2", "sum"), "s3": ("v3", "sum"), "s4": ("v4", "sum")})
+    g = g[g["n"] >= 4].sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    nf = n.astype(np.float64)
+    s1 = g["s1"].to_numpy(np.float64)
+    s2 = g["s2"].to_numpy(np.float64)
+    s3 = g["s3"].to_numpy(np.float64)
+    s4 = g["s4"].to_numpy(np.float64)
+    m = s1 / nf
+    m2 = s2 / nf - m * m
+    m3 = s3 / nf - 3.0 * m * (s2 / nf) + 2.0 * m * m * m
+    m4 = (s4 / nf - 4.0 * m * (s3 / nf) + 6.0 * m * m * (s2 / nf)
+          - 3.0 * m * m * m * m)
+    keep = m2 > 0.0
+    n, nf, m2, m3, m4 = n[keep], nf[keep], m2[keep], m3[keep], m4[keep]
+    types = g.loc[keep, "event_type"].to_numpy()
+    skew = (m3 / m2 ** 1.5) * (np.sqrt(nf * (nf - 1.0)) / (nf - 2.0))
+    g2 = m4 / (m2 * m2) - 3.0
+    kurt = (((nf + 1.0) * g2 + 6.0)
+            * ((nf - 1.0) / ((nf - 2.0) * (nf - 3.0))))
+    return pd.DataFrame({
+        "event_type": types, "n": n,
+        "skewness": round_half_away(skew, 6),
+        "kurtosis_excess": round_half_away(kurt, 6)})
+
+
+def ols_chars_model(sf_dir: str):
+    """Two-feature OLS with intercept — distributed multiple linear
+    regression via the normal equations: fit n_chars ≈ b0 + b1·n_words
+    + b2·n_vowels over the documents table. One map_batches pass folds
+    the EXACT int64 Gram-matrix partials (n, Σx1, Σx2, Σx1², Σx1x2,
+    Σx2², Σy, Σx1y, Σx2y, Σy²) — ten numbers per batch over the wire —
+    and the driver solves the 3×3 system by Cramer's rule. Because every
+    sum is exact integer arithmetic, both engines cast the SAME values
+    to double and evaluate the SAME determinant expression, so the twin
+    matches bit-for-bit before the 6-decimal round (int64 partials are
+    the documented limit — beyond ~10^12 docs the Σx1y family needs
+    int128 or a float fold). r² = 1 − SSE/SST from the same sums.
+    Columns: n, b0, b1, b2, r2."""
+    import re
+
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    vowel_re = re.compile(r"[aeiou]")
+
+    def _feats(b: pd.DataFrame) -> pd.DataFrame:
+        x1 = b["text"].str.count(word_re).to_numpy(np.int64)
+        x2 = b["text"].str.count(vowel_re).to_numpy(np.int64)
+        y = b["n_chars"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(len(b), np.int64), "x1": x1, "x2": x2, "y": y,
+            "x11": x1 * x1, "x12": x1 * x2, "x22": x2 * x2,
+            "x1y": x1 * y, "x2y": x2 * y, "yy": y * y})
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "documents", ["text", "n_chars"]).map_batches(
+            _feats, batch_format="pandas", batch_size=65536),
+        ["k"],
+        {"n": ("y", "count"), "sx1": ("x1", "sum"), "sx2": ("x2", "sum"),
+         "sx11": ("x11", "sum"), "sx12": ("x12", "sum"),
+         "sx22": ("x22", "sum"), "sy": ("y", "sum"),
+         "sx1y": ("x1y", "sum"), "sx2y": ("x2y", "sum"),
+         "syy": ("yy", "sum")})
+    empty = pd.DataFrame({
+        "n": pd.Series(dtype="int64"), "b0": pd.Series(dtype="float64"),
+        "b1": pd.Series(dtype="float64"), "b2": pd.Series(dtype="float64"),
+        "r2": pd.Series(dtype="float64")})
+    if len(g) == 0 or np.int64(g.loc[0, "n"]) < 4:
+        return empty
+    n = np.float64(g.loc[0, "n"])
+    sx1, sx2 = np.float64(g.loc[0, "sx1"]), np.float64(g.loc[0, "sx2"])
+    sx11 = np.float64(g.loc[0, "sx11"])
+    sx12 = np.float64(g.loc[0, "sx12"])
+    sx22 = np.float64(g.loc[0, "sx22"])
+    sy, syy = np.float64(g.loc[0, "sy"]), np.float64(g.loc[0, "syy"])
+    sx1y = np.float64(g.loc[0, "sx1y"])
+    sx2y = np.float64(g.loc[0, "sx2y"])
+
+    def det3(a, b, c, d, e, f, gg, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * gg)
+                + c * (d * h - e * gg))
+
+    det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    if det == 0.0:
+        return empty
+    b0 = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22) / det
+    b1 = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22) / det
+    b2 = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y) / det
+    sse = syy - b0 * sy - b1 * sx1y - b2 * sx2y
+    sst = syy - sy * sy / n
+    if sst == 0.0:
+        return empty
+    r2 = 1.0 - sse / sst
+    return pd.DataFrame({
+        "n": [np.int64(g.loc[0, "n"])],
+        "b0": round_half_away(np.array([b0]), 6),
+        "b1": round_half_away(np.array([b1]), 6),
+        "b2": round_half_away(np.array([b2]), 6),
+        "r2": round_half_away(np.array([r2]), 6)})
+
+
 def snapshot_diff_documents(sf_dir: str):
     """Driver-visible snapshot diff: version 2 of the documents table is
     derived deterministically (every 7th text revised, every 11th doc

@@ -572,3 +572,76 @@ def test_kendall_tau_planted(ray_session, tmp_path):
     _write([3, 2, 1], tmp_path)
     got = kendall_tau_daily(str(tmp_path))
     assert got["tau_b"].tolist() == [-1.0]
+
+
+def test_skew_kurtosis_matches_pandas(ray_session, tmp_path):
+    """The adjusted-moment formulas equal pandas .skew()/.kurt()."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import skew_kurtosis_by_type
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([rng.gamma(2.0, 10.0, 200),      # right-skewed
+                           rng.uniform(0.0, 100.0, 300)])   # flat
+    ev = pd.DataFrame({
+        "event_type": ["gamma"] * 200 + ["flat"] * 300,
+        "value": vals})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = skew_kurtosis_by_type(str(tmp_path)).set_index("event_type")
+    for t in ["gamma", "flat"]:
+        s = ev.loc[ev["event_type"] == t, "value"]
+        assert abs(got.loc[t, "skewness"] - s.skew()) < 1e-6, t
+        assert abs(got.loc[t, "kurtosis_excess"] - s.kurt()) < 1e-6, t
+    assert got.loc["gamma", "skewness"] > 0.5  # gamma(2) is right-skewed
+
+    # groups smaller than 4 rows are dropped (df in the corrections)
+    ev2 = pd.concat([ev, pd.DataFrame({
+        "event_type": ["tiny"] * 3, "value": [1.0, 2.0, 3.0]})])
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = skew_kurtosis_by_type(str(tmp_path))
+    assert "tiny" not in got["event_type"].tolist()
+
+
+def test_ols_chars_model_matches_lstsq(ray_session, tmp_path):
+    """Cramer-rule coefficients equal numpy lstsq on the design matrix;
+    a perfectly linear corpus recovers the plant with r2 = 1."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import ols_chars_model
+
+    rng = np.random.RandomState(11)
+    words = ["data", "spark", "ok", "zzz", "aeiou", "xyzzy", "table"]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 40)))
+             for _ in range(300)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "text": texts,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ols_chars_model(str(tmp_path))
+    x1 = np.array([len(t.split()) for t in texts], dtype=np.float64)
+    x2 = np.array([sum(t.count(v) for v in "aeiou") for t in texts],
+                  dtype=np.float64)
+    y = docs["n_chars"].to_numpy(np.float64)
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["n"].tolist() == [300]
+    assert abs(got["b0"][0] - beta[0]) < 1e-4
+    assert abs(got["b1"][0] - beta[1]) < 1e-4
+    assert abs(got["b2"][0] - beta[2]) < 1e-4
+    resid = y - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(got["r2"][0] - r2) < 1e-6
+
+    # exactly-planted linear relation -> r2 == 1
+    docs2 = docs.assign(n_chars=(5 + 3 * x1 + 2 * x2).astype(np.int64))
+    pq.write_table(pa.Table.from_pandas(docs2, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ols_chars_model(str(tmp_path))
+    assert got["b0"].tolist() == [5.0]
+    assert got["b1"].tolist() == [3.0]
+    assert got["b2"].tolist() == [2.0]
+    assert got["r2"].tolist() == [1.0]
