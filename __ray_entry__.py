@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_harmonic_2hop": lambda sf: dedup.dup_graph_harmonic_2hop(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
+        "q_assortativity": lambda sf: dedup.dup_graph_assortativity(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_dup_graph_pagerank": lambda sf: dedup.dup_graph_pagerank(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),  # rows-only (iterative; dense-reference pytest)
         "q_dup_graph_hops": lambda sf: dedup.dup_graph_hops(
@@ -1030,6 +1032,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM sym GROUP BY 1) "
             "SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM deg GROUP BY 1"
+        ),
+        "q_assortativity": (
+            # endpoint-degree Pearson over the symmetrized edge list;
+            # all six moments are exact int64 on both sides, so the
+            # close is bitwise before the 6-decimal round
+            _NGRAM_PAIRS_SQL +
+            ", sym AS (SELECT doc_id_a AS src, doc_id_b AS dst "
+            "FROM pairs UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "deg AS (SELECT src AS doc_id, "
+            "CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY 1), "
+            "e AS (SELECT da.degree AS x, db.degree AS y FROM sym "
+            "JOIN deg da ON sym.src = da.doc_id "
+            "JOIN deg db ON sym.dst = db.doc_id), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS DOUBLE) AS sx, "
+            "CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy, "
+            "CAST(SUM(x * y) AS DOUBLE) AS sxy FROM e) "
+            "SELECT n AS n_edges_directed, "
+            "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) "
+            "/ (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) "
+            "* SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) "
+            "AS assortativity FROM s "
+            "WHERE n >= 2 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 "
+            "AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0"
         ),
         "q_ngram_dedup_apply": (
             "WITH RECURSIVE " + _NGRAM_PAIRS_CTES + ", "

@@ -2552,6 +2552,105 @@ def dup_graph_clustering_coefficient(docs, *, threshold: float = 0.5,
     return agg.map_batches(_cc, batch_format="pandas")
 
 
+def dup_graph_assortativity(docs, *, threshold: float = 0.5,
+                            num_buckets: int = 16, pairs=None):
+    """Degree assortativity coefficient of the near-dup graph — the
+    Pearson correlation of endpoint degrees over the (symmetrized)
+    edge list (Newman 2002). r > 0: hubs attach to hubs (boilerplate
+    families chain into a giant template cluster — transitive dedup
+    will over-merge); r < 0: hubs attach to leaves (star-shaped
+    one-source duplication — safe to collapse per hub).
+
+    Distributed shape over the shared pairs cache: symmetric edges →
+    one bucketed degree fold → TWO large-large bucket hash joins to
+    attach deg(src) and deg(dst) per edge → a six-moment Pearson fold
+    (n, Σx, Σy, Σx², Σy², Σxy — exact int64, so both engines cast the
+    SAME values to double and the close matches bitwise). Nothing is
+    driver-resident beyond the six numbers. Columns:
+    n_edges_directed, assortativity."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+
+    def _sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([b["doc_id_a"].to_numpy(np.int64),
+                                   b["doc_id_b"].to_numpy(np.int64)]),
+            "dst": np.concatenate([b["doc_id_b"].to_numpy(np.int64),
+                                   b["doc_id_a"].to_numpy(np.int64)])})
+
+    sym = pairs.map_batches(_sym, batch_format="pandas",
+                            batch_size=65536).materialize()
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    deg_schema = pa.schema([("doc_id", pa.int64()),
+                            ("degree", pa.int64())])
+    deg = hash_partition_aggregate(
+        sym, ["src"], {"degree": ("dst", "count")},
+        num_buckets=num_buckets).map_batches(
+            lambda b: b.rename(columns={"src": "doc_id"}).astype(
+                {"doc_id": "int64", "degree": "int64"}),
+            batch_format="pandas").materialize()
+    with_src = bucket_hash_join(
+        sym, deg.map_batches(
+            lambda b: b.rename(columns={"doc_id": "src",
+                                        "degree": "deg_src"}),
+            batch_format="pandas"),
+        on="src", num_buckets=num_buckets,
+        left_schema=edge_schema,
+        right_schema=pa.schema([("src", pa.int64()),
+                                ("deg_src", pa.int64())]))
+    both = bucket_hash_join(
+        with_src, deg.map_batches(
+            lambda b: b.rename(columns={"doc_id": "dst",
+                                        "degree": "deg_dst"}),
+            batch_format="pandas"),
+        on="dst", num_buckets=num_buckets,
+        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                               ("deg_src", pa.int64())]),
+        right_schema=pa.schema([("dst", pa.int64()),
+                                ("deg_dst", pa.int64())]))
+    _ = deg_schema
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["deg_src"].to_numpy(np.int64)
+        y = b["deg_dst"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(len(b), np.int64), "x": x, "y": y,
+            "xx": x * x, "yy": y * y, "xy": x * y})
+
+    g = combine_partials_driver(
+        both.map_batches(_moments, batch_format="pandas",
+                         batch_size=65536),
+        ["k"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"),
+         "sxy": ("xy", "sum")})
+    empty = pd.DataFrame({
+        "n_edges_directed": pd.Series(dtype="int64"),
+        "assortativity": pd.Series(dtype="float64")})
+    if len(g) == 0 or np.int64(g.loc[0, "n"]) < 2:
+        return empty
+    nf = np.float64(g.loc[0, "n"])
+    sx, sy = np.float64(g.loc[0, "sx"]), np.float64(g.loc[0, "sy"])
+    sxx = np.float64(g.loc[0, "sxx"])
+    syy = np.float64(g.loc[0, "syy"])
+    sxy = np.float64(g.loc[0, "sxy"])
+    vx = nf * sxx - sx * sx
+    vy = nf * syy - sy * sy
+    if vx <= 0.0 or vy <= 0.0:
+        return empty
+    r = (nf * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+    return pd.DataFrame({
+        "n_edges_directed": [np.int64(g.loc[0, "n"])],
+        "assortativity": round_half_away(np.array([r]), 6)})
+
+
 def dup_graph_harmonic_2hop(docs, *, threshold: float = 0.5,
                             num_buckets: int = 16, pairs=None):
     """Radius-2 truncated harmonic centrality per node of the near-dup

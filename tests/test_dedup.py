@@ -736,3 +736,41 @@ def test_harmonic_2hop_path_and_clique(ray_session):
     assert got["n_dist2"].tolist() == [1, 1, 2, 1, 1, 0, 0, 0]
     assert got["harmonic_2hop"].tolist() == \
         [1.5, 2.5, 3.0, 2.5, 1.5, 2.0, 2.0, 2.0]
+
+
+def test_assortativity_star_and_clique(ray_session):
+    """A star K_{1,3} is maximally disassortative (r = -1); adding a
+    disjoint K3 (all degrees equal inside it) keeps every K3 edge at
+    zero variance contribution and the pooled r matches the explicit
+    Pearson over the symmetrized edge list."""
+    from ocr_agent_ray.pipelines.dedup import dup_graph_assortativity
+
+    import ray.data as rd2
+
+    pairs = pd.DataFrame({
+        "doc_id_a": [1, 1, 1],
+        "doc_id_b": [2, 3, 4],
+        "jaccard": [0.9, 0.9, 0.9]})
+    got = dup_graph_assortativity(None, pairs=rd2.from_pandas(pairs))
+    assert got["n_edges_directed"].tolist() == [6]
+    assert got["assortativity"].tolist() == [-1.0]
+
+    pairs2 = pd.concat([pairs, pd.DataFrame({
+        "doc_id_a": [10, 10, 11],
+        "doc_id_b": [11, 12, 12],
+        "jaccard": [0.9, 0.9, 0.9]})], ignore_index=True)
+    got = dup_graph_assortativity(None, pairs=rd2.from_pandas(pairs2))
+    # explicit reference over the 12 directed edges
+    deg = {1: 3, 2: 1, 3: 1, 4: 1, 10: 2, 11: 2, 12: 2}
+    xs, ys = [], []
+    for a, b in zip(pairs2["doc_id_a"], pairs2["doc_id_b"]):
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    n = len(x)
+    r = ((n * (x * y).sum() - x.sum() * y.sum())
+         / (np.sqrt(n * (x * x).sum() - x.sum() ** 2)
+            * np.sqrt(n * (y * y).sum() - y.sum() ** 2)))
+    assert got["n_edges_directed"].tolist() == [12]
+    assert got["assortativity"].tolist() == [round(r, 6)]
