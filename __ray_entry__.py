@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kendall_tau": streaming.kendall_tau_daily,
         "q_skew_kurtosis": relational.skew_kurtosis_by_type,
         "q_ols_chars_model": relational.ols_chars_model,
+        "q_user_event_entropy": streaming.user_event_entropy,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1413,6 +1414,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM cd, t, nd "
             "WHERE nd.n_days >= 2 "
             "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
+        ),
+        "q_user_event_entropy": (
+            # H = ln(n) - (Σ c·ln c)/n from the same per-(user,type)
+            # integer counts; a single-type user cancels to exactly 0.0
+            # in both engines
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS k, "
+            "SUM(CAST(cnt AS DOUBLE) * LN(CAST(cnt AS DOUBLE))) AS s "
+            "FROM c GROUP BY 1) "
+            "SELECT user_id, n AS n_events, k AS n_types, "
+            "ROUND(LN(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6) "
+            "AS entropy FROM u"
         ),
         "q_skew_kurtosis": (
             # third/fourth-moment statistics from the same raw-moment

@@ -2069,6 +2069,56 @@ def kendall_tau_daily(sf_dir: str):
         "tau_b": round_half_away(np.array([tau]), 6)})
 
 
+def user_event_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type mix — the behavioural
+    diversity screen that pairs with ``user_burstiness`` (entropy ≈ 0:
+    the user does exactly one thing, scraper/bot-shaped; high entropy:
+    organic mixed sessions). Uses the Σc·ln c identity so the close
+    needs only three mergeable numbers per user:
+
+        H = ln(n) − (Σ_t c_t·ln c_t) / n
+
+    Distributed shape: one bucketed (user, type) count fold (≤ |types|
+    rows per user on the wire), then a second user-bucketed fold of
+    (n, k, Σc·ln c); the single-type case cancels to exactly 0.0 in
+    both engines (ln n − (n·ln n)/n). Columns: user_id, n_events,
+    n_types, entropy."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    counts = hash_partition_aggregate(
+        _read_events(sf_dir, ("user_id", "event_type")),
+        ["user_id", "event_type"], {"cnt": ("event_type", "count")},
+        num_buckets=32)
+
+    def _terms(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["cnt"].to_numpy(np.int64)
+        cf = c.astype(np.float64)
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "cnt": c, "clnc": cf * np.log(cf),
+            "one": np.ones(len(b), np.int64)})
+
+    per_user = hash_partition_aggregate(
+        counts.map_batches(_terms, batch_format="pandas",
+                           batch_size=65536),
+        ["user_id"],
+        {"n": ("cnt", "sum"), "k": ("one", "sum"), "s": ("clnc", "sum")},
+        num_buckets=32)
+
+    def _close(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        nf = n.astype(np.float64)
+        h = np.log(nf) - b["s"].to_numpy(np.float64) / nf
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64),
+            "n_events": n,
+            "n_types": b["k"].to_numpy(np.int64),
+            "entropy": round_half_away(h, 6)})
+
+    return per_user.map_batches(_close, batch_format="pandas")
+
+
 def user_burstiness(sf_dir: str, *, min_events: int = 3):
     """Inter-arrival burstiness per user — coefficient of variation of
     the gaps between a user's consecutive events (cv ≈ 0: metronomic

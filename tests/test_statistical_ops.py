@@ -645,3 +645,35 @@ def test_ols_chars_model_matches_lstsq(ray_session, tmp_path):
     assert got["b1"].tolist() == [3.0]
     assert got["b2"].tolist() == [2.0]
     assert got["r2"].tolist() == [1.0]
+
+
+def test_user_event_entropy_planted(ray_session, tmp_path):
+    """Uniform 4-type mix -> ln(4); single-type user -> exactly 0.0;
+    a 3:1 split -> the hand-computed two-term entropy."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import user_event_entropy
+
+    rows = (
+        [(1, t) for t in ["view", "click", "purchase", "error"]]
+        + [(2, "view")] * 5
+        + [(3, "view")] * 3 + [(3, "purchase")]
+    )
+    ev = pd.DataFrame({
+        "user_id": np.array([u for u, _ in rows], dtype=np.int64),
+        "event_type": [t for _, t in rows],
+        "ts": pd.Series([pd.Timestamp("2024-01-01")] * len(rows),
+                        dtype="datetime64[us]"),
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "value": np.zeros(len(rows))})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = user_event_entropy(str(tmp_path))
+    got = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    got = got.sort_values("user_id").set_index("user_id")
+    assert got.loc[1, "n_types"] == 4
+    assert abs(got.loc[1, "entropy"] - np.log(4.0)) < 1e-6
+    assert got.loc[2, "entropy"] == 0.0          # exact cancellation
+    want3 = np.log(4.0) - (3.0 * np.log(3.0)) / 4.0
+    assert abs(got.loc[3, "entropy"] - want3) < 1e-6
+    assert got["n_events"].tolist() == [4, 5, 4]
