@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_kurtosis": relational.skew_kurtosis_by_type,
         "q_ols_chars_model": relational.ols_chars_model,
         "q_user_event_entropy": streaming.user_event_entropy,
+        "q_cramers_v": relational.cramers_v_type_band,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -3078,6 +3079,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST((SELECT COUNT(*) - 1 FROM rt) "
             "   * (SELECT COUNT(*) - 1 FROM ct) AS BIGINT) AS dof, "
             "CAST((SELECT n FROM n) AS BIGINT) AS n FROM cells"
+        ),
+        "q_cramers_v": (
+            # same contingency CTEs as q_chi_square; V is the
+            # min-dimension-normalized effect size (ratio cancels the
+            # float-fold noise like the ANOVA family)
+            "WITH c AS (SELECT event_type, CASE WHEN value < 25.0 "
+            "THEN 'low' WHEN value < 75.0 THEN 'mid' ELSE 'high' END "
+            "AS band, CAST(COUNT(*) AS DOUBLE) AS o FROM events "
+            "GROUP BY 1, 2), "
+            "rt AS (SELECT event_type, SUM(o) AS r FROM c GROUP BY 1), "
+            "ct AS (SELECT band, SUM(o) AS cl FROM c GROUP BY 1), "
+            "n AS (SELECT SUM(o) AS n FROM c), "
+            "cells AS (SELECT c.o AS o, "
+            "rt.r * ct.cl / (SELECT n FROM n) AS e FROM c "
+            "JOIN rt USING (event_type) JOIN ct USING (band)), "
+            "dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr, "
+            "(SELECT COUNT(*) FROM ct) AS nc) "
+            "SELECT CAST((SELECT n FROM n) AS BIGINT) AS n, "
+            "CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, "
+            "ROUND(SQRT((SELECT SUM((o - e) * (o - e) / e) FROM cells) "
+            "/ (SELECT n FROM n) "
+            "/ CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v "
+            "FROM dims WHERE nr >= 2 AND nc >= 2"
         ),
         "q_merge_cdc": (
             "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "

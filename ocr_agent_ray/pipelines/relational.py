@@ -3486,6 +3486,49 @@ def chi_square_type_band(sf_dir: str, *, edges=(25.0, 75.0)):
     })
 
 
+def cramers_v_type_band(sf_dir: str, *, edges=(25.0, 75.0)):
+    """Cramér's V effect size for the event_type × value-band
+    contingency — the 0..1 normalization of ``chi_square_type_band``
+    ('the dependence is significant, but is it LARGE?'):
+
+        V = sqrt((χ²/n) / min(r−1, c−1))
+
+    Same mergeable per-(type, band) count partials (|types|×3 keys on
+    the driver); the statistic closes on the tiny contingency matrix.
+    Columns: n, dof, cramers_v."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    lo, hi = edges
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        band = np.select([v < lo, v < hi], ["low", "mid"], default="high")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "band": band, "o": np.int64(1)})
+
+    cells = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            _cells, batch_format="pandas", batch_size=65536),
+        ["event_type", "band"], {"o": ("o", "sum")})
+    o = cells.pivot_table(index="event_type", columns="band", values="o",
+                          fill_value=0, aggfunc="sum")
+    obs = o.to_numpy(dtype=np.float64)
+    empty = pd.DataFrame({
+        "n": pd.Series(dtype="int64"), "dof": pd.Series(dtype="int64"),
+        "cramers_v": pd.Series(dtype="float64")})
+    if obs.shape[0] < 2 or obs.shape[1] < 2:
+        return empty
+    n = obs.sum()
+    e = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    md = np.float64(min(obs.shape[0] - 1, obs.shape[1] - 1))
+    v = np.sqrt((chi2 / n) / md)
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "dof": [np.int64((obs.shape[0] - 1) * (obs.shape[1] - 1))],
+        "cramers_v": round_half_away(np.array([v]), 6)})
+
+
 def anova_f_value_by_type(sf_dir: str):
     """One-way ANOVA of event value by event_type — the k-group
     generalization of the A/B z-test ('do the spend distributions

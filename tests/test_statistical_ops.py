@@ -677,3 +677,39 @@ def test_user_event_entropy_planted(ray_session, tmp_path):
     want3 = np.log(4.0) - (3.0 * np.log(3.0)) / 4.0
     assert abs(got.loc[3, "entropy"] - want3) < 1e-6
     assert got["n_events"].tolist() == [4, 5, 4]
+
+
+def test_cramers_v_planted(ray_session, tmp_path):
+    """A perfectly dependent 2x2 table gives V = 1; an independent one
+    gives V = 0 (both exact)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import cramers_v_type_band
+
+    # perfect association: type A always low, type B always high
+    ev = pd.DataFrame({
+        "event_type": ["A"] * 40 + ["B"] * 60,
+        "value": [1.0] * 40 + [99.0] * 60})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cramers_v_type_band(str(tmp_path))
+    assert got["n"].tolist() == [100]
+    assert got["dof"].tolist() == [1]
+    assert got["cramers_v"].tolist() == [1.0]
+
+    # independence: identical band mix in both types -> chi2 = 0
+    ev2 = pd.DataFrame({
+        "event_type": ["A"] * 40 + ["B"] * 40,
+        "value": ([1.0] * 20 + [99.0] * 20) * 2})
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cramers_v_type_band(str(tmp_path))
+    assert got["cramers_v"].tolist() == [0.0]
+
+    # single event type -> degenerate, empty with stable schema
+    ev3 = ev[ev["event_type"] == "A"]
+    pq.write_table(pa.Table.from_pandas(ev3, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cramers_v_type_band(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["n", "dof", "cramers_v"]
