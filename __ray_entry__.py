@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ols_chars_model": relational.ols_chars_model,
         "q_user_event_entropy": streaming.user_event_entropy,
         "q_cramers_v": relational.cramers_v_type_band,
+        "q_heaps_law": text.heaps_law_fit,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1415,6 +1416,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM cd, t, nd "
             "WHERE nd.n_days >= 2 "
             "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
+        ),
+        "q_heaps_law": (
+            # log-log OLS over per-doc (tokens, distinct tokens);
+            # tokenizer regex shared verbatim; raw-moment close with
+            # identical float nesting (value_time_regression precedent)
+            "WITH f AS (SELECT "
+            "CAST(LEN(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS BIGINT) AS nt, "
+            "CAST(LEN(list_distinct(regexp_extract_all(lower(text), "
+            "'[0-9a-z_]+'))) AS BIGINT) AS nd FROM documents), "
+            "p AS (SELECT LN(CAST(nt AS DOUBLE)) AS x, "
+            "LN(CAST(nd AS DOUBLE)) AS y FROM f "
+            "WHERE nt >= 2 AND nd >= 1), "
+            "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS DOUBLE) AS nf, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx "
+            "FROM p), "
+            "b AS (SELECT n, nf, sx, sy, "
+            "(nf * sxy - sx * sy) / (nf * sxx - sx * sx) AS beta "
+            "FROM m WHERE n >= 2 AND nf * sxx - sx * sx <> 0.0) "
+            "SELECT n AS n_docs, ROUND(beta, 6) AS heaps_beta, "
+            "ROUND(EXP((sy - beta * sx) / nf), 6) AS heaps_k FROM b"
         ),
         "q_user_event_entropy": (
             # H = ln(n) - (Σ c·ln c)/n from the same per-(user,type)

@@ -2843,3 +2843,61 @@ def quality_pct_rank_by_source(sf_dir: str):
 
     return _read_documents(sf_dir, ("doc_id", "source", "text")) \
         .map_batches(_lookup, batch_format="pandas", batch_size=16384)
+
+
+def heaps_law_fit(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit — the companion to ``zipf_fit``
+    on the other axis: distinct-token count scales as V ≈ K·nᵝ, so the
+    log-log OLS over per-doc (tokens, distinct tokens) points yields
+    the growth exponent β (natural prose ~0.4-0.6; β → 1 flags
+    unmixed/random corpora, β → 0 flags template spam). One
+    map_batches pass tokenizes each doc (lowercased word regex shared
+    verbatim with the twin), emits the five moment partials of
+    x = ln n_tokens, y = ln n_distinct — five numbers per batch over
+    the wire; slope/intercept close on the driver (the
+    value_time_regression precedent: raw-moment formula, identical
+    float nesting on both sides). Columns: n_docs, heaps_beta,
+    heaps_k."""
+    import re
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    token_re = re.compile(r"[0-9a-z_]+")
+
+    def _moments(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [token_re.findall(t) for t in b["text"].str.lower()]
+        nt = np.array([len(t) for t in toks], dtype=np.int64)
+        nd = np.array([len(set(t)) for t in toks], dtype=np.int64)
+        m = (nt >= 2) & (nd >= 1)
+        x = np.log(nt[m].astype(np.float64))
+        y = np.log(nd[m].astype(np.float64))
+        return pd.DataFrame({
+            "k": np.zeros(m.sum(), np.int64), "x": x, "y": y,
+            "xy": x * y, "xx": x * x})
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir).map_batches(
+            _moments, batch_format="pandas", batch_size=65536),
+        ["k"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxy": ("xy", "sum"), "sxx": ("xx", "sum")})
+    empty = pd.DataFrame({
+        "n_docs": pd.Series(dtype="int64"),
+        "heaps_beta": pd.Series(dtype="float64"),
+        "heaps_k": pd.Series(dtype="float64")})
+    if len(g) == 0 or np.int64(g.loc[0, "n"]) < 2:
+        return empty
+    nf = np.float64(g.loc[0, "n"])
+    sx, sy = np.float64(g.loc[0, "sx"]), np.float64(g.loc[0, "sy"])
+    sxy = np.float64(g.loc[0, "sxy"])
+    sxx = np.float64(g.loc[0, "sxx"])
+    den = nf * sxx - sx * sx
+    if den == 0.0:
+        return empty
+    beta = (nf * sxy - sx * sy) / den
+    k = np.exp((sy - beta * sx) / nf)
+    return pd.DataFrame({
+        "n_docs": [np.int64(g.loc[0, "n"])],
+        "heaps_beta": round_half_away(np.array([beta]), 6),
+        "heaps_k": round_half_away(np.array([k]), 6)})

@@ -868,3 +868,38 @@ def test_bigram_perplexity_tiers_identical(ray_session, tmp_path):
     # docs with < 2 tokens are excluded on both tiers
     short = [r["doc_id"] for r in rows if len(r["text"].split()) < 2]
     assert not set(short) & set(a["doc_id"])
+
+
+def test_heaps_law_planted(ray_session, tmp_path):
+    """A corpus planted on an exact power law V = K·n^beta in log space
+    recovers (beta, K) exactly; short/degenerate docs are excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.text import heaps_law_fit
+
+    # build docs where n_tokens = n and n_distinct = round(2 * n^0.5):
+    # distinct words w0..w(d-1), then repeat w0 to pad to n tokens
+    rows = []
+    for n in [16, 36, 64, 100, 144, 196]:
+        d = int(round(2.0 * np.sqrt(n)))
+        words = [f"w{i}" for i in range(d)] + ["w0"] * (n - d)
+        rows.append(" ".join(words))
+    rows.append("single")          # nt = 1 -> excluded
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "text": rows})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = heaps_law_fit(str(tmp_path))
+    assert got["n_docs"].tolist() == [6]
+    # reference OLS in log space over the six planted points
+    nt = np.array([16, 36, 64, 100, 144, 196], dtype=np.float64)
+    nd = np.round(2.0 * np.sqrt(nt))
+    x, y = np.log(nt), np.log(nd)
+    beta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+            / (len(x) * (x * x).sum() - x.sum() ** 2))
+    k = np.exp((y.sum() - beta * x.sum()) / len(x))
+    assert abs(got["heaps_beta"][0] - beta) < 1e-6
+    assert abs(got["heaps_k"][0] - k) < 1e-6
+    assert 0.4 < got["heaps_beta"][0] < 0.6  # the planted exponent ~0.5
