@@ -392,6 +392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_event_entropy": streaming.user_event_entropy,
         "q_cramers_v": relational.cramers_v_type_band,
         "q_heaps_law": text.heaps_law_fit,
+        "q_term_burstiness": relational.term_burstiness,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -883,6 +884,19 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_counts": (
             "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents GROUP BY ROLLUP(source, lang)"
+        ),
+        "q_term_burstiness": (
+            # cf/df clumpiness over the corpus-frequency top-k; exact
+            # integer counts, one final division
+            "WITH w AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS word FROM documents), "
+            "t AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cf, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM w GROUP BY 1) "
+            "SELECT word, cf, df, "
+            "ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) "
+            "AS burstiness FROM t ORDER BY cf DESC, word LIMIT 30"
         ),
         "q_pii_scrub": (
             f"WITH s1 AS (SELECT doc_id, len(regexp_extract_all(text, '{_PII_EM}')) c1, "

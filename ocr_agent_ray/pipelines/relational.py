@@ -1002,6 +1002,55 @@ def top_words(sf_dir: str, k: int = 20):
     return out.reset_index(drop=True)
 
 
+def term_burstiness(sf_dir: str, k: int = 30):
+    """Term burstiness for the corpus-frequency top-k: cf/df — the
+    mean occurrences per CONTAINING document (Church–Gale 'clumpiness').
+    Function words spread evenly (cf/df ≈ cf/N·docs-share); a term
+    whose cf/df is high concentrates in few docs — the signature of
+    templated spam or topical boilerplate that plain top-k frequency
+    can't distinguish from healthy common words.
+
+    Distributed shape: ONE tokenize pass emits per-batch (word, cf,
+    df) partials — df sums correctly across batches because each doc
+    lives in exactly one row/batch — then a word-hash bucketed
+    combine, per-bucket top-k by cf, tiny driver merge (the
+    ``top_words`` discipline: the vocabulary never sits in one
+    place). Columns: word, cf, df, burstiness."""
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(
+            r"[0-9a-z_]+")
+        ex = toks.explode().dropna()
+        cf = ex.value_counts()
+        dfc = pd.DataFrame({"doc": ex.index, "word": ex.to_numpy()}) \
+            .drop_duplicates()["word"].value_counts()
+        return pd.DataFrame({
+            "word": cf.index,
+            "cf": cf.to_numpy(np.int64),
+            "df": dfc.reindex(cf.index).to_numpy(np.int64)})
+
+    per_word = hash_partition_aggregate(
+        read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _partial, batch_format="pandas"),
+        ["word"], {"cf": ("cf", "sum"), "df": ("df", "sum")})
+
+    def _bucket_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["cf", "word"],
+                                 ascending=[False, True]).head(k)
+
+    tops = per_word.map_batches(
+        _bucket_topk, batch_format="pandas").to_pandas()
+    out = tops.sort_values(["cf", "word"],
+                           ascending=[False, True]).head(k)
+    out = out.reset_index(drop=True)
+    out["cf"] = out["cf"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    out["burstiness"] = round_half_away(
+        out["cf"].to_numpy(np.float64) / out["df"].to_numpy(np.float64), 6)
+    return out[["word", "cf", "df", "burstiness"]]
+
+
 def rollup_counts(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): per-(source,lang) counts, per-source
     subtotals, and the grand total, NULL-filled like SQL ROLLUP — three

@@ -903,3 +903,27 @@ def test_heaps_law_planted(ray_session, tmp_path):
     assert abs(got["heaps_beta"][0] - beta) < 1e-6
     assert abs(got["heaps_k"][0] - k) < 1e-6
     assert 0.4 < got["heaps_beta"][0] < 0.6  # the planted exponent ~0.5
+
+
+def test_term_burstiness_planted(ray_session, tmp_path):
+    """'spam' appears 12x across 2 docs (burstiness 6); 'the' appears
+    once in each of 12 docs (burstiness 1); cf ties break by word."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import term_burstiness
+
+    texts = (["spam " * 6] * 2            # cf=12, df=2
+             + ["the filler"] * 12)        # the: cf=12, df=12
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = term_burstiness(str(tmp_path), k=3).set_index("word")
+    # top by cf: spam(12) ties the(12) -> alphabetical; filler(12) too
+    assert set(got.index) == {"spam", "the", "filler"}
+    assert got.loc["spam", "cf"] == 12 and got.loc["spam", "df"] == 2
+    assert got.loc["spam", "burstiness"] == 6.0
+    assert got.loc["the", "burstiness"] == 1.0
+    assert got.loc["filler", "burstiness"] == 1.0
