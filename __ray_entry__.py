@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cramers_v": relational.cramers_v_type_band,
         "q_heaps_law": text.heaps_law_fit,
         "q_term_burstiness": relational.term_burstiness,
+        "q_weekly_spectral": streaming.weekly_spectral_power,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1430,6 +1431,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM cd, t, nd "
             "WHERE nd.n_days >= 2 "
             "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
+        ),
+        "q_weekly_spectral": (
+            # single-frequency DFT projection at 1/7 cycles/day over
+            # the mean-centered bounded daily series; t is the calendar
+            # offset so gaps keep their true phase
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
+            "mn AS (SELECT MIN(day) AS d0, CAST(COUNT(*) AS BIGINT) "
+            "AS n, CAST(SUM(c) AS BIGINT) AS sc FROM d), "
+            "p AS (SELECT CAST(date_diff('day', mn.d0, d.day) "
+            "AS DOUBLE) AS t, CAST(c AS DOUBLE) "
+            "- CAST(mn.sc AS DOUBLE) / CAST(mn.n AS DOUBLE) AS x "
+            "FROM d, mn), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(x * COS(2.0 * PI() * t / 7.0)) AS a, "
+            "SUM(x * SIN(2.0 * PI() * t / 7.0)) AS b, "
+            "SUM(x * x) AS ss FROM p) "
+            "SELECT n AS n_days, "
+            "ROUND(2.0 * (a * a + b * b) "
+            "/ (CAST(n AS DOUBLE) * ss), 6) AS weekly_power "
+            "FROM s WHERE n >= 2 AND ss > 0.0"
         ),
         "q_heaps_law": (
             # log-log OLS over per-doc (tokens, distinct tokens);

@@ -2069,6 +2069,48 @@ def kendall_tau_daily(sf_dir: str):
         "tau_b": round_half_away(np.array([tau]), 6)})
 
 
+def weekly_spectral_power(sf_dir: str, *, period: float = 7.0):
+    """Spectral strength of the weekly cycle in the daily event-count
+    series — the single-frequency DFT probe at 1/7 cycles per day
+    (a Lomb–Scargle-style projection, so calendar GAPS are handled
+    naturally: each observed day contributes at its true phase):
+
+        a = Σ d_t·cos(2πt/7),  b = Σ d_t·sin(2πt/7),
+        weekly_power = 2·(a² + b²) / (n · Σd²)        (1.0 = pure tone)
+
+    with d_t the mean-centered counts and t the CALENDAR day offset
+    from the first day. Complements ``daily_autocorr`` (lag domain)
+    and ``dow_seasonality`` (bucket means) with the frequency-domain
+    view — phase-coherent weekly structure scores high even when the
+    per-weekday means look flat. The daily series is the same bounded
+    dimension fold as the rest of the family; the projection closes
+    on the driver. Columns: n_days, weekly_power."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days": pd.Series(dtype="int64"),
+        "weekly_power": pd.Series(dtype="float64")})
+    n = len(days)
+    if n < 2:
+        return empty
+    day_i = days["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    t = (day_i - day_i[0]).astype(np.float64)
+    c = days["c"].to_numpy(np.int64)
+    nf = np.float64(n)
+    x = c.astype(np.float64) - np.float64(c.sum()) / nf
+    w = 2.0 * np.pi * t / period
+    a = np.float64((x * np.cos(w)).sum())
+    b = np.float64((x * np.sin(w)).sum())
+    ss = np.float64((x * x).sum())
+    if ss <= 0.0:
+        return empty
+    power = 2.0 * (a * a + b * b) / (nf * ss)
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "weekly_power": round_half_away(np.array([power]), 6)})
+
+
 def user_event_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type mix — the behavioural
     diversity screen that pairs with ``user_burstiness`` (entropy ≈ 0:

@@ -713,3 +713,38 @@ def test_cramers_v_planted(ray_session, tmp_path):
     got = cramers_v_type_band(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["n", "dof", "cramers_v"]
+
+
+def test_weekly_spectral_planted(ray_session, tmp_path):
+    """A pure period-7 cosine over 28 days scores weekly_power ~= 1;
+    a pure period-4 tone projects to ~0 at the weekly frequency."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import weekly_spectral_power
+
+    def _write(counts, d):
+        ts = []
+        for i, c in enumerate(counts):
+            base = pd.Timestamp("2024-03-04") + pd.Timedelta(days=i)
+            ts += [base + pd.Timedelta(minutes=j) for j in range(c)]
+        ev = pd.DataFrame({"ts": pd.Series(ts, dtype="datetime64[us]")})
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       str(d / "events.parquet"))
+
+    t = np.arange(28)
+    weekly = np.round(50 + 20 * np.cos(2 * np.pi * t / 7)).astype(int)
+    _write(weekly.tolist(), tmp_path)
+    got = weekly_spectral_power(str(tmp_path))
+    assert got["n_days"].tolist() == [28]
+    assert got["weekly_power"][0] > 0.99
+
+    four_day = np.round(50 + 20 * np.cos(2 * np.pi * t / 4)).astype(int)
+    _write(four_day.tolist(), tmp_path)
+    got = weekly_spectral_power(str(tmp_path))
+    assert got["weekly_power"][0] < 0.05
+
+    # constant series -> ss = 0 -> empty with stable schema
+    _write([10] * 14, tmp_path)
+    got = weekly_spectral_power(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["n_days", "weekly_power"]
