@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heaps_law": text.heaps_law_fit,
         "q_term_burstiness": relational.term_burstiness,
         "q_weekly_spectral": streaming.weekly_spectral_power,
+        "q_xcorr_daily": streaming.cross_correlation_daily,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1431,6 +1432,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM cd, t, nd "
             "WHERE nd.n_days >= 2 "
             "AND CAST(cd.n0 AS DOUBLE) * CAST(cd.n0 - t.t2 AS DOUBLE) > 0"
+        ),
+        "q_xcorr_daily": (
+            # Pearson at each lag from exact int64 moment sums over
+            # observed day pairs exactly `lag` calendar days apart —
+            # the close is bitwise on both sides
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), "
+            "v AS (SELECT day, c FROM d WHERE event_type = 'view'), "
+            "p AS (SELECT day, c FROM d WHERE event_type = 'purchase'), "
+            "l AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag), "
+            "j AS (SELECT l.lag, v.c AS x, p.c AS y "
+            "FROM l JOIN v ON TRUE "
+            "JOIN p ON date_diff('day', v.day, p.day) = l.lag), "
+            "s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(x) AS DOUBLE) AS sx, "
+            "CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy, "
+            "CAST(SUM(x * y) AS DOUBLE) AS sxy "
+            "FROM j GROUP BY 1) "
+            "SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs, "
+            "ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) "
+            "/ (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) "
+            "* SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS xcorr "
+            "FROM s WHERE n >= 2 "
+            "AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 "
+            "AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 ORDER BY lag"
         ),
         "q_weekly_spectral": (
             # single-frequency DFT projection at 1/7 cycles/day over

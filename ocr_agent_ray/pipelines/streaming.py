@@ -2069,6 +2069,76 @@ def kendall_tau_daily(sf_dir: str):
         "tau_b": round_half_away(np.array([tau]), 6)})
 
 
+def cross_correlation_daily(sf_dir: str, *, type_x: str = "view",
+                            type_y: str = "purchase", max_lag: int = 3):
+    """Lead-lag cross-correlation between two event types' daily count
+    series — 'do views LEAD purchases, and by how many days?' (the
+    two-series sibling of ``daily_autocorr``). For each lag k in
+    [−max_lag, max_lag], Pearson over pairs (x_t, y_{t+k}) formed on
+    OBSERVED days exactly k calendar days apart; a positive peak at
+    k > 0 means x leads y by k days.
+
+    Distributed shape: ONE mergeable (type, day) count fold — the
+    bounded two-series dimension — then the 2·max_lag+1 Pearson
+    closes on the driver from exact int64 moment sums, so both
+    engines cast the SAME values to double and the close matches
+    bitwise. Columns: lag, n_pairs, xcorr."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts", "event_type"))
+    d = combine_partials_driver(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "day": b.loc[b["event_type"].isin([type_x, type_y]),
+                             "ts"].dt.floor("D"),
+                "event_type": b.loc[
+                    b["event_type"].isin([type_x, type_y]),
+                    "event_type"],
+                "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["event_type", "day"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "lag": pd.Series(dtype="int64"),
+        "n_pairs": pd.Series(dtype="int64"),
+        "xcorr": pd.Series(dtype="float64")})
+    if d.empty:
+        return empty
+    xs = d[d["event_type"] == type_x]
+    ys = d[d["event_type"] == type_y]
+    x_map = {int(k): np.int64(v) for k, v in zip(
+        xs["day"].to_numpy().astype("datetime64[D]").astype(np.int64),
+        xs["c"].to_numpy(np.int64))}
+    y_map = {int(k): np.int64(v) for k, v in zip(
+        ys["day"].to_numpy().astype("datetime64[D]").astype(np.int64),
+        ys["c"].to_numpy(np.int64))}
+    rows = []
+    for lag in range(-max_lag, max_lag + 1):
+        pairs = [(cx, y_map[dx + lag]) for dx, cx in sorted(x_map.items())
+                 if dx + lag in y_map]
+        if len(pairs) < 2:
+            continue
+        x = np.array([p[0] for p in pairs], dtype=np.int64)
+        y = np.array([p[1] for p in pairs], dtype=np.int64)
+        n = np.float64(len(x))
+        sx, sy = np.float64(x.sum()), np.float64(y.sum())
+        sxx = np.float64((x * x).sum())
+        syy = np.float64((y * y).sum())
+        sxy = np.float64((x * y).sum())
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        if vx <= 0.0 or vy <= 0.0:
+            continue
+        r = (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+        rows.append((np.int64(lag), np.int64(len(x)), r))
+    if not rows:
+        return empty
+    return pd.DataFrame({
+        "lag": [r[0] for r in rows],
+        "n_pairs": [r[1] for r in rows],
+        "xcorr": round_half_away(
+            np.array([r[2] for r in rows], dtype=np.float64), 6)})
+
+
 def weekly_spectral_power(sf_dir: str, *, period: float = 7.0):
     """Spectral strength of the weekly cycle in the daily event-count
     series — the single-frequency DFT probe at 1/7 cycles per day

@@ -748,3 +748,35 @@ def test_weekly_spectral_planted(ray_session, tmp_path):
     got = weekly_spectral_power(str(tmp_path))
     assert len(got) == 0
     assert list(got.columns) == ["n_days", "weekly_power"]
+
+
+def test_xcorr_daily_planted_lead(ray_session, tmp_path):
+    """Purchases = views shifted by 2 days -> xcorr peaks at exactly
+    lag +2 with r = 1."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import cross_correlation_daily
+
+    rng = np.random.RandomState(3)
+    views = rng.randint(20, 80, 20)
+    ts = []
+    types = []
+    base = pd.Timestamp("2024-05-01")
+    for i, v in enumerate(views):
+        day_v = base + pd.Timedelta(days=i)
+        ts += [day_v + pd.Timedelta(minutes=j) for j in range(int(v))]
+        types += ["view"] * int(v)
+        day_p = base + pd.Timedelta(days=i + 2)
+        ts += [day_p + pd.Timedelta(minutes=j) for j in range(int(v))]
+        types += ["purchase"] * int(v)
+    ev = pd.DataFrame({
+        "ts": pd.Series(ts, dtype="datetime64[us]"),
+        "event_type": types})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = cross_correlation_daily(str(tmp_path)).set_index("lag")
+    assert got.loc[2, "xcorr"] == 1.0
+    assert got.loc[2, "n_pairs"] == 20
+    # every other lag correlates the series against a shifted copy of
+    # itself -> strictly less than the aligned peak
+    assert all(got.loc[k, "xcorr"] < 1.0 for k in got.index if k != 2)
