@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_term_burstiness": relational.term_burstiness,
         "q_weekly_spectral": streaming.weekly_spectral_power,
         "q_xcorr_daily": streaming.cross_correlation_daily,
+        "q_durbin_watson": streaming.durbin_watson_daily,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1460,6 +1461,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM s WHERE n >= 2 "
             "AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 "
             "AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 ORDER BY lag"
+        ),
+        "q_durbin_watson": (
+            # DW over per-type daily-count OLS residuals, closed from
+            # exact int64 moments of (x=epoch day, y=count) and their
+            # consecutive-row diffs — residuals never materialize, so
+            # the float expression (identical nesting on both sides)
+            # sees the SAME integers and matches bitwise
+            "WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "xy AS (SELECT event_type, day, "
+            "CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x, "
+            "c AS y FROM d), "
+            "df AS (SELECT event_type, x, y, "
+            "x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS dx, "
+            "y - lag(y) OVER (PARTITION BY event_type ORDER BY day) AS dy "
+            "FROM xy), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(x * x) AS DOUBLE) AS sxx, "
+            "CAST(SUM(x * y) AS DOUBLE) AS sxy, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy, "
+            "CAST(SUM(dx * dx) AS DOUBLE) AS sdxx, "
+            "CAST(SUM(dy * dx) AS DOUBLE) AS sdyx, "
+            "CAST(SUM(dy * dy) AS DOUBLE) AS sdyy "
+            "FROM df GROUP BY 1), "
+            "co AS (SELECT *, "
+            "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM m "
+            "WHERE n_days >= 3 AND n * sxx - sx * sx > 0.0), "
+            "co2 AS (SELECT *, (sy - b * sx) / n AS a FROM co) "
+            "SELECT event_type, n_days, "
+            "ROUND((sdyy - 2.0 * b * sdyx + b * b * sdxx) "
+            "/ (syy - 2.0 * a * sy - 2.0 * b * sxy + n * a * a "
+            "+ 2.0 * a * b * sx + b * b * sxx), 6) AS dw "
+            "FROM co2 WHERE syy - 2.0 * a * sy - 2.0 * b * sxy "
+            "+ n * a * a + 2.0 * a * b * sx + b * b * sxx > 0.0 "
+            "ORDER BY event_type"
         ),
         "q_weekly_spectral": (
             # single-frequency DFT projection at 1/7 cycles/day over

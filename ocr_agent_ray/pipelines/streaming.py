@@ -2139,6 +2139,82 @@ def cross_correlation_daily(sf_dir: str, *, type_x: str = "view",
             np.array([r[2] for r in rows], dtype=np.float64), 6)})
 
 
+def durbin_watson_daily(sf_dir: str):
+    """Durbin–Watson serial-correlation diagnostic over the per-type
+    daily-count OLS residuals — 'after removing the linear trend, do
+    consecutive days still co-move?' (DW ≈ 2 = none, → 0 = positive,
+    → 4 = negative autocorrelation). The regression-residual companion
+    of ``daily_autocorr``: it tests the RESIDUALS of the same trend fit
+    ``value_time_regression`` makes, which is the textbook use of DW.
+
+    Exactness: residuals never materialize. With e_t = y_t − a − b·x_t
+    and consecutive-row diffs dy, dx, both the numerator
+    Σ(e_t − e_{t−1})² = Σdy² − 2bΣdydx + b²Σdx² and the denominator
+    Σe² = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx² close from exact
+    int64 moment sums (x = epoch day, y = daily count), so both engines
+    cast the SAME integers to double and evaluate one identical float
+    expression — bitwise match, no float-sum-order hazard. Distributed
+    shape: ONE mergeable (type, day) count fold (the bounded daily
+    dimension); the per-type close is O(days) on the driver.
+    Columns: event_type, n_days, dw."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts", "event_type"))
+    d = combine_partials_driver(
+        ev.map_batches(
+            lambda b: pd.DataFrame({
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.floor("D"),
+                "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["event_type", "day"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "n_days": pd.Series(dtype="int64"),
+        "dw": pd.Series(dtype="float64")})
+    if d.empty:
+        return empty
+    rows = []
+    for etype, g in d.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        y = g["c"].to_numpy(np.int64)
+        n_days = len(x)
+        if n_days < 3:
+            continue
+        # exact integer moments (epoch-day x keeps x*y ≲ 1e11 — safe)
+        n = np.float64(n_days)
+        sx = np.float64(x.sum())
+        sy = np.float64(y.sum())
+        sxx = np.float64((x * x).sum())
+        sxy = np.float64((x * y).sum())
+        syy = np.float64((y * y).sum())
+        dx = np.diff(x)
+        dy = np.diff(y)
+        sdxx = np.float64((dx * dx).sum())
+        sdyx = np.float64((dy * dx).sum())
+        sdyy = np.float64((dy * dy).sum())
+        vx = n * sxx - sx * sx
+        if vx <= 0.0:
+            continue
+        b = (n * sxy - sx * sy) / vx
+        a = (sy - b * sx) / n
+        den = (syy - 2.0 * a * sy - 2.0 * b * sxy + n * a * a
+               + 2.0 * a * b * sx + b * b * sxx)
+        if den <= 0.0:
+            continue
+        num = sdyy - 2.0 * b * sdyx + b * b * sdxx
+        rows.append((etype, np.int64(n_days), num / den))
+    if not rows:
+        return empty
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "n_days": [r[1] for r in rows],
+        "dw": round_half_away(
+            np.array([r[2] for r in rows], dtype=np.float64), 6)})
+
+
 def weekly_spectral_power(sf_dir: str, *, period: float = 7.0):
     """Spectral strength of the weekly cycle in the daily event-count
     series — the single-frequency DFT probe at 1/7 cycles per day

@@ -780,3 +780,53 @@ def test_xcorr_daily_planted_lead(ray_session, tmp_path):
     # every other lag correlates the series against a shifted copy of
     # itself -> strictly less than the aligned peak
     assert all(got.loc[k, "xcorr"] < 1.0 for k in got.index if k != 2)
+
+
+def test_durbin_watson_planted_series(ray_session, tmp_path):
+    """Alternating counts around a flat trend -> near-perfect negative
+    serial correlation (DW close to 4); a pure linear ramp has zero
+    residual autocorrelation structure... but residuals of an exact
+    ramp are all ~0, so plant alternation (dw -> 4) and a smooth
+    random walk (dw << 2) and pin both against statsmodels' formula
+    computed directly on the residuals."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import durbin_watson_daily
+
+    base = pd.Timestamp("2024-03-01")
+    ts, types = [], []
+    # type A: 10/30 alternation, zero slope -> residuals alternate
+    alt = [10, 30] * 15
+    for i, c in enumerate(alt):
+        day = base + pd.Timedelta(days=i)
+        ts += [day + pd.Timedelta(minutes=j) for j in range(c)]
+        types += ["alt"] * c
+    # type B: smooth ramp + slow sine wobble -> positive residual
+    # autocorrelation (DW < 2)
+    smooth = (50 + 2 * np.arange(30)
+              + (8 * np.sin(np.arange(30) / 6.0)).astype(int))
+    for i, c in enumerate(smooth):
+        day = base + pd.Timedelta(days=i)
+        ts += [day + pd.Timedelta(minutes=j) for j in range(int(c))]
+        types += ["smooth"] * int(c)
+    ev = pd.DataFrame({
+        "ts": pd.Series(ts, dtype="datetime64[us]"),
+        "event_type": types})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = durbin_watson_daily(str(tmp_path)).set_index("event_type")
+    assert got.loc["alt", "n_days"] == 30
+    assert got.loc["smooth", "n_days"] == 30
+
+    # reference: residuals of np.polyfit, statsmodels DW formula
+    def ref_dw(counts):
+        x = np.arange(len(counts), dtype=np.float64)
+        y = np.asarray(counts, dtype=np.float64)
+        b, a = np.polyfit(x, y, 1)
+        e = y - (a + b * x)
+        return np.sum(np.diff(e) ** 2) / np.sum(e ** 2)
+
+    assert abs(got.loc["alt", "dw"] - ref_dw(alt)) < 1e-6
+    assert abs(got.loc["smooth", "dw"] - ref_dw(smooth)) < 1e-6
+    assert got.loc["alt", "dw"] > 3.5          # alternation -> near 4
+    assert got.loc["smooth", "dw"] < 1.0       # smooth wobble -> < 2
