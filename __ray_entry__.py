@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_keyword_search": text.keyword_search,
         "q_indexed_search": invindex.indexed_keyword_search,
         "q_bm25_search": text.bm25_search,
+        "q_ql_search": text.ql_search,
         "q_mixture_weights": text.mixture_weights,
         "q_dup_source_matrix": lambda sf: dedup.dup_pair_source_matrix(
             sf, pairs=dedup.shared_ngram_pairs(sf)),
@@ -2366,6 +2367,38 @@ def oracle_sql() -> dict[str, str]:
             "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
             "AS score, COUNT(*) AS matched "
             "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2) "
+            "SELECT sc.qid AS query_id, sc.doc_id, "
+            "ROUND(sc.score, 6) AS score FROM sc "
+            "JOIN qsz ON sc.qid = qsz.qid WHERE sc.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sc.qid "
+            "ORDER BY sc.score DESC, sc.doc_id) <= 20"
+        ),
+        "q_ql_search": (
+            # Dirichlet query likelihood: smooth by COLLECTION term
+            # frequency cf/ctot (BM25 smooths by doc frequency);
+            # conjunctive membership, top-20, identical float nesting
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "cf AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cf "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(SUM(len(regexp_extract_all(lower(text), "
+            "'[0-9a-z_]+'))) AS DOUBLE) AS ctot FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((tf.tf + 2000.0 * (cf.cf / n.ctot)) "
+            "/ (dl.dl + 2000.0))) AS score, COUNT(*) AS matched "
+            "FROM tf JOIN cf USING (w) "
             "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2) "
             "SELECT sc.qid AS query_id, sc.doc_id, "
             "ROUND(sc.score, 6) AS score FROM sc "

@@ -2232,6 +2232,98 @@ def bm25_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
         _final, key_col="query_id", num_buckets=4)
 
 
+def ql_search(sf_dir: str, *, k: int = 20, mu: float = 2000.0):
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty SIGIR'01) over the registered _SEARCH_QUERIES — the
+    language-modeling arm of the retrieval family (keyword TF-IDF,
+    BM25, RRF hybrid):
+
+        score(q, d) = Σ_{t∈q} ln((tf(t,d) + μ·cf_t/|C|) / (dl(d) + μ))
+
+    where cf_t is the COLLECTION term frequency and |C| the corpus
+    token total (BM25 smooths by document frequency; QL by collection
+    frequency — a genuinely different statistic, so the stats fold
+    differs too). Conjunctive membership and top-``k`` per query keep
+    the output bounded. Same two streaming passes as BM25: (1) one
+    mergeable stats fold producing the constant-size broadcast mini
+    index (|C|, per-term cf); (2) one scoring pass emitting per-batch
+    per-query partial top-k merged per query — the wire carries
+    candidate scores, never postings. Columns: query_id, doc_id,
+    score."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(batch)), columns=terms,
+                        fill_value=0)
+        tf.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        tf.insert(1, "__dl", toks.str.len().to_numpy(dtype=np.int64))
+        return tf
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        row = {"__ctot": np.int64(tf["__dl"].sum())}
+        for t in terms:
+            row[f"cf_{t}"] = np.int64(tf[t].sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [x for x in _read_documents(sf_dir).map_batches(
+            _stats, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    ctot = float(stats["__ctot"])
+    # p(t|C), the same division the twin writes inline (cf / ctot)
+    p_c = {t: float(stats[f"cf_{t}"]) / ctot for t in terms}
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        dl = tf["__dl"].to_numpy(dtype=np.float64)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            dlm = dl[match.to_numpy()]
+            score = np.zeros(int(match.sum()), dtype=np.float64)
+            for t in qterms:
+                tfv = sub.loc[match, t].to_numpy(dtype=np.float64)
+                score += np.log((tfv + mu * p_c[t]) / (dlm + mu))
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score})
+            out.append(g.sort_values(["score", "doc_id"],
+                                     ascending=[False, True]).head(k))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["score"] = round_half_away(g["score"].to_numpy(), 6)
+        return g[["query_id", "doc_id", "score"]]
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_score,
+                                            batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)
+
+
 def mixture_weights(sf_dir: str, *, alpha: float = 0.5):
     """Temperature-scaled source mixture weights (the T5/multilingual
     p ∝ tokens^α rule): per-source token counts fold as mergeable

@@ -646,3 +646,51 @@ def test_weighted_median_planted(ray_session, tmp_path):
     assert got.loc["A", "weighted_median"] == 30.0
     # B: w 3@5, 1@7 -> half=2 -> cum at 5 is 3 >= 2 -> median 5
     assert got.loc["B", "weighted_median"] == 5.0
+
+
+def test_ql_search_matches_brute_force(ray_session, tmp_path):
+    """Pipeline Dirichlet query likelihood == a dense pandas reference
+    on a planted corpus, and longer docs with equal tf score lower
+    (the length normalization BM25's b-term approximates)."""
+    from ocr_agent_ray.pipelines.text import _SEARCH_QUERIES, ql_search
+
+    rng = np.random.default_rng(29)
+    vocab = ["join", "hash", "vector", "stream", "window", "filter",
+             "merge", "alpha", "beta", "gamma", "delta"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 60))))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                       "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+    mu = 2000.0
+    got = ql_search(str(tmp_path), k=10, mu=mu).to_pandas()
+
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], dtype=float)
+    ctot = float(dl.sum())
+    for qid, qterms in _SEARCH_QUERIES.items():
+        cf = {t: sum(d.count(t) for d in toks) for t in qterms}
+        rows = []
+        for i, d in enumerate(toks):
+            tfs = {t: d.count(t) for t in qterms}
+            if all(v > 0 for v in tfs.values()):
+                s = sum(np.log((tfs[t] + mu * (cf[t] / ctot))
+                               / (dl[i] + mu)) for t in qterms)
+                rows.append((i, s))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        expect = rows[:10]
+        sub = got[got["query_id"] == qid].reset_index(drop=True)
+        assert list(sub["doc_id"]) == [r[0] for r in expect]
+        for (_, s), gs in zip(expect, sub["score"]):
+            assert abs(s - gs) < 1e-5
+    # length normalization: same tf, longer doc -> strictly lower score
+    df2 = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["join hash short", "join hash " + "pad " * 200]})
+    pq.write_table(pa.Table.from_pandas(df2, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got2 = ql_search(str(tmp_path), k=10, mu=mu).to_pandas()
+    sub = got2[got2["query_id"] == 0].set_index("doc_id")
+    assert sub.loc[0, "score"] > sub.loc[1, "score"]
