@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_val_test_split": relational.train_val_test_split,
         "q_weighted_sample": relational.weighted_sample_documents,
         "q_fuzzy_name_pairs": relational.fuzzy_name_pairs,
+        "q_jaro_winkler_pairs": relational.jaro_winkler_pairs,
         "q_entity_resolution": relational.entity_resolution,
         "q_als_rmse": similarity.als_factorize,  # rows-only (iterative ALS; convergence + determinism pytest)
         "q_shuffle_order": relational.shuffle_order,
@@ -2685,6 +2686,18 @@ def oracle_sql() -> dict[str, str]:
             "ON a.c_nationkey = b.c_nationkey "
             "AND a.c_custkey < b.c_custkey "
             "AND hamming(a.c_name, b.c_name) <= 2"
+        ),
+        "q_jaro_winkler_pairs": (
+            # the pipeline's pair-vectorized kernel reproduces DuckDB's
+            # jaro_winkler_similarity bitwise (60k-pair fuzz), so both
+            # the >= cut and ROUND agree exactly
+            "SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey, "
+            "a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+            "ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw "
+            "FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey "
+            "AND a.c_custkey < b.c_custkey "
+            "AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97"
         ),
         "q_entity_resolution": (
             # fuzzy pairs -> recursive-CTE components -> canonical min-key

