@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream-shaped (SURVEY §2.9) ----------------------------------
         "q_tumbling_windows": streaming.tumbling_window_counts,
         "q_sessionize": streaming.sessionize,
+        "q_concurrent_sessions": streaming.concurrent_sessions_daily,
         "q_last_event_per_user": streaming.last_event_per_user,
         "q_error_top1": streaming.error_top1,
         "q_latest_order_asof": streaming.latest_order_asof,
@@ -749,6 +750,42 @@ def oracle_sql() -> dict[str, str]:
             "  FROM flagged) "
             "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
             "COUNT(*) AS n_events FROM numbered GROUP BY user_id, sid"
+        ),
+        "q_concurrent_sessions": (
+            # sessionize CTEs verbatim, then the per-day sweep: clipped
+            # day segments, +1/-1 events ordered (t, starts-first), a
+            # windowed running sum, MAX per day. Ties inside a (t, pri)
+            # group share a delta sign so the MAX is order-independent.
+            "WITH flagged AS ("
+            "  SELECT user_id, event_id, ts, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_session) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "  FROM flagged), "
+            "sess AS (SELECT user_id, MIN(ts) AS session_start, "
+            "MAX(ts) AS session_end FROM numbered GROUP BY user_id, sid), "
+            "seg AS (SELECT unnest(generate_series("
+            "date_trunc('day', session_start), "
+            "date_trunc('day', session_end), INTERVAL 1 DAY)) AS day, "
+            "session_start, session_end FROM sess), "
+            "clipped AS (SELECT day, "
+            "GREATEST(session_start, day) AS s, "
+            "LEAST(session_end, day + INTERVAL 1 DAY "
+            "- INTERVAL 1 MICROSECOND) AS e FROM seg), "
+            "ev AS (SELECT day, s AS t, 0 AS pri, 1 AS delta FROM clipped "
+            "UNION ALL SELECT day, e, 1, -1 FROM clipped), "
+            "run AS (SELECT day, SUM(delta) OVER "
+            "(PARTITION BY day ORDER BY t, pri ROWS UNBOUNDED PRECEDING) "
+            "AS c FROM ev), "
+            "mx AS (SELECT day, CAST(MAX(c) AS BIGINT) AS max_concurrent "
+            "FROM run GROUP BY 1), "
+            "ns AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions "
+            "FROM clipped GROUP BY 1) "
+            "SELECT mx.day, ns.n_sessions, mx.max_concurrent "
+            "FROM mx JOIN ns USING (day) ORDER BY mx.day"
         ),
         "q_last_event_per_user": (
             "SELECT user_id, event_id, ts, event_type FROM events "

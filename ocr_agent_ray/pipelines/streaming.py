@@ -87,6 +87,79 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30):
     return bucket_map_groups(keyed, _sessions, num_buckets=num_buckets)
 
 
+def concurrent_sessions_daily(sf_dir: str, *, gap_minutes: int = 30):
+    """Peak concurrency per calendar day: the maximum number of user
+    sessions simultaneously open (inclusive [start, end] intervals)
+    during each day — the interval-overlap / capacity-planning shape
+    (how many OCR workers would this corpus's arrival pattern need?).
+
+    Distributed sweep-line: sessionize's intervals explode into
+    per-day CLIPPED segments (a session contributes one segment to
+    every day it touches, so each day's sweep is self-contained — no
+    cross-partition carry), segments exchange on day, and each bucket
+    runs ONE vectorized sweep: ±1 deltas sorted by (day, t, start-
+    before-end), grouped cumsum, max per day. Touching-at-an-instant
+    counts as concurrent (starts sort before ends at equal t) — the
+    same tie the twin pins with its pri column. Segment explosion is
+    pure numpy (repeat + offset arithmetic), no per-row loop.
+    Columns: day, n_sessions (sessions touching the day),
+    max_concurrent."""
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    num_buckets = 32
+    sessions = sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    def _segments(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "day": pd.Series(dtype="datetime64[us]"),
+                "s": pd.Series(dtype="datetime64[us]"),
+                "e": pd.Series(dtype="datetime64[us]"),
+                "__b": pd.Series(dtype="int32")})
+        s = b["session_start"].to_numpy()
+        e = b["session_end"].to_numpy()
+        d0 = b["session_start"].dt.floor("D").to_numpy()
+        d1 = b["session_end"].dt.floor("D").to_numpy()
+        nd = ((d1 - d0) // np.timedelta64(1, "D")).astype(np.int64) + 1
+        idx = np.repeat(np.arange(len(b)), nd)
+        off = np.arange(idx.size) - np.repeat(np.cumsum(nd) - nd, nd)
+        day = d0[idx] + off.astype("timedelta64[D]")
+        day_end = day + np.timedelta64(1, "D") - np.timedelta64(1, "us")
+        out = pd.DataFrame({
+            "day": day,
+            "s": np.maximum(s[idx], day),
+            "e": np.minimum(e[idx], day_end)})
+        epoch = (day.astype("datetime64[D]").astype(np.int64)
+                 % num_buckets)
+        out["__b"] = epoch.astype(np.int32)
+        return out
+
+    def _sweep(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        ev = pd.DataFrame({
+            "day": np.concatenate([g["day"].to_numpy(),
+                                   g["day"].to_numpy()]),
+            "t": np.concatenate([g["s"].to_numpy(), g["e"].to_numpy()]),
+            "pri": np.concatenate([np.zeros(n, np.int8),
+                                   np.ones(n, np.int8)]),
+            "delta": np.concatenate([np.ones(n, np.int64),
+                                     -np.ones(n, np.int64)])})
+        ev = ev.sort_values(["day", "t", "pri"], kind="mergesort")
+        run = ev.groupby("day", sort=False)["delta"].cumsum()
+        ev["run"] = run
+        agg = ev.groupby("day", sort=False).agg(
+            max_concurrent=("run", "max"))
+        ns = g.groupby("day", sort=False).size()
+        agg["n_sessions"] = ns
+        agg = agg.reset_index()
+        return agg[["day", "n_sessions", "max_concurrent"]].astype(
+            {"n_sessions": "int64", "max_concurrent": "int64"})
+
+    seg = sessions.map_batches(_segments, batch_format="pandas",
+                               batch_size=65536)
+    return bucket_map_groups(seg, _sweep, num_buckets=num_buckets)
+
+
 def last_event_per_user(sf_dir: str):
     """Latest event per user (the reference's top-1-by-order lookups G6/G7,
     queue_store.py top-1 pops, generalized per key). Ties on ts broken by

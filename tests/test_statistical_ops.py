@@ -830,3 +830,60 @@ def test_durbin_watson_planted_series(ray_session, tmp_path):
     assert abs(got.loc["smooth", "dw"] - ref_dw(smooth)) < 1e-6
     assert got.loc["alt", "dw"] > 3.5          # alternation -> near 4
     assert got.loc["smooth", "dw"] < 1.0       # smooth wobble -> < 2
+
+
+def test_concurrent_sessions_planted_peak(ray_session, tmp_path):
+    """Hand-built interval pattern: three users whose sessions overlap
+    in a known stack (peak 3), one session crossing midnight (counts
+    toward BOTH days, clipped), and a touching-at-an-instant pair
+    (counts as concurrent — starts sort before ends)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import concurrent_sessions_daily
+
+    base = pd.Timestamp("2024-06-01 10:00:00")
+
+    def burst(user, start, minutes):
+        # events 1 min apart -> one session [start, start+minutes-1]
+        return [(user, start + pd.Timedelta(minutes=i))
+                for i in range(minutes)]
+
+    rows = []
+    # day 1: u1 10:00-10:09, u2 10:05-10:14, u3 10:09-10:18 -> peak 3
+    rows += burst(1, base, 10)
+    rows += burst(2, base + pd.Timedelta(minutes=5), 10)
+    rows += burst(3, base + pd.Timedelta(minutes=9), 10)
+    # u4 session ends exactly when u5's starts (same instant, later that
+    # day, disjoint from the morning stack) -> concurrent pair of 2
+    t4 = pd.Timestamp("2024-06-01 20:00:00")
+    rows += burst(4, t4, 5)                       # 20:00-20:04
+    rows += burst(5, t4 + pd.Timedelta(minutes=4), 5)  # 20:04-20:08
+    # u6 crosses midnight: 23:50 day1 -> 00:10 day2 (21 events 1 min
+    # apart, gap < 30 min keeps one session)
+    rows += burst(6, pd.Timestamp("2024-06-01 23:50:00"), 21)
+    # day 3 has ONLY a touching pair: u7 ends exactly when u8 starts ->
+    # max_concurrent == 2 iff touching-at-an-instant counts (inclusive
+    # intervals, starts sort before ends); 1 under exclusive semantics
+    t7 = pd.Timestamp("2024-06-03 09:00:00")
+    rows += burst(7, t7, 5)                            # 09:00-09:04
+    rows += burst(8, t7 + pd.Timedelta(minutes=4), 5)  # 09:04-09:08
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "ts": pd.Series([r[1] for r in rows], dtype="datetime64[us]"),
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = concurrent_sessions_daily(str(tmp_path)).to_pandas()
+    got = got.sort_values("day").reset_index(drop=True)
+    assert len(got) == 3
+    d1, d2, d3 = got.iloc[0], got.iloc[1], got.iloc[2]
+    assert d1["day"] == pd.Timestamp("2024-06-01")
+    assert d1["n_sessions"] == 6           # 5 whole + midnight segment
+    assert d1["max_concurrent"] == 3       # the morning stack
+    assert d2["day"] == pd.Timestamp("2024-06-02")
+    assert d2["n_sessions"] == 1           # the midnight spillover
+    assert d2["max_concurrent"] == 1
+    assert d3["day"] == pd.Timestamp("2024-06-03")
+    assert d3["n_sessions"] == 2
+    assert d3["max_concurrent"] == 2       # touching instant IS concurrent
