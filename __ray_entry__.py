@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weekly_spectral": streaming.weekly_spectral_power,
         "q_xcorr_daily": streaming.cross_correlation_daily,
         "q_durbin_watson": streaming.durbin_watson_daily,
+        "q_pacf_daily": streaming.pacf_daily,
         "q_ks_source_lengths": text.ks_source_lengths,
         "q_length_auc_lang": text.length_auc_lang,
         "q_spearman_len_tokens": text.spearman_chars_tokens,
@@ -1537,6 +1538,52 @@ def oracle_sql() -> dict[str, str]:
             "FROM co2 WHERE syy - 2.0 * a * sy - 2.0 * b * sxy "
             "+ n * a * a + 2.0 * a * b * sx + b * b * sxx > 0.0 "
             "ORDER BY event_type"
+        ),
+        "q_pacf_daily": (
+            # Durbin-Levinson from biased autocovariances; c_k expands
+            # to integer lag-moment sums so only ȳ is float — identical
+            # expression nesting on both sides
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1), "
+            "l AS (SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1, "
+            "lag(y, 2) OVER (ORDER BY day) AS y2, "
+            "lag(y, 3) OVER (ORDER BY day) AS y3 FROM d), "
+            "m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(y) AS DOUBLE) AS sy, "
+            "CAST(SUM(y * y) AS DOUBLE) AS syy, "
+            "CAST(SUM(y * y1) AS DOUBLE) AS p1, "
+            "CAST(SUM(CASE WHEN y1 IS NOT NULL THEN y END) AS DOUBLE) AS a1, "
+            "CAST(SUM(y1) AS DOUBLE) AS b1, "
+            "CAST(COUNT(y1) AS DOUBLE) AS n1, "
+            "CAST(SUM(y * y2) AS DOUBLE) AS p2, "
+            "CAST(SUM(CASE WHEN y2 IS NOT NULL THEN y END) AS DOUBLE) AS a2, "
+            "CAST(SUM(y2) AS DOUBLE) AS b2, "
+            "CAST(COUNT(y2) AS DOUBLE) AS n2, "
+            "CAST(SUM(y * y3) AS DOUBLE) AS p3, "
+            "CAST(SUM(CASE WHEN y3 IS NOT NULL THEN y END) AS DOUBLE) AS a3, "
+            "CAST(SUM(y3) AS DOUBLE) AS b3, "
+            "CAST(COUNT(y3) AS DOUBLE) AS n3 "
+            "FROM l), "
+            "mu AS (SELECT *, sy / n AS mu FROM m WHERE n >= 4), "
+            "c AS (SELECT n, "
+            "syy - 2.0 * mu * sy + n * mu * mu AS c0, "
+            "p1 - mu * (a1 + b1) + n1 * mu * mu AS c1, "
+            "p2 - mu * (a2 + b2) + n2 * mu * mu AS c2, "
+            "p3 - mu * (a3 + b3) + n3 * mu * mu AS c3 FROM mu), "
+            "r AS (SELECT c1 / c0 AS r1, c2 / c0 AS r2, c3 / c0 AS r3 "
+            "FROM c WHERE c0 > 0.0), "
+            "p22 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 "
+            "FROM r WHERE 1.0 - r1 * r1 > 0.0), "
+            "p21 AS (SELECT *, r1 - phi22 * r1 AS phi21 FROM p22) "
+            "SELECT CAST(1 AS BIGINT) AS lag, ROUND(r1, 6) AS pacf FROM r "
+            "UNION ALL "
+            "SELECT CAST(2 AS BIGINT), ROUND(phi22, 6) FROM p22 "
+            "UNION ALL "
+            "SELECT CAST(3 AS BIGINT), "
+            "ROUND((r3 - phi21 * r2 - phi22 * r1) "
+            "/ (1.0 - phi21 * r1 - phi22 * r2), 6) FROM p21 "
+            "WHERE 1.0 - phi21 * r1 - phi22 * r2 > 0.0 "
+            "ORDER BY lag"
         ),
         "q_weekly_spectral": (
             # single-frequency DFT projection at 1/7 cycles/day over

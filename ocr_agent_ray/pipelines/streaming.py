@@ -2288,6 +2288,62 @@ def durbin_watson_daily(sf_dir: str):
             np.array([r[2] for r in rows], dtype=np.float64), 6)})
 
 
+def pacf_daily(sf_dir: str):
+    """Partial autocorrelation of the daily event-count series at lags
+    1–3 via the Durbin–Levinson recursion — 'is the lag-2 correlation
+    real, or just lag-1 echoing twice?' (the AR-order picker the ACF
+    screen can't answer). Uses the standard biased autocovariance
+    c_k = Σ(y_i − ȳ)(y_{i−k} − ȳ) over the POSITION-ordered observed
+    series (|c_k| ≤ c_0, so DL denominators stay nonnegative):
+
+        φ11 = ρ1;  φ22 = (ρ2 − ρ1²)/(1 − ρ1²);  φ21 = ρ1 − φ22·ρ1;
+        φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1)/(1 − φ21·ρ1 − φ22·ρ2)
+
+    Exactness: c_k expands to Σy_i·y_{i−k} − ȳ(Σ'y_i + Σ'y_{i−k}) +
+    n_k·ȳ² — integer lag-moment sums (the only float input is ȳ), so
+    both engines evaluate one identical expression over the SAME
+    integers. ONE mergeable day-count fold; close is O(1). Columns:
+    lag, pacf."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({"lag": pd.Series(dtype="int64"),
+                          "pacf": pd.Series(dtype="float64")})
+    y = days["c"].to_numpy(np.int64)
+    if len(y) < 4:
+        return empty
+    n = np.float64(len(y))
+    sy = np.float64(y.sum())
+    syy = np.float64((y * y).sum())
+    mu = sy / n
+    c0 = syy - 2.0 * mu * sy + n * mu * mu
+    if not c0 > 0.0:
+        return empty
+    rho = {}
+    for k in (1, 2, 3):
+        a, b = y[k:], y[:-k]
+        pk = np.float64((a * b).sum())
+        sa = np.float64(a.sum())
+        sb = np.float64(b.sum())
+        nk = np.float64(len(a))
+        ck = pk - mu * (sa + sb) + nk * mu * mu
+        rho[k] = ck / c0
+    r1, r2, r3 = rho[1], rho[2], rho[3]
+    out = [(np.int64(1), r1)]
+    if 1.0 - r1 * r1 > 0.0:
+        phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        out.append((np.int64(2), phi22))
+        phi21 = r1 - phi22 * r1
+        den3 = 1.0 - phi21 * r1 - phi22 * r2
+        if den3 > 0.0:
+            out.append((np.int64(3),
+                        (r3 - phi21 * r2 - phi22 * r1) / den3))
+    return pd.DataFrame({
+        "lag": [o[0] for o in out],
+        "pacf": round_half_away(
+            np.array([o[1] for o in out], dtype=np.float64), 6)})
+
+
 def weekly_spectral_power(sf_dir: str, *, period: float = 7.0):
     """Spectral strength of the weekly cycle in the daily event-count
     series — the single-frequency DFT probe at 1/7 cycles per day

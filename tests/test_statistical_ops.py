@@ -887,3 +887,46 @@ def test_concurrent_sessions_planted_peak(ray_session, tmp_path):
     assert d3["day"] == pd.Timestamp("2024-06-03")
     assert d3["n_sessions"] == 2
     assert d3["max_concurrent"] == 2       # touching instant IS concurrent
+
+
+def test_pacf_durbin_levinson_vs_yule_walker_solve(ray_session, tmp_path):
+    """The closed-form Durbin-Levinson recursion == an independent
+    Yule-Walker matrix solve (np.linalg.solve on the Toeplitz system)
+    at every lag, on an AR(1)-flavored planted series; lag-1 PACF is
+    large while lags 2-3 collapse toward zero (the AR-order
+    signature)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.streaming import pacf_daily
+
+    rng = np.random.RandomState(17)
+    # AR(1) with phi=0.7 around level 60, integerized positive counts
+    y = [60.0]
+    for _ in range(79):
+        y.append(60.0 + 0.7 * (y[-1] - 60.0) + rng.normal(0, 6))
+    counts = np.maximum(np.round(y).astype(int), 1)
+    base = pd.Timestamp("2024-01-01")
+    ts = []
+    for i, c in enumerate(counts):
+        day = base + pd.Timedelta(days=i)
+        ts += [day + pd.Timedelta(seconds=j) for j in range(int(c))]
+    ev = pd.DataFrame({"ts": pd.Series(ts, dtype="datetime64[us]")})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = pacf_daily(str(tmp_path)).set_index("lag")
+    assert list(got.index) == [1, 2, 3]
+
+    # independent reference: biased ACF -> solve the Toeplitz YW system
+    yy = counts.astype(np.float64)
+    mu = yy.mean()
+    c = [np.sum((yy[k:] - mu) * (yy[:-k] - mu)) if k else
+         np.sum((yy - mu) ** 2) for k in range(4)]
+    rho = np.array(c) / c[0]
+    for k in (1, 2, 3):
+        R = np.array([[rho[abs(i - j)] for j in range(k)]
+                      for i in range(k)])
+        phi = np.linalg.solve(R, rho[1:k + 1])
+        assert abs(got.loc[k, "pacf"] - phi[-1]) < 1e-6
+    assert got.loc[1, "pacf"] > 0.5
+    assert abs(got.loc[2, "pacf"]) < 0.3
+    assert abs(got.loc[3, "pacf"]) < 0.3
