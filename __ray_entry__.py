@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": relational.weighted_sample_documents,
         "q_fuzzy_name_pairs": relational.fuzzy_name_pairs,
         "q_jaro_winkler_pairs": relational.jaro_winkler_pairs,
+        "q_sorted_neighborhood": relational.sorted_neighborhood_pairs,
         "q_entity_resolution": relational.entity_resolution,
         "q_als_rmse": similarity.als_factorize,  # rows-only (iterative ALS; convergence + determinism pytest)
         "q_shuffle_order": relational.shuffle_order,
@@ -2782,6 +2783,19 @@ def oracle_sql() -> dict[str, str]:
             "ON a.c_nationkey = b.c_nationkey "
             "AND a.c_custkey < b.c_custkey "
             "AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97"
+        ),
+        "q_sorted_neighborhood": (
+            # rank-window self-join: every record vs its window-1
+            # successors in (c_name, c_custkey) order; jw bitwise per
+            # the shared kernel
+            "WITH ranked AS (SELECT c_custkey, c_name, "
+            "row_number() OVER (ORDER BY c_name, c_custkey) AS r "
+            "FROM customer) "
+            "SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b, "
+            "CAST(b.r - a.r AS BIGINT) AS rank_gap, "
+            "ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw "
+            "FROM ranked a JOIN ranked b "
+            "ON b.r - a.r BETWEEN 1 AND 4"
         ),
         "q_entity_resolution": (
             # fuzzy pairs -> recursive-CTE components -> canonical min-key

@@ -2270,6 +2270,57 @@ def fuzzy_name_pairs(sf_dir: str, *, max_dist: int = 2):
                           num_buckets=8)
 
 
+def _jw_vectorized(enc_a: list, enc_b: list) -> np.ndarray:
+    """Pair-vectorized Jaro-Winkler over aligned encoded-name arrays —
+    bitwise-equal to DuckDB's jaro_winkler_similarity (60k-pair fuzz).
+    Shared by the nation-blocked and sorted-neighborhood fuzzy joins."""
+    P = len(enc_a)
+    W = max(max(len(e) for e in enc_a), max(len(e) for e in enc_b), 1)
+    A = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_a),
+                      dtype=np.uint8).reshape(P, W)
+    B = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_b),
+                      dtype=np.uint8).reshape(P, W)
+    la = np.asarray([len(e) for e in enc_a], dtype=np.int64)
+    lb = np.asarray([len(e) for e in enc_b], dtype=np.int64)
+    win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(win.max())
+    matched_b = np.zeros((P, W), dtype=bool)
+    mask_a = np.zeros((P, W), dtype=bool)
+    for i in range(W):
+        found = np.zeros(P, dtype=bool)
+        lo, hi = i - win, i + win
+        for j in range(max(0, i - wmax), min(W, i + wmax + 1)):
+            elig = ((~found) & (~matched_b[:, j]) & (j >= lo)
+                    & (j <= hi) & (j < lb) & (i < la)
+                    & (A[:, i] == B[:, j]))
+            if elig.any():
+                matched_b[elig, j] = True
+                mask_a[elig, i] = True
+                found |= elig
+    m = mask_a.sum(axis=1).astype(np.int64)
+    idx_a = np.argsort(~mask_a, axis=1, kind="stable")
+    idx_b = np.argsort(~matched_b, axis=1, kind="stable")
+    s1 = np.take_along_axis(A, idx_a, 1)
+    s2 = np.take_along_axis(B, idx_b, 1)
+    pos = np.arange(W)[None, :]
+    mism = ((s1 != s2) & (pos < m[:, None])).sum(axis=1)
+    t = (mism // 2).astype(np.float64)
+    mf = m.astype(np.float64)
+    safe_m = np.where(m > 0, mf, 1.0)
+    jaro = np.where(
+        m > 0,
+        (mf / la.astype(np.float64) + mf / lb.astype(np.float64)
+         + (mf - t) / safe_m) / 3.0,
+        0.0)
+    pref = np.zeros(P, dtype=np.int64)
+    alive = np.ones(P, dtype=bool)
+    for i in range(min(4, W)):
+        alive = alive & (i < la) & (i < lb) & (A[:, i] == B[:, i])
+        pref += alive.astype(np.int64)
+    return np.where(jaro > 0.7, jaro + pref * 0.1 * (1.0 - jaro),
+                    jaro)
+
+
 def jaro_winkler_pairs(sf_dir: str, *, threshold: float = 0.97):
     """Jaro–Winkler fuzzy-match join (Winkler '90) — the third member
     of the entity-resolution similarity family (Hamming
@@ -2293,53 +2344,7 @@ def jaro_winkler_pairs(sf_dir: str, *, threshold: float = 0.97):
                       ["c_custkey", "c_name", "c_nationkey"]).map_batches(
         lambda b: b.assign(c_nationkey=b["c_nationkey"].astype("int64")),
         batch_format="pandas")
-
-    def _jw_vec(enc_a: list, enc_b: list) -> np.ndarray:
-        P = len(enc_a)
-        W = max(max(len(e) for e in enc_a), max(len(e) for e in enc_b), 1)
-        A = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_a),
-                          dtype=np.uint8).reshape(P, W)
-        B = np.frombuffer(b"".join(e.ljust(W, b"\x00") for e in enc_b),
-                          dtype=np.uint8).reshape(P, W)
-        la = np.asarray([len(e) for e in enc_a], dtype=np.int64)
-        lb = np.asarray([len(e) for e in enc_b], dtype=np.int64)
-        win = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
-        wmax = int(win.max())
-        matched_b = np.zeros((P, W), dtype=bool)
-        mask_a = np.zeros((P, W), dtype=bool)
-        for i in range(W):
-            found = np.zeros(P, dtype=bool)
-            lo, hi = i - win, i + win
-            for j in range(max(0, i - wmax), min(W, i + wmax + 1)):
-                elig = ((~found) & (~matched_b[:, j]) & (j >= lo)
-                        & (j <= hi) & (j < lb) & (i < la)
-                        & (A[:, i] == B[:, j]))
-                if elig.any():
-                    matched_b[elig, j] = True
-                    mask_a[elig, i] = True
-                    found |= elig
-        m = mask_a.sum(axis=1).astype(np.int64)
-        idx_a = np.argsort(~mask_a, axis=1, kind="stable")
-        idx_b = np.argsort(~matched_b, axis=1, kind="stable")
-        s1 = np.take_along_axis(A, idx_a, 1)
-        s2 = np.take_along_axis(B, idx_b, 1)
-        pos = np.arange(W)[None, :]
-        mism = ((s1 != s2) & (pos < m[:, None])).sum(axis=1)
-        t = (mism // 2).astype(np.float64)
-        mf = m.astype(np.float64)
-        safe_m = np.where(m > 0, mf, 1.0)
-        jaro = np.where(
-            m > 0,
-            (mf / la.astype(np.float64) + mf / lb.astype(np.float64)
-             + (mf - t) / safe_m) / 3.0,
-            0.0)
-        pref = np.zeros(P, dtype=np.int64)
-        alive = np.ones(P, dtype=bool)
-        for i in range(min(4, W)):
-            alive = alive & (i < la) & (i < lb) & (A[:, i] == B[:, i])
-            pref += alive.astype(np.int64)
-        return np.where(jaro > 0.7, jaro + pref * 0.1 * (1.0 - jaro),
-                        jaro)
+    _jw_vec = _jw_vectorized
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         from ocr_agent_ray.functions.textstats import round_half_away
@@ -2369,6 +2374,161 @@ def jaro_winkler_pairs(sf_dir: str, *, threshold: float = 0.97):
 
     return key_map_groups(cust, _pairs, key_col="c_nationkey",
                           num_buckets=8)
+
+
+def sorted_neighborhood_pairs(sf_dir: str, *, window: int = 5,
+                              num_buckets: int = 16):
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) —
+    the ORDER-based entity-resolution blocker, complementing the
+    key-based (nation) and neighborhood-enumeration (FastSS) blockers:
+    sort the corpus by (c_name, c_custkey) and compare every record to
+    its ``window``−1 successors, emitting (pair, rank_gap, jw).
+
+    Distributed shape — sample-trained RANGE exchange plus boundary
+    stitching, the classic pattern for order-sensitive ops at scale:
+    (1) a fixed-size deterministic key sample (custkey-mod, ~4k rows)
+    trains name split points on the driver — the same
+    sample-trains-the-partitioner move as the IVF centroids; (2) rows
+    range-exchange on searchsorted(splits, name) so each bucket owns a
+    contiguous rank range (equal names can't straddle: side='right');
+    (3) each bucket sorts locally and emits its in-bucket window pairs
+    vectorized (index-shifted slices, one ``_jw_vectorized`` call per
+    gap); (4) ONLY the ≤2(window−1) rows hugging each bucket edge (or
+    the whole bucket when it is smaller than one window — it may then
+    span several boundaries) travel to the driver, where global ranks
+    reconstruct from per-bucket sizes and the cross-boundary pairs
+    close over that bounded strip. Wire cost: one row-exchange of the
+    key columns + O(buckets·window) strip rows — never a global sort
+    of payloads. Oracled against the row_number window self-join."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import bucket_map_groups
+
+    w = window
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    n_total = cust.count()
+    if n_total == 0:
+        return pd.DataFrame({
+            "custkey_a": pd.Series(dtype="int64"),
+            "custkey_b": pd.Series(dtype="int64"),
+            "rank_gap": pd.Series(dtype="int64"),
+            "jw": pd.Series(dtype="float64")})
+    mod = max(1, n_total // 4096)
+    sample = pd.concat(
+        [b for b in cust.map_batches(
+            lambda b: b[b["c_custkey"] % mod == 0][["c_name"]],
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+    names_sorted = np.sort(sample["c_name"].to_numpy())
+    pos = [int(i * len(names_sorted) / num_buckets)
+           for i in range(1, num_buckets)]
+    splits = np.unique(names_sorted[pos]) if len(names_sorted) else \
+        np.array([], dtype=object)
+
+    def _bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(__b=np.searchsorted(
+            splits, b["c_name"].to_numpy(), side="right").astype("int32"))
+
+    _PAIR_COLS = {
+        "__kind": "int8", "custkey_a": "int64", "custkey_b": "int64",
+        "rank_gap": "int64", "jw": "float64", "__bucket": "int64",
+        "__n": "int64", "__idx": "int64", "__ck": "int64",
+        "__name": "object", "__lp": "int8"}
+
+    def _empty_tagged() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in _PAIR_COLS.items()})
+
+    def _bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_name", "c_custkey"]).reset_index(drop=True)
+        n = len(g)
+        bucket = np.int64(g["__b"].iloc[0])
+        keys = g["c_custkey"].to_numpy(np.int64)
+        names = g["c_name"].to_numpy()
+        frames = []
+        locally_paired = n > 2 * (w - 1)
+        if locally_paired:
+            enc = [s.encode("utf-8") for s in names]
+            for gap in range(1, w):
+                if n <= gap:
+                    break
+                jw = _jw_vectorized(enc[:-gap], enc[gap:])
+                frames.append(pd.DataFrame({
+                    "__kind": np.int8(0),
+                    "custkey_a": keys[:-gap],
+                    "custkey_b": keys[gap:],
+                    "rank_gap": np.int64(gap),
+                    "jw": round_half_away(jw, 6),
+                    "__bucket": np.int64(0), "__n": np.int64(0),
+                    "__idx": np.int64(0), "__ck": np.int64(0),
+                    "__name": "", "__lp": np.int8(0)}))
+            strip_idx = np.unique(np.concatenate(
+                [np.arange(w - 1), np.arange(n - (w - 1), n)]))
+        else:
+            strip_idx = np.arange(n)
+        frames.append(pd.DataFrame({
+            "__kind": np.int8(1),
+            "custkey_a": np.int64(0), "custkey_b": np.int64(0),
+            "rank_gap": np.int64(0), "jw": np.float64(0.0),
+            "__bucket": bucket, "__n": np.int64(n),
+            "__idx": strip_idx.astype(np.int64),
+            "__ck": keys[strip_idx],
+            "__name": names[strip_idx],
+            "__lp": np.int8(1 if locally_paired else 0)}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype(_PAIR_COLS)
+
+    keyed = cust.map_batches(_bucketize, batch_format="pandas",
+                             batch_size=65536)
+    tagged = bucket_map_groups(keyed, _bucket_kernel,
+                               num_buckets=num_buckets).materialize()
+    pairs = tagged.map_batches(
+        lambda b: b[b["__kind"] == 0][
+            ["custkey_a", "custkey_b", "rank_gap", "jw"]],
+        batch_format="pandas")
+    strip = pd.concat(
+        [b for b in tagged.map_batches(
+            lambda b: b[b["__kind"] == 1],
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True)
+    if strip.empty:
+        return pairs
+    # global ranks from per-bucket sizes (bounded: buckets × window)
+    sizes = (strip[["__bucket", "__n"]].drop_duplicates()
+             .sort_values("__bucket"))
+    offsets = dict(zip(sizes["__bucket"],
+                       np.concatenate([[0], np.cumsum(
+                           sizes["__n"].to_numpy())[:-1]])))
+    strip = strip.assign(
+        __rank=strip["__bucket"].map(offsets).astype(np.int64)
+        + strip["__idx"])
+    strip = strip.sort_values("__rank").reset_index(drop=True)
+    ranks = strip["__rank"].to_numpy(np.int64)
+    sk = strip["__ck"].to_numpy(np.int64)
+    sb = strip["__bucket"].to_numpy(np.int64)
+    lp = strip["__lp"].to_numpy(np.int8)
+    enc = [s.encode("utf-8") for s in strip["__name"].to_numpy()]
+    ia, ib = [], []
+    for i in range(len(strip)):
+        j = i + 1
+        while j < len(strip) and ranks[j] - ranks[i] <= w - 1:
+            # same-bucket pairs of a locally-paired bucket were already
+            # emitted inside that bucket's kernel
+            if not (sb[i] == sb[j] and lp[i]):
+                ia.append(i)
+                ib.append(j)
+            j += 1
+    if ia:
+        jw = _jw_vectorized([enc[i] for i in ia], [enc[j] for j in ib])
+        cross = pd.DataFrame({
+            "custkey_a": sk[np.asarray(ia)],
+            "custkey_b": sk[np.asarray(ib)],
+            "rank_gap": ranks[np.asarray(ib)] - ranks[np.asarray(ia)],
+            "jw": round_half_away(jw, 6)})
+        import ray.data as rd
+        pairs = pairs.union(rd.from_pandas(cross))
+    return pairs
 
 
 def edit_distance_pairs(sf_dir: str):

@@ -399,3 +399,44 @@ def test_jaro_winkler_kernel_bitwise_vs_duckdb(ray_session, tmp_path):
         # pipeline rounds to 6; the unrounded kernel is bitwise-equal,
         # so rounding DuckDB's value must reproduce the pipeline's
         assert row["jw"] == np.round(jw, 6) or abs(row["jw"] - jw) < 1e-6
+
+
+def test_sorted_neighborhood_boundary_stitch_vs_bruteforce(
+        ray_session, tmp_path):
+    """Range-exchange + boundary-strip stitching == the brute-force
+    rank-window join, including the pathological regime where buckets
+    are SMALLER than the window (driver-owned buckets spanning several
+    boundaries) and the single-bucket regime."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.pipelines.relational import sorted_neighborhood_pairs
+
+    rng = random.Random(41)
+    names = []
+    for i in range(120):
+        n = rng.randint(3, 10)
+        names.append("".join(rng.choice("abcdef") for _ in range(n)))
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(len(names), dtype=np.int64),
+        "c_name": names})
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   str(tmp_path / "customer.parquet"))
+
+    order = sorted(range(len(names)), key=lambda i: (names[i], i))
+    want = set()
+    w = 5
+    for a in range(len(order)):
+        for b in range(a + 1, min(a + w, len(order))):
+            want.add((order[a], order[b], b - a))
+
+    for nb in (1, 4, 64):  # 64 buckets over 120 rows -> tiny buckets
+        got = sorted_neighborhood_pairs(
+            str(tmp_path), window=w, num_buckets=nb)
+        got = got.to_pandas() if not isinstance(got, pd.DataFrame) else got
+        got_set = set(zip(got["custkey_a"], got["custkey_b"],
+                          got["rank_gap"]))
+        assert got_set == want, f"num_buckets={nb}"
+        assert len(got) == len(want)  # no duplicate emissions
