@@ -395,6 +395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ols_chars_model": relational.ols_chars_model,
         "q_user_event_entropy": streaming.user_event_entropy,
         "q_cramers_v": relational.cramers_v_type_band,
+        "q_kruskal_wallis": relational.kruskal_wallis_value_by_type,
+        "q_mutual_information": relational.mutual_information_type_band,
+        "q_exact_median_by_type": relational.exact_median_by_type,
         "q_heaps_law": text.heaps_law_fit,
         "q_term_burstiness": relational.term_burstiness,
         "q_weekly_spectral": streaming.weekly_spectral_power,
@@ -3372,6 +3375,68 @@ def oracle_sql() -> dict[str, str]:
             "/ (SELECT n FROM n) "
             "/ CAST(LEAST(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v "
             "FROM dims WHERE nr >= 2 AND nc >= 2"
+        ),
+        "q_kruskal_wallis": (
+            # exact average ranks from grouped (value) counts —
+            # rank(v) = cnt_below + (cnt+1)/2, halves exact in
+            # float64; H and the tie correction replay the kernel's
+            # float nesting before the 6-decimal round
+            "WITH vc AS (SELECT event_type, value AS v, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "tv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM vc "
+            "GROUP BY 1), "
+            "rv AS (SELECT v, t, "
+            "CAST(SUM(t) OVER (ORDER BY v) - t AS DOUBLE) "
+            "+ (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r FROM tv), "
+            "rg AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n, "
+            "SUM(CAST(c AS DOUBLE) * rv.r) AS rsum "
+            "FROM vc JOIN rv USING (v) GROUP BY 1), "
+            "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM rg), "
+            "hh AS (SELECT 12.0 / (CAST(nt AS DOUBLE) "
+            "* (CAST(nt AS DOUBLE) + 1.0)) "
+            "* SUM(rsum * rsum / CAST(n AS DOUBLE)) "
+            "- 3.0 * (CAST(nt AS DOUBLE) + 1.0) AS h "
+            "FROM rg, tot GROUP BY nt), "
+            "tc AS (SELECT 1.0 - SUM(CAST(t AS DOUBLE) "
+            "* CAST(t AS DOUBLE) * CAST(t AS DOUBLE) "
+            "- CAST(t AS DOUBLE)) / (CAST(nt AS DOUBLE) "
+            "* CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE) "
+            "- CAST(nt AS DOUBLE)) AS cc FROM tv, tot GROUP BY nt) "
+            "SELECT tot.k AS n_groups, tot.nt AS n_total, "
+            "ROUND(hh.h, 6) AS h_stat, "
+            "ROUND(hh.h / tc.cc, 6) AS h_tie_corrected "
+            "FROM tot, hh, tc WHERE tot.nt >= 2 AND tot.k >= 2"
+        ),
+        "q_mutual_information": (
+            # same contingency CTEs as q_cramers_v; MI in nats plus
+            # sqrt-normalized NMI — sums over <=18 cells, so the
+            # 6-decimal round absorbs the float-order noise
+            "WITH c AS (SELECT event_type, CASE WHEN value < 25.0 "
+            "THEN 'low' WHEN value < 75.0 THEN 'mid' ELSE 'high' END "
+            "AS band, CAST(COUNT(*) AS DOUBLE) AS o FROM events "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT SUM(o) AS n FROM c), "
+            "rt AS (SELECT event_type, SUM(o) / (SELECT n FROM n) AS pr "
+            "FROM c GROUP BY 1), "
+            "ct AS (SELECT band, SUM(o) / (SELECT n FROM n) AS pc "
+            "FROM c GROUP BY 1), "
+            "mi AS (SELECT SUM((c.o / (SELECT n FROM n)) "
+            "* LN((c.o / (SELECT n FROM n)) / (rt.pr * ct.pc))) AS mi "
+            "FROM c JOIN rt USING (event_type) JOIN ct USING (band) "
+            "WHERE c.o > 0), "
+            "hr AS (SELECT -SUM(pr * LN(pr)) AS hr FROM rt WHERE pr > 0), "
+            "hc AS (SELECT -SUM(pc * LN(pc)) AS hc FROM ct WHERE pc > 0) "
+            "SELECT CAST((SELECT n FROM n) AS BIGINT) AS n, "
+            "ROUND(mi.mi, 6) AS mi_nats, "
+            "ROUND(CASE WHEN hr.hr > 0 AND hc.hc > 0 "
+            "THEN mi.mi / SQRT(hr.hr * hc.hc) ELSE 0.0 END, 6) AS nmi "
+            "FROM mi, hr, hc"
+        ),
+        "q_exact_median_by_type": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(MEDIAN(value), 6) AS median_value "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "q_merge_cdc": (
             "WITH base AS (SELECT doc_id, text, CAST(0 AS BIGINT) AS version, "

@@ -4495,3 +4495,153 @@ def copurchase_triples(sf_dir: str, *, min_support: int = 2,
     return counts.map_batches(
         lambda b: b[b["n_orders"] >= min_support],
         batch_format="pandas", batch_size=65536)
+
+
+def kruskal_wallis_value_by_type(sf_dir: str):
+    """Kruskal–Wallis H test of event ``value`` across event types —
+    the rank-based (distribution-free) sibling of
+    ``anova_f_value_by_type`` ('do the spend distributions differ when
+    we refuse to assume normality?'). With EXACT average ranks from
+    grouped counts (rank(v) = cnt_below(v) + (cnt(v)+1)/2 — halves are
+    exact in float64):
+
+        H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        Hc = H / (1 − Σ_v (t_v³−t_v)/(N³−N))          (tie correction)
+
+    Distributed shape: ONE scan folding (event_type, value) count
+    partials — the key space is the distinct-value grid × k types (the
+    2-decimal event values keep it bounded; an unbounded-cardinality
+    column would swap this for the range-exchange ranking used by
+    ``sorted_neighborhood``, where per-range local ranks get global
+    offsets from the range counts). The rank map and the statistic
+    close on the driver's grouped rows. Columns: n_groups, n_total,
+    h_stat, h_tie_corrected."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "value"], {"c": ("value", "count")})
+    empty = pd.DataFrame({
+        "n_groups": pd.Series(dtype="int64"),
+        "n_total": pd.Series(dtype="int64"),
+        "h_stat": pd.Series(dtype="float64"),
+        "h_tie_corrected": pd.Series(dtype="float64")})
+    if not len(vc):
+        return empty
+    tv = (vc.groupby("value", sort=True)["c"].sum()
+          .astype("int64").reset_index())
+    t = tv["c"].to_numpy(np.int64)
+    below = np.cumsum(t) - t
+    rank = below.astype(np.float64) + (t.astype(np.float64) + 1.0) / 2.0
+    rmap = pd.Series(rank, index=tv["value"].to_numpy())
+    vc = vc.assign(r=rmap.loc[vc["value"]].to_numpy())
+    rg = vc.assign(rs=vc["c"].astype("float64") * vc["r"]) \
+        .groupby("event_type", sort=True).agg(
+            n=("c", "sum"), rsum=("rs", "sum")).reset_index()
+    nt = np.int64(rg["n"].sum())
+    k = np.int64(len(rg))
+    if nt < 2 or k < 2:
+        return empty
+    ntd = np.float64(nt)
+    h = (12.0 / (ntd * (ntd + 1.0))
+         * float((rg["rsum"].to_numpy() ** 2
+                  / rg["n"].to_numpy(np.float64)).sum())
+         - 3.0 * (ntd + 1.0))
+    td = t.astype(np.float64)
+    cc = 1.0 - float((td * td * td - td).sum()) / (ntd * ntd * ntd - ntd)
+    return pd.DataFrame({
+        "n_groups": [k], "n_total": [nt],
+        "h_stat": round_half_away(np.array([h]), 6),
+        "h_tie_corrected": round_half_away(np.array([h / cc]), 6)})
+
+
+def mutual_information_type_band(sf_dir: str, *, edges=(25.0, 75.0)):
+    """Mutual information (nats) between event_type and the value band
+    — the information-theoretic counterpart of ``cramers_v_type_band``
+    ('how many nats does knowing the event type tell you about the
+    spend band?'), plus the sqrt-normalized NMI in [0, 1]:
+
+        MI  = Σ_ij p_ij · ln(p_ij / (p_i·p_j))
+        NMI = MI / sqrt(H_row · H_col)
+
+    Same mergeable per-(type, band) count partials as the χ²/V family
+    (|types|×3 keys over the wire); the statistic closes on the tiny
+    contingency matrix. Columns: n, mi_nats, nmi."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    lo, hi = edges
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(dtype=np.float64)
+        band = np.select([v < lo, v < hi], ["low", "mid"], default="high")
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "band": band, "o": np.int64(1)})
+
+    cells = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            _cells, batch_format="pandas", batch_size=65536),
+        ["event_type", "band"], {"o": ("o", "sum")})
+    empty = pd.DataFrame({
+        "n": pd.Series(dtype="int64"),
+        "mi_nats": pd.Series(dtype="float64"),
+        "nmi": pd.Series(dtype="float64")})
+    if not len(cells):
+        return empty
+    o = cells.pivot_table(index="event_type", columns="band", values="o",
+                          fill_value=0, aggfunc="sum")
+    obs = o.to_numpy(dtype=np.float64)
+    n = obs.sum()
+    p = obs / n
+    pr = p.sum(axis=1, keepdims=True)
+    pc = p.sum(axis=0, keepdims=True)
+    nz = p > 0.0
+    mi = float((p[nz] * np.log(p[nz] / (pr @ pc)[nz])).sum())
+    hr = float(-(pr[pr > 0.0] * np.log(pr[pr > 0.0])).sum())
+    hc = float(-(pc[pc > 0.0] * np.log(pc[pc > 0.0])).sum())
+    nmi = mi / np.sqrt(hr * hc) if hr > 0.0 and hc > 0.0 else 0.0
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "mi_nats": round_half_away(np.array([mi]), 6),
+        "nmi": round_half_away(np.array([nmi]), 6)})
+
+
+def exact_median_by_type(sf_dir: str):
+    """EXACT per-type median of event ``value`` — the order statistic
+    that approximate sketches (``quantile_sketch_by_type``) only bound.
+    Distributed selection from grouped counts: ONE scan folds
+    (event_type, value) count partials (the 2-decimal value grid keeps
+    the key space bounded — the general-cardinality path is iterative
+    range refinement: histogram → pick the bucket holding the k-th —
+    never a global sort), then the driver walks each type's cumulative
+    counts to the middle. Even n interpolates lo + (hi−lo)·0.5, the
+    quantile_cont convention, so the twin's MEDIAN() sees the same
+    float. Columns: event_type, n, median_value."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "value"], {"c": ("value", "count")})
+    rows = []
+    for etype, sub in vc.groupby("event_type", sort=True):
+        sub = sub.sort_values("value")
+        c = sub["c"].to_numpy(np.int64)
+        v = sub["value"].to_numpy(np.float64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        if n % 2 == 1:
+            med = float(v[np.searchsorted(cum, n // 2 + 1)])
+        else:
+            lo = float(v[np.searchsorted(cum, n // 2)])
+            hi = float(v[np.searchsorted(cum, n // 2 + 1)])
+            med = lo + (hi - lo) * 0.5
+        rows.append((etype, np.int64(n), med))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "median_value"])
+    if not len(out):
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "median_value": pd.Series(dtype="float64")})
+    return out.assign(
+        n=out["n"].astype("int64"),
+        median_value=round_half_away(
+            out["median_value"].to_numpy(np.float64), 6))

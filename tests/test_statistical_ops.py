@@ -930,3 +930,75 @@ def test_pacf_durbin_levinson_vs_yule_walker_solve(ray_session, tmp_path):
     assert got.loc[1, "pacf"] > 0.5
     assert abs(got.loc[2, "pacf"]) < 0.3
     assert abs(got.loc[3, "pacf"]) < 0.3
+
+
+def test_kruskal_wallis_planted_with_ties(ray_session, tmp_path):
+    """Groups a=[1,2,3], b=[2,3,4] with ties at 2 and 3 (verified by
+    hand: ranks 1, 2.5, 2.5, 4.5, 4.5, 6; R_a=8, R_b=13; scipy's
+    kruskal returns the tie-corrected 1.262626)."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import (
+        kruskal_wallis_value_by_type)
+
+    ev = pd.DataFrame({
+        "event_type": ["a"] * 3 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 2.0, 3.0, 4.0]})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = kruskal_wallis_value_by_type(str(tmp_path))
+    assert got["n_groups"].tolist() == [2]
+    assert got["n_total"].tolist() == [6]
+    # H = 12/42 * (64/3 + 169/3) - 21 = 1.190476
+    # C = 1 - ((8-2)+(8-2))/210 = 0.942857 -> Hc = 1.262626
+    assert got["h_stat"].tolist() == [1.190476]
+    assert got["h_tie_corrected"].tolist() == [1.262626]
+
+
+def test_mutual_information_planted_independent_and_dependent(
+        ray_session, tmp_path):
+    """A perfectly dependent 2x2 table has MI = ln 2 and NMI = 1; an
+    independent table has MI = 0."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import (
+        mutual_information_type_band)
+
+    dep = pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 4,
+        "value": [1.0] * 4 + [90.0] * 4})
+    pq.write_table(pa.Table.from_pandas(dep, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = mutual_information_type_band(str(tmp_path))
+    assert got["mi_nats"].tolist() == [round(float(np.log(2.0)), 6)]
+    assert got["nmi"].tolist() == [1.0]
+
+    ind = pd.DataFrame({
+        "event_type": ["a", "a", "b", "b"],
+        "value": [1.0, 90.0, 1.0, 90.0]})
+    pq.write_table(pa.Table.from_pandas(ind, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = mutual_information_type_band(str(tmp_path))
+    assert got["mi_nats"].tolist() == [0.0]
+    assert got["nmi"].tolist() == [0.0]
+
+
+def test_exact_median_by_type_even_odd_and_ties(ray_session, tmp_path):
+    """Odd group picks the middle value; even group interpolates the
+    two middles; duplicated values land on the duplicate."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.pipelines.relational import exact_median_by_type
+
+    ev = pd.DataFrame({
+        "event_type": ["odd"] * 3 + ["even"] * 4 + ["tied"] * 5,
+        "value": [3.0, 1.0, 2.0,
+                  4.0, 1.0, 3.0, 2.0,
+                  7.0, 7.0, 7.0, 1.0, 9.0]})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    got = exact_median_by_type(str(tmp_path)).set_index("event_type")
+    assert got.loc["odd", "median_value"] == 2.0
+    assert got.loc["even", "median_value"] == 2.5
+    assert got.loc["tied", "median_value"] == 7.0
+    assert got["n"].tolist() == [4, 3, 5]
