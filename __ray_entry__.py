@@ -524,6 +524,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), k=2, pairs=dedup.shared_ngram_pairs(sf)
         ),  # rows-only (iterative peel; brute-force-peel pytest)
         "q_smb_orders_customer": _smb_orders_customer,
+        # --- round-5 fourth-session additions ------------------------------
+        "q_levene_test": relational.levene_test_value_by_type,
+        "q_grubbs_daily": streaming.grubbs_daily_outlier,
+        "q_page_hinkley": streaming.page_hinkley_daily,
+        "q_calinski_harabasz": similarity.calinski_harabasz,
+        "q_davies_bouldin": similarity.davies_bouldin,
+        "q_yule_k": text.yule_k_by_source,
+        "q_ndcg_search": text.ndcg_search,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -3969,6 +3977,198 @@ def oracle_sql() -> dict[str, str]:
             "AND v.ts >= p.ts - INTERVAL 360 MINUTE "
             "WHERE p.event_type = 'purchase' "
             "GROUP BY p.event_id, p.user_id, p.ts"
+        ),
+        "q_levene_test": (
+            # Brown-Forsythe: one-way ANOVA on |x - group median|;
+            # MEDIAN() interpolates like the kernel's cum walk, the
+            # SSB/SSW float nesting replays anova_f
+            "WITH med AS (SELECT event_type, MEDIAN(value) AS med "
+            "FROM events GROUP BY 1), "
+            "z AS (SELECT e.event_type, "
+            "ABS(e.value - med.med) AS z FROM events e "
+            "JOIN med USING (event_type)), "
+            "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(z) AS s, SUM(z * z) AS ss FROM z GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS stot FROM g), "
+            "parts AS (SELECT t.k, t.nt, "
+            "SUM(CAST(g.n AS DOUBLE) * POWER(g.s / CAST(g.n AS DOUBLE) "
+            "- t.stot / CAST(t.nt AS DOUBLE), 2)) AS ssb, "
+            "SUM(g.ss - g.s * g.s / CAST(g.n AS DOUBLE)) AS ssw "
+            "FROM g, t GROUP BY 1, 2) "
+            "SELECT k AS n_groups, nt AS n_total, "
+            "ROUND((ssb / CAST(k - 1 AS DOUBLE)) "
+            "/ (ssw / CAST(nt - k AS DOUBLE)), 6) AS w_stat, "
+            "ROUND(ssb, 6) AS ssb_z, ROUND(ssw, 6) AS ssw_z "
+            "FROM parts WHERE k >= 2 AND nt > k AND ssw > 0.0"
+        ),
+        "q_grubbs_daily": (
+            # max studentized deviate over daily counts; Σc/Σc² exact
+            # (HUGEINT ~ the kernel's python ints), ties -> earliest day
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS s1, "
+            "SUM(c * c) AS s2 FROM d), "
+            "st AS (SELECT n, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+            "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0)) AS sd FROM m), "
+            "g AS (SELECT d.day, d.c, st.n, st.mean, st.sd, "
+            "abs(CAST(d.c AS DOUBLE) - st.mean) / st.sd AS gs "
+            "FROM d, st WHERE st.n >= 3 AND st.sd > 0.0), "
+            "b AS (SELECT *, row_number() OVER "
+            "(ORDER BY gs DESC, day) AS rk FROM g) "
+            "SELECT n AS n_days, day AS outlier_day, c AS cnt, "
+            "ROUND(gs, 6) AS g_stat, ROUND(mean, 6) AS mean_daily, "
+            "ROUND(sd, 6) AS sd_daily FROM b WHERE rk = 1"
+        ),
+        "q_page_hinkley": (
+            # Page-Hinkley replayed as a recursive CTE (the Holt
+            # precedent): cum sums exact ints, ONE double division per
+            # step, running min carried through the recursion
+            "WITH RECURSIVE "
+            "d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "s AS (SELECT day, c, SUM(c) OVER (ORDER BY day) AS cum, "
+            "row_number() OVER (ORDER BY day) AS rn FROM d), "
+            "r(rn, day, c, ph, mn) AS ("
+            "  SELECT rn, day, c, "
+            "  CAST(c AS DOUBLE) - CAST(cum AS DOUBLE) "
+            "/ CAST(rn AS DOUBLE), "
+            "  CAST(c AS DOUBLE) - CAST(cum AS DOUBLE) "
+            "/ CAST(rn AS DOUBLE) "
+            "  FROM s WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT s.rn, s.day, s.c, "
+            "  r.ph + (CAST(s.c AS DOUBLE) - CAST(s.cum AS DOUBLE) "
+            "/ CAST(s.rn AS DOUBLE)), "
+            "  LEAST(r.mn, r.ph + (CAST(s.c AS DOUBLE) "
+            "- CAST(s.cum AS DOUBLE) / CAST(s.rn AS DOUBLE))) "
+            "  FROM r JOIN s ON s.rn = r.rn + 1) "
+            "SELECT day, c AS cnt, ROUND(ph, 6) AS ph, "
+            "ROUND(ph - mn, 6) AS excursion FROM r ORDER BY day"
+        ),
+        "q_calinski_harabasz": (
+            # variance-ratio index from per-label (n, Σv, Σ|v|²) sums;
+            # all linear folds, same float nesting as the kernel
+            "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "q AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(list_inner_product(v, v)) AS qq FROM e GROUP BY 1), "
+            "d AS (SELECT label, unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS dim FROM e), "
+            "ls AS (SELECT label, dim, SUM(x) AS s FROM d GROUP BY 1, 2), "
+            "ln2 AS (SELECT label, SUM(s * s) AS nrm2 FROM ls GROUP BY 1), "
+            "tot AS (SELECT dim, SUM(s) AS st FROM ls GROUP BY 1), "
+            "tn2 AS (SELECT SUM(st * st) AS tnrm2 FROM tot), "
+            "agg AS (SELECT CAST(SUM(q.n) AS BIGINT) AS nt, "
+            "CAST(COUNT(*) AS BIGINT) AS k, "
+            "SUM(q.qq - ln2.nrm2 / CAST(q.n AS DOUBLE)) AS wss, "
+            "SUM(ln2.nrm2 / CAST(q.n AS DOUBLE)) AS bsum "
+            "FROM q JOIN ln2 USING (label)) "
+            "SELECT nt AS n, k AS n_labels, "
+            "ROUND(((bsum - tnrm2 / CAST(nt AS DOUBLE)) "
+            "/ CAST(k - 1 AS DOUBLE)) "
+            "/ (wss / CAST(nt - k AS DOUBLE)), 6) AS ch_index, "
+            "ROUND(bsum - tnrm2 / CAST(nt AS DOUBLE), 6) AS bss, "
+            "ROUND(wss, 6) AS wss FROM agg, tn2 "
+            "WHERE k >= 2 AND nt > k AND wss > 0.0"
+        ),
+        "q_davies_bouldin": (
+            # per-label spread + worst (s_i+s_j)/d(c_i,c_j) ratio;
+            # centroids as per-dim AVG lists, list_distance on DOUBLE[]
+            "WITH e AS (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "d AS (SELECT label, unnest(v) AS x, "
+            "generate_subscripts(v, 1) AS dim FROM e), "
+            "cs AS (SELECT label, dim, SUM(x) AS s, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2), "
+            "cen AS (SELECT label, list(s / CAST(cnt AS DOUBLE) "
+            "ORDER BY dim) AS c FROM cs GROUP BY 1), "
+            "sp AS (SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(list_distance(e.v, cen.c)) AS sd FROM e "
+            "JOIN cen USING (label) GROUP BY 1), "
+            "spread AS (SELECT label, n, "
+            "sd / CAST(n AS DOUBLE) AS s FROM sp), "
+            "r AS (SELECT a.label, "
+            "MAX((a.s + b.s) / list_distance(ca.c, cb.c)) AS rmax "
+            "FROM spread a JOIN spread b ON a.label <> b.label "
+            "JOIN cen ca ON ca.label = a.label "
+            "JOIN cen cb ON cb.label = b.label GROUP BY 1) "
+            "SELECT CAST(a.label AS BIGINT) AS label, a.n, "
+            "ROUND(a.s, 6) AS spread, ROUND(r.rmax, 6) AS r_max "
+            "FROM spread a JOIN r USING (label) ORDER BY 1"
+        ),
+        "q_yule_k": (
+            # K = 1e4*(Σc² - N)/N² from per-(source,word) counts; int
+            # sums exact (HUGEINT ~ the kernel's int64 documented limit)
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS wd "
+            "FROM documents), "
+            "c AS (SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w GROUP BY 1, 2), "
+            "a AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt, "
+            "CAST(SUM(n * n) AS BIGINT) AS s2, "
+            "CAST(COUNT(*) AS BIGINT) AS vocab FROM c GROUP BY 1) "
+            "SELECT source, nt AS n_tokens, vocab AS n_types, "
+            "ROUND(10000.0 * (CAST(s2 AS DOUBLE) - CAST(nt AS DOUBLE)) "
+            "/ (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS yule_k "
+            "FROM a ORDER BY source"
+        ),
+        "q_ndcg_search": (
+            # NDCG@20 of the BM25 order vs the ideal (rel DESC) order
+            # of the same conjunctive candidate pool; linear gain
+            # rel = Σ tf; builds on the q_bm25_search CTEs
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            "FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
+            "AS score, CAST(SUM(tf.tf) AS BIGINT) AS rel, "
+            "COUNT(*) AS matched "
+            "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2), "
+            "cand AS (SELECT sc.qid, sc.doc_id, sc.score, sc.rel "
+            "FROM sc JOIN qsz ON sc.qid = qsz.qid "
+            "WHERE sc.matched = qsz.sz), "
+            "ranked AS (SELECT qid, rel, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rk "
+            "FROM cand), "
+            "ideal AS (SELECT qid, rel, row_number() OVER "
+            "(PARTITION BY qid ORDER BY rel DESC, doc_id) AS rk "
+            "FROM cand), "
+            "dc AS (SELECT qid, SUM(CAST(rel AS DOUBLE) "
+            "/ log2(CAST(rk + 1 AS DOUBLE))) AS dcg FROM ranked "
+            "WHERE rk <= 20 GROUP BY 1), "
+            "ic AS (SELECT qid, SUM(CAST(rel AS DOUBLE) "
+            "/ log2(CAST(rk + 1 AS DOUBLE))) AS idcg FROM ideal "
+            "WHERE rk <= 20 GROUP BY 1) "
+            "SELECT dc.qid AS query_id, ROUND(dc.dcg, 6) AS dcg, "
+            "ROUND(ic.idcg, 6) AS idcg, "
+            "ROUND(dc.dcg / ic.idcg, 6) AS ndcg "
+            "FROM dc JOIN ic USING (qid) WHERE ic.idcg > 0.0 "
+            "ORDER BY 1"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -4645,3 +4645,75 @@ def exact_median_by_type(sf_dir: str):
         n=out["n"].astype("int64"),
         median_value=round_half_away(
             out["median_value"].to_numpy(np.float64), 6))
+
+
+def levene_test_value_by_type(sf_dir: str):
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity of event ``value`` across event types — the
+    heteroscedasticity gate that decides whether the plain ANOVA's
+    equal-variance assumption holds ('do the spend SPREADS differ, not
+    just the means?'). One-way ANOVA applied to the absolute
+    deviations from each group's median:
+
+        z_ig = |x_ig − median_g|
+        W = (SSB_z / (k−1)) / (SSW_z / (N−k))
+
+    Distributed shape: ONE scan folds the (event_type, value) count
+    grid (bounded by the 2-decimal value space × k types, the
+    ``exact_median_by_type`` precedent); per-type medians, the z
+    moments, and W all close on the driver's grouped rows — nothing
+    row-level leaves the scan. Medians interpolate lo + (hi−lo)·0.5
+    (the quantile_cont convention the twin's MEDIAN() uses), so z is
+    bit-identical both sides; the SSB/SSW float nesting replays
+    ``anova_f_value_by_type``. Columns: n_groups, n_total, w_stat,
+    ssb_z, ssw_z."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "value"], {"c": ("value", "count")})
+    empty = pd.DataFrame({
+        "n_groups": pd.Series(dtype="int64"),
+        "n_total": pd.Series(dtype="int64"),
+        "w_stat": pd.Series(dtype="float64"),
+        "ssb_z": pd.Series(dtype="float64"),
+        "ssw_z": pd.Series(dtype="float64")})
+    if not len(vc):
+        return empty
+    ns, ss, sss = [], [], []
+    for _, sub in vc.groupby("event_type", sort=True):
+        sub = sub.sort_values("value")
+        c = sub["c"].to_numpy(np.int64)
+        v = sub["value"].to_numpy(np.float64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        if n % 2 == 1:
+            med = np.float64(v[np.searchsorted(cum, n // 2 + 1)])
+        else:
+            lo = np.float64(v[np.searchsorted(cum, n // 2)])
+            hi = np.float64(v[np.searchsorted(cum, n // 2 + 1)])
+            med = lo + (hi - lo) * np.float64(0.5)
+        z = np.abs(v - med)
+        cf = c.astype(np.float64)
+        ns.append(n)
+        ss.append(float((cf * z).sum()))
+        sss.append(float((cf * z * z).sum()))
+    k = np.int64(len(ns))
+    n = np.array(ns, np.int64)
+    s = np.array(ss, np.float64)
+    sq = np.array(sss, np.float64)
+    nt = np.int64(n.sum())
+    if k < 2 or nt <= k:
+        return empty
+    grand = s.sum() / np.float64(nt)
+    ssb = float((n.astype(np.float64)
+                 * (s / n.astype(np.float64) - grand) ** 2).sum())
+    ssw = float((sq - s * s / n.astype(np.float64)).sum())
+    if ssw <= 0.0:
+        return empty
+    w = (ssb / np.float64(k - 1)) / (ssw / np.float64(nt - k))
+    return pd.DataFrame({
+        "n_groups": [k], "n_total": [nt],
+        "w_stat": round_half_away(np.array([w]), 6),
+        "ssb_z": round_half_away(np.array([ssb]), 6),
+        "ssw_z": round_half_away(np.array([ssw]), 6)})

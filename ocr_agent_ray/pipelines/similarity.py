@@ -1602,3 +1602,196 @@ def mmr_rerank(sf_dir: str, *, lam: float = 0.7, k: int = 10,
                         float(round_half_away(np.float64(best_s), 6))))
     return pd.DataFrame(out, columns=["query_id", "vec_id", "mmr_rank",
                                       "mmr_score"])
+
+
+def _flat_matrix(tbl) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, RAW float64 matrix) — the un-normalized sibling of
+    ``_flat_unit_matrix`` for Euclidean-space metrics: the list<float>
+    column flattens zero-copy and each element is cast float32→float64,
+    matching the twin's ``CAST(embedding AS DOUBLE[])``."""
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    arr = tbl.column("embedding").combine_chunks()
+    vals = arr.flatten().to_numpy(zero_copy_only=False)
+    mat = vals.reshape(len(ids), len(vals) // max(len(ids), 1))
+    return ids, mat.astype(np.float64)
+
+
+def calinski_harabasz(sf_dir: str):
+    """Calinski–Harabasz index of the ``label`` clustering under
+    squared Euclidean distance — the variance-ratio cluster-quality
+    score that complements ``silhouette_by_label`` (CH rewards
+    separated, compact clusters and is the sklearn default for
+    scree-style k selection):
+
+        CH = (BSS / (k−1)) / (WSS / (N−k)),
+        WSS = Σ_l (Σ‖x‖² − ‖S_l‖²/n_l),
+        BSS = Σ_l ‖S_l‖²/n_l − ‖ΣS_l‖²/N
+
+    Like the silhouette closed form, CH is LINEAR: one map_batches
+    pass folds per-label (n, Σ vector, Σ‖x‖²) mergeable partials —
+    |labels|×(dim+2) values over the wire — and the whole statistic
+    closes on the driver's tiny table. Columns: n, n_labels, ch_index,
+    bss, wss."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _label_sums(tbl: pa.Table) -> pd.DataFrame:
+        ids, mat = _flat_matrix(tbl)
+        lab = (tbl.column("label").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        onehot = np.zeros((len(lab), len(uniq)), dtype=np.float64)
+        onehot[np.arange(len(lab)), inv] = 1.0
+        s = onehot.T @ mat                        # |labels| × dim
+        qq = onehot.T @ (mat * mat).sum(axis=1)   # Σ‖x‖² per label
+        cnt = onehot.sum(axis=0).astype(np.int64)
+        dim = mat.shape[1] if len(ids) else 0
+        out = pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "v": s.ravel(),
+            "c": np.zeros(len(uniq) * dim, dtype=np.int64),
+            "qq": np.zeros(len(uniq) * dim, dtype=np.float64)})
+        out.loc[out["dim"] == 0, "c"] = cnt
+        out.loc[out["dim"] == 0, "qq"] = qq
+        return out
+
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding", "label"])
+    folded = combine_partials_driver(
+        ds.map_batches(_label_sums, batch_format="pyarrow"),
+        ["label", "dim"],
+        {"v": ("v", "sum"), "c": ("c", "sum"), "qq": ("qq", "sum")})
+    empty = pd.DataFrame({
+        "n": pd.Series(dtype="int64"),
+        "n_labels": pd.Series(dtype="int64"),
+        "ch_index": pd.Series(dtype="float64"),
+        "bss": pd.Series(dtype="float64"),
+        "wss": pd.Series(dtype="float64")})
+    if not len(folded):
+        return empty
+    folded = folded.sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.sort(folded["label"].unique()).astype(np.int64)
+    dim = int(folded["dim"].max()) + 1
+    s_mat = folded["v"].to_numpy(np.float64).reshape(len(labels), dim)
+    d0 = folded.loc[folded["dim"] == 0].sort_values("label")
+    cnts = d0["c"].to_numpy(np.int64)
+    qqs = d0["qq"].to_numpy(np.float64)
+    k = np.int64(len(labels))
+    nt = np.int64(cnts.sum())
+    if k < 2 or nt <= k:
+        return empty
+    nrm2 = (s_mat * s_mat).sum(axis=1)
+    nf = cnts.astype(np.float64)
+    wss = float((qqs - nrm2 / nf).sum())
+    bsum = float((nrm2 / nf).sum())
+    tot = s_mat.sum(axis=0)
+    bss = bsum - float((tot * tot).sum()) / np.float64(nt)
+    if wss <= 0.0:
+        return empty
+    ch = (bss / np.float64(k - 1)) / (wss / np.float64(nt - k))
+    return pd.DataFrame({
+        "n": [nt], "n_labels": [k],
+        "ch_index": round_half_away(np.array([ch]), 6),
+        "bss": round_half_away(np.array([bss]), 6),
+        "wss": round_half_away(np.array([wss]), 6)})
+
+
+def davies_bouldin(sf_dir: str):
+    """Davies–Bouldin per-label components of the ``label`` clustering
+    under Euclidean distance — the third cluster-validity lens next to
+    silhouette and CH (DB penalizes cluster pairs that are wide
+    relative to their centroid separation; lower is better):
+
+        spread_l = mean ‖x − c_l‖,
+        r_max_l  = max_{j≠l} (spread_l + spread_j) / ‖c_l − c_j‖
+
+    (the DB index itself is mean_l r_max_l — reported per label so the
+    worst-separated cluster is visible, not averaged away). Two linear
+    passes: (1) per-label (n, Σ vector) fold → centroids on the
+    driver; (2) centroids broadcast back, each batch emits per-label
+    Σ‖x − c‖ partials (ONE vectorized norm per batch); the k×k ratio
+    matrix closes on the driver. Columns: label, n, spread, r_max."""
+    import pyarrow as pa
+
+    import ray
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    def _label_sums(tbl: pa.Table) -> pd.DataFrame:
+        ids, mat = _flat_matrix(tbl)
+        lab = (tbl.column("label").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        onehot = np.zeros((len(lab), len(uniq)), dtype=np.float64)
+        onehot[np.arange(len(lab)), inv] = 1.0
+        s = onehot.T @ mat
+        cnt = onehot.sum(axis=0).astype(np.int64)
+        dim = mat.shape[1] if len(ids) else 0
+        out = pd.DataFrame({
+            "label": np.repeat(uniq, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+            "v": s.ravel(),
+            "c": np.zeros(len(uniq) * dim, dtype=np.int64)})
+        out.loc[out["dim"] == 0, "c"] = cnt
+        return out
+
+    ds = read_table(sf_dir, "embeddings",
+                    ["vec_id", "embedding", "label"])
+    folded = combine_partials_driver(
+        ds.map_batches(_label_sums, batch_format="pyarrow"),
+        ["label", "dim"], {"v": ("v", "sum"), "c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "label": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64"),
+        "spread": pd.Series(dtype="float64"),
+        "r_max": pd.Series(dtype="float64")})
+    if not len(folded):
+        return empty
+    folded = folded.sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.sort(folded["label"].unique()).astype(np.int64)
+    dim = int(folded["dim"].max()) + 1
+    s_mat = folded["v"].to_numpy(np.float64).reshape(len(labels), dim)
+    cnts = (folded.loc[folded["dim"] == 0].sort_values("label")["c"]
+            .to_numpy(np.int64))
+    if len(labels) < 2:
+        return empty
+    cen = s_mat / cnts[:, None].astype(np.float64)
+    ref = ray.put((labels, cen))
+
+    def _dist_sums(tbl: pa.Table) -> pd.DataFrame:
+        lbs, c_mat = ray.get(ref)
+        ids, mat = _flat_matrix(tbl)
+        if len(ids) == 0:
+            return pd.DataFrame({"label": pd.Series(dtype="int64"),
+                                 "sd": pd.Series(dtype="float64")})
+        lab = (tbl.column("label").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        own = np.searchsorted(lbs, lab)
+        diff = mat - c_mat[own]
+        d = np.sqrt((diff * diff).sum(axis=1))
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sd = np.zeros(len(uniq), np.float64)
+        np.add.at(sd, inv, d)
+        return pd.DataFrame({"label": uniq, "sd": sd})
+
+    dsum = combine_partials_driver(
+        ds.map_batches(_dist_sums, batch_format="pyarrow"),
+        ["label"], {"sd": ("sd", "sum")})
+    dsum = dsum.sort_values("label").reset_index(drop=True)
+    spread = dsum["sd"].to_numpy(np.float64) / cnts.astype(np.float64)
+    dc = cen[:, None, :] - cen[None, :, :]
+    m = np.sqrt((dc * dc).sum(axis=2))            # k × k centroid dists
+    ratio = (spread[:, None] + spread[None, :]) / np.where(m == 0.0,
+                                                           np.inf, m)
+    np.fill_diagonal(ratio, -np.inf)
+    r_max = ratio.max(axis=1)
+    return pd.DataFrame({
+        "label": labels,
+        "n": cnts,
+        "spread": round_half_away(spread, 6),
+        "r_max": round_half_away(r_max, 6)})

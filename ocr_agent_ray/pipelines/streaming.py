@@ -2560,3 +2560,98 @@ def holt_winters_daily(sf_dir: str, *, alpha: float = 0.5,
         "level": round_half_away(out_l, 6),
         "trend_rate": round_half_away(out_b, 6),
         "seasonal": round_half_away(out_s, 6)})
+
+
+def grubbs_daily_outlier(sf_dir: str):
+    """Grubbs' single-outlier test over the daily event-count series —
+    the maximum studentized deviate G = max_t |c_t − mean| / sd
+    ('is the most extreme day an outlier, not just the tail of the
+    usual spread?'). Same bounded daily dimension as the other
+    time-series screens: one mergeable per-day count fold, the
+    statistic closes on the driver. Σc and Σc² are carried as exact
+    PYTHON ints on the driver (daily counts at 100 TB push c² past
+    int64 — the twin's HUGEINT SUM(c*c) is matched by arbitrary-
+    precision int arithmetic here), so mean and the Bessel-corrected
+    sd are single-division floats both engines compute identically.
+    Ties on G break to the earliest day. Columns: n_days, outlier_day,
+    cnt, g_stat, mean_daily, sd_daily."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days": pd.Series(dtype="int64"),
+        "outlier_day": pd.Series(dtype="datetime64[us]"),
+        "cnt": pd.Series(dtype="int64"),
+        "g_stat": pd.Series(dtype="float64"),
+        "mean_daily": pd.Series(dtype="float64"),
+        "sd_daily": pd.Series(dtype="float64")})
+    n = len(days)
+    if n < 3:
+        return empty
+    c = days["c"].to_numpy(np.int64)
+    s1 = int(sum(int(v) for v in c))
+    s2 = int(sum(int(v) * int(v) for v in c))
+    nf = np.float64(n)
+    mean = np.float64(s1) / nf
+    var = (np.float64(s2) - np.float64(s1) * np.float64(s1) / nf) \
+        / (nf - 1.0)
+    if var <= 0.0:
+        return empty
+    sd = np.sqrt(var)
+    g = np.abs(c.astype(np.float64) - mean) / sd
+    i = int(np.argmax(g))  # first max = earliest day (days sorted asc)
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "outlier_day": [days["day"].iloc[i]],
+        "cnt": [np.int64(c[i])],
+        "g_stat": round_half_away(np.array([g[i]]), 6),
+        "mean_daily": round_half_away(np.array([mean]), 6),
+        "sd_daily": round_half_away(np.array([sd]), 6)})
+
+
+def page_hinkley_daily(sf_dir: str):
+    """Page–Hinkley drift detector over the daily event-count series —
+    the sequential mean-increase monitor: with the running mean
+    mean_t = cum_t / t (exact int cumulative / index), the PH sum is
+
+        ph_t = ph_{t-1} + (c_t − mean_t),   ph_1 = 0
+        excursion_t = ph_t − min_{s ≤ t} ph_s
+
+    and a drift alarm fires when the excursion exceeds a threshold the
+    caller picks downstream (the statistic, not the verdict, is the
+    deliverable — the spike_days precedent). Genuinely sequential
+    semantics (each step needs the previous PH value and running min),
+    so like Holt the bounded daily series closes on the driver and the
+    SQL twin replays the identical recurrence as a recursive CTE —
+    cumulative sums stay exact ints, ONE double division per step, so
+    both engines walk bit-identical floats. Columns: day, cnt, ph,
+    excursion (one row per observed day)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    n = len(days)
+    if n == 0:
+        return pd.DataFrame({
+            "day": pd.Series(dtype="datetime64[us]"),
+            "cnt": pd.Series(dtype="int64"),
+            "ph": pd.Series(dtype="float64"),
+            "excursion": pd.Series(dtype="float64")})
+    c = days["c"].to_numpy(np.int64)
+    ph = np.empty(n, np.float64)
+    exc = np.empty(n, np.float64)
+    cum = 0
+    acc = np.float64(0.0)
+    mn = np.float64(np.inf)
+    for t in range(n):
+        cum += int(c[t])
+        acc = acc + (np.float64(c[t])
+                     - np.float64(cum) / np.float64(t + 1))
+        if acc < mn:
+            mn = acc
+        ph[t] = acc
+        exc[t] = acc - mn
+    return pd.DataFrame({
+        "day": days["day"].astype("datetime64[us]"),
+        "cnt": c,
+        "ph": round_half_away(ph, 6),
+        "excursion": round_half_away(exc, 6)})

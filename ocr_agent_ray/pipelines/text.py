@@ -2993,3 +2993,187 @@ def heaps_law_fit(sf_dir: str):
         "n_docs": [np.int64(g.loc[0, "n"])],
         "heaps_beta": round_half_away(np.array([beta]), 6),
         "heaps_k": round_half_away(np.array([k]), 6)})
+
+
+def yule_k_by_source(sf_dir: str):
+    """Yule's characteristic K per source — the vocabulary-richness
+    constant (Yule 1944) that is INDEPENDENT of corpus size, unlike
+    the raw type/token ratio ('is this source repetitive boilerplate
+    or lexically rich?'). Since Σ_m m²·V_m = Σ_w c_w² over the word
+    counts, K needs no frequency spectrum:
+
+        K = 10⁴ · (Σ_w c_w² − N) / N²     (N = total tokens)
+
+    Distributed shape: the standard word-count exchange — per-batch
+    partial value_counts keyed (source, word), bucketed combine by
+    hash — then a second mergeable fold collapses each bucket to
+    per-source (N, Σc², vocab) partials, so only |sources|×3 numbers
+    reach the driver; the vocabulary itself never centralizes. Sums
+    ride int64 (the ``ols_chars_model`` documented limit: a source
+    beyond ~3·10⁹ occurrences of one word needs the int128/HUGEINT
+    escalation the twin already uses). Columns: source, n_tokens,
+    n_types, yule_k."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = pd.DataFrame({"source": batch["source"], "w": toks}) \
+            .explode("w").dropna(subset=["w"])
+        c = ex.groupby(["source", "w"], sort=False).size()
+        return pd.DataFrame({"source": c.index.get_level_values(0),
+                             "word": c.index.get_level_values(1),
+                             "n": c.to_numpy(np.int64)})
+
+    per_word = hash_partition_aggregate(
+        _read_documents(sf_dir, ("source", "text")).map_batches(
+            _partial, batch_format="pandas"),
+        ["source", "word"], {"n": ("n", "sum")})
+    g = combine_partials_driver(
+        per_word.map_batches(
+            lambda b: pd.DataFrame({
+                "source": b["source"],
+                "nt": b["n"].astype("int64"),
+                "s2": b["n"].astype("int64") * b["n"].astype("int64"),
+                "v": np.int64(1)}),
+            batch_format="pandas"),
+        ["source"],
+        {"nt": ("nt", "sum"), "s2": ("s2", "sum"), "v": ("v", "sum")})
+    if not len(g):
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "yule_k": pd.Series(dtype="float64")})
+    g = g.sort_values("source").reset_index(drop=True)
+    ntf = g["nt"].to_numpy(np.int64).astype(np.float64)
+    s2f = g["s2"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame({
+        "source": g["source"],
+        "n_tokens": g["nt"].astype("int64"),
+        "n_types": g["v"].astype("int64"),
+        "yule_k": round_half_away(
+            10000.0 * (s2f - ntf) / (ntf * ntf), 6)})
+
+
+def ndcg_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
+                b: float = 0.75):
+    """NDCG@k evaluation of the BM25 ranking — the retrieval-quality
+    metric the search family was missing: how close does the BM25
+    ordering come to the IDEAL ordering of the same candidate pool
+    under a graded relevance label? Relevance here is the deterministic
+    grade rel(q,d) = Σ_{t∈q} tf(t,d) (total query-term occurrences),
+    with the linear-gain DCG (gain = rel, not 2^rel − 1, so deep term
+    counts can't overflow):
+
+        DCG  = Σ_{i≤k} rel_i / log2(i+1)   over the BM25 order
+        IDCG = the same sum over the (rel DESC, doc_id) order
+        NDCG = DCG / IDCG
+
+    Distributed shape: the BM25 machinery's two passes, with the
+    scoring pass emitting per-batch per-query partial top-k by SCORE
+    ∪ partial top-k by RELEVANCE (≤2k rows per query per batch — both
+    global top-ks are covered by the union of per-batch top-ks); the
+    per-query merge re-ranks both lists and closes the quotient.
+    Ties break (score DESC, doc_id ASC) / (rel DESC, doc_id ASC).
+    Columns: query_id, dcg, idcg, ndcg."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(batch)), columns=terms,
+                        fill_value=0)
+        tf.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        tf.insert(1, "__dl", toks.str.len().to_numpy(dtype=np.int64))
+        return tf
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        row = {"__n_docs": np.int64(len(batch)),
+               "__sum_dl": np.int64(tf["__dl"].sum())}
+        for t in terms:
+            row[f"df_{t}"] = np.int64((tf[t] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [x for x in _read_documents(sf_dir).map_batches(
+            _stats, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n_docs = float(stats["__n_docs"])
+    avgdl = float(stats["__sum_dl"]) / n_docs
+    idf = {t: np.log((n_docs - float(stats[f"df_{t}"]) + 0.5)
+                     / (float(stats[f"df_{t}"]) + 0.5) + 1.0)
+           for t in terms}
+
+    def _cand(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        dl = tf["__dl"].to_numpy(dtype=np.float64)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            dlm = dl[match.to_numpy()]
+            score = np.zeros(int(match.sum()), dtype=np.float64)
+            for t in qterms:
+                tfv = sub.loc[match, t].to_numpy(dtype=np.float64)
+                score += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlm / avgdl))
+            rel = sub.loc[match].sum(axis=1).to_numpy(np.int64)
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score, "rel": rel})
+            top_s = g.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(k)
+            top_r = g.sort_values(["rel", "doc_id"],
+                                  ascending=[False, True]).head(k)
+            out.append(pd.concat([top_s, top_r]).drop_duplicates("doc_id"))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "rel": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        ranked = g.sort_values(["score", "doc_id"],
+                               ascending=[False, True]).head(k)
+        ideal = g.sort_values(["rel", "doc_id"],
+                              ascending=[False, True]).head(k)
+        disc = np.log2(np.arange(2, len(ranked) + 2, dtype=np.float64))
+        dcg = float((ranked["rel"].to_numpy(np.int64).astype(np.float64)
+                     / disc).sum())
+        disc_i = np.log2(np.arange(2, len(ideal) + 2, dtype=np.float64))
+        idcg = float((ideal["rel"].to_numpy(np.int64).astype(np.float64)
+                      / disc_i).sum())
+        if idcg <= 0.0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "dcg": pd.Series(dtype="float64"),
+                "idcg": pd.Series(dtype="float64"),
+                "ndcg": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "dcg": round_half_away(np.array([dcg]), 6),
+            "idcg": round_half_away(np.array([idcg]), 6),
+            "ndcg": round_half_away(np.array([dcg / idcg]), 6)})
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_cand,
+                                            batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)

@@ -1,0 +1,237 @@
+"""Cluster-validity (Calinski-Harabasz, Davies-Bouldin), variance-
+homogeneity (Brown-Forsythe), daily-series outlier/drift (Grubbs,
+Page-Hinkley), vocabulary richness (Yule's K) and retrieval evaluation
+(NDCG) — planted hand-computed cases plus dense references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+
+def _write_embeddings(tmp_path, vecs, labels):
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def test_levene_brown_forsythe_planted(ray_session, tmp_path):
+    """a=[1..4] (z sums 4, 5 -> ssw 1), b=[10,20,30,40] (ssw 100);
+    grand z-mean 5.5 -> ssb 162, W = 162/(101/6) = 9.623762."""
+    from ocr_agent_ray.pipelines.relational import levene_test_value_by_type
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 30.0, 40.0]}))
+    got = levene_test_value_by_type(str(tmp_path))
+    assert got["n_groups"].tolist() == [2]
+    assert got["n_total"].tolist() == [8]
+    assert got["ssb_z"].tolist() == [162.0]
+    assert got["ssw_z"].tolist() == [101.0]
+    assert got["w_stat"].tolist() == [round(162.0 / (101.0 / 6.0), 6)]
+
+
+def test_levene_equal_spread_is_zero(ray_session, tmp_path):
+    """Identical spreads around different centers -> z distributions
+    identical -> SSB 0 -> W = 0 (location shift alone never fires)."""
+    from ocr_agent_ray.pipelines.relational import levene_test_value_by_type
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 3 + ["b"] * 3,
+        "value": [1.0, 2.0, 3.0, 101.0, 102.0, 103.0]}))
+    got = levene_test_value_by_type(str(tmp_path))
+    assert got["w_stat"].tolist() == [0.0]
+
+
+def test_grubbs_planted_spike_day(ray_session, tmp_path):
+    """Daily counts [10, 10, 40]: mean 20, sd sqrt(300); the spike day
+    wins with G = 20/sqrt(300) = 1.154701."""
+    from ocr_agent_ray.pipelines.streaming import grubbs_daily_outlier
+
+    days = (["2024-01-01"] * 10 + ["2024-01-02"] * 10
+            + ["2024-01-03"] * 40)
+    _write_events(tmp_path, pd.DataFrame({
+        "event_id": range(60),
+        "ts": pd.to_datetime(days),
+        "user_id": np.zeros(60, np.int64),
+        "event_type": ["view"] * 60,
+        "value": np.zeros(60)}))
+    got = grubbs_daily_outlier(str(tmp_path))
+    assert got["n_days"].tolist() == [3]
+    assert got["outlier_day"].astype(str).tolist() == ["2024-01-03"]
+    assert got["cnt"].tolist() == [40]
+    assert got["g_stat"].tolist() == [round(20.0 / np.sqrt(300.0), 6)]
+    assert got["mean_daily"].tolist() == [20.0]
+
+
+def test_page_hinkley_planted_shift(ray_session, tmp_path):
+    """Series [10,10,10,30]: PH stays 0 through the flat prefix (each
+    term x_t - mean_t = 0), then jumps by 30-15=15; excursion = 15."""
+    from ocr_agent_ray.pipelines.streaming import page_hinkley_daily
+
+    days = (["2024-01-01"] * 10 + ["2024-01-02"] * 10
+            + ["2024-01-03"] * 10 + ["2024-01-04"] * 30)
+    _write_events(tmp_path, pd.DataFrame({
+        "event_id": range(60),
+        "ts": pd.to_datetime(days),
+        "user_id": np.zeros(60, np.int64),
+        "event_type": ["view"] * 60,
+        "value": np.zeros(60)}))
+    got = page_hinkley_daily(str(tmp_path))
+    assert got["cnt"].tolist() == [10, 10, 10, 30]
+    assert got["ph"].tolist() == [0.0, 0.0, 0.0, 15.0]
+    assert got["excursion"].tolist() == [0.0, 0.0, 0.0, 15.0]
+
+
+def test_calinski_harabasz_planted(ray_session, tmp_path):
+    """Two tight 1-D pairs at 0/2 and 10/12: WSS = 4, BSS = 100,
+    CH = (100/1)/(4/2) = 50."""
+    from ocr_agent_ray.pipelines.similarity import calinski_harabasz
+
+    _write_embeddings(tmp_path,
+                      [[0.0, 0.0], [2.0, 0.0], [10.0, 0.0], [12.0, 0.0]],
+                      [0, 0, 1, 1])
+    got = calinski_harabasz(str(tmp_path))
+    assert got["n"].tolist() == [4]
+    assert got["n_labels"].tolist() == [2]
+    assert got["wss"].tolist() == [4.0]
+    assert got["bss"].tolist() == [100.0]
+    assert got["ch_index"].tolist() == [50.0]
+
+
+def test_davies_bouldin_planted(ray_session, tmp_path):
+    """Same clusters: spreads 1 and 1, centroid gap 10 ->
+    r_max = 0.2 for both labels."""
+    from ocr_agent_ray.pipelines.similarity import davies_bouldin
+
+    _write_embeddings(tmp_path,
+                      [[0.0, 0.0], [2.0, 0.0], [10.0, 0.0], [12.0, 0.0]],
+                      [0, 0, 1, 1])
+    got = davies_bouldin(str(tmp_path))
+    assert got["label"].tolist() == [0, 1]
+    assert got["n"].tolist() == [2, 2]
+    assert got["spread"].tolist() == [1.0, 1.0]
+    assert got["r_max"].tolist() == [0.2, 0.2]
+
+
+def test_davies_bouldin_matches_sklearn_shape(ray_session, tmp_path):
+    """mean(r_max) on a random-but-fixed frame equals the
+    Davies-Bouldin index computed densely in numpy."""
+    from ocr_agent_ray.pipelines.similarity import davies_bouldin
+
+    rng = np.random.RandomState(7)
+    vecs = np.vstack([rng.randn(20, 4) + c for c in (0.0, 5.0, 9.0)])
+    vecs = vecs.astype(np.float32)
+    labels = np.repeat([0, 1, 2], 20)
+    _write_embeddings(tmp_path, vecs.tolist(), labels.tolist())
+    got = davies_bouldin(str(tmp_path))
+
+    v64 = vecs.astype(np.float64)
+    cents = np.stack([v64[labels == l].mean(axis=0) for l in range(3)])
+    spreads = np.array([
+        np.linalg.norm(v64[labels == l] - cents[l], axis=1).mean()
+        for l in range(3)])
+    want = []
+    for i in range(3):
+        want.append(max(
+            (spreads[i] + spreads[j]) / np.linalg.norm(cents[i] - cents[j])
+            for j in range(3) if j != i))
+    np.testing.assert_allclose(got["r_max"], want, atol=5e-6)
+    np.testing.assert_allclose(got["spread"], spreads, atol=5e-6)
+
+
+def test_yule_k_planted(ray_session, tmp_path):
+    """'a a a b b c': N=6, sum c^2 = 14 -> K = 1e4*8/36 = 2222.222222;
+    an all-distinct doc has K = 0."""
+    from ocr_agent_ray.pipelines.text import yule_k_by_source
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a a a b b c", "x y z"],
+        "lang": ["en", "en"],
+        "source": ["rep", "rich"],
+        "n_chars": [11, 5]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = yule_k_by_source(str(tmp_path)).set_index("source")
+    assert got.loc["rep", "n_tokens"] == 6
+    assert got.loc["rep", "n_types"] == 3
+    assert got.loc["rep", "yule_k"] == round(10000.0 * 8.0 / 36.0, 6)
+    assert got.loc["rich", "yule_k"] == 0.0
+
+
+def test_ndcg_perfect_when_relevance_ties(ray_session, tmp_path):
+    """All candidates share one relevance grade -> any order is ideal
+    -> NDCG = 1 exactly."""
+    from ocr_agent_ray.pipelines.text import ndcg_search
+
+    docs = pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["join hash pad%d" % i for i in range(5)],
+        "lang": ["en"] * 5,
+        "source": ["s"] * 5,
+        "n_chars": [12] * 5})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ndcg_search(str(tmp_path)).to_pandas().set_index("query_id")
+    assert got.loc[0, "ndcg"] == 1.0
+
+
+def test_ndcg_matches_dense_reference(ray_session, tmp_path):
+    """Dense pandas replay of the BM25 + linear-gain NDCG definition on
+    a frame where length normalization makes the BM25 order diverge
+    from the relevance order (so NDCG < 1 is actually exercised)."""
+    from ocr_agent_ray.pipelines.text import ndcg_search
+
+    rng = np.random.RandomState(3)
+    texts = []
+    for i in range(40):
+        n_join = rng.randint(1, 6)
+        n_hash = rng.randint(1, 6)
+        pad = rng.randint(0, 60)
+        texts.append(" ".join(["join"] * n_join + ["hash"] * n_hash
+                              + ["pad"] * pad))
+    docs = pd.DataFrame({
+        "doc_id": range(40), "text": texts, "lang": ["en"] * 40,
+        "source": ["s"] * 40,
+        "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ndcg_search(str(tmp_path)).to_pandas().set_index("query_id")
+
+    # dense reference for query 0 = ("join", "hash")
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], np.float64)
+    tf_j = np.array([t.count("join") for t in toks], np.float64)
+    tf_h = np.array([t.count("hash") for t in toks], np.float64)
+    n = 40.0
+    avgdl = dl.mean()
+    k1, b = 1.2, 0.75
+    score = np.zeros(40)
+    for tfv, df in ((tf_j, (tf_j > 0).sum()), (tf_h, (tf_h > 0).sum())):
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tfv * (k1 + 1.0)) / (
+            tfv + k1 * (1.0 - b + b * dl / avgdl))
+    rel = (tf_j + tf_h).astype(np.int64)
+    cand = pd.DataFrame({"doc_id": range(40), "score": score, "rel": rel})
+    ranked = cand.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(20)
+    ideal = cand.sort_values(["rel", "doc_id"],
+                             ascending=[False, True]).head(20)
+    disc = np.log2(np.arange(2, 22, dtype=np.float64))
+    dcg = float((ranked["rel"].to_numpy() / disc).sum())
+    idcg = float((ideal["rel"].to_numpy() / disc).sum())
+    assert got.loc[0, "dcg"] == round(dcg, 6)
+    assert got.loc[0, "idcg"] == round(idcg, 6)
+    assert got.loc[0, "ndcg"] == round(dcg / idcg, 6)
+    assert got.loc[0, "ndcg"] < 1.0
