@@ -67,6 +67,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def _copurchase_as_edges(b):
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id_a": b["part_a"].astype("int64"),
+                             "doc_id_b": b["part_b"].astype("int64")})
+
     def _html_main_text(sf_dir: str):
         from ocr_agent_ray.stages.boilerplate import html_main_text
 
@@ -532,6 +538,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_davies_bouldin": similarity.davies_bouldin,
         "q_yule_k": text.yule_k_by_source,
         "q_ndcg_search": text.ndcg_search,
+        "q_tukey_hsd": relational.tukey_hsd_value_by_type,
+        "q_mcnemar": streaming.mcnemar_conversion,
+        "q_hurst_exponent": streaming.hurst_exponent_daily,
+        "q_avg_precision_search": text.avg_precision_search,
+        # AA over the CO-PURCHASE graph (the near-dup graph is
+        # transitively closed on this corpus — template families are
+        # cliques, so it has no 2-hop non-edges to predict)
+        "q_adamic_adar": lambda sf: dedup.dup_graph_adamic_adar(
+            None, pairs=relational.copurchase_pairs(sf).map_batches(
+                _copurchase_as_edges, batch_format="pandas")),
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4169,6 +4185,183 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(dc.dcg / ic.idcg, 6) AS ndcg "
             "FROM dc JOIN ic USING (qid) WHERE ic.idcg > 0.0 "
             "ORDER BY 1"
+        ),
+        "q_tukey_hsd": (
+            # Tukey-Kramer q per type pair from the ANOVA moment sums;
+            # MSW once, se2 = (MSW/2)*(1/na+1/nb), same float nesting
+            "WITH g AS (SELECT event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, SUM(value) AS s, "
+            "SUM(value * value) AS ss FROM events GROUP BY 1), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+            "CAST(SUM(n) AS BIGINT) AS nt, "
+            "SUM(ss - s * s / CAST(n AS DOUBLE)) AS ssw FROM g), "
+            "w AS (SELECT ssw / CAST(nt - k AS DOUBLE) AS msw FROM t "
+            "WHERE k >= 2 AND nt > k AND ssw > 0.0) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "a.n AS n_a, b.n AS n_b, "
+            "ROUND(a.s / CAST(a.n AS DOUBLE) "
+            "- b.s / CAST(b.n AS DOUBLE), 6) AS mean_diff, "
+            "ROUND(abs(a.s / CAST(a.n AS DOUBLE) "
+            "- b.s / CAST(b.n AS DOUBLE)) "
+            "/ sqrt((w.msw / 2.0) * (1.0 / CAST(a.n AS DOUBLE) "
+            "+ 1.0 / CAST(b.n AS DOUBLE))), 6) AS q_stat "
+            "FROM g a JOIN g b ON a.event_type < b.event_type, w "
+            "ORDER BY 1, 2"
+        ),
+        "q_mcnemar": (
+            # paired conversion between stream halves (midpoint-ts
+            # split); only discordant users count; all-int until the
+            # final division
+            "WITH bd AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) "
+            "AS tmin, CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax "
+            "FROM events), "
+            "u AS (SELECT user_id, "
+            "MAX(CASE WHEN event_type = 'purchase' AND epoch_us(ts) "
+            "< bd.tmin + (bd.tmax - bd.tmin) // 2 THEN 1 ELSE 0 END) "
+            "AS c0, "
+            "MAX(CASE WHEN event_type = 'purchase' AND epoch_us(ts) "
+            ">= bd.tmin + (bd.tmax - bd.tmin) // 2 THEN 1 ELSE 0 END) "
+            "AS c1 FROM events, bd GROUP BY 1), "
+            "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN c0 = 1 AND c1 = 0 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS b, "
+            "CAST(SUM(CASE WHEN c0 = 0 AND c1 = 1 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS c FROM u) "
+            "SELECT n AS n_users, b AS b_first_only, "
+            "c AS c_second_only, "
+            "CASE WHEN b + c = 0 THEN 0.0 ELSE "
+            "ROUND(CAST((b - c) * (b - c) AS DOUBLE) "
+            "/ CAST(b + c AS DOUBLE), 6) END AS mcnemar_stat, "
+            "CASE WHEN b + c = 0 THEN 0.0 ELSE "
+            "ROUND(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) "
+            "/ CAST(b + c AS DOUBLE), 6) END AS mcnemar_cc FROM a"
+        ),
+        "q_hurst_exponent": (
+            # R/S over the gapfilled grid at sizes 5/10/15; cumdev from
+            # exact int cums (one double product per term), population
+            # sd from exact (Σx, Σx²); raw-moment slope of ln(RS)/ln(m)
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "grid AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g AS (SELECT row_number() OVER (ORDER BY grid.day) AS rn, "
+            "COALESCE(d.c, 0) AS c FROM grid LEFT JOIN d USING (day)), "
+            "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g), "
+            "sizes AS (SELECT unnest([5, 10, 15]) AS m), "
+            "seg AS (SELECT sizes.m, (g.rn - 1) // sizes.m AS s, "
+            "((g.rn - 1) % sizes.m) + 1 AS i, g.c FROM g, sizes, nn "
+            "WHERE (g.rn - 1) // sizes.m < nn.n // sizes.m), "
+            "st AS (SELECT m, s, CAST(SUM(c) AS BIGINT) AS s1, "
+            "CAST(SUM(c * c) AS BIGINT) AS s2 FROM seg GROUP BY 1, 2), "
+            "cum AS (SELECT m, s, i, c, SUM(c) OVER "
+            "(PARTITION BY m, s ORDER BY i) AS ci FROM seg), "
+            "dev AS (SELECT cum.m, cum.s, "
+            "CAST(cum.ci AS DOUBLE) - CAST(cum.i AS DOUBLE) "
+            "* (CAST(st.s1 AS DOUBLE) / CAST(cum.m AS DOUBLE)) AS z "
+            "FROM cum JOIN st ON cum.m = st.m AND cum.s = st.s), "
+            "rng AS (SELECT m, s, MAX(z) - MIN(z) AS r FROM dev "
+            "GROUP BY 1, 2), "
+            "rsseg AS (SELECT rng.m, rng.r "
+            "/ sqrt(CAST(st.s2 AS DOUBLE) / CAST(rng.m AS DOUBLE) "
+            "- (CAST(st.s1 AS DOUBLE) / CAST(rng.m AS DOUBLE)) "
+            "* (CAST(st.s1 AS DOUBLE) / CAST(rng.m AS DOUBLE))) AS rs "
+            "FROM rng JOIN st ON rng.m = st.m AND rng.s = st.s "
+            "WHERE CAST(st.s2 AS DOUBLE) / CAST(rng.m AS DOUBLE) "
+            "- (CAST(st.s1 AS DOUBLE) / CAST(rng.m AS DOUBLE)) "
+            "* (CAST(st.s1 AS DOUBLE) / CAST(rng.m AS DOUBLE)) > 0.0), "
+            "rs AS (SELECT m, SUM(rs) / CAST(COUNT(*) AS DOUBLE) "
+            "AS rsm FROM rsseg GROUP BY 1), "
+            "mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nf, "
+            "SUM(ln(CAST(m AS DOUBLE))) AS sx, SUM(ln(rsm)) AS sy, "
+            "SUM(ln(CAST(m AS DOUBLE)) * ln(rsm)) AS sxy, "
+            "SUM(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE))) AS sxx "
+            "FROM rs WHERE rsm > 0.0) "
+            "SELECT nn.n AS n_days, "
+            "ROUND((SELECT rsm FROM rs WHERE m = 5), 6) AS rs_5, "
+            "ROUND((SELECT rsm FROM rs WHERE m = 10), 6) AS rs_10, "
+            "ROUND((SELECT rsm FROM rs WHERE m = 15), 6) AS rs_15, "
+            "ROUND((mom.nf * mom.sxy - mom.sx * mom.sy) "
+            "/ (mom.nf * mom.sxx - mom.sx * mom.sx), 6) AS hurst "
+            "FROM nn, mom WHERE mom.nf = 3"
+        ),
+        "q_avg_precision_search": (
+            # AP@20 of the BM25 order under binary relevance
+            # (>= 3 total query-term hits); P@i are exact int ratios;
+            # denominator min(R, 20) with R over the FULL candidate pool
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            "FROM documents), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
+            "AS score, CASE WHEN SUM(tf.tf) >= 3.0 THEN 1 ELSE 0 END "
+            "AS rel, COUNT(*) AS matched "
+            "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2), "
+            "cand AS (SELECT sc.qid, sc.doc_id, sc.score, sc.rel "
+            "FROM sc JOIN qsz ON sc.qid = qsz.qid "
+            "WHERE sc.matched = qsz.sz), "
+            "r AS (SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel "
+            "FROM cand GROUP BY 1), "
+            "ranked AS (SELECT qid, rel, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rk "
+            "FROM cand), "
+            "p AS (SELECT qid, rel, rk, "
+            "CAST(SUM(rel) OVER (PARTITION BY qid ORDER BY rk) "
+            "AS DOUBLE) / CAST(rk AS DOUBLE) AS prec FROM ranked "
+            "WHERE rk <= 20), "
+            "ap AS (SELECT qid, SUM(CASE WHEN rel = 1 THEN prec "
+            "ELSE 0.0 END) AS num FROM p GROUP BY 1) "
+            "SELECT r.qid AS query_id, r.n_rel AS n_relevant, "
+            "CASE WHEN r.n_rel = 0 THEN 0.0 ELSE ROUND(ap.num "
+            "/ CAST(LEAST(r.n_rel, 20) AS DOUBLE), 6) END AS ap "
+            "FROM r JOIN ap ON r.qid = ap.qid ORDER BY 1"
+        ),
+        "q_adamic_adar": (
+            # AA link prediction over the co-purchase graph (support
+            # >= 2): wedge weight 1/ln(deg(center)) (deg >= 2 by wedge
+            # construction), sum per non-adjacent pair, top-100 by
+            # ROUNDED score (the RRF rounded-rank contract), ties (a,b)
+            "WITH pairs AS (SELECT a.l_partkey AS doc_id_a, "
+            "b.l_partkey AS doc_id_b FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+            "HAVING COUNT(DISTINCT a.l_orderkey) >= 2), "
+            "sym AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs "
+            "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+            "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym "
+            "GROUP BY 1), "
+            "w AS (SELECT a.u AS ctr, a.v AS p, b.v AS q FROM sym a "
+            "JOIN sym b ON a.u = b.u AND a.v < b.v), "
+            "aa AS (SELECT w.p, w.q, CAST(COUNT(*) AS BIGINT) "
+            "AS n_common, SUM(1.0 / ln(CAST(deg.d AS DOUBLE))) "
+            "AS score FROM w JOIN deg ON deg.u = w.ctr GROUP BY 1, 2), "
+            "ne AS (SELECT aa.* FROM aa WHERE NOT EXISTS "
+            "(SELECT 1 FROM pairs WHERE pairs.doc_id_a = aa.p "
+            "AND pairs.doc_id_b = aa.q)) "
+            "SELECT p AS doc_id_a, q AS doc_id_b, n_common, "
+            "ROUND(score, 6) AS aa_score FROM ne "
+            "QUALIFY row_number() OVER (ORDER BY ROUND(score, 6) DESC, "
+            "p, q) <= 100"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -4717,3 +4717,65 @@ def levene_test_value_by_type(sf_dir: str):
         "w_stat": round_half_away(np.array([w]), 6),
         "ssb_z": round_half_away(np.array([ssb]), 6),
         "ssw_z": round_half_away(np.array([ssw]), 6)})
+
+
+def tukey_hsd_value_by_type(sf_dir: str):
+    """Tukey–Kramer HSD pairwise comparisons of event ``value`` across
+    event types — the post-hoc drill-down after ``anova_f_value_by_type``
+    rejects ('WHICH pairs of event types differ, controlling the
+    family-wise error?'):
+
+        q_ij = |m_i − m_j| / sqrt((MSW/2)·(1/n_i + 1/n_j)),
+        MSW  = SSW / (N − k)     (the ANOVA within-group mean square)
+
+    Same mergeable (n, Σx, Σx²) moment partials as the ANOVA — three
+    numbers per type over the wire; the k(k−1)/2 pair table closes on
+    the driver (k is a bounded dimension). Pair order is
+    (type_a < type_b lexicographic); mean_diff is SIGNED m_a − m_b so
+    direction survives. Float nesting pinned to the twin: MSW once,
+    then se² = (MSW/2)·(1/n_a + 1/n_b), q = |diff|/sqrt(se²). Columns:
+    type_a, type_b, n_a, n_b, mean_diff, q_stat."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda b: b.assign(v2=b["value"] * b["value"]),
+            batch_format="pandas", batch_size=65536),
+        ["event_type"],
+        {"n": ("value", "count"), "s": ("value", "sum"),
+         "ss": ("v2", "sum")})
+    empty = pd.DataFrame({
+        "type_a": pd.Series(dtype="object"),
+        "type_b": pd.Series(dtype="object"),
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "mean_diff": pd.Series(dtype="float64"),
+        "q_stat": pd.Series(dtype="float64")})
+    g = g.sort_values("event_type").reset_index(drop=True)
+    k = len(g)
+    nt = np.int64(g["n"].sum()) if k else np.int64(0)
+    if k < 2 or nt <= k:
+        return empty
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    nf = n.astype(np.float64)
+    ssw = float((ss - s * s / nf).sum())
+    if ssw <= 0.0:
+        return empty
+    msw = ssw / np.float64(nt - k)
+    m = s / nf
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            diff = m[i] - m[j]
+            se2 = (msw / 2.0) * (1.0 / nf[i] + 1.0 / nf[j])
+            rows.append((g["event_type"].iloc[i],
+                         g["event_type"].iloc[j],
+                         n[i], n[j],
+                         float(round_half_away(diff, 6)),
+                         float(round_half_away(
+                             abs(diff) / np.sqrt(se2), 6))))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a", "n_b",
+                                      "mean_diff", "q_stat"])
+    return out.astype({"n_a": "int64", "n_b": "int64"})

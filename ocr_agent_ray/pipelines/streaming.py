@@ -2655,3 +2655,146 @@ def page_hinkley_daily(sf_dir: str):
         "cnt": c,
         "ph": round_half_away(ph, 6),
         "excursion": round_half_away(exc, 6)})
+
+
+def mcnemar_conversion(sf_dir: str, *, convert_type: str = "purchase"):
+    """McNemar's test on PAIRED user conversion between the first and
+    second half of the stream (midpoint-ts split, the ``psi_value_drift``
+    convention) — the within-subjects sibling of ``ab_test_zscore``:
+    each user is their own control, so only the DISCORDANT users drive
+    the statistic:
+
+        b = #(converted first half only),  c = #(second half only)
+        χ² = (b − c)² / (b + c),   corrected = (|b − c| − 1)² / (b + c)
+
+    Distributed shape: one tiny ts-bounds fold, then a bucketed
+    per-user MAX fold of the two half flags (users unbounded →
+    hash-partitioned), then a mergeable count combine — four ints
+    reach the driver, every value exact until the final division.
+    b + c = 0 pins both statistics to 0. Columns: n_users,
+    b_first_only, c_second_only, mcnemar_stat, mcnemar_cc."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, ("ts", "user_id", "event_type"))
+    bounds = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "__k": np.int64(0),
+            "tmin": [b["ts"].min()], "tmax": [b["ts"].max()]}),
+            batch_format="pandas", batch_size=65536),
+        ["__k"], {"tmin": ("tmin", "min"), "tmax": ("tmax", "max")})
+    empty = pd.DataFrame({
+        "n_users": pd.Series(dtype="int64"),
+        "b_first_only": pd.Series(dtype="int64"),
+        "c_second_only": pd.Series(dtype="int64"),
+        "mcnemar_stat": pd.Series(dtype="float64"),
+        "mcnemar_cc": pd.Series(dtype="float64")})
+    if bounds.empty:
+        return empty
+    tmin = np.int64(pd.Timestamp(bounds["tmin"].iloc[0]).value // 1000)
+    tmax = np.int64(pd.Timestamp(bounds["tmax"].iloc[0]).value // 1000)
+    mid = tmin + (tmax - tmin) // 2
+
+    def _flags(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        conv = (b["event_type"] == convert_type).to_numpy()
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "c0": (conv & (us < mid)).astype("int64"),
+            "c1": (conv & (us >= mid)).astype("int64")})
+
+    per_user = hash_partition_aggregate(
+        ev.map_batches(_flags, batch_format="pandas", batch_size=65536),
+        ["user_id"], {"c0": ("c0", "max"), "c1": ("c1", "max")})
+    counts = combine_partials_driver(
+        per_user.map_batches(lambda b: pd.DataFrame({
+            "__k": np.int64(0),
+            "n": np.int64(1),
+            "b": ((b["c0"] == 1) & (b["c1"] == 0)).astype("int64"),
+            "c": ((b["c0"] == 0) & (b["c1"] == 1)).astype("int64")}),
+            batch_format="pandas"),
+        ["__k"], {"n": ("n", "sum"), "b": ("b", "sum"),
+                  "c": ("c", "sum")})
+    if counts.empty:
+        return empty
+    n = np.int64(counts["n"].iloc[0])
+    b = np.int64(counts["b"].iloc[0])
+    c = np.int64(counts["c"].iloc[0])
+    if b + c == 0:
+        stat, cc = 0.0, 0.0
+    else:
+        den = np.float64(b + c)
+        stat = float(round_half_away(
+            np.float64((b - c) * (b - c)) / den, 6))
+        d = abs(int(b) - int(c)) - 1
+        cc = float(round_half_away(np.float64(d * d) / den, 6))
+    return pd.DataFrame({
+        "n_users": [n], "b_first_only": [b], "c_second_only": [c],
+        "mcnemar_stat": [stat], "mcnemar_cc": [cc]})
+
+
+def hurst_exponent_daily(sf_dir: str, *, sizes: tuple = (5, 10, 15)):
+    """Hurst exponent of the daily event-count series via classical
+    rescaled-range (R/S) analysis — the long-memory screen (H ≈ 0.5:
+    random walk; H > 0.5: persistent trends; H < 0.5: mean-reverting):
+    for each window size m the GAPFILLED grid splits into ⌊n/m⌋ full
+    segments; per segment the cumulative deviation from the segment
+    mean Z_i = cum_i − i·mean (cum exact int, ONE double product per
+    term) gives R = max Z − min Z over i = 1..m, S = the population
+    sd from exact (Σx, Σx²); H is the raw-moment OLS slope of
+    ln(mean R/S) on ln(m). Segments with S = 0 are skipped; the row
+    appears only when ALL sizes keep ≥1 segment (pinned — the twin's
+    count guard). Bounded daily dimension: one mergeable per-day count
+    fold, everything else closes on the driver. Columns: n_days, rs_5,
+    rs_10, rs_15, hurst."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days": pd.Series(dtype="int64"),
+        "rs_5": pd.Series(dtype="float64"),
+        "rs_10": pd.Series(dtype="float64"),
+        "rs_15": pd.Series(dtype="float64"),
+        "hurst": pd.Series(dtype="float64")})
+    if days.empty:
+        return empty
+    grid = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    x = days.set_index("day")["c"].reindex(grid, fill_value=0) \
+        .to_numpy(np.int64)
+    n = len(x)
+    rs_means = []
+    for m in sizes:
+        nseg = n // m
+        if nseg < 1:
+            return empty
+        vals = []
+        for s in range(nseg):
+            seg = x[s * m:(s + 1) * m]
+            s1 = int(seg.sum())
+            s2 = int((seg.astype(object) * seg.astype(object)).sum())
+            mean = np.float64(s1) / np.float64(m)
+            var = np.float64(s2) / np.float64(m) - mean * mean
+            if var <= 0.0:
+                continue
+            cum = np.cumsum(seg).astype(np.float64)
+            dev = cum - np.arange(1, m + 1, dtype=np.float64) * mean
+            r = np.float64(dev.max() - dev.min())
+            vals.append(r / np.sqrt(var))
+        if not vals:
+            return empty
+        rs_means.append(float(np.float64(sum(vals))
+                              / np.float64(len(vals))))
+    lx = np.log(np.array(sizes, np.float64))
+    ly = np.log(np.array(rs_means, np.float64))
+    if np.any(~np.isfinite(ly)):
+        return empty
+    nf = np.float64(len(sizes))
+    slope = ((nf * (lx * ly).sum() - lx.sum() * ly.sum())
+             / (nf * (lx * lx).sum() - lx.sum() * lx.sum()))
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "rs_5": round_half_away(np.array([rs_means[0]]), 6),
+        "rs_10": round_half_away(np.array([rs_means[1]]), 6),
+        "rs_15": round_half_away(np.array([rs_means[2]]), 6),
+        "hurst": round_half_away(np.array([slope]), 6)})

@@ -3177,3 +3177,118 @@ def ndcg_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
         _read_documents(sf_dir).map_batches(_cand,
                                             batch_format="pandas"),
         _final, key_col="query_id", num_buckets=4)
+
+
+def avg_precision_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
+                         b: float = 0.75, rel_min: int = 3):
+    """Average Precision (AP@k) of the BM25 ranking under the binary
+    relevance label rel(q,d) ≥ ``rel_min`` total query-term
+    occurrences — the MAP building block that complements
+    ``ndcg_search``'s graded view:
+
+        AP@k = Σ_{i ≤ k, rel_i} P@i / min(R, k),   P@i = #rel in top i / i
+
+    with R the total relevant count over the FULL conjunctive
+    candidate pool (not just the top k — misses below the cutoff
+    still lower the score). Distributed shape: the BM25 two-pass
+    machinery; the scoring pass emits per-batch partial top-k by
+    score PLUS one per-batch relevant-count partial row (sentinel
+    doc_id −1), so R folds mergeably while the wire stays bounded at
+    (k+1) rows per query per batch. P@i ratios are exact-int
+    divisions, so both engines sum identical floats. Columns:
+    query_id, n_relevant, ap."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(batch)), columns=terms,
+                        fill_value=0)
+        tf.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        tf.insert(1, "__dl", toks.str.len().to_numpy(dtype=np.int64))
+        return tf
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        row = {"__n_docs": np.int64(len(batch)),
+               "__sum_dl": np.int64(tf["__dl"].sum())}
+        for t in terms:
+            row[f"df_{t}"] = np.int64((tf[t] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [x for x in _read_documents(sf_dir).map_batches(
+            _stats, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n_docs = float(stats["__n_docs"])
+    avgdl = float(stats["__sum_dl"]) / n_docs
+    idf = {t: np.log((n_docs - float(stats[f"df_{t}"]) + 0.5)
+                     / (float(stats[f"df_{t}"]) + 0.5) + 1.0)
+           for t in terms}
+
+    def _cand(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        dl = tf["__dl"].to_numpy(dtype=np.float64)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            dlm = dl[match.to_numpy()]
+            score = np.zeros(int(match.sum()), dtype=np.float64)
+            for t in qterms:
+                tfv = sub.loc[match, t].to_numpy(dtype=np.float64)
+                score += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlm / avgdl))
+            rel = (sub.loc[match].sum(axis=1).to_numpy(np.int64)
+                   >= rel_min).astype(np.int64)
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score, "rel": rel})
+            top = g.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(k)
+            summary = pd.DataFrame({
+                "query_id": [np.int64(qid)], "doc_id": [np.int64(-1)],
+                "score": [0.0], "rel": [np.int64(rel.sum())]})
+            out.append(pd.concat([top, summary], ignore_index=True))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "rel": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        summaries = g[g["doc_id"] < 0]
+        n_rel = np.int64(summaries["rel"].sum())
+        cand = g[g["doc_id"] >= 0]
+        ranked = cand.sort_values(["score", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        flags = ranked["rel"].to_numpy(np.int64)
+        if n_rel == 0:
+            ap = 0.0
+        else:
+            prec = (np.cumsum(flags).astype(np.float64)
+                    / np.arange(1, len(flags) + 1, dtype=np.float64))
+            ap = float(round_half_away(
+                np.float64(prec[flags == 1].sum())
+                / np.float64(min(int(n_rel), k)), 6))
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "n_relevant": [n_rel], "ap": [ap]})
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_cand,
+                                            batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)

@@ -235,3 +235,190 @@ def test_ndcg_matches_dense_reference(ray_session, tmp_path):
     assert got.loc[0, "idcg"] == round(idcg, 6)
     assert got.loc[0, "ndcg"] == round(dcg / idcg, 6)
     assert got.loc[0, "ndcg"] < 1.0
+
+
+def test_tukey_hsd_planted(ray_session, tmp_path):
+    """Three groups [1,2,3],[4,5,6],[7,8,9]: MSW = 1, every pair's
+    se2 = 1/3; adjacent pairs q = 3*sqrt(3), outer pair q = 6*sqrt(3)."""
+    from ocr_agent_ray.pipelines.relational import tukey_hsd_value_by_type
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 3 + ["b"] * 3 + ["c"] * 3,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]}))
+    got = tukey_hsd_value_by_type(str(tmp_path))
+    assert got[["type_a", "type_b"]].values.tolist() == [
+        ["a", "b"], ["a", "c"], ["b", "c"]]
+    assert got["mean_diff"].tolist() == [-3.0, -6.0, -3.0]
+    q1 = round(3.0 / np.sqrt(1.0 / 3.0), 6)
+    q2 = round(6.0 / np.sqrt(1.0 / 3.0), 6)
+    assert got["q_stat"].tolist() == [q1, q2, q1]
+
+
+def test_mcnemar_planted_discordant(ray_session, tmp_path):
+    """Users: two first-half-only converters, one second-half-only,
+    one concordant, one never: b=2, c=1 -> stat 1/3, corrected 0."""
+    from ocr_agent_ray.pipelines.streaming import mcnemar_conversion
+
+    rows = []
+    # stream spans day 0 .. day 10; midpoint = day 5
+    def ev(uid, day, etype):
+        rows.append((len(rows), pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(days=day), uid, etype, 0.0))
+    ev(1, 0, "view"); ev(1, 1, "purchase")            # b (first only)
+    ev(2, 1, "purchase")                              # b (first only)
+    ev(3, 8, "purchase")                              # c (second only)
+    ev(4, 1, "purchase"); ev(4, 8, "purchase")        # concordant 1/1
+    ev(5, 2, "view"); ev(5, 10, "view")               # never converts
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = mcnemar_conversion(str(tmp_path))
+    assert got["n_users"].tolist() == [5]
+    assert got["b_first_only"].tolist() == [2]
+    assert got["c_second_only"].tolist() == [1]
+    assert got["mcnemar_stat"].tolist() == [round(1.0 / 3.0, 6)]
+    assert got["mcnemar_cc"].tolist() == [0.0]
+
+
+def test_hurst_matches_dense_reference(ray_session, tmp_path):
+    """Replay the R/S definition densely in numpy on a fixed 45-day
+    series and pin all columns; a pure trend scores higher than a
+    noisy series (persistence ordering)."""
+    from ocr_agent_ray.pipelines.streaming import hurst_exponent_daily
+
+    rng = np.random.RandomState(11)
+    counts = rng.randint(1, 30, size=45)
+    rows = []
+    for d, c in enumerate(counts):
+        for i in range(int(c)):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = hurst_exponent_daily(str(tmp_path))
+    assert got["n_days"].tolist() == [45]
+
+    rs_means = []
+    for m in (5, 10, 15):
+        vals = []
+        for s in range(45 // m):
+            seg = counts[s * m:(s + 1) * m].astype(np.float64)
+            mean = seg.sum() / m
+            var = (seg * seg).sum() / m - mean * mean
+            if var <= 0:
+                continue
+            dev = np.cumsum(seg) - np.arange(1, m + 1) * mean
+            vals.append((dev.max() - dev.min()) / np.sqrt(var))
+        rs_means.append(np.mean(vals))
+    lx, ly = np.log([5.0, 10.0, 15.0]), np.log(rs_means)
+    slope = ((3 * (lx * ly).sum() - lx.sum() * ly.sum())
+             / (3 * (lx * lx).sum() - lx.sum() ** 2))
+    np.testing.assert_allclose(
+        got[["rs_5", "rs_10", "rs_15"]].iloc[0], rs_means, atol=5e-6)
+    assert abs(got["hurst"].iloc[0] - slope) < 5e-6
+
+    # pure trend: counts 1..45 -> strongly persistent, H near 1
+    rows = []
+    for d in range(45):
+        for i in range(d + 1):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    trend = hurst_exponent_daily(str(tmp_path))
+    assert trend["hurst"].iloc[0] > got["hurst"].iloc[0]
+    assert trend["hurst"].iloc[0] > 0.9
+
+
+def test_avg_precision_all_relevant_is_one(ray_session, tmp_path):
+    """Every candidate passes the relevance bar -> every P@i is 1 ->
+    AP = 1 exactly."""
+    from ocr_agent_ray.pipelines.text import avg_precision_search
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["join join hash hash x%d" % i for i in range(4)],
+        "lang": ["en"] * 4, "source": ["s"] * 4, "n_chars": [20] * 4})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = avg_precision_search(str(tmp_path)).to_pandas() \
+        .set_index("query_id")
+    assert got.loc[0, "n_relevant"] == 4
+    assert got.loc[0, "ap"] == 1.0
+
+
+def test_avg_precision_matches_dense_reference(ray_session, tmp_path):
+    """Dense replay of BM25 + AP@20 on a mixed-relevance frame; the
+    relevant docs below the score cutoff still dilute the denominator."""
+    from ocr_agent_ray.pipelines.text import avg_precision_search
+
+    rng = np.random.RandomState(5)
+    texts = []
+    for i in range(60):
+        n_join = rng.randint(1, 4)
+        n_hash = rng.randint(1, 4)
+        pad = rng.randint(0, 50)
+        texts.append(" ".join(["join"] * n_join + ["hash"] * n_hash
+                              + ["pad"] * pad))
+    docs = pd.DataFrame({
+        "doc_id": range(60), "text": texts, "lang": ["en"] * 60,
+        "source": ["s"] * 60, "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = avg_precision_search(str(tmp_path)).to_pandas() \
+        .set_index("query_id")
+
+    toks = [t.split() for t in texts]
+    dl = np.array([len(t) for t in toks], np.float64)
+    tf_j = np.array([t.count("join") for t in toks], np.float64)
+    tf_h = np.array([t.count("hash") for t in toks], np.float64)
+    n, avgdl, k1, b = 60.0, dl.mean(), 1.2, 0.75
+    score = np.zeros(60)
+    for tfv, df in ((tf_j, (tf_j > 0).sum()), (tf_h, (tf_h > 0).sum())):
+        idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        score += idf * (tfv * (k1 + 1.0)) / (
+            tfv + k1 * (1.0 - b + b * dl / avgdl))
+    rel = ((tf_j + tf_h) >= 3).astype(np.int64)
+    order = pd.DataFrame({"doc_id": range(60), "score": score,
+                          "rel": rel}).sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    flags = order["rel"].to_numpy()[:20]
+    prec = np.cumsum(flags) / np.arange(1, 21)
+    ap = prec[flags == 1].sum() / min(int(rel.sum()), 20)
+    assert got.loc[0, "n_relevant"] == int(rel.sum())
+    assert got.loc[0, "ap"] == round(float(ap), 6)
+
+
+def test_adamic_adar_path_graph(ray_session):
+    """Path 1-2-3-4: the two distance-2 pairs (1,3) and (2,4) are
+    predicted, each through one degree-2 center -> score 1/ln 2;
+    adjacent pairs never appear."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import dup_graph_adamic_adar
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [1, 2, 3], "doc_id_b": [2, 3, 4]}))
+    got = dup_graph_adamic_adar(None, pairs=pairs)
+    assert got[["doc_id_a", "doc_id_b"]].values.tolist() == [
+        [1, 3], [2, 4]]
+    assert got["n_common"].tolist() == [1, 1]
+    w = round(1.0 / np.log(2.0), 6)
+    assert got["aa_score"].tolist() == [w, w]
+
+
+def test_adamic_adar_triangle_no_predictions(ray_session):
+    """A triangle is transitively closed -> no non-adjacent 2-hop
+    pairs -> empty output WITH the pinned schema."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import dup_graph_adamic_adar
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [1, 1, 2], "doc_id_b": [2, 3, 3]}))
+    got = dup_graph_adamic_adar(None, pairs=pairs)
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id_a", "doc_id_b", "n_common",
+                                 "aa_score"]
