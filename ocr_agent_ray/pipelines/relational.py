@@ -4779,3 +4779,63 @@ def tukey_hsd_value_by_type(sf_dir: str):
     out = pd.DataFrame(rows, columns=["type_a", "type_b", "n_a", "n_b",
                                       "mean_diff", "q_stat"])
     return out.astype({"n_a": "int64", "n_b": "int64"})
+
+
+def isotonic_conversion_curve(sf_dir: str):
+    """Isotonic (monotone non-decreasing) calibration of the purchase
+    rate as a function of event ``value`` — the PAV-regression step a
+    probability-calibration pipeline runs on model scores: raw
+    per-value conversion rates are pooled by the Pool-Adjacent-
+    Violators algorithm until the curve is monotone, minimizing
+    weighted squared error.
+
+    Distributed shape: ONE scan folds the (value) grid partials
+    (n, Σ purchase-flag) — the 2-decimal value space is a bounded
+    dimension (the ``exact_median_by_type`` precedent), so PAVA (a
+    genuinely sequential stack walk) closes on the driver's grid rows;
+    at unbounded score cardinality the pre-step is fixed-width binning
+    (``psi_value_drift``'s bins). Rows-only (PAVA's pooling recursion
+    is not SQL-expressible; planted pooling pytest). Columns: value,
+    n, rate_raw, rate_iso (non-decreasing in value)."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda b: pd.DataFrame({
+                "value": b["value"],
+                "n": np.int64(1),
+                "y": (b["event_type"] == "purchase").astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["value"], {"n": ("n", "sum"), "y": ("y", "sum")})
+    if not len(g):
+        return pd.DataFrame({
+            "value": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+            "rate_raw": pd.Series(dtype="float64"),
+            "rate_iso": pd.Series(dtype="float64")})
+    g = g.sort_values("value").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    y = g["y"].to_numpy(np.int64)
+    # PAVA: stack of (weight, mean) blocks; merge while decreasing
+    blocks = []  # [start_idx, weight, sum_y]
+    for i in range(len(g)):
+        blocks.append([i, int(n[i]), int(y[i])])
+        while (len(blocks) > 1
+               and blocks[-2][2] * blocks[-1][1]
+               >= blocks[-1][2] * blocks[-2][1]):
+            # prev_mean >= cur_mean (cross-multiplied, exact ints)
+            s, w, sy = blocks.pop()
+            blocks[-1][1] += w
+            blocks[-1][2] += sy
+    iso = np.empty(len(g), np.float64)
+    for bi, (start, w, sy) in enumerate(blocks):
+        end = blocks[bi + 1][0] if bi + 1 < len(blocks) else len(g)
+        iso[start:end] = np.float64(sy) / np.float64(w)
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    return pd.DataFrame({
+        "value": g["value"].astype("float64"),
+        "n": g["n"].astype("int64"),
+        "rate_raw": round_half_away(
+            y.astype(np.float64) / n.astype(np.float64), 6),
+        "rate_iso": round_half_away(iso, 6)})

@@ -1795,3 +1795,97 @@ def davies_bouldin(sf_dir: str):
         "n": cnts,
         "spread": round_half_away(spread, 6),
         "r_max": round_half_away(r_max, 6)})
+
+
+def gmm_em_embeddings(sf_dir: str, *, k: int = 5, iters: int = 5,
+                      var_floor: float = 1e-3):
+    """Diagonal-covariance Gaussian Mixture via EM over the embedding
+    column — the soft-assignment upgrade of ``kmeans_embeddings`` (every
+    vector belongs to every cluster with a responsibility, so cluster
+    overlap and uncertainty are visible). Deterministic init (the
+    kmeans convention): means = the k lowest vec_ids' vectors, unit
+    variances, uniform weights.
+
+    Iterative-algorithm pattern on Ray Data: per round ONE streaming
+    pass broadcasts (means, vars, weights) via ray.put, each batch
+    computes log-space responsibilities (logsumexp-stabilized) with
+    one rows×k matmul-shaped kernel and emits per-cluster mergeable
+    partials (Σr, Σr·x per dim, Σr·x² per dim, Σ loglik); the driver
+    closes the M step on k×(2·dim+1) floats. Variances are floored at
+    ``var_floor``. Rows-only (iterative; dense-numpy EM reference in
+    pytest). Columns: cluster, weight, n_soft, avg_var, loglik (total
+    data log-likelihood repeated per row for visibility)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    seed_tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    ).to_pandas().sort_values("vec_id")
+    means = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in seed_tbl["embedding"]])
+    dim = means.shape[1]
+    variances = np.ones((k, dim), np.float64)
+    weights = np.full(k, 1.0 / k, np.float64)
+    ds = _read_embeddings(sf_dir)
+
+    loglik = 0.0
+    for _ in range(iters):
+        ref = ray.put((means, variances, weights))
+
+        def _estep(batch: pd.DataFrame) -> pd.DataFrame:
+            mu, var, w = ray.get(ref)
+            mat = np.stack([np.asarray(v, dtype=np.float32)
+                            for v in batch["embedding"]]) \
+                .astype(np.float64)
+            # log N(x | mu_c, diag var_c) for all clusters at once
+            const = -0.5 * np.log(2.0 * np.pi * var).sum(axis=1)
+            quad = (-0.5 * (((mat[:, None, :] - mu[None, :, :]) ** 2)
+                            / var[None, :, :]).sum(axis=2))
+            logp = np.log(w)[None, :] + const[None, :] + quad
+            mx = logp.max(axis=1, keepdims=True)
+            lse = mx[:, 0] + np.log(np.exp(logp - mx).sum(axis=1))
+            r = np.exp(logp - lse[:, None])          # rows × k
+            rs = r.sum(axis=0)                        # k
+            rx = r.T @ mat                            # k × dim
+            rx2 = r.T @ (mat * mat)                   # k × dim
+            out = {"cluster": np.arange(k, dtype=np.int64),
+                   "rs": rs, "ll": np.zeros(k, np.float64)}
+            out["ll"][0] = lse.sum()
+            for d in range(dim):
+                out[f"rx_{d}"] = rx[:, d]
+                out[f"rx2_{d}"] = rx2[:, d]
+            return pd.DataFrame(out)
+
+        aggs = {"rs": ("rs", "sum"), "ll": ("ll", "sum")}
+        for d in range(dim):
+            aggs[f"rx_{d}"] = (f"rx_{d}", "sum")
+            aggs[f"rx2_{d}"] = (f"rx2_{d}", "sum")
+        g = combine_partials_driver(
+            ds.map_batches(_estep, batch_format="pandas",
+                           batch_size=4096),
+            ["cluster"], aggs).sort_values("cluster")
+        rs = g["rs"].to_numpy(np.float64)
+        n_total = rs.sum()
+        loglik = float(g["ll"].sum())
+        rx = np.stack([g[f"rx_{d}"].to_numpy(np.float64)
+                       for d in range(dim)], axis=1)
+        rx2 = np.stack([g[f"rx2_{d}"].to_numpy(np.float64)
+                        for d in range(dim)], axis=1)
+        nz = rs > 0.0
+        means[nz] = rx[nz] / rs[nz, None]
+        variances[nz] = np.maximum(
+            rx2[nz] / rs[nz, None] - means[nz] * means[nz], var_floor)
+        weights = np.where(nz, rs / n_total, weights)
+
+    return pd.DataFrame({
+        "cluster": np.arange(k, dtype=np.int64),
+        "weight": round_half_away(weights, 6),
+        "n_soft": round_half_away(rs, 2),
+        "avg_var": round_half_away(variances.mean(axis=1), 6),
+        "loglik": round_half_away(
+            np.full(k, loglik, np.float64), 4)})

@@ -2798,3 +2798,103 @@ def hurst_exponent_daily(sf_dir: str, *, sizes: tuple = (5, 10, 15)):
         "rs_10": round_half_away(np.array([rs_means[1]]), 6),
         "rs_15": round_half_away(np.array([rs_means[2]]), 6),
         "hurst": round_half_away(np.array([slope]), 6)})
+
+
+def granger_daily(sf_dir: str, *, cause_type: str = "view",
+                  effect_type: str = "purchase"):
+    """Lag-1 Granger-causality screen on the daily grid: do yesterday's
+    ``cause_type`` counts help predict today's ``effect_type`` counts
+    beyond what yesterday's effect counts already explain? The F-test
+    between nested OLS models over t = 2..n:
+
+        unrestricted:  y_t = b0 + b1·y_{t−1} + b2·x_{t−1}
+        restricted:    y_t = c0 + c1·y_{t−1}
+        F = (SSE_r − SSE_u) / (SSE_u / (n − 3))
+
+    Distributed shape: ONE mergeable (event_type, day) count fold (the
+    ``cusum_changepoint`` dimension); the gapfilled lag-aligned Gram
+    sums are exact PYTHON ints on the driver (products of two daily
+    counts overflow int64 at 100 TB — the twin's HUGEINT sums are
+    matched by arbitrary precision here), coefficients close by
+    Cramer's rule and the SSEs by the normal-equation identity
+    SSE = Σy² − b·(X'y) — no second data pass, identical float nesting
+    both engines. Columns: n_obs, b_ylag, b_xlag, sse_r, sse_u,
+    f_stat."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts", "event_type"))
+    days = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.floor("D"), "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["event_type", "day"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_obs": pd.Series(dtype="int64"),
+        "b_ylag": pd.Series(dtype="float64"),
+        "b_xlag": pd.Series(dtype="float64"),
+        "sse_r": pd.Series(dtype="float64"),
+        "sse_u": pd.Series(dtype="float64"),
+        "f_stat": pd.Series(dtype="float64")})
+    if days.empty:
+        return empty
+    grid = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    piv = (days.pivot_table(index="day", columns="event_type",
+                            values="c", aggfunc="sum")
+           .reindex(grid).fillna(0).astype(np.int64))
+    yx = [int(v) for v in piv.get(
+        effect_type, pd.Series(0, index=grid)).to_numpy()]
+    xx = [int(v) for v in piv.get(
+        cause_type, pd.Series(0, index=grid)).to_numpy()]
+    n = len(grid)
+    if n < 5:
+        return empty
+    y = yx[1:]
+    yl = yx[:-1]
+    xl = xx[:-1]
+    m = n - 1
+    s_yl = sum(yl); s_xl = sum(xl); s_y = sum(y)
+    s_ylyl = sum(a * a for a in yl)
+    s_ylxl = sum(a * b for a, b in zip(yl, xl))
+    s_xlxl = sum(a * a for a in xl)
+    s_yly = sum(a * b for a, b in zip(yl, y))
+    s_xly = sum(a * b for a, b in zip(xl, y))
+    s_yy = sum(a * a for a in y)
+    mf = np.float64(m)
+    f_yl, f_xl, f_y = (np.float64(s_yl), np.float64(s_xl),
+                       np.float64(s_y))
+    f_ylyl, f_ylxl, f_xlxl = (np.float64(s_ylyl), np.float64(s_ylxl),
+                              np.float64(s_xlxl))
+    f_yly, f_xly, f_yy = (np.float64(s_yly), np.float64(s_xly),
+                          np.float64(s_yy))
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    det = det3(mf, f_yl, f_xl, f_yl, f_ylyl, f_ylxl,
+               f_xl, f_ylxl, f_xlxl)
+    det_r = mf * f_ylyl - f_yl * f_yl
+    if det == 0.0 or det_r == 0.0:
+        return empty
+    b0 = det3(f_y, f_yl, f_xl, f_yly, f_ylyl, f_ylxl,
+              f_xly, f_ylxl, f_xlxl) / det
+    b1 = det3(mf, f_y, f_xl, f_yl, f_yly, f_ylxl,
+              f_xl, f_xly, f_xlxl) / det
+    b2 = det3(mf, f_yl, f_y, f_yl, f_ylyl, f_yly,
+              f_xl, f_ylxl, f_xly) / det
+    sse_u = f_yy - b0 * f_y - b1 * f_yly - b2 * f_xly
+    c1 = (mf * f_yly - f_yl * f_y) / det_r
+    c0 = (f_y - c1 * f_yl) / mf
+    sse_r = f_yy - c0 * f_y - c1 * f_yly
+    if sse_u <= 0.0:
+        return empty
+    f_stat = (sse_r - sse_u) / (sse_u / (mf - 3.0))
+    return pd.DataFrame({
+        "n_obs": [np.int64(m)],
+        "b_ylag": round_half_away(np.array([b1]), 6),
+        "b_xlag": round_half_away(np.array([b2]), 6),
+        "sse_r": round_half_away(np.array([sse_r]), 6),
+        "sse_u": round_half_away(np.array([sse_u]), 6),
+        "f_stat": round_half_away(np.array([f_stat]), 6)})

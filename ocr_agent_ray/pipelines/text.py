@@ -3292,3 +3292,166 @@ def avg_precision_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
         _read_documents(sf_dir).map_batches(_cand,
                                             batch_format="pandas"),
         _final, key_col="query_id", num_buckets=4)
+
+
+def chao1_richness(sf_dir: str):
+    """Chao1 vocabulary-coverage estimate per source — 'how many word
+    types does this source have that we have NOT seen yet?' (the
+    capture-recapture richness estimator; curation uses it to decide
+    whether crawling more of a source will still yield new language).
+    Bias-corrected form (defined even with no doubletons):
+
+        Chao1 = V + f1·(f1 − 1) / (2·(f2 + 1))
+
+    with f1/f2 the singleton/doubleton type counts. Same distributed
+    shape as ``yule_k_by_source``: the (source, word) count exchange,
+    then a mergeable per-source fold of (N, V, f1, f2) — four ints per
+    source over the wire, the estimator closes on the driver. Columns:
+    source, n_tokens, n_types, f1, f2, chao1."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = pd.DataFrame({"source": batch["source"], "w": toks}) \
+            .explode("w").dropna(subset=["w"])
+        c = ex.groupby(["source", "w"], sort=False).size()
+        return pd.DataFrame({"source": c.index.get_level_values(0),
+                             "word": c.index.get_level_values(1),
+                             "n": c.to_numpy(np.int64)})
+
+    per_word = hash_partition_aggregate(
+        _read_documents(sf_dir, ("source", "text")).map_batches(
+            _partial, batch_format="pandas"),
+        ["source", "word"], {"n": ("n", "sum")})
+    g = combine_partials_driver(
+        per_word.map_batches(
+            lambda b: pd.DataFrame({
+                "source": b["source"],
+                "nt": b["n"].astype("int64"),
+                "v": np.int64(1),
+                "f1": (b["n"] == 1).astype("int64"),
+                "f2": (b["n"] == 2).astype("int64")}),
+            batch_format="pandas"),
+        ["source"],
+        {"nt": ("nt", "sum"), "v": ("v", "sum"),
+         "f1": ("f1", "sum"), "f2": ("f2", "sum")})
+    if not len(g):
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "n_types": pd.Series(dtype="int64"),
+            "f1": pd.Series(dtype="int64"),
+            "f2": pd.Series(dtype="int64"),
+            "chao1": pd.Series(dtype="float64")})
+    g = g.sort_values("source").reset_index(drop=True)
+    v = g["v"].to_numpy(np.int64).astype(np.float64)
+    f1 = g["f1"].to_numpy(np.int64).astype(np.float64)
+    f2 = g["f2"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame({
+        "source": g["source"],
+        "n_tokens": g["nt"].astype("int64"),
+        "n_types": g["v"].astype("int64"),
+        "f1": g["f1"].astype("int64"),
+        "f2": g["f2"].astype("int64"),
+        "chao1": round_half_away(
+            v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6)})
+
+
+def log_odds_terms(sf_dir: str, *, source_a: str = "src0",
+                   source_b: str = "src1", alpha: float = 0.01,
+                   k: int = 15):
+    """'Fightin' Words' comparative lexical analysis (Monroe, Colaresi
+    & Quinn 2008): which terms most distinguish ``source_a`` from
+    ``source_b``? Dirichlet-smoothed log-odds delta with its variance
+    estimate, z-scored:
+
+        δ_w = ln((a_w+α)/(N_a+Vα−a_w−α)) − ln((b_w+α)/(N_b+Vα−b_w−α))
+        z_w = δ_w / sqrt(1/(a_w+α) + 1/(b_w+α))
+
+    over V = the two sources' union vocabulary. Distributed shape: the
+    word-count exchange filtered to the two sources, pivoted to
+    per-word (a, b) count partials; ONE tiny totals fold broadcasts
+    (N_a, N_b, V); a scoring pass emits per-batch partial top-``k`` by
+    ROUNDED |z| (the rounded-rank contract — sum-order ulps cannot
+    flip ranks), merged in one bucket. Columns: word, n_a, n_b,
+    z_score."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["source"].isin([source_a, source_b])
+        batch = batch[m]
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = pd.DataFrame({"source": batch["source"], "w": toks}) \
+            .explode("w").dropna(subset=["w"])
+        if not len(ex):
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        c = (ex.groupby(["w", "source"], sort=False).size()
+             .unstack(fill_value=0))
+        for s in (source_a, source_b):
+            if s not in c.columns:
+                c[s] = 0
+        return pd.DataFrame({"word": c.index,
+                             "a": c[source_a].to_numpy(np.int64),
+                             "b": c[source_b].to_numpy(np.int64)})
+
+    counts = hash_partition_aggregate(
+        _read_documents(sf_dir, ("source", "text")).map_batches(
+            _partial, batch_format="pandas"),
+        ["word"], {"a": ("a", "sum"), "b": ("b", "sum")}).materialize()
+    tot = combine_partials_driver(
+        counts.map_batches(lambda t: pd.DataFrame({
+            "__k": np.int64(0),
+            "na": t["a"].astype("int64"), "nb": t["b"].astype("int64"),
+            "v": np.int64(1)}), batch_format="pandas"),
+        ["__k"], {"na": ("na", "sum"), "nb": ("nb", "sum"),
+                  "v": ("v", "sum")})
+    empty = pd.DataFrame({
+        "word": pd.Series(dtype="object"),
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "z_score": pd.Series(dtype="float64")})
+    if tot.empty:
+        return empty
+    na = np.float64(np.int64(tot["na"].iloc[0]))
+    nb = np.float64(np.int64(tot["nb"].iloc[0]))
+    vocab = np.float64(np.int64(tot["v"].iloc[0]))
+
+    def _score(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["a"].to_numpy(np.int64).astype(np.float64)
+        b = t["b"].to_numpy(np.int64).astype(np.float64)
+        delta = (np.log((a + alpha)
+                        / (na + vocab * alpha - a - alpha))
+                 - np.log((b + alpha)
+                          / (nb + vocab * alpha - b - alpha)))
+        z = delta / np.sqrt(1.0 / (a + alpha) + 1.0 / (b + alpha))
+        out = pd.DataFrame({
+            "__k": np.int64(0), "word": t["word"],
+            "n_a": t["a"].astype("int64"),
+            "n_b": t["b"].astype("int64"),
+            "z_score": round_half_away(z, 6),
+            "az": round_half_away(np.abs(z), 6)})
+        return out.sort_values(["az", "word"],
+                               ascending=[False, True]).head(k)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["az", "word"],
+                          ascending=[False, True]).head(k)
+        return g[["word", "n_a", "n_b", "z_score"]].reset_index(
+            drop=True)
+
+    out = key_map_groups(
+        counts.map_batches(_score, batch_format="pandas",
+                           batch_size=65536),
+        _final, key_col="__k", num_buckets=1).to_pandas()
+    if out.empty:
+        return empty
+    return out

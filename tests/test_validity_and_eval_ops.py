@@ -422,3 +422,154 @@ def test_adamic_adar_triangle_no_predictions(ray_session):
     assert len(got) == 0
     assert list(got.columns) == ["doc_id_a", "doc_id_b", "n_common",
                                  "aa_score"]
+
+
+def _write_docs(tmp_path, texts, sources):
+    docs = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": sources,
+        "n_chars": [len(t) for t in texts]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+
+
+def test_chao1_planted(ray_session, tmp_path):
+    """Counts {a:1, b:1, c:2, d:5}: V=4, f1=2, f2=1 ->
+    Chao1 = 4 + 2*1/(2*2) = 4.5."""
+    from ocr_agent_ray.pipelines.text import chao1_richness
+
+    _write_docs(tmp_path, ["a b c c d d d d d"], ["s"])
+    got = chao1_richness(str(tmp_path)).set_index("source")
+    assert got.loc["s", "n_tokens"] == 9
+    assert got.loc["s", "n_types"] == 4
+    assert got.loc["s", "f1"] == 2
+    assert got.loc["s", "f2"] == 1
+    assert got.loc["s", "chao1"] == 4.5
+
+
+def test_log_odds_matches_dense_reference(ray_session, tmp_path):
+    """'x'-heavy src0 vs 'y'-heavy src1: x scores positive, y negative,
+    values equal to the dense Dirichlet log-odds formula."""
+    from ocr_agent_ray.pipelines.text import log_odds_terms
+
+    _write_docs(tmp_path, ["x x x y", "y y y x"], ["src0", "src1"])
+    got = log_odds_terms(str(tmp_path)).set_index("word")
+    a = {"x": 3.0, "y": 1.0}
+    b = {"x": 1.0, "y": 3.0}
+    na, nb, v, al = 4.0, 4.0, 2.0, 0.01
+    for w in ("x", "y"):
+        delta = (np.log((a[w] + al) / (na + v * al - a[w] - al))
+                 - np.log((b[w] + al) / (nb + v * al - b[w] - al)))
+        z = delta / np.sqrt(1.0 / (a[w] + al) + 1.0 / (b[w] + al))
+        assert got.loc[w, "z_score"] == round(float(z), 6)
+    assert got.loc["x", "z_score"] > 0 > got.loc["y", "z_score"]
+
+
+def test_granger_planted_lead(ray_session, tmp_path):
+    """y_t tracks x_{t-1} (with a small parity wiggle so the fit is
+    not exact): the lag coefficient lands near 1 and matches a dense
+    lstsq fit; F is large and positive."""
+    from ocr_agent_ray.pipelines.streaming import granger_daily
+
+    rng = np.random.RandomState(2)
+    x = rng.randint(5, 40, size=24)
+    y = np.empty(24, np.int64)
+    y[0] = 10
+    y[1:] = x[:-1] + (np.arange(23) % 2)
+    rows = []
+    for d in range(24):
+        for _ in range(int(x[d])):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+        for _ in range(int(y[d])):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "purchase", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = granger_daily(str(tmp_path))
+    assert got["n_obs"].tolist() == [23]
+
+    X = np.column_stack([np.ones(23), y[:-1], x[:-1]]).astype(float)
+    coef, _, _, _ = np.linalg.lstsq(X, y[1:].astype(float), rcond=None)
+    assert abs(got["b_ylag"].iloc[0] - coef[1]) < 5e-6
+    assert abs(got["b_xlag"].iloc[0] - coef[2]) < 5e-6
+    sse_u = float(((X @ coef - y[1:]) ** 2).sum())
+    assert abs(got["sse_u"].iloc[0] - sse_u) < 1e-3
+    assert got["f_stat"].iloc[0] > 10.0
+
+
+def test_gmm_em_matches_dense_reference(ray_session, tmp_path):
+    """Dense numpy EM with the same deterministic init reproduces the
+    distributed weights/variances/log-likelihood on a planted
+    two-cluster frame."""
+    from ocr_agent_ray.pipelines.similarity import gmm_em_embeddings
+
+    rng = np.random.RandomState(9)
+    vecs = np.vstack([rng.randn(30, 3) * 0.5,
+                      rng.randn(30, 3) * 0.5 + 6.0]).astype(np.float32)
+    _write_embeddings(tmp_path, vecs.tolist(), [0] * 60)
+    k, iters = 2, 4
+    got = gmm_em_embeddings(str(tmp_path), k=k, iters=iters)
+    assert abs(got["weight"].sum() - 1.0) < 1e-5
+
+    mat = vecs.astype(np.float64)
+    mu = mat[:k].copy()
+    var = np.ones((k, 3))
+    w = np.full(k, 0.5)
+    for _ in range(iters):
+        const = -0.5 * np.log(2.0 * np.pi * var).sum(axis=1)
+        quad = (-0.5 * (((mat[:, None, :] - mu[None, :, :]) ** 2)
+                        / var[None, :, :]).sum(axis=2))
+        logp = np.log(w)[None, :] + const[None, :] + quad
+        mx = logp.max(axis=1, keepdims=True)
+        lse = mx[:, 0] + np.log(np.exp(logp - mx).sum(axis=1))
+        r = np.exp(logp - lse[:, None])
+        rs = r.sum(axis=0)
+        mu = (r.T @ mat) / rs[:, None]
+        var = np.maximum((r.T @ (mat * mat)) / rs[:, None] - mu * mu,
+                         1e-3)
+        w = rs / rs.sum()
+        ll = lse.sum()
+    np.testing.assert_allclose(got["weight"], w, atol=5e-6)
+    np.testing.assert_allclose(got["n_soft"], rs, atol=5e-2)
+    np.testing.assert_allclose(got["avg_var"], var.mean(axis=1),
+                               atol=5e-5)
+    assert abs(got["loglik"].iloc[0] - ll) < 5e-3
+    # planted separation: one cluster centered near 0, one near 6
+    assert got["weight"].tolist() == [0.5, 0.5]
+
+
+def test_isotonic_pava_pooling(ray_session, tmp_path):
+    """Raw rates [0, 1, 0, 1] over increasing values pool the middle
+    violator pair to 0.5: iso = [0, 0.5, 0.5, 1]."""
+    from ocr_agent_ray.pipelines.relational import (
+        isotonic_conversion_curve)
+
+    rows = []
+    for v, types in ((1.0, ["view", "view"]),
+                     (2.0, ["purchase", "purchase"]),
+                     (3.0, ["view", "view"]),
+                     (4.0, ["purchase", "purchase"])):
+        for t in types:
+            rows.append((t, v))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_type", "value"]))
+    got = isotonic_conversion_curve(str(tmp_path))
+    assert got["value"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert got["rate_raw"].tolist() == [0.0, 1.0, 0.0, 1.0]
+    assert got["rate_iso"].tolist() == [0.0, 0.5, 0.5, 1.0]
+    # monotone by construction
+    assert (np.diff(got["rate_iso"]) >= 0).all()
+
+
+def test_isotonic_monotone_on_sf(ray_session):
+    from ocr_agent_ray.pipelines.relational import (
+        isotonic_conversion_curve)
+
+    got = isotonic_conversion_curve("/root/testdata/sf0.001")
+    assert len(got) > 0
+    assert (np.diff(got["rate_iso"]) >= -1e-12).all()
+    # pooled means preserve the overall conversion mass
+    assert abs((got["rate_iso"] * got["n"]).sum()
+               - (got["rate_raw"] * got["n"]).sum()) < 1e-3
