@@ -553,6 +553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_granger_daily": streaming.granger_daily,
         "q_gmm_em": similarity.gmm_em_embeddings,  # rows-only (iterative EM; dense-numpy pytest)
         "q_isotonic_curve": relational.isotonic_conversion_curve,  # rows-only (PAVA stack walk; planted pytest)
+        "q_markov_entropy_rate": streaming.markov_entropy_rate,
+        "q_burrows_delta": text.burrows_delta,
+        "q_rbo_arms": text.rbo_arms,
+        "q_absorbing_time": streaming.absorbing_time_to_event,  # rows-only (matrix inverse; planted-chain pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4468,6 +4472,132 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(sse_r, 6) AS sse_r, ROUND(sse_u, 6) AS sse_u, "
             "ROUND((sse_r - sse_u) / (sse_u / (m - 3.0)), 6) AS f_stat "
             "FROM fin WHERE sse_u > 0.0"
+        ),
+        "q_markov_entropy_rate": (
+            # H(next|cur) from the transition-count grid via the exact
+            # n·ln n nesting (the user_event_entropy precedent)
+            "WITH s AS (SELECT user_id, event_type, "
+            "LAG(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev FROM events), "
+            "tc AS (SELECT prev, event_type AS nxt, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE prev IS NOT NULL GROUP BY 1, 2), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
+            "SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS sj "
+            "FROM tc), "
+            "r AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS rn FROM tc "
+            "GROUP BY 1), "
+            "rc AS (SELECT SUM(CAST(rn AS DOUBLE) "
+            "* ln(CAST(rn AS DOUBLE))) AS sc FROM r) "
+            "SELECT nt AS n_transitions, "
+            "ROUND(ln(CAST(nt AS DOUBLE)) - sj / CAST(nt AS DOUBLE), 6) "
+            "AS h_joint, "
+            "ROUND(ln(CAST(nt AS DOUBLE)) - sc / CAST(nt AS DOUBLE), 6) "
+            "AS h_current, "
+            "ROUND((sc - sj) / CAST(nt AS DOUBLE), 6) AS entropy_rate "
+            "FROM t, rc"
+        ),
+        "q_burrows_delta": (
+            # Burrows' Delta over the corpus top-20 words; implicit
+            # zeros via the source × topword cross join; population sd
+            # with the pinned sff/ns - mean*mean nesting
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS wd "
+            "FROM documents), "
+            "c AS (SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM w GROUP BY 1, 2), "
+            "tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM c "
+            "GROUP BY 1), "
+            "topw AS (SELECT wd FROM (SELECT wd, SUM(n) AS cn FROM c "
+            "GROUP BY 1) QUALIFY row_number() OVER "
+            "(ORDER BY cn DESC, wd) <= 20), "
+            "f AS (SELECT tot.source, topw.wd, "
+            "CAST(COALESCE(c.n, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE) "
+            "AS f FROM tot CROSS JOIN topw LEFT JOIN c "
+            "ON c.source = tot.source AND c.wd = topw.wd), "
+            "st AS (SELECT wd, CAST(COUNT(*) AS DOUBLE) AS ns, "
+            "SUM(f) AS sf, SUM(f * f) AS sff FROM f GROUP BY 1), "
+            "stv AS (SELECT wd, sf / ns AS mean, "
+            "sqrt(sff / ns - (sf / ns) * (sf / ns)) AS sd FROM st "
+            "WHERE sff / ns - (sf / ns) * (sf / ns) > 0.0), "
+            "z AS (SELECT f.source, f.wd, (f.f - stv.mean) / stv.sd "
+            "AS z FROM f JOIN stv USING (wd)), "
+            "d AS (SELECT a.source AS sa, b.source AS sb, "
+            "SUM(abs(a.z - b.z)) AS s, CAST(COUNT(*) AS BIGINT) AS m "
+            "FROM z a JOIN z b ON a.wd = b.wd AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, m AS n_terms, "
+            "ROUND(s / CAST(m AS DOUBLE), 6) AS delta FROM d "
+            "ORDER BY 1, 2"
+        ),
+        "q_rbo_arms": (
+            # truncated RBO@20 (p=0.9) between the BM25 and QL arms;
+            # each arm: top-20 by unrounded score, then the ROUNDED
+            # output-contract order (the RRF precedent)
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "cf AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cf "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) AS ctot FROM documents), "
+            "sca AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((nn.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / nn.avgdl))) "
+            "AS score, COUNT(*) AS matched FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, nn GROUP BY 1, 2), "
+            "scb AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((tf.tf + 2000.0 * (cf.cf / nn.ctot)) "
+            "/ (dl.dl + 2000.0))) AS score, COUNT(*) AS matched "
+            "FROM tf JOIN cf USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, nn GROUP BY 1, 2), "
+            "la AS (SELECT sca.qid, sca.doc_id, "
+            "ROUND(sca.score, 6) AS rs FROM sca "
+            "JOIN qsz ON sca.qid = qsz.qid WHERE sca.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY sca.qid "
+            "ORDER BY sca.score DESC, sca.doc_id) <= 20), "
+            "lb AS (SELECT scb.qid, scb.doc_id, "
+            "ROUND(scb.score, 6) AS rs FROM scb "
+            "JOIN qsz ON scb.qid = qsz.qid WHERE scb.matched = qsz.sz "
+            "QUALIFY row_number() OVER (PARTITION BY scb.qid "
+            "ORDER BY scb.score DESC, scb.doc_id) <= 20), "
+            "ra AS (SELECT qid, doc_id, row_number() OVER "
+            "(PARTITION BY qid ORDER BY rs DESC, doc_id) AS rk FROM la), "
+            "rb AS (SELECT qid, doc_id, row_number() OVER "
+            "(PARTITION BY qid ORDER BY rs DESC, doc_id) AS rk FROM lb), "
+            "depths AS (SELECT unnest(range(1, 21)) AS d), "
+            "ov AS (SELECT ra.qid, depths.d, "
+            "CAST(COUNT(*) AS BIGINT) AS x FROM ra JOIN rb "
+            "ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id "
+            "CROSS JOIN depths WHERE ra.rk <= depths.d "
+            "AND rb.rk <= depths.d GROUP BY 1, 2), "
+            "na AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_a "
+            "FROM ra GROUP BY 1), "
+            "nb AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_b "
+            "FROM rb GROUP BY 1), "
+            "acc AS (SELECT qid, SUM(POWER(0.9, CAST(d - 1 AS DOUBLE)) "
+            "* CAST(x AS DOUBLE) / CAST(d AS DOUBLE)) AS s FROM ov "
+            "GROUP BY 1) "
+            "SELECT na.qid AS query_id, na.n_a, nb.n_b, "
+            "ROUND((1.0 - 0.9) * COALESCE(acc.s, 0.0), 6) AS rbo "
+            "FROM na JOIN nb USING (qid) LEFT JOIN acc USING (qid) "
+            "ORDER BY 1"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -2898,3 +2898,141 @@ def granger_daily(sf_dir: str, *, cause_type: str = "view",
         "sse_r": round_half_away(np.array([sse_r]), 6),
         "sse_u": round_half_away(np.array([sse_u]), 6),
         "f_stat": round_half_away(np.array([f_stat]), 6)})
+
+
+def markov_entropy_rate(sf_dir: str):
+    """Entropy rate of the empirical event-type Markov chain —
+    H(next | current), the sequence-complexity number ('how predictable
+    is the next user action?'; 0 = deterministic routine, ln k =
+    uniformly random). From the same per-user transition counts as
+    ``event_transitions`` (a bounded |types|² dimension):
+
+        H(next|cur) = H(joint) − H(cur)
+                    = (Σ_i r_i·ln r_i − Σ_ij n_ij·ln n_ij) / N
+
+    with r_i the current-type marginals — the exact-count entropy
+    nesting of ``user_event_entropy`` (H = ln N − Σ n ln n / N), so
+    both engines evaluate identical floats. Columns: n_transitions,
+    h_joint, h_current, entropy_rate."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    tr = event_transitions(sf_dir)
+    empty = pd.DataFrame({
+        "n_transitions": pd.Series(dtype="int64"),
+        "h_joint": pd.Series(dtype="float64"),
+        "h_current": pd.Series(dtype="float64"),
+        "entropy_rate": pd.Series(dtype="float64")})
+    if not len(tr):
+        return empty
+    n = tr["n"].to_numpy(np.int64)
+    nt = np.int64(n.sum())
+    ntf = np.float64(nt)
+    s_joint = float((n.astype(np.float64)
+                     * np.log(n.astype(np.float64))).sum())
+    r = tr.groupby("prev_type", sort=True)["n"].sum() \
+        .to_numpy(np.int64)
+    s_cur = float((r.astype(np.float64)
+                   * np.log(r.astype(np.float64))).sum())
+    h_joint = np.log(ntf) - s_joint / ntf
+    h_cur = np.log(ntf) - s_cur / ntf
+    return pd.DataFrame({
+        "n_transitions": [nt],
+        "h_joint": round_half_away(np.array([h_joint]), 6),
+        "h_current": round_half_away(np.array([h_cur]), 6),
+        "entropy_rate": round_half_away(
+            np.array([(s_cur - s_joint) / ntf]), 6)})
+
+
+def absorbing_time_to_event(sf_dir: str, *, target: str = "purchase"):
+    """Expected number of steps to reach the ``target`` event type from
+    each other type, treating the empirical transition matrix as an
+    absorbing Markov chain — the funnel question 'how many actions away
+    is a purchase from here?' answered in closed form: with Q the
+    transition submatrix over non-target states,
+
+        t = (I − Q)⁻¹ · 1        (fundamental-matrix hitting times)
+
+    Distributed shape: the bounded ``event_transitions`` fold; the
+    k−1 × k−1 solve closes on the driver. States that cannot reach the
+    target at all report reachable = 0 with expected_steps NULL;
+    states that CAN reach it but also have a positive-probability
+    escape into a trap (a dead end or a non-reaching state) have
+    INFINITE expected time — reachable = 1, expected_steps NULL — and
+    the fundamental matrix is inverted only over the trap-free subset,
+    keeping the solve well-posed. Rows-only (matrix inversion;
+    planted-chain pytest). Columns: event_type, reachable,
+    expected_steps."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    tr = event_transitions(sf_dir)
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "reachable": pd.Series(dtype="int64"),
+        "expected_steps": pd.Series(dtype="float64")})
+    if not len(tr):
+        return empty
+    states = sorted(set(tr["prev_type"]) | set(tr["next_type"]))
+    if target not in states:
+        return empty
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    cnt = np.zeros((k, k), np.float64)
+    for p, nx, c in tr.itertuples(index=False):
+        cnt[idx[p], idx[nx]] = float(c)
+    rowsum = cnt.sum(axis=1)
+    # reachability to target over the support digraph (driver BFS on
+    # the bounded k-state graph)
+    adj = cnt > 0
+    reach = {target}
+    changed = True
+    while changed:
+        changed = False
+        for s in states:
+            if s in reach:
+                continue
+            i = idx[s]
+            if any(adj[i, idx[t]] for t in reach):
+                reach.add(s)
+                changed = True
+    others = [s for s in states if s != target]
+    # a finite expected time additionally requires NO positive-
+    # probability escape into a trap (a state that cannot reach the
+    # target, or a dead end): BFS the can-reach-trap set
+    bad = {s for s in states
+           if s != target and (s not in reach or rowsum[idx[s]] == 0)}
+    hits_bad = set(bad)
+    changed = True
+    while changed:
+        changed = False
+        for s in states:
+            if s in hits_bad or s == target:
+                continue
+            i = idx[s]
+            if any(adj[i, idx[t]] for t in hits_bad):
+                hits_bad.add(s)
+                changed = True
+    solv = [s for s in others
+            if s in reach and rowsum[idx[s]] > 0
+            and s not in hits_bad]
+    t_map = {}
+    if solv:
+        m = len(solv)
+        q = np.zeros((m, m), np.float64)
+        for a, sa in enumerate(solv):
+            pa = cnt[idx[sa]] / rowsum[idx[sa]]
+            for b, sb in enumerate(solv):
+                q[a, b] = pa[idx[sb]]
+        t = np.linalg.solve(np.eye(m) - q, np.ones(m))
+        t_map = dict(zip(solv, t))
+    out = []
+    for s in others:
+        if s in t_map:
+            out.append((s, np.int64(1),
+                        float(round_half_away(
+                            np.float64(t_map[s]), 6))))
+        else:
+            # reachable but trap-exposed -> infinite expected time
+            out.append((s, np.int64(1 if s in reach else 0), np.nan))
+    return pd.DataFrame(out, columns=["event_type", "reachable",
+                                      "expected_steps"]) \
+        .astype({"reachable": "int64"})

@@ -3455,3 +3455,151 @@ def log_odds_terms(sf_dir: str, *, source_a: str = "src0",
     if out.empty:
         return empty
     return out
+
+
+def burrows_delta(sf_dir: str, *, m: int = 20):
+    """Burrows' Delta stylometric distance between every pair of
+    sources — the classic authorship-attribution measure: over the
+    corpus's top-``m`` words, z-score each source's relative frequency
+    against the across-source distribution and average the absolute
+    z differences:
+
+        Δ(s1, s2) = (1/|W|) Σ_{w∈W} |z(s1, w) − z(s2, w)|
+
+    (zero-variance words drop from W on both sides). Distributed
+    shape: the (source, word) count exchange, then THREE bounded
+    folds — corpus top-m words via per-batch partial top-k (int
+    ranks, no float ties), per-source token totals, and the
+    (source, topword) count grid — so only sources×m cells reach the
+    driver; the vocabulary never centralizes. Frequencies include the
+    implicit zeros (a source missing a top word still z-scores).
+    Columns: source_a, source_b, n_terms, delta."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = pd.DataFrame({"source": batch["source"], "w": toks}) \
+            .explode("w").dropna(subset=["w"])
+        c = ex.groupby(["source", "w"], sort=False).size()
+        return pd.DataFrame({"source": c.index.get_level_values(0),
+                             "word": c.index.get_level_values(1),
+                             "n": c.to_numpy(np.int64)})
+
+    per_word = hash_partition_aggregate(
+        _read_documents(sf_dir, ("source", "text")).map_batches(
+            _partial, batch_format="pandas"),
+        ["source", "word"], {"n": ("n", "sum")}).materialize()
+
+    # corpus top-m words: re-aggregate by word, partial top-k merge
+    by_word = hash_partition_aggregate(
+        per_word, ["word"], {"n": ("n", "sum")})
+
+    def _topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(__k=np.int64(0))
+        return b.sort_values(["n", "word"],
+                             ascending=[False, True]).head(m)
+
+    top = key_map_groups(
+        by_word.map_batches(_topk, batch_format="pandas",
+                            batch_size=65536),
+        lambda g: g.sort_values(["n", "word"],
+                                ascending=[False, True]).head(m),
+        key_col="__k", num_buckets=1).to_pandas()
+    top_words = set(top["word"])
+
+    totals = combine_partials_driver(
+        per_word.map_batches(lambda b: pd.DataFrame({
+            "source": b["source"], "t": b["n"].astype("int64")}),
+            batch_format="pandas"),
+        ["source"], {"t": ("t", "sum")})
+    cells = combine_partials_driver(
+        per_word.map_batches(
+            lambda b: b[b["word"].isin(top_words)][
+                ["source", "word", "n"]],
+            batch_format="pandas"),
+        ["source", "word"], {"n": ("n", "sum")})
+    empty = pd.DataFrame({
+        "source_a": pd.Series(dtype="object"),
+        "source_b": pd.Series(dtype="object"),
+        "n_terms": pd.Series(dtype="int64"),
+        "delta": pd.Series(dtype="float64")})
+    if totals.empty or cells.empty:
+        return empty
+    sources = sorted(totals["source"])
+    words = sorted(top_words)
+    tmap = totals.set_index("source")["t"].astype("int64")
+    grid = (cells.pivot_table(index="source", columns="word",
+                              values="n", aggfunc="sum")
+            .reindex(index=sources, columns=words).fillna(0))
+    f = (grid.to_numpy(np.float64)
+         / tmap.loc[sources].to_numpy(np.int64)
+         .astype(np.float64)[:, None])
+    ns = np.float64(len(sources))
+    sf = f.sum(axis=0)
+    sff = (f * f).sum(axis=0)
+    mean = sf / ns
+    var = sff / ns - mean * mean
+    keep = var > 0.0
+    if not keep.any() or len(sources) < 2:
+        return empty
+    z = (f[:, keep] - mean[keep][None, :]) / np.sqrt(var[keep])[None, :]
+    mk = np.float64(int(keep.sum()))
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            d = float(np.abs(z[i] - z[j]).sum()) / mk
+            rows.append((sources[i], sources[j],
+                         np.int64(int(keep.sum())),
+                         float(round_half_away(np.float64(d), 6))))
+    return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                       "n_terms", "delta"]) \
+        .astype({"n_terms": "int64"})
+
+
+def rbo_arms(sf_dir: str, *, k: int = 20, p: float = 0.9):
+    """Rank-Biased Overlap (Webber et al. 2010, truncated form) between
+    the BM25 and query-likelihood retrieval arms — 'how much do the two
+    rankers agree, weighted toward the top?':
+
+        RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_:d ∩ B_:d| / d
+
+    Each arm's list is its OUTPUT contract: the arm's top-k (selected
+    on unrounded scores) re-ranked by (ROUNDED score DESC, doc_id) —
+    the RRF rounded-rank precedent, so both engines walk identical
+    orders. The arms run distributed; the fusion closes on the bounded
+    union of per-query top-k lists (≤ 2·Q·k rows). Columns: query_id,
+    n_a, n_b, rbo."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    a = bm25_search(sf_dir, k=k).to_pandas()
+    b = ql_search(sf_dir, k=k).to_pandas()
+    rows = []
+    for qid in sorted(set(a["query_id"]) & set(b["query_id"])):
+        la = (a[a["query_id"] == qid]
+              .sort_values(["score", "doc_id"],
+                           ascending=[False, True])["doc_id"].tolist())
+        lb = (b[b["query_id"] == qid]
+              .sort_values(["score", "doc_id"],
+                           ascending=[False, True])["doc_id"].tolist())
+        acc = np.float64(0.0)
+        for d in range(1, k + 1):
+            x = len(set(la[:d]) & set(lb[:d]))
+            acc = acc + (np.float64(p) ** (d - 1)
+                         * np.float64(x) / np.float64(d))
+        rows.append((np.int64(qid), np.int64(len(la)),
+                     np.int64(len(lb)),
+                     float(round_half_away(
+                         (1.0 - np.float64(p)) * acc, 6))))
+    if not rows:
+        return pd.DataFrame({
+            "query_id": pd.Series(dtype="int64"),
+            "n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "rbo": pd.Series(dtype="float64")})
+    return pd.DataFrame(rows, columns=["query_id", "n_a", "n_b",
+                                       "rbo"]) \
+        .astype({"query_id": "int64", "n_a": "int64", "n_b": "int64"})

@@ -573,3 +573,106 @@ def test_isotonic_monotone_on_sf(ray_session):
     # pooled means preserve the overall conversion mass
     assert abs((got["rate_iso"] * got["n"]).sum()
                - (got["rate_raw"] * got["n"]).sum()) < 1e-3
+
+
+def test_markov_entropy_rate_deterministic_chain(ray_session, tmp_path):
+    """A strict A-B-A-B routine has H(next|cur) = 0; mixing in a
+    second successor makes it positive."""
+    from ocr_agent_ray.pipelines.streaming import markov_entropy_rate
+
+    rows = []
+    for i, et in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((i, pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(minutes=i), 1, et, 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = markov_entropy_rate(str(tmp_path))
+    assert got["n_transitions"].tolist() == [4]
+    assert got["entropy_rate"].tolist() == [0.0]
+
+    rows = []
+    for i, et in enumerate(["a", "b", "a", "c", "a", "b", "a", "c"]):
+        rows.append((i, pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(minutes=i), 1, et, 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = markov_entropy_rate(str(tmp_path))
+    assert got["entropy_rate"].iloc[0] > 0.0
+    assert got["h_joint"].iloc[0] >= got["h_current"].iloc[0]
+
+
+def test_absorbing_time_planted_chain(ray_session, tmp_path):
+    """A flips a fair coin between staying and purchasing -> expected
+    2 steps; U is a trap (reachable 0); T can purchase but can also
+    fall into U -> infinite expected time (NULL)."""
+    from ocr_agent_ray.pipelines.streaming import absorbing_time_to_event
+
+    rows = []
+    def seq(uid, *types):
+        for i, t in enumerate(types):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=i), uid, t, 0.0))
+    seq(1, "a", "a", "purchase")
+    seq(2, "u", "u", "u")
+    seq(3, "t", "u")
+    seq(4, "t", "purchase")
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = absorbing_time_to_event(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "reachable"] == 1
+    assert got.loc["a", "expected_steps"] == 2.0
+    assert got.loc["u", "reachable"] == 0
+    assert np.isnan(got.loc["u", "expected_steps"])
+    assert got.loc["t", "reachable"] == 1
+    assert np.isnan(got.loc["t", "expected_steps"])
+
+
+def test_burrows_delta_identical_sources_zero(ray_session, tmp_path):
+    """Two stylistically identical sources have delta 0 to each other
+    and equal positive delta to a divergent third."""
+    from ocr_agent_ray.pipelines.text import burrows_delta
+
+    s_text = "the cat sat on the mat and the dog ran"
+    t_text = "quantum flux harmonics resonate beyond the veil tonight"
+    _write_docs(tmp_path, [s_text, s_text, t_text],
+                ["s1", "s2", "s3"])
+    got = burrows_delta(str(tmp_path))
+    d = {(r.source_a, r.source_b): r.delta
+         for r in got.itertuples(index=False)}
+    assert d[("s1", "s2")] == 0.0
+    assert d[("s1", "s3")] > 0.0
+    assert d[("s1", "s3")] == d[("s2", "s3")]
+
+
+def test_rbo_matches_reference_loop(ray_session, tmp_path):
+    """RBO fusion equals a direct reference loop over the two arms'
+    output lists; a corpus where both arms agree perfectly on a
+    single candidate scores the closed-form prefix sum."""
+    from ocr_agent_ray.pipelines.text import (bm25_search, ql_search,
+                                              rbo_arms)
+
+    rng = np.random.RandomState(13)
+    texts = []
+    for i in range(30):
+        texts.append(" ".join(
+            ["join"] * rng.randint(1, 4) + ["hash"] * rng.randint(1, 4)
+            + ["pad"] * rng.randint(0, 40)))
+    _write_docs(tmp_path, texts, ["s"] * 30)
+    got = rbo_arms(str(tmp_path)).set_index("query_id")
+
+    a = bm25_search(str(tmp_path)).to_pandas()
+    b = ql_search(str(tmp_path)).to_pandas()
+    la = (a[a["query_id"] == 0]
+          .sort_values(["score", "doc_id"], ascending=[False, True])
+          ["doc_id"].tolist())
+    lb = (b[b["query_id"] == 0]
+          .sort_values(["score", "doc_id"], ascending=[False, True])
+          ["doc_id"].tolist())
+    acc = 0.0
+    for dep in range(1, 21):
+        acc += 0.9 ** (dep - 1) * len(set(la[:dep]) & set(lb[:dep])) / dep
+    assert got.loc[0, "rbo"] == round(0.1 * acc, 6)
+    assert 0.0 <= got.loc[0, "rbo"] <= 1.0
