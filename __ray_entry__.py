@@ -557,6 +557,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_burrows_delta": text.burrows_delta,
         "q_rbo_arms": text.rbo_arms,
         "q_absorbing_time": streaming.absorbing_time_to_event,  # rows-only (matrix inverse; planted-chain pytest)
+        "q_bottomk_sample": relational.bottomk_sample_documents,
+        "q_degree_powerlaw": lambda sf: dedup.dup_graph_degree_powerlaw(
+            _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4598,6 +4601,30 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((1.0 - 0.9) * COALESCE(acc.s, 0.0), 6) AS rbo "
             "FROM na JOIN nb USING (qid) LEFT JOIN acc USING (qid) "
             "ORDER BY 1"
+        ),
+        "q_bottomk_sample": (
+            # bottom-64 (KMV) by the Knuth multiplicative hash; exact
+            # int arithmetic, ties impossible (priority is injective
+            # mod 2^32 for distinct doc_ids below 2^32)
+            "SELECT doc_id, "
+            "(doc_id * 2654435761) % 4294967296 AS priority "
+            "FROM documents "
+            "QUALIFY row_number() OVER (ORDER BY priority, doc_id) "
+            "<= 64"
+        ),
+        "q_degree_powerlaw": (
+            # Clauset continuous-MLE alpha over the near-dup degrees
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "sym AS (SELECT doc_id_a AS u FROM pairs "
+            "UNION ALL SELECT doc_id_b FROM pairs), "
+            "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym "
+            "GROUP BY 1), "
+            "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(ln(CAST(d AS DOUBLE) / 0.5)) AS s, "
+            "CAST(MAX(d) AS BIGINT) AS dmax FROM deg) "
+            "SELECT n AS n_nodes, dmax AS d_max, "
+            "ROUND(1.0 + CAST(n AS DOUBLE) / s, 6) AS alpha "
+            "FROM a WHERE s > 0.0"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -277,6 +277,28 @@ QUERY_NAMES = [
     "q_quality_pct_rank",
     "q_user_burstiness",
     "q_source_js_divergence",
+    # round-5 fourth-session additions
+    "q_levene_test",
+    "q_grubbs_daily",
+    "q_page_hinkley",
+    "q_calinski_harabasz",
+    "q_davies_bouldin",
+    "q_yule_k",
+    "q_ndcg_search",
+    "q_tukey_hsd",
+    "q_mcnemar",
+    "q_hurst_exponent",
+    "q_avg_precision_search",
+    "q_adamic_adar",
+    "q_chao1_richness",
+    "q_log_odds_terms",
+    "q_granger_daily",
+    "q_gmm_em",
+    "q_isotonic_curve",
+    "q_markov_entropy_rate",
+    "q_burrows_delta",
+    "q_rbo_arms",
+    "q_absorbing_time",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

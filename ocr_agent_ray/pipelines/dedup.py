@@ -2859,3 +2859,58 @@ def dup_graph_adamic_adar(docs, *, threshold: float = 0.5,
             "n_common": pd.Series(dtype="int64"),
             "aa_score": pd.Series(dtype="float64")})
     return out
+
+
+def dup_graph_degree_powerlaw(docs, *, threshold: float = 0.5,
+                              num_buckets: int = 16, pairs=None):
+    """Continuous-MLE power-law fit of the near-dup graph's degree
+    distribution (Clauset-Shalizi-Newman with d_min = 1):
+
+        α = 1 + n / Σ_v ln(deg(v) / 0.5)
+
+    — the 'is duplication hub-dominated?' screen: α near 2 means a few
+    template hubs own most duplication (dedup merges need the hub
+    guards), large α means duplication is spread thin. Distributed
+    shape: symmetrize the shared pair table, one bucketed degree fold,
+    then a mergeable (n, Σ ln(d/0.5), max d) combine — three numbers
+    reach the driver. Columns: n_nodes, d_max, alpha."""
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    if pairs is None:
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    sym = pairs.map_batches(
+        lambda b: pd.DataFrame({
+            "u": np.concatenate([b["doc_id_a"].to_numpy(),
+                                 b["doc_id_b"].to_numpy()])}),
+        batch_format="pandas", batch_size=65536)
+    deg = hash_partition_aggregate(
+        sym.map_batches(lambda b: b.assign(c=np.int64(1)),
+                        batch_format="pandas", batch_size=65536),
+        ["u"], {"deg": ("c", "sum")}, num_buckets=num_buckets)
+    g = combine_partials_driver(
+        deg.map_batches(lambda b: pd.DataFrame({
+            "__k": np.int64(0), "n": np.int64(1),
+            "s": np.log(b["deg"].to_numpy(np.int64)
+                        .astype(np.float64) / 0.5),
+            "dmax": b["deg"].astype("int64")}),
+            batch_format="pandas"),
+        ["__k"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                  "dmax": ("dmax", "max")})
+    empty = pd.DataFrame({
+        "n_nodes": pd.Series(dtype="int64"),
+        "d_max": pd.Series(dtype="int64"),
+        "alpha": pd.Series(dtype="float64")})
+    if g.empty:
+        return empty
+    n = np.int64(g["n"].iloc[0])
+    s = np.float64(g["s"].iloc[0])
+    if s <= 0.0:
+        return empty
+    return pd.DataFrame({
+        "n_nodes": [n], "d_max": [np.int64(g["dmax"].iloc[0])],
+        "alpha": round_half_away(
+            np.array([1.0 + np.float64(n) / s]), 6)})

@@ -4839,3 +4839,43 @@ def isotonic_conversion_curve(sf_dir: str):
         "rate_raw": round_half_away(
             y.astype(np.float64) / n.astype(np.float64), 6),
         "rate_iso": round_half_away(iso, 6)})
+
+
+def bottomk_sample_documents(sf_dir: str, *, k: int = 64):
+    """Fixed-size uniform sample via the bottom-``k`` (KMV) sketch —
+    the mergeable sibling of ``hash_sample_documents``'s rate-based
+    filter: each doc gets the deterministic priority
+
+        priority = (doc_id · 2654435761) mod 2³²     (Knuth hash)
+
+    and the global ``k`` smallest (priority, doc_id) win. Bottom-k is
+    THE distributed sampling primitive — per-batch partial bottom-k
+    rows merge associatively (the wire carries batches×k rows, never
+    the corpus), two nodes' sketches union by re-taking the k
+    smallest, and the k-th priority doubles as a distinct-count
+    estimator. Int64-safe for doc_id < 2³² (beyond that the twin's
+    HUGEINT product needs the int128 escalation). Columns: doc_id,
+    priority."""
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["doc_id"].to_numpy(np.int64)
+        pr = (d * np.int64(2654435761)) % np.int64(4294967296)
+        out = pd.DataFrame({"__k": np.int64(0), "doc_id": d,
+                            "priority": pr})
+        return out.sort_values(["priority", "doc_id"]).head(k)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["priority", "doc_id"]).head(k)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64").to_numpy(),
+            "priority": g["priority"].astype("int64").to_numpy()})
+
+    out = key_map_groups(
+        read_table(sf_dir, "documents", ["doc_id"]).map_batches(
+            _local, batch_format="pandas", batch_size=65536),
+        _final, key_col="__k", num_buckets=1).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "priority": pd.Series(dtype="int64")})
+    return out

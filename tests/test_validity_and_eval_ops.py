@@ -676,3 +676,40 @@ def test_rbo_matches_reference_loop(ray_session, tmp_path):
         acc += 0.9 ** (dep - 1) * len(set(la[:dep]) & set(lb[:dep])) / dep
     assert got.loc[0, "rbo"] == round(0.1 * acc, 6)
     assert 0.0 <= got.loc[0, "rbo"] <= 1.0
+
+
+def test_bottomk_sample_merge_invariance(ray_session, tmp_path):
+    """Bottom-k equals the dense bottom-k of the whole table, is
+    k-sized, and the priority formula matches the Knuth hash."""
+    from ocr_agent_ray.pipelines.relational import bottomk_sample_documents
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64) * 7 + 3,
+        "text": ["t"] * 500, "lang": ["en"] * 500,
+        "source": ["s"] * 500, "n_chars": [1] * 500})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = bottomk_sample_documents(str(tmp_path), k=16)
+    d = docs["doc_id"].to_numpy(np.int64)
+    pr = (d * np.int64(2654435761)) % np.int64(4294967296)
+    want = pd.DataFrame({"doc_id": d, "priority": pr}) \
+        .sort_values(["priority", "doc_id"]).head(16)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["priority"].tolist() == want["priority"].tolist()
+
+
+def test_degree_powerlaw_planted_star(ray_session):
+    """A 5-star: hub degree 5, leaves degree 1 ->
+    alpha = 1 + 6/ln(10) exactly (leaf terms ln(1/0.5)=ln 2 each,
+    hub ln(5/0.5)=ln 10; total 5 ln 2 + ln 10)."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import dup_graph_degree_powerlaw
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [0, 0, 0, 0, 0], "doc_id_b": [1, 2, 3, 4, 5]}))
+    got = dup_graph_degree_powerlaw(None, pairs=pairs)
+    assert got["n_nodes"].tolist() == [6]
+    assert got["d_max"].tolist() == [5]
+    s = 5 * np.log(2.0) + np.log(10.0)
+    assert got["alpha"].tolist() == [round(1.0 + 6.0 / s, 6)]
