@@ -560,6 +560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bottomk_sample": relational.bottomk_sample_documents,
         "q_degree_powerlaw": lambda sf: dedup.dup_graph_degree_powerlaw(
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
+        "q_wasserstein_lengths": text.wasserstein_lengths,
+        "q_k_anonymity": text.k_anonymity_audit,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4625,6 +4627,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n AS n_nodes, dmax AS d_max, "
             "ROUND(1.0 + CAST(n AS DOUBLE) / s, 6) AS alpha "
             "FROM a WHERE s > 0.0"
+        ),
+        "q_wasserstein_lengths": (
+            # exact 1-D W1 over the merged length support; int
+            # cumulatives, one double division per CDF term
+            "WITH a AS (SELECT n_chars AS x, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            "WHERE source = 'src0' GROUP BY 1), "
+            "b AS (SELECT n_chars AS x, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            "WHERE source = 'src1' GROUP BY 1), "
+            "m AS (SELECT COALESCE(a.x, b.x) AS x, "
+            "COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb "
+            "FROM a FULL OUTER JOIN b ON a.x = b.x), "
+            "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+            "CAST(SUM(cb) AS BIGINT) AS nb FROM m), "
+            "s AS (SELECT x, SUM(ca) OVER (ORDER BY x) AS cca, "
+            "SUM(cb) OVER (ORDER BY x) AS ccb, "
+            "LEAD(x) OVER (ORDER BY x) AS nx FROM m) "
+            "SELECT t.na AS n_a, t.nb AS n_b, "
+            "ROUND(SUM(CAST(nx - x AS DOUBLE) "
+            "* abs(CAST(cca AS DOUBLE) / CAST(t.na AS DOUBLE) "
+            "- CAST(ccb AS DOUBLE) / CAST(t.nb AS DOUBLE))), 6) "
+            "AS w1_distance FROM s, t WHERE nx IS NOT NULL "
+            "GROUP BY t.na, t.nb"
+        ),
+        "q_k_anonymity": (
+            # re-identification audit over (lang, source, length-band)
+            "WITH g AS (SELECT lang, source, n_chars // 100 AS band, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            "GROUP BY 1, 2, 3), "
+            "t AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS gg FROM g), "
+            "r AS (SELECT CAST(COUNT(*) AS BIGINT) AS sg, "
+            "CAST(COALESCE(SUM(c), 0) AS BIGINT) AS ar FROM g "
+            "WHERE c < 5) "
+            "SELECT t.gg AS n_groups, r.sg AS n_small_groups, "
+            "r.ar AS n_docs_at_risk, "
+            "ROUND(CAST(r.ar AS DOUBLE) / CAST(t.n AS DOUBLE), 6) "
+            "AS risk_fraction FROM t, r"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

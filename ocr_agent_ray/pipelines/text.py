@@ -3603,3 +3603,95 @@ def rbo_arms(sf_dir: str, *, k: int = 20, p: float = 0.9):
     return pd.DataFrame(rows, columns=["query_id", "n_a", "n_b",
                                        "rbo"]) \
         .astype({"query_id": "int64", "n_a": "int64", "n_b": "int64"})
+
+
+def wasserstein_lengths(sf_dir: str, *, source_a: str = "src0",
+                        source_b: str = "src1"):
+    """1-D Wasserstein (earth-mover's) distance between two sources'
+    document-length distributions — the distribution-shift metric that
+    unlike KS (sup gap) or JS/PSI (bin overlaps) measures HOW FAR mass
+    must move, in characters:
+
+        W1 = Σ_i (x_{i+1} − x_i) · |F_a(x_i) − F_b(x_i)|
+
+    over the merged support (the exact closed form for 1-D). One scan
+    folds (source, n_chars) count partials — a bounded grid (length
+    values, not rows) — and the CDF walk closes on the driver with
+    exact integer cumulatives (ONE double division per CDF term, the
+    twin's nesting). Columns: n_a, n_b, w1_distance."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("source", "n_chars")).map_batches(
+            lambda b: pd.DataFrame({
+                "source": b["source"], "x": b["n_chars"],
+                "c": np.int64(1)})[
+                b["source"].isin([source_a, source_b]).to_numpy()],
+            batch_format="pandas", batch_size=65536),
+        ["source", "x"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "w1_distance": pd.Series(dtype="float64")})
+    if not len(g):
+        return empty
+    piv = (g.pivot_table(index="x", columns="source", values="c",
+                         aggfunc="sum").fillna(0).astype(np.int64)
+           .sort_index())
+    if source_a not in piv.columns or source_b not in piv.columns:
+        return empty
+    ca = piv[source_a].to_numpy(np.int64)
+    cb = piv[source_b].to_numpy(np.int64)
+    na, nb = np.int64(ca.sum()), np.int64(cb.sum())
+    if na == 0 or nb == 0:
+        return empty
+    x = piv.index.to_numpy(np.int64)
+    cca = np.cumsum(ca)
+    ccb = np.cumsum(cb)
+    gaps = (x[1:] - x[:-1]).astype(np.float64)
+    fdiff = np.abs(cca[:-1].astype(np.float64) / np.float64(na)
+                   - ccb[:-1].astype(np.float64) / np.float64(nb))
+    return pd.DataFrame({
+        "n_a": [na], "n_b": [nb],
+        "w1_distance": round_half_away(
+            np.array([float((gaps * fdiff).sum())]), 6)})
+
+
+def k_anonymity_audit(sf_dir: str, *, k: int = 5):
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length-band) — the privacy screen PII scrubbing
+    alone can't provide: a document whose quasi-identifier combination
+    is shared by fewer than ``k`` docs is re-identifiable by joining
+    side information, even with explicit PII removed. One mergeable
+    count fold over the bounded (lang × source × band) grid; the audit
+    closes on the driver. Columns: n_groups, n_small_groups,
+    n_docs_at_risk, risk_fraction."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("lang", "source", "n_chars")) \
+            .map_batches(
+                lambda b: pd.DataFrame({
+                    "lang": b["lang"], "source": b["source"],
+                    "band": (b["n_chars"].to_numpy(np.int64) // 100),
+                    "c": np.int64(1)}),
+                batch_format="pandas", batch_size=65536),
+        ["lang", "source", "band"], {"c": ("c", "sum")})
+    if not len(g):
+        return pd.DataFrame({
+            "n_groups": pd.Series(dtype="int64"),
+            "n_small_groups": pd.Series(dtype="int64"),
+            "n_docs_at_risk": pd.Series(dtype="int64"),
+            "risk_fraction": pd.Series(dtype="float64")})
+    c = g["c"].to_numpy(np.int64)
+    n = np.int64(c.sum())
+    small = c < k
+    at_risk = np.int64(c[small].sum())
+    return pd.DataFrame({
+        "n_groups": [np.int64(len(c))],
+        "n_small_groups": [np.int64(int(small.sum()))],
+        "n_docs_at_risk": [at_risk],
+        "risk_fraction": round_half_away(
+            np.array([np.float64(at_risk) / np.float64(n)]), 6)})

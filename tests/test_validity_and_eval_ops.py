@@ -713,3 +713,49 @@ def test_degree_powerlaw_planted_star(ray_session):
     assert got["d_max"].tolist() == [5]
     s = 5 * np.log(2.0) + np.log(10.0)
     assert got["alpha"].tolist() == [round(1.0 + 6.0 / s, 6)]
+
+
+def test_wasserstein_planted_shift(ray_session, tmp_path):
+    """Point masses at length 10 vs length 30: W1 = 20 exactly; a
+    half-overlapping pair gives the hand value 10."""
+    from ocr_agent_ray.pipelines.text import wasserstein_lengths
+
+    def write(lengths_a, lengths_b):
+        n = len(lengths_a) + len(lengths_b)
+        docs = pd.DataFrame({
+            "doc_id": range(n),
+            "text": ["x"] * n, "lang": ["en"] * n,
+            "source": ["src0"] * len(lengths_a)
+            + ["src1"] * len(lengths_b),
+            "n_chars": list(lengths_a) + list(lengths_b)})
+        pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                       str(tmp_path / "documents.parquet"))
+
+    write([10, 10], [30, 30])
+    got = wasserstein_lengths(str(tmp_path))
+    assert got["w1_distance"].tolist() == [20.0]
+
+    # src0 = {10, 20}, src1 = {20, 30}: gaps 10 * |dF| (0.5, 0.5) = 10
+    write([10, 20], [20, 30])
+    got = wasserstein_lengths(str(tmp_path))
+    assert got["w1_distance"].tolist() == [10.0]
+
+
+def test_k_anonymity_planted(ray_session, tmp_path):
+    """Six docs in one quasi-identifier group are safe; a lone doc in
+    its own (lang, source, band) cell is at risk."""
+    from ocr_agent_ray.pipelines.text import k_anonymity_audit
+
+    docs = pd.DataFrame({
+        "doc_id": range(7),
+        "text": ["x"] * 7,
+        "lang": ["en"] * 6 + ["de"],
+        "source": ["s"] * 7,
+        "n_chars": [150] * 6 + [950]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = k_anonymity_audit(str(tmp_path))
+    assert got["n_groups"].tolist() == [2]
+    assert got["n_small_groups"].tolist() == [1]
+    assert got["n_docs_at_risk"].tolist() == [1]
+    assert got["risk_fraction"].tolist() == [round(1.0 / 7.0, 6)]
