@@ -562,6 +562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), pairs=dedup.shared_ngram_pairs(sf)),
         "q_wasserstein_lengths": text.wasserstein_lengths,
         "q_k_anonymity": text.k_anonymity_audit,
+        "q_knn_label_purity": similarity.knn_label_purity,  # rows-only (approx kNN graph; planted pytest)
+        "q_lof_outliers": similarity.lof_outliers,  # rows-only (approx kNN graph; dense-reference pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:

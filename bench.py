@@ -299,6 +299,12 @@ QUERY_NAMES = [
     "q_burrows_delta",
     "q_rbo_arms",
     "q_absorbing_time",
+    "q_bottomk_sample",
+    "q_degree_powerlaw",
+    "q_wasserstein_lengths",
+    "q_k_anonymity",
+    "q_knn_label_purity",
+    "q_lof_outliers",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

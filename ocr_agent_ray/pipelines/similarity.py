@@ -1889,3 +1889,187 @@ def gmm_em_embeddings(sf_dir: str, *, k: int = 5, iters: int = 5,
         "avg_var": round_half_away(variances.mean(axis=1), 6),
         "loglik": round_half_away(
             np.full(k, loglik, np.float64), 4)})
+
+
+def knn_label_purity(sf_dir: str, *, k: int = 5):
+    """Neighborhood label purity over the approximate kNN graph — the
+    classification-difficulty / label-noise screen: for each vector,
+    the fraction of its k nearest neighbors sharing its label, averaged
+    per label ('which classes bleed into each other in embedding
+    space?'). Rides ``knn_graph_ivf`` (rows-only — the graph is
+    approximate by design): two bucketed hash joins attach the labels
+    of both endpoints, one bucketed per-vector fold computes purity,
+    and a mergeable per-label combine closes on |labels| rows.
+    Columns: label, n_vectors, mean_purity."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    graph = knn_graph_ivf(sf_dir, k=k)
+    labels = read_table(sf_dir, "embeddings", ["vec_id", "label"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "label": b["label"].astype("int64")}),
+            batch_format="pandas", batch_size=65536)
+    lab_a = labels
+    lab_b = labels.map_batches(
+        lambda b: b.rename(columns={"vec_id": "nbr_id",
+                                    "label": "nbr_label"}),
+        batch_format="pandas", batch_size=65536)
+    edges = graph.map_batches(
+        lambda b: b[["vec_id", "nbr_id"]], batch_format="pandas",
+        batch_size=65536)
+    j1 = bucket_hash_join(
+        edges, lab_a, on="vec_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("nbr_id", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("label", pa.int64())]))
+    j2 = bucket_hash_join(
+        j1, lab_b, on="nbr_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("nbr_id", pa.int64()),
+                               ("label", pa.int64())]),
+        right_schema=pa.schema([("nbr_id", pa.int64()),
+                                ("nbr_label", pa.int64())]))
+    per_vec = hash_partition_aggregate(
+        j2.map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "label": b["label"].astype("int64"),
+            "same": (b["label"] == b["nbr_label"]).astype("int64"),
+            "n": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["vec_id", "label"], {"same": ("same", "sum"), "n": ("n", "sum")})
+    out = combine_partials_driver(
+        per_vec.map_batches(lambda b: pd.DataFrame({
+            "label": b["label"].astype("int64"),
+            "purity": (b["same"].to_numpy(np.int64).astype(np.float64)
+                       / b["n"].to_numpy(np.int64).astype(np.float64)),
+            "one": np.int64(1)}),
+            batch_format="pandas"),
+        ["label"], {"purity": ("purity", "sum"), "one": ("one", "sum")})
+    if out.empty:
+        return pd.DataFrame({
+            "label": pd.Series(dtype="int64"),
+            "n_vectors": pd.Series(dtype="int64"),
+            "mean_purity": pd.Series(dtype="float64")})
+    out = out.sort_values("label").reset_index(drop=True)
+    return pd.DataFrame({
+        "label": out["label"].astype("int64"),
+        "n_vectors": out["one"].astype("int64"),
+        "mean_purity": round_half_away(
+            out["purity"].to_numpy(np.float64)
+            / out["one"].to_numpy(np.int64).astype(np.float64), 6)})
+
+
+def lof_outliers(sf_dir: str, *, k: int = 5, top: int = 50):
+    """Local Outlier Factor (Breunig et al. 2000) over the approximate
+    kNN graph under cosine distance — the density-aware embedding
+    outlier screen (z-score outliers miss points that are 'normal
+    globally but alone locally'):
+
+        reach(a←b) = max(kdist(b), d(a, b)),
+        lrd(a) = 1 / mean_b reach(a←b),
+        LOF(a) = mean_b lrd(b) / lrd(a)
+
+    Rides ``knn_graph_ivf`` (rows-only — approximate by design, LOF >
+    1 ⇒ locally sparser than neighbors). Distributed shape: kdist is
+    a bucketed per-vector MAX over the edge distances; two bucketed
+    hash joins attach kdist(b) then lrd(b); per-vector folds close
+    each stage; final global top-``top`` by ROUNDED LOF (rounded-rank
+    contract) with per-batch partial top-k. Columns: vec_id, lof,
+    lrd."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    graph = knn_graph_ivf(sf_dir, k=k).map_batches(
+        lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "nbr_id": b["nbr_id"].astype("int64"),
+            "d": 1.0 - b["cosine"].to_numpy(np.float64)}),
+        batch_format="pandas", batch_size=65536).materialize()
+    kdist = hash_partition_aggregate(
+        graph, ["vec_id"], {"kdist": ("d", "max")}).map_batches(
+        lambda b: b.rename(columns={"vec_id": "nbr_id"}),
+        batch_format="pandas", batch_size=65536)
+    j1 = bucket_hash_join(
+        graph, kdist, on="nbr_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("nbr_id", pa.int64()),
+                               ("d", pa.float64())]),
+        right_schema=pa.schema([("nbr_id", pa.int64()),
+                                ("kdist", pa.float64())]))
+    lrd = hash_partition_aggregate(
+        j1.map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "reach": np.maximum(b["kdist"].to_numpy(np.float64),
+                                b["d"].to_numpy(np.float64)),
+            "n": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["vec_id"], {"reach": ("reach", "sum"), "n": ("n", "sum")}) \
+        .map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "lrd": (b["n"].to_numpy(np.int64).astype(np.float64)
+                    / np.maximum(b["reach"].to_numpy(np.float64),
+                                 1e-300))}),
+            batch_format="pandas", batch_size=65536).materialize()
+    lrd_b = lrd.map_batches(
+        lambda b: b.rename(columns={"vec_id": "nbr_id",
+                                    "lrd": "lrd_b"}),
+        batch_format="pandas", batch_size=65536)
+    j2 = bucket_hash_join(
+        graph.map_batches(lambda b: b[["vec_id", "nbr_id"]],
+                          batch_format="pandas", batch_size=65536),
+        lrd_b, on="nbr_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("nbr_id", pa.int64())]),
+        right_schema=pa.schema([("nbr_id", pa.int64()),
+                                ("lrd_b", pa.float64())]))
+    mean_nbr = hash_partition_aggregate(
+        j2.map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "s": b["lrd_b"].to_numpy(np.float64),
+            "n": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["vec_id"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    j3 = bucket_hash_join(
+        mean_nbr, lrd, on="vec_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("s", pa.float64()),
+                               ("n", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("lrd", pa.float64())]))
+
+    def _local(b: pd.DataFrame) -> pd.DataFrame:
+        lof = ((b["s"].to_numpy(np.float64)
+                / b["n"].to_numpy(np.int64).astype(np.float64))
+               / b["lrd"].to_numpy(np.float64))
+        out = pd.DataFrame({
+            "__k": np.int64(0),
+            "vec_id": b["vec_id"].astype("int64"),
+            "lof": round_half_away(lof, 6),
+            "lrd": round_half_away(b["lrd"].to_numpy(np.float64), 6)})
+        return out.sort_values(["lof", "vec_id"],
+                               ascending=[False, True]).head(top)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lof", "vec_id"],
+                          ascending=[False, True]).head(top)
+        return g[["vec_id", "lof", "lrd"]].reset_index(drop=True)
+
+    out = key_map_groups(
+        j3.map_batches(_local, batch_format="pandas",
+                       batch_size=65536),
+        _final, key_col="__k", num_buckets=1).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "lof": pd.Series(dtype="float64"),
+                             "lrd": pd.Series(dtype="float64")})
+    return out

@@ -759,3 +759,52 @@ def test_k_anonymity_planted(ray_session, tmp_path):
     assert got["n_small_groups"].tolist() == [1]
     assert got["n_docs_at_risk"].tolist() == [1]
     assert got["risk_fraction"].tolist() == [round(1.0 / 7.0, 6)]
+
+
+def test_knn_label_purity_separated_clusters(ray_session, tmp_path):
+    """Two well-separated clusters with clean labels -> purity 1 for
+    both; flipping one label drags its neighbors' purity down."""
+    from ocr_agent_ray.pipelines.similarity import knn_label_purity
+
+    rng = np.random.RandomState(4)
+    a = rng.randn(20, 8) * 0.05 + np.array([1.0] + [0.0] * 7)
+    b = rng.randn(20, 8) * 0.05 + np.array([0.0] * 7 + [1.0])
+    vecs = np.vstack([a, b]).astype(np.float32)
+    _write_embeddings(tmp_path, vecs.tolist(), [0] * 20 + [1] * 20)
+    got = knn_label_purity(str(tmp_path), k=3).set_index("label")
+    assert got.loc[0, "mean_purity"] == 1.0
+    assert got.loc[1, "mean_purity"] == 1.0
+    assert got["n_vectors"].sum() == 40
+
+    _write_embeddings(tmp_path, vecs.tolist(),
+                      [0] * 19 + [1] + [1] * 20)
+    got = knn_label_purity(str(tmp_path), k=3).set_index("label")
+    assert got.loc[0, "mean_purity"] < 1.0
+
+
+def test_lof_flags_isolated_point(ray_session, tmp_path):
+    """A lone point far from one tight cluster gets the top LOF and
+    LOF >> 1; in-cluster points sit near 1. Values match a dense LOF
+    replay over the SAME graph edges."""
+    from ocr_agent_ray.pipelines.similarity import (knn_graph_ivf,
+                                                    lof_outliers)
+
+    rng = np.random.RandomState(6)
+    cluster = rng.randn(30, 6) * 0.02 + np.array([1.0, 0, 0, 0, 0, 0])
+    lone = np.array([[0.0, 0.0, 0.3, 0.5, 0.6, 0.2]])
+    vecs = np.vstack([cluster, lone]).astype(np.float32)
+    _write_embeddings(tmp_path, vecs.tolist(), [0] * 31)
+    got = lof_outliers(str(tmp_path), k=4)
+    assert got["vec_id"].iloc[0] == 30
+    assert got["lof"].iloc[0] > 2.0
+
+    g = knn_graph_ivf(str(tmp_path), k=4).to_pandas()
+    g["d"] = 1.0 - g["cosine"]
+    kd = g.groupby("vec_id")["d"].max()
+    reach = np.maximum(kd.loc[g["nbr_id"]].to_numpy(), g["d"].to_numpy())
+    lrd = 1.0 / pd.Series(reach).groupby(g["vec_id"].to_numpy()).mean()
+    lofv = (lrd.loc[g["nbr_id"]].to_numpy()
+            / lrd.loc[g["vec_id"]].to_numpy())
+    lof = pd.Series(lofv).groupby(g["vec_id"].to_numpy()).mean()
+    want = round(float(lof.loc[30]), 6)
+    assert abs(got["lof"].iloc[0] - want) < 5e-6
