@@ -564,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_k_anonymity": text.k_anonymity_audit,
         "q_knn_label_purity": similarity.knn_label_purity,  # rows-only (approx kNN graph; planted pytest)
         "q_lof_outliers": similarity.lof_outliers,  # rows-only (approx kNN graph; dense-reference pytest)
+        "q_label_propagation": similarity.label_propagation_knn,  # rows-only (iterative propagation; planted pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:

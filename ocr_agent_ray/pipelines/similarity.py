@@ -2073,3 +2073,137 @@ def lof_outliers(sf_dir: str, *, k: int = 5, top: int = 50):
                              "lof": pd.Series(dtype="float64"),
                              "lrd": pd.Series(dtype="float64")})
     return out
+
+
+def label_propagation_knn(sf_dir: str, *, k: int = 5, iters: int = 3,
+                          seed_mod: int = 5):
+    """Semi-supervised label propagation over the approximate kNN
+    graph — the 'label 20%, infer the rest' primitive behind
+    weak-supervision curation: vectors with vec_id % ``seed_mod`` == 0
+    keep their true label as a fixed SEED; everyone else starts
+    unlabeled and, for ``iters`` synchronous rounds, adopts the
+    majority label among its labeled neighbors (ties → smallest
+    label; unlabeled neighbors abstain). Reported per true label:
+    coverage (fraction labeled by round ``iters``) and accuracy of
+    the propagated labels against the held-out truth.
+
+    Distributed shape: the kNN graph builds once; each round is one
+    bucketed join (edge ⋈ current labels of the neighbor side) + one
+    bucketed per-vector majority fold — label state lives in a
+    Dataset, never on the driver. Deterministic: synchronous updates,
+    pinned tie-break. Rows-only (approximate graph + iterative).
+    Columns: label, n_heldout, n_labeled, coverage, accuracy."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    graph = knn_graph_ivf(sf_dir, k=k).map_batches(
+        lambda b: b[["vec_id", "nbr_id"]], batch_format="pandas",
+        batch_size=65536).materialize()
+    truth = read_table(sf_dir, "embeddings", ["vec_id", "label"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "true_label": b["label"].astype("int64")}),
+            batch_format="pandas", batch_size=65536).materialize()
+
+    # current state: label -1 = unlabeled; seeds keep truth forever
+    state = truth.map_batches(
+        lambda b: pd.DataFrame({
+            "nbr_id": b["vec_id"].astype("int64"),
+            "cur": np.where(
+                b["vec_id"].to_numpy(np.int64) % seed_mod == 0,
+                b["true_label"].to_numpy(np.int64),
+                np.int64(-1))}),
+        batch_format="pandas", batch_size=65536).materialize()
+
+    for _ in range(iters):
+        j = bucket_hash_join(
+            graph, state, on="nbr_id", num_buckets=16,
+            left_schema=pa.schema([("vec_id", pa.int64()),
+                                   ("nbr_id", pa.int64())]),
+            right_schema=pa.schema([("nbr_id", pa.int64()),
+                                    ("cur", pa.int64())]))
+        votes = hash_partition_aggregate(
+            j.map_batches(lambda b: b[b["cur"] >= 0].assign(
+                n=np.int64(1))[["vec_id", "cur", "n"]],
+                batch_format="pandas", batch_size=65536),
+            ["vec_id", "cur"], {"n": ("n", "sum")})
+
+        def _majority(g: pd.DataFrame) -> pd.DataFrame:
+            # per vec (whole group co-located by key_map_groups):
+            # majority label, ties -> smallest label
+            g = g.sort_values(["n", "cur"], ascending=[False, True])
+            return pd.DataFrame({
+                "nbr_id": g["vec_id"].astype("int64").iloc[:1],
+                "vote": g["cur"].astype("int64").iloc[:1]})
+
+        from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+        voted = key_map_groups(votes, _majority, key_col="vec_id",
+                               num_buckets=16)
+        # merge: seeds keep truth; already-labeled keep their label;
+        # newly voted adopt the vote
+        j2 = bucket_hash_join(
+            state, voted, on="nbr_id", how="left", num_buckets=16,
+            left_schema=pa.schema([("nbr_id", pa.int64()),
+                                   ("cur", pa.int64())]),
+            right_schema=pa.schema([("nbr_id", pa.int64()),
+                                    ("vote", pa.int64())]))
+        state = j2.map_batches(
+            lambda b: pd.DataFrame({
+                "nbr_id": b["nbr_id"].astype("int64"),
+                "cur": np.where(
+                    b["cur"].to_numpy(np.int64) >= 0,
+                    b["cur"].to_numpy(np.int64),
+                    b["vote"].fillna(-1).to_numpy(np.int64))}),
+            batch_format="pandas", batch_size=65536).materialize()
+
+    final = bucket_hash_join(
+        state.map_batches(
+            lambda b: b.rename(columns={"nbr_id": "vec_id"}),
+            batch_format="pandas", batch_size=65536),
+        truth, on="vec_id", num_buckets=16,
+        left_schema=pa.schema([("vec_id", pa.int64()),
+                               ("cur", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64()),
+                                ("true_label", pa.int64())]))
+    out = combine_partials_driver(
+        final.map_batches(lambda b: pd.DataFrame({
+            "label": b["true_label"].astype("int64"),
+            "held": (b["vec_id"].to_numpy(np.int64) % seed_mod != 0)
+            .astype("int64"),
+            "lab": ((b["vec_id"].to_numpy(np.int64) % seed_mod != 0)
+                    & (b["cur"].to_numpy(np.int64) >= 0))
+            .astype("int64"),
+            "acc": ((b["vec_id"].to_numpy(np.int64) % seed_mod != 0)
+                    & (b["cur"].to_numpy(np.int64)
+                       == b["true_label"].to_numpy(np.int64)))
+            .astype("int64")}),
+            batch_format="pandas"),
+        ["label"], {"held": ("held", "sum"), "lab": ("lab", "sum"),
+                    "acc": ("acc", "sum")})
+    if out.empty:
+        return pd.DataFrame({
+            "label": pd.Series(dtype="int64"),
+            "n_heldout": pd.Series(dtype="int64"),
+            "n_labeled": pd.Series(dtype="int64"),
+            "coverage": pd.Series(dtype="float64"),
+            "accuracy": pd.Series(dtype="float64")})
+    out = out.sort_values("label").reset_index(drop=True)
+    held = out["held"].to_numpy(np.int64)
+    lab = out["lab"].to_numpy(np.int64)
+    acc = out["acc"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "label": out["label"].astype("int64"),
+        "n_heldout": held,
+        "n_labeled": lab,
+        "coverage": round_half_away(
+            lab.astype(np.float64)
+            / np.maximum(held.astype(np.float64), 1.0), 6),
+        "accuracy": round_half_away(
+            np.where(lab > 0, acc.astype(np.float64)
+                     / np.maximum(lab.astype(np.float64), 1.0), 0.0),
+            6)})

@@ -808,3 +808,23 @@ def test_lof_flags_isolated_point(ray_session, tmp_path):
     lof = pd.Series(lofv).groupby(g["vec_id"].to_numpy()).mean()
     want = round(float(lof.loc[30]), 6)
     assert abs(got["lof"].iloc[0] - want) < 5e-6
+
+
+def test_label_propagation_separated_clusters(ray_session, tmp_path):
+    """Two separated clusters with 20% seeds: propagation labels all
+    held-out vectors with their cluster's label (coverage 1,
+    accuracy 1)."""
+    from ocr_agent_ray.pipelines.similarity import label_propagation_knn
+
+    rng = np.random.RandomState(8)
+    a = rng.randn(25, 8) * 0.05 + np.array([1.0] + [0.0] * 7)
+    b = rng.randn(25, 8) * 0.05 + np.array([0.0] * 7 + [1.0])
+    vecs = np.vstack([a, b]).astype(np.float32)
+    _write_embeddings(tmp_path, vecs.tolist(), [0] * 25 + [1] * 25)
+    got = label_propagation_knn(str(tmp_path), k=4, iters=3) \
+        .set_index("label")
+    assert got.loc[0, "coverage"] == 1.0
+    assert got.loc[1, "coverage"] == 1.0
+    assert got.loc[0, "accuracy"] == 1.0
+    assert got.loc[1, "accuracy"] == 1.0
+    assert int(got["n_heldout"].sum()) == 40

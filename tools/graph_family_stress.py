@@ -104,6 +104,16 @@ def main() -> None:
     t_tri = time.monotonic() - t0
     n_triangles = int(tri["n_triangles"].iloc[0])
 
+    from ocr_agent_ray.pipelines.dedup import (dup_graph_adamic_adar,
+                                               dup_graph_degree_powerlaw)
+
+    t0 = time.monotonic()
+    aa = dup_graph_adamic_adar(None, pairs=pairs, k=100)
+    t_aa = time.monotonic() - t0
+    t0 = time.monotonic()
+    pl = dup_graph_degree_powerlaw(None, pairs=pairs)
+    t_pl = time.monotonic() - t0
+
     # invariant 1: per-node triangle counts sum to 3x the global count
     assert int(cc["triangles"].sum()) == 3 * n_triangles, \
         (int(cc["triangles"].sum()), n_triangles)
@@ -126,12 +136,28 @@ def main() -> None:
         assert h2i.loc[v, "n_dist1"] == len(n1)
         assert h2i.loc[v, "n_dist2"] == len(n2), (v, len(n2))
 
+    # Adamic-Adar invariants: exactly k rows, every prediction a true
+    # non-edge at distance 2, and every score re-derivable from the
+    # driver adjacency (1/ln(deg) over actual common neighbors)
+    assert len(aa) == 100, len(aa)
+    edge_set = set(zip(edf["doc_id_a"], edf["doc_id_b"]))
+    for p, qq, nc, sc in aa.itertuples(index=False):
+        assert (p, qq) not in edge_set, (p, qq)
+        common = adj[p] & adj[qq]
+        assert len(common) == nc, (p, qq, nc, len(common))
+        want = sum(1.0 / np.log(len(adj[z])) for z in common)
+        assert abs(sc - want) < 5e-6, (p, qq, sc, want)
+    assert float(pl["alpha"].iloc[0]) > 1.0
+
     print(json.dumps({
         "n_edges": n_edges, "n_nodes_out": len(h2),
         "n_triangles": n_triangles,
         "clustering_coefficient_sec": round(t_cc, 1),
         "harmonic_2hop_sec": round(t_h2, 1),
         "triangles_sec": round(t_tri, 1),
+        "adamic_adar_sec": round(t_aa, 1),
+        "degree_powerlaw_sec": round(t_pl, 1),
+        "powerlaw_alpha": float(pl["alpha"].iloc[0]),
         "rss_before_mb": round(rss0), "rss_after_mb": round(_rss_mb()),
         "spot_checked": args.spot, "all_invariants": "pass"}))
     ray.shutdown()
