@@ -565,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_label_purity": similarity.knn_label_purity,  # rows-only (approx kNN graph; planted pytest)
         "q_lof_outliers": similarity.lof_outliers,  # rows-only (approx kNN graph; dense-reference pytest)
         "q_label_propagation": similarity.label_propagation_knn,  # rows-only (iterative propagation; planted pytest)
+        "q_source_modularity": lambda sf: dedup.source_modularity(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4669,6 +4671,26 @@ def oracle_sql() -> dict[str, str]:
             "r.ar AS n_docs_at_risk, "
             "ROUND(CAST(r.ar AS DOUBLE) / CAST(t.n AS DOUBLE), 6) "
             "AS risk_fraction FROM t, r"
+        ),
+        "q_source_modularity": (
+            # Newman Q of the source partition over the near-dup graph
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "e AS (SELECT pairs.doc_id_a, pairs.doc_id_b, "
+            "da.source AS sa, db.source AS sb FROM pairs "
+            "JOIN documents da ON pairs.doc_id_a = da.doc_id "
+            "JOIN documents db ON pairs.doc_id_b = db.doc_id), "
+            "cells AS (SELECT sa AS community, "
+            "CASE WHEN sa = sb THEN 1 ELSE 0 END AS ee, 1 AS d FROM e "
+            "UNION ALL SELECT sb, 0, 1 FROM e), "
+            "g AS (SELECT community, CAST(SUM(ee) AS BIGINT) AS e, "
+            "CAST(SUM(d) AS BIGINT) AS d FROM cells GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(d) AS BIGINT) // 2 AS m, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM g) "
+            "SELECT t.k AS n_communities, t.m AS n_edges, "
+            "ROUND(SUM(CAST(g.e AS DOUBLE) / CAST(t.m AS DOUBLE) "
+            "- POWER(CAST(g.d AS DOUBLE) "
+            "/ (2.0 * CAST(t.m AS DOUBLE)), 2)), 6) AS modularity "
+            "FROM g, t WHERE t.m > 0 GROUP BY 1, 2"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

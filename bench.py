@@ -306,6 +306,7 @@ QUERY_NAMES = [
     "q_knn_label_purity",
     "q_lof_outliers",
     "q_label_propagation",
+    "q_source_modularity",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

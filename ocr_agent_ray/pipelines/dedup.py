@@ -2914,3 +2914,92 @@ def dup_graph_degree_powerlaw(docs, *, threshold: float = 0.5,
         "n_nodes": [n], "d_max": [np.int64(g["dmax"].iloc[0])],
         "alpha": round_half_away(
             np.array([1.0 + np.float64(n) / s]), 6)})
+
+
+def source_modularity(sf_dir: str, *, threshold: float = 0.5,
+                      num_buckets: int = 16, pairs=None):
+    """Newman modularity of the SOURCE partition over the near-dup
+    graph — 'does duplication live within sources or across them?'
+    (high Q: each source duplicates internally, per-source dedup is
+    enough; Q ≈ 0: cross-source template reuse, dedup must be global):
+
+        Q = Σ_c (e_c / m − (d_c / 2m)²)
+
+    with e_c the intra-community edge count, d_c the community degree
+    sum, m the edge total. Distributed shape: two bucketed hash joins
+    attach each endpoint's source to the shared pair table, then ONE
+    mergeable per-source fold of (intra-edges, degree) — |sources|×2
+    ints reach the driver. Columns: n_communities, n_edges,
+    modularity."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+    from ocr_agent_ray.sources.readers import read_table
+
+    if pairs is None:
+        docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+        pairs = ngram_jaccard_all_pairs(docs, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda b: b[["doc_id_a", "doc_id_b"]],
+        batch_format="pandas", batch_size=65536)
+    src = read_table(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "doc_id_a": b["doc_id"].astype("int64"),
+            "src_a": b["source"]}),
+            batch_format="pandas", batch_size=65536)
+    src_b = read_table(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "doc_id_b": b["doc_id"].astype("int64"),
+            "src_b": b["source"]}),
+            batch_format="pandas", batch_size=65536)
+    j1 = bucket_hash_join(
+        edges, src, on="doc_id_a", num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id_a", pa.int64()),
+                               ("doc_id_b", pa.int64())]),
+        right_schema=pa.schema([("doc_id_a", pa.int64()),
+                                ("src_a", pa.string())]))
+    j2 = bucket_hash_join(
+        j1, src_b, on="doc_id_b", num_buckets=num_buckets,
+        left_schema=pa.schema([("doc_id_a", pa.int64()),
+                               ("doc_id_b", pa.int64()),
+                               ("src_a", pa.string())]),
+        right_schema=pa.schema([("doc_id_b", pa.int64()),
+                                ("src_b", pa.string())]))
+
+    def _cells(b: pd.DataFrame) -> pd.DataFrame:
+        intra = pd.DataFrame({
+            "community": b["src_a"],
+            "e": (b["src_a"] == b["src_b"]).astype("int64"),
+            "d": np.int64(1)})
+        other = pd.DataFrame({
+            "community": b["src_b"],
+            "e": np.zeros(len(b), np.int64),
+            "d": np.int64(1)})
+        return pd.concat([intra, other], ignore_index=True)
+
+    g = combine_partials_driver(
+        j2.map_batches(_cells, batch_format="pandas",
+                       batch_size=65536),
+        ["community"], {"e": ("e", "sum"), "d": ("d", "sum")})
+    empty = pd.DataFrame({
+        "n_communities": pd.Series(dtype="int64"),
+        "n_edges": pd.Series(dtype="int64"),
+        "modularity": pd.Series(dtype="float64")})
+    if g.empty:
+        return empty
+    g = g.sort_values("community").reset_index(drop=True)
+    e = g["e"].to_numpy(np.int64)
+    d = g["d"].to_numpy(np.int64)
+    m = np.int64(d.sum()) // 2
+    if m == 0:
+        return empty
+    mf = np.float64(m)
+    q = float((e.astype(np.float64) / mf
+               - (d.astype(np.float64) / (2.0 * mf)) ** 2).sum())
+    return pd.DataFrame({
+        "n_communities": [np.int64(len(g))],
+        "n_edges": [m],
+        "modularity": round_half_away(np.array([q]), 6)})

@@ -828,3 +828,28 @@ def test_label_propagation_separated_clusters(ray_session, tmp_path):
     assert got.loc[0, "accuracy"] == 1.0
     assert got.loc[1, "accuracy"] == 1.0
     assert int(got["n_heldout"].sum()) == 40
+
+
+def test_source_modularity_planted(ray_session, tmp_path):
+    """Two communities, all edges intra: with equal degree sums
+    Q = 1 - 2*(1/2)^2 = 0.5; fully mixed edges score 0 or below."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import source_modularity
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["x"] * 4, "lang": ["en"] * 4,
+        "source": ["A", "A", "B", "B"], "n_chars": [1] * 4})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    intra = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [0, 2], "doc_id_b": [1, 3]}))
+    got = source_modularity(str(tmp_path), pairs=intra)
+    assert got["n_edges"].tolist() == [2]
+    assert got["modularity"].tolist() == [0.5]
+
+    cross = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [0, 1], "doc_id_b": [2, 3]}))
+    got = source_modularity(str(tmp_path), pairs=cross)
+    assert got["modularity"].iloc[0] <= 0.0
