@@ -567,6 +567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_label_propagation": similarity.label_propagation_knn,  # rows-only (iterative propagation; planted pytest)
         "q_source_modularity": lambda sf: dedup.source_modularity(
             sf, pairs=dedup.shared_ngram_pairs(sf)),
+        "q_gram_novelty": text.gram_novelty,
+        "q_langid_confusion": text.langid_confusion,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4691,6 +4693,58 @@ def oracle_sql() -> dict[str, str]:
             "- POWER(CAST(g.d AS DOUBLE) "
             "/ (2.0 * CAST(t.m AS DOUBLE)), 2)), 6) AS modularity "
             "FROM g, t WHERE t.m > 0 GROUP BY 1, 2"
+        ),
+        "q_gram_novelty": (
+            # fraction of a doc's distinct 4-grams first seen there
+            # (first = MIN doc_id); same shingling as the pairs CTEs
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '[0-9a-z_]+') t "
+            "FROM documents), "
+            "g0 AS (SELECT doc_id, t, unnest(range(1, len(t)-2)) i "
+            "FROM toks WHERE len(t) >= 4), "
+            "sh AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[i:i+3], ' ') g FROM g0), "
+            "fst AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY 1), "
+            "d AS (SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) "
+            "AS n_grams, CAST(SUM(CASE WHEN fst.fd = sh.doc_id "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_novel "
+            "FROM sh JOIN fst ON sh.g = fst.g GROUP BY 1) "
+            "SELECT doc_id, n_grams, n_novel, "
+            "ROUND(CAST(n_novel AS DOUBLE) "
+            "/ CAST(n_grams AS DOUBLE), 6) AS novelty FROM d "
+            "ORDER BY doc_id"
+        ),
+        "q_langid_confusion": (
+            # (true, predicted) crosstab over the NB classifier — the
+            # q_naive_bayes_langid CTE chain with a final GROUP BY
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS word "
+            "FROM documents), "
+            "dwc AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM tok GROUP BY 1, 2), "
+            "cw AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM tok GROUP BY 1, 2), "
+            "tl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS t "
+            "FROM tok GROUP BY 1), "
+            "v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v "
+            "FROM tok), "
+            "pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd "
+            "FROM documents GROUP BY 1), "
+            "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+            "sc AS (SELECT dwc.doc_id, pri.lang AS cand, "
+            "ln(pri.nd * 1.0 / nt.n) + SUM(dwc.n * "
+            "ln((COALESCE(cw.c, 0) + 1.0) / (tl.t + v.v))) AS score "
+            "FROM dwc CROSS JOIN pri CROSS JOIN nt CROSS JOIN v "
+            "JOIN tl ON tl.lang = pri.lang "
+            "LEFT JOIN cw ON cw.lang = pri.lang AND cw.word = dwc.word "
+            "GROUP BY dwc.doc_id, pri.lang, pri.nd, nt.n), "
+            "rk AS (SELECT doc_id, cand, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY ROUND(score, 6) DESC, cand ASC) AS r FROM sc) "
+            "SELECT d.lang, rk.cand AS pred_lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM rk JOIN documents d ON d.doc_id = rk.doc_id "
+            "WHERE rk.r = 1 GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

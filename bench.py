@@ -307,6 +307,8 @@ QUERY_NAMES = [
     "q_lof_outliers",
     "q_label_propagation",
     "q_source_modularity",
+    "q_gram_novelty",
+    "q_langid_confusion",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

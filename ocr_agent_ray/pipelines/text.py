@@ -3695,3 +3695,87 @@ def k_anonymity_audit(sf_dir: str, *, k: int = 5):
         "n_docs_at_risk": [at_risk],
         "risk_fraction": round_half_away(
             np.array([np.float64(at_risk) / np.float64(n)]), 6)})
+
+
+def gram_novelty(sf_dir: str, *, n: int = 4):
+    """Per-document n-gram novelty — the marginal-contribution
+    curation score: what fraction of a doc's distinct word 4-grams
+    make their FIRST corpus appearance in this doc (first = lowest
+    doc_id)? Novelty ≈ 1: fresh content; ≈ 0: everything already seen
+    — the streaming-admission analogue of dedup, as a score instead of
+    a drop. Distributed shape (the ``ngram_jaccard_all_pairs``
+    substrate): per-batch distinct gram hashes → bucketed MIN-doc fold
+    per gram → ONE bucketed hash join back → per-doc count fold; the
+    gram space never centralizes. Gram hashes stand in for gram
+    strings (64-bit, collisions immaterial — the oracled
+    q_ngram_jaccard precedent). Docs with < n tokens have no grams and
+    are absent on both sides. Columns: doc_id, n_grams, n_novel,
+    novelty."""
+    import pyarrow as pa
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import hash_partition_aggregate
+    from ocr_agent_ray.pipelines.dedup import _word_ngram_hash_sets
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    def _bands(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = _word_ngram_hash_sets(batch["text"], n)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "gram": np.concatenate(hs).astype(np.int64)
+            if hs else np.empty(0, np.int64),
+            "doc_id": np.repeat(ids, [len(h) for h in hs])})
+
+    bands = _read_documents(sf_dir).map_batches(
+        _bands, batch_format="pandas", batch_size=4096).materialize()
+    first = hash_partition_aggregate(
+        bands, ["gram"], {"fd": ("doc_id", "min")})
+    j = bucket_hash_join(
+        bands, first, on="gram", num_buckets=16,
+        left_schema=pa.schema([("gram", pa.int64()),
+                               ("doc_id", pa.int64())]),
+        right_schema=pa.schema([("gram", pa.int64()),
+                                ("fd", pa.int64())]))
+    per_doc = hash_partition_aggregate(
+        j.map_batches(lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_grams": np.int64(1),
+            "n_novel": (b["fd"] == b["doc_id"]).astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_novel": ("n_novel", "sum")})
+    return per_doc.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_grams": b["n_grams"].astype("int64"),
+            "n_novel": b["n_novel"].astype("int64"),
+            "novelty": round_half_away(
+                b["n_novel"].to_numpy(np.int64).astype(np.float64)
+                / b["n_grams"].to_numpy(np.int64).astype(np.float64),
+                6)}),
+        batch_format="pandas", batch_size=65536)
+
+
+def langid_confusion(sf_dir: str):
+    """Confusion matrix of the Naive Bayes language classifier against
+    the labeled ``lang`` column — the evaluation closing the loop on
+    ``naive_bayes_langid`` ('WHERE does the classifier err, not just
+    how often?'). The classifier runs distributed as usual; the
+    (true, predicted) crosstab folds as mergeable count partials over
+    the bounded |langs|² key space. Columns: lang, pred_lang, n."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    preds = naive_bayes_langid(sf_dir)
+    if isinstance(preds, pd.DataFrame):
+        out = (preds.groupby(["lang", "pred_lang"], sort=True)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+    out = combine_partials_driver(
+        preds.map_batches(lambda b: pd.DataFrame({
+            "lang": b["lang"], "pred_lang": b["pred_lang"],
+            "n": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["lang", "pred_lang"], {"n": ("n", "sum")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)

@@ -853,3 +853,35 @@ def test_source_modularity_planted(ray_session, tmp_path):
         "doc_id_a": [0, 1], "doc_id_b": [2, 3]}))
     got = source_modularity(str(tmp_path), pairs=cross)
     assert got["modularity"].iloc[0] <= 0.0
+
+
+def test_gram_novelty_planted(ray_session, tmp_path):
+    """doc0 introduces all its grams (novelty 1); doc1 repeats doc0
+    verbatim (novelty 0); doc2 is half-new."""
+    from ocr_agent_ray.pipelines.text import gram_novelty
+
+    base = "alpha beta gamma delta"            # one 4-gram
+    half = "alpha beta gamma delta epsilon"    # grams: old + 1 new
+    _write_docs(tmp_path, [base, base, half], ["s", "s", "s"])
+    got = gram_novelty(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[0, "novelty"] == 1.0
+    assert got.loc[1, "novelty"] == 0.0
+    assert got.loc[2, "n_grams"] == 2
+    assert got.loc[2, "n_novel"] == 1
+    assert got.loc[2, "novelty"] == 0.5
+
+
+def test_langid_confusion_diagonal_mass(ray_session):
+    """Counts sum to the classified-doc total and the crosstab keys
+    are within the observed language sets."""
+    from ocr_agent_ray.pipelines.text import (langid_confusion,
+                                              naive_bayes_langid)
+
+    got = langid_confusion("/root/testdata/sf0.001")
+    preds = naive_bayes_langid("/root/testdata/sf0.001")
+    preds = preds.to_pandas() if hasattr(preds, "to_pandas") else preds
+    assert int(got["n"].sum()) == len(preds)
+    want = (preds.groupby(["lang", "pred_lang"]).size()
+            .reset_index(name="n"))
+    m = got.merge(want, on=["lang", "pred_lang"], suffixes=("", "_w"))
+    assert (m["n"] == m["n_w"]).all() and len(m) == len(got)
