@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, pairs=dedup.shared_ngram_pairs(sf)),
         "q_gram_novelty": text.gram_novelty,
         "q_langid_confusion": text.langid_confusion,
+        "q_fisher_exact": streaming.fisher_exact_conversion,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4745,6 +4746,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM rk JOIN documents d ON d.doc_id = rk.doc_id "
             "WHERE rk.r = 1 GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "q_fisher_exact": (
+            # one-sided hypergeometric tail P(X >= a) via lgamma over
+            # generate_series; same per-user MAX fold as the z-test
+            "WITH u AS (SELECT user_id, "
+            "CAST(user_id % 2 AS BIGINT) AS arm, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM events GROUP BY 1), "
+            "ar AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1), "
+            "w AS (SELECT "
+            "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
+            "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
+            "MAX(CASE WHEN arm = 0 THEN c END) AS a, "
+            "MAX(CASE WHEN arm = 1 THEN c END) AS c FROM ar), "
+            "m AS (SELECT n_a, n_b, a, c, n_a + n_b AS n, "
+            "n_a AS r1, a + c AS c1, n_a - a AS b, n_b - c AS d "
+            "FROM w), "
+            "ks AS (SELECT m.*, unnest(generate_series(m.a, "
+            "LEAST(m.r1, m.c1))) AS k FROM m), "
+            "tp AS (SELECT n_a, n_b, a, c, b, d, "
+            "exp(lgamma(r1 + 1) - lgamma(k + 1) "
+            "- lgamma(r1 - k + 1) + lgamma(n - r1 + 1) "
+            "- lgamma(c1 - k + 1) - lgamma(n - r1 - c1 + k + 1) "
+            "- (lgamma(n + 1) - lgamma(c1 + 1) "
+            "- lgamma(n - c1 + 1))) AS pk "
+            "FROM ks WHERE c1 - k <= n - r1) "
+            "SELECT n_a, n_b, a AS conv_a, c AS conv_b, "
+            "CASE WHEN b * c = 0 THEN NULL ELSE "
+            "ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) "
+            "END AS odds_ratio, "
+            "ROUND(SUM(pk), 6) AS p_one_sided "
+            "FROM tp GROUP BY 1, 2, 3, 4, 5"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -309,6 +309,7 @@ QUERY_NAMES = [
     "q_source_modularity",
     "q_gram_novelty",
     "q_langid_confusion",
+    "q_fisher_exact",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

@@ -3036,3 +3036,79 @@ def absorbing_time_to_event(sf_dir: str, *, target: str = "purchase"):
     return pd.DataFrame(out, columns=["event_type", "reachable",
                                       "expected_steps"]) \
         .astype({"reachable": "int64"})
+
+
+def fisher_exact_conversion(sf_dir: str, *,
+                            convert_type: str = "purchase"):
+    """One-sided Fisher's exact test on the arm × conversion 2×2 table
+    (arm = user_id % 2, the ``ab_test_zscore`` split) — the EXACT
+    small-sample inference the normal-approximation z-test can't give
+    when counts are tiny: P(X ≥ a) under the hypergeometric null,
+
+        ln P(k) = lnC(r1, k) + lnC(n − r1, c1 − k) − lnC(n, c1)
+
+    summed over the upper tail k = a..min(r1, c1) via lgamma (the
+    one-SIDED tail needs no p-value threshold comparisons, so there is
+    no borderline-inclusion float hazard). Distributed shape: the same
+    bucketed per-user MAX fold as the z-test; four ints reach the
+    driver and the bounded tail sum (≤ min(arm size, converters)
+    terms) closes there — the twin replays it with generate_series +
+    lgamma, identical float nesting. Columns: n_a, n_b, conv_a,
+    conv_b, odds_ratio, p_one_sided."""
+    import math
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, ("user_id", "event_type"))
+    per_user = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "conv": (b["event_type"] == convert_type).astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id"], {"converted": ("conv", "max")})
+    arms = combine_partials_driver(
+        per_user.map_batches(lambda b: pd.DataFrame({
+            "arm": b["user_id"].to_numpy(np.int64) % 2,
+            "n": np.int64(1),
+            "c": b["converted"].astype("int64")}),
+            batch_format="pandas"),
+        ["arm"], {"n": ("n", "sum"), "c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "conv_a": pd.Series(dtype="int64"),
+        "conv_b": pd.Series(dtype="int64"),
+        "odds_ratio": pd.Series(dtype="float64"),
+        "p_one_sided": pd.Series(dtype="float64")})
+    if len(arms) < 2:
+        return empty
+    arms = arms.sort_values("arm")
+    n_a, n_b = (int(x) for x in arms["n"].to_numpy())
+    a, cb = (int(x) for x in arms["c"].to_numpy())
+    b = n_a - a
+    c = cb
+    d = n_b - cb
+    n = n_a + n_b
+    r1, c1 = n_a, a + c
+    lden = (math.lgamma(n + 1) - math.lgamma(c1 + 1)
+            - math.lgamma(n - c1 + 1))
+    p = np.float64(0.0)
+    for k in range(a, min(r1, c1) + 1):
+        if c1 - k > n - r1:
+            continue
+        lp = (math.lgamma(r1 + 1) - math.lgamma(k + 1)
+              - math.lgamma(r1 - k + 1)
+              + math.lgamma(n - r1 + 1) - math.lgamma(c1 - k + 1)
+              - math.lgamma(n - r1 - c1 + k + 1) - lden)
+        p = p + np.float64(math.exp(lp))
+    # b*c == 0 -> undefined (NULL in the twin, NaN here — both
+    # materialize as NaN through the driver's pandas read)
+    orr = (np.nan if b * c == 0
+           else np.float64(a * d) / np.float64(b * c))
+    return pd.DataFrame({
+        "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+        "conv_a": [np.int64(a)], "conv_b": [np.int64(c)],
+        "odds_ratio": round_half_away(np.array([orr]), 6),
+        "p_one_sided": round_half_away(np.array([p]), 6)})

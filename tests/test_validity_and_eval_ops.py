@@ -885,3 +885,27 @@ def test_langid_confusion_diagonal_mass(ray_session):
             .reset_index(name="n"))
     m = got.merge(want, on=["lang", "pred_lang"], suffixes=("", "_w"))
     assert (m["n"] == m["n_w"]).all() and len(m) == len(got)
+
+
+def test_fisher_exact_matches_scipy_style_reference(ray_session,
+                                                    tmp_path):
+    """Hand hypergeometric: arms of 4 users each, 3 vs 1 converters ->
+    upper tail P(X >= 3) = (C(4,3)C(4,1) + C(4,4)C(4,0)) / C(8,4)
+    = 17/70; odds ratio (3*3)/(1*1) = 9."""
+    from ocr_agent_ray.pipelines.streaming import fisher_exact_conversion
+
+    rows = []
+    # arm = user_id % 2: even users arm A, odd users arm B
+    for uid in range(8):
+        arm_a = uid % 2 == 0
+        converts = (uid in (0, 2, 4)) if arm_a else (uid == 1)
+        rows.append((len(rows), pd.Timestamp("2024-01-01"), uid,
+                     "purchase" if converts else "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = fisher_exact_conversion(str(tmp_path))
+    assert got["conv_a"].tolist() == [3]
+    assert got["conv_b"].tolist() == [1]
+    assert got["odds_ratio"].tolist() == [9.0]
+    assert got["p_one_sided"].tolist() == [round(17.0 / 70.0, 6)]
