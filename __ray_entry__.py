@@ -570,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gram_novelty": text.gram_novelty,
         "q_langid_confusion": text.langid_confusion,
         "q_fisher_exact": streaming.fisher_exact_conversion,
+        "q_bayes_ab": streaming.bayes_ab_conversion,
+        "q_twonn_dimension": similarity.twonn_intrinsic_dimension,  # rows-only (approx kNN graph; planted pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4779,6 +4781,35 @@ def oracle_sql() -> dict[str, str]:
             "END AS odds_ratio, "
             "ROUND(SUM(pk), 6) AS p_one_sided "
             "FROM tp GROUP BY 1, 2, 3, 4, 5"
+        ),
+        "q_bayes_ab": (
+            # P(p_B > p_A) under Beta(1,1) priors — Evan Miller's exact
+            # sum via lgamma over generate_series; same per-user fold
+            "WITH u AS (SELECT user_id, "
+            "CAST(user_id % 2 AS BIGINT) AS arm, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM events GROUP BY 1), "
+            "ar AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1), "
+            "w AS (SELECT "
+            "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
+            "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
+            "MAX(CASE WHEN arm = 0 THEN c END) AS ca, "
+            "MAX(CASE WHEN arm = 1 THEN c END) AS cb FROM ar), "
+            "m AS (SELECT n_a, n_b, ca, cb, "
+            "ca + 1 AS aa, n_a - ca + 1 AS ba, "
+            "cb + 1 AS ab, n_b - cb + 1 AS bb FROM w), "
+            "ks AS (SELECT m.*, unnest(generate_series(0, m.ab - 1)) "
+            "AS i FROM m), "
+            "tp AS (SELECT n_a, n_b, ca, cb, "
+            "exp((lgamma(aa + i) + lgamma(ba + bb) "
+            "- lgamma(aa + i + ba + bb)) - ln(bb + i) "
+            "- (lgamma(1 + i) + lgamma(bb) - lgamma(1 + i + bb)) "
+            "- (lgamma(aa) + lgamma(ba) - lgamma(aa + ba))) AS pk "
+            "FROM ks) "
+            "SELECT n_a, n_b, ca AS conv_a, cb AS conv_b, "
+            "ROUND(SUM(pk), 6) AS p_b_beats_a "
+            "FROM tp GROUP BY 1, 2, 3, 4"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -310,6 +310,8 @@ QUERY_NAMES = [
     "q_gram_novelty",
     "q_langid_confusion",
     "q_fisher_exact",
+    "q_bayes_ab",
+    "q_twonn_dimension",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

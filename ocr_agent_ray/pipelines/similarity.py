@@ -2207,3 +2207,59 @@ def label_propagation_knn(sf_dir: str, *, k: int = 5, iters: int = 3,
             np.where(lab > 0, acc.astype(np.float64)
                      / np.maximum(lab.astype(np.float64), 1.0), 0.0),
             6)})
+
+
+def twonn_intrinsic_dimension(sf_dir: str):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold under cosine distance — 'how many effective
+    degrees of freedom do these vectors use?' (an ID far below the
+    ambient dim flags redundant embedding capacity; it also sets how
+    aggressively PQ/IVF can compress):
+
+        ID = n / Σ_i ln(r2_i / r1_i)
+
+    (the MLE form) over each vector's first/second neighbor distances.
+    Rides ``knn_graph_ivf`` (rows-only — approximate by design): the
+    rank-1/rank-2 rows pivot per vector in one bucketed fold; vectors
+    with r1 = 0 (exact duplicates) or missing rank-2 drop, as the
+    estimator requires. Columns: n_used, ambient_dim, intrinsic_dim."""
+    import pyarrow.parquet as pq
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    graph = knn_graph_ivf(sf_dir, k=2)
+    folded = combine_partials_driver(
+        graph.map_batches(lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"].astype("int64"),
+            "rank": b["rank"].astype("int64"),
+            "d": 1.0 - b["cosine"].to_numpy(np.float64)}),
+            batch_format="pandas", batch_size=65536),
+        ["vec_id", "rank"], {"d": ("d", "min")})
+    piv = folded.pivot_table(index="vec_id", columns="rank",
+                             values="d", aggfunc="min")
+    if 1 not in piv.columns or 2 not in piv.columns:
+        return pd.DataFrame({
+            "n_used": pd.Series(dtype="int64"),
+            "ambient_dim": pd.Series(dtype="int64"),
+            "intrinsic_dim": pd.Series(dtype="float64")})
+    r1 = piv[1].to_numpy(np.float64)
+    r2 = piv[2].to_numpy(np.float64)
+    keep = np.isfinite(r1) & np.isfinite(r2) & (r1 > 0) & (r2 > r1)
+    mu = np.log(r2[keep] / r1[keep])
+    # ambient dim from the first row-group's first row only
+    amb = len(next(iter(pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").iter_batches(
+            batch_size=1, columns=["embedding"])))
+        .column("embedding")[0].as_py())
+    n = int(keep.sum())
+    if n == 0 or mu.sum() <= 0:
+        return pd.DataFrame({
+            "n_used": pd.Series(dtype="int64"),
+            "ambient_dim": pd.Series(dtype="int64"),
+            "intrinsic_dim": pd.Series(dtype="float64")})
+    return pd.DataFrame({
+        "n_used": [np.int64(n)],
+        "ambient_dim": [np.int64(amb)],
+        "intrinsic_dim": round_half_away(
+            np.array([np.float64(n) / np.float64(mu.sum())]), 6)})

@@ -3112,3 +3112,69 @@ def fisher_exact_conversion(sf_dir: str, *,
         "conv_a": [np.int64(a)], "conv_b": [np.int64(c)],
         "odds_ratio": round_half_away(np.array([orr]), 6),
         "p_one_sided": round_half_away(np.array([p]), 6)})
+
+
+def bayes_ab_conversion(sf_dir: str, *,
+                        convert_type: str = "purchase"):
+    """Bayesian A/B analysis of the arm conversion rates — the
+    posterior probability P(p_B > p_A) under independent uniform
+    (Beta(1,1)) priors, in closed form (Evan Miller's identity, exact
+    for integer counts):
+
+        P(p_B > p_A) = Σ_{i=0}^{a_B−1} B(a_A+i, b_A+b_B)
+                       / ((b_B+i) · B(1+i, b_B) · B(a_A, b_A))
+
+    with a = conversions + 1, b = non-conversions + 1 and
+    ln B(x, y) = lgamma(x) + lgamma(y) − lgamma(x+y). The decision
+    number experimenters actually want ('probability B beats A'),
+    complementing the frequentist z and Fisher tests. Same bucketed
+    per-user MAX fold; the bounded Σ (≤ conversions_B + 1 terms)
+    closes on the driver; the twin replays it with generate_series +
+    lgamma. Columns: n_a, n_b, conv_a, conv_b, p_b_beats_a."""
+    import math
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, ("user_id", "event_type"))
+    per_user = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "conv": (b["event_type"] == convert_type).astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id"], {"converted": ("conv", "max")})
+    arms = combine_partials_driver(
+        per_user.map_batches(lambda b: pd.DataFrame({
+            "arm": b["user_id"].to_numpy(np.int64) % 2,
+            "n": np.int64(1),
+            "c": b["converted"].astype("int64")}),
+            batch_format="pandas"),
+        ["arm"], {"n": ("n", "sum"), "c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "conv_a": pd.Series(dtype="int64"),
+        "conv_b": pd.Series(dtype="int64"),
+        "p_b_beats_a": pd.Series(dtype="float64")})
+    if len(arms) < 2:
+        return empty
+    arms = arms.sort_values("arm")
+    n_a, n_b = (int(x) for x in arms["n"].to_numpy())
+    ca, cb = (int(x) for x in arms["c"].to_numpy())
+    aa, ba = ca + 1, n_a - ca + 1
+    ab, bb = cb + 1, n_b - cb + 1
+
+    def lbeta(x: float, y: float) -> float:
+        return (math.lgamma(x) + math.lgamma(y)
+                - math.lgamma(x + y))
+
+    p = np.float64(0.0)
+    for i in range(ab):
+        p = p + np.float64(math.exp(
+            lbeta(aa + i, ba + bb)
+            - math.log(bb + i) - lbeta(1 + i, bb) - lbeta(aa, ba)))
+    return pd.DataFrame({
+        "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+        "conv_a": [np.int64(ca)], "conv_b": [np.int64(cb)],
+        "p_b_beats_a": round_half_away(np.array([p]), 6)})
