@@ -974,3 +974,71 @@ def test_twonn_dimension_planted_manifold(ray_session, tmp_path):
     assert got["ambient_dim"].tolist() == [16]
     assert got["n_used"].iloc[0] > 100
     assert 0.5 < got["intrinsic_dim"].iloc[0] < 8.0
+
+
+def test_fisher_exact_matches_rational_arithmetic(ray_session,
+                                                  tmp_path):
+    """The lgamma tail sum agrees with the EXACT rational
+    hypergeometric sum (math.comb + Fraction) to 1e-12 on several
+    planted tables."""
+    from fractions import Fraction
+    from math import comb
+
+    from ocr_agent_ray.pipelines.streaming import fisher_exact_conversion
+
+    cases = [(5, 2, 6, 1), (4, 3, 4, 1), (7, 5, 6, 2), (3, 0, 3, 2)]
+    for n_a, ca, n_b, cb in cases:
+        rows = []
+        eid = 0
+        for uid_half in range(max(n_a, n_b)):
+            for arm, (nn, cc) in enumerate(((n_a, ca), (n_b, cb))):
+                if uid_half >= nn:
+                    continue
+                uid = uid_half * 2 + arm
+                conv = uid_half < cc
+                rows.append((eid, pd.Timestamp("2024-01-01"), uid,
+                             "purchase" if conv else "view", 0.0))
+                eid += 1
+        _write_events(tmp_path, pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value"]))
+        got = fisher_exact_conversion(str(tmp_path))
+        n = n_a + n_b
+        r1, c1 = n_a, ca + cb
+        want = Fraction(0)
+        for k in range(ca, min(r1, c1) + 1):
+            if c1 - k > n - r1:
+                continue
+            want += Fraction(comb(r1, k) * comb(n - r1, c1 - k),
+                             comb(n, c1))
+        assert abs(got["p_one_sided"].iloc[0] - float(want)) < 1e-6, \
+            (n_a, ca, n_b, cb, got["p_one_sided"].iloc[0], float(want))
+
+
+def test_isotonic_is_optimal_against_perturbation(ray_session,
+                                                  tmp_path):
+    """PAVA output minimizes weighted squared error among monotone
+    fits: any small monotone perturbation scores no better."""
+    from ocr_agent_ray.pipelines.relational import (
+        isotonic_conversion_curve)
+
+    rng = np.random.RandomState(17)
+    rows = []
+    for v in range(1, 13):
+        n = int(rng.randint(2, 6))
+        k = int(rng.randint(0, n + 1))
+        for i in range(n):
+            rows.append(("purchase" if i < k else "view", float(v)))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_type", "value"]))
+    got = isotonic_conversion_curve(str(tmp_path))
+    w = got["n"].to_numpy(np.float64)
+    y = got["rate_raw"].to_numpy(np.float64)
+    f = got["rate_iso"].to_numpy(np.float64)
+    assert (np.diff(f) >= -1e-12).all()
+    base = float((w * (y - f) ** 2).sum())
+    for _ in range(200):
+        g = f + rng.randn(len(f)) * 0.01
+        g = np.maximum.accumulate(g)          # force monotone
+        g = np.clip(g, 0.0, 1.0)
+        assert float((w * (y - g) ** 2).sum()) >= base - 1e-9
