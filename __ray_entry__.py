@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fisher_exact": streaming.fisher_exact_conversion,
         "q_bayes_ab": streaming.bayes_ab_conversion,
         "q_twonn_dimension": similarity.twonn_intrinsic_dimension,  # rows-only (approx kNN graph; planted pytest)
+        "q_cvar_by_type": relational.cvar_by_type,
+        "q_segmented_trend": streaming.segmented_trend_daily,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4810,6 +4812,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_a, n_b, ca AS conv_a, cb AS conv_b, "
             "ROUND(SUM(pk), 6) AS p_b_beats_a "
             "FROM tp GROUP BY 1, 2, 3, 4"
+        ),
+        "q_cvar_by_type": (
+            # VaR via quantile_cont (the type-7 interpolation the
+            # kernel replays), CVaR = tail sum / tail count
+            "WITH vq AS (SELECT event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "quantile_cont(value, 0.95) AS v FROM events GROUP BY 1), "
+            "tail AS (SELECT e.event_type, vq.n, vq.v, "
+            "CAST(COUNT(*) AS BIGINT) AS nt, SUM(e.value) AS s "
+            "FROM events e JOIN vq ON e.event_type = vq.event_type "
+            "WHERE e.value >= vq.v GROUP BY 1, 2, 3) "
+            "SELECT event_type, n, ROUND(v, 6) AS var_q, "
+            "ROUND(s / CAST(nt AS DOUBLE), 6) AS cvar_q, "
+            "nt AS n_tail FROM tail WHERE n >= 2 ORDER BY event_type"
+        ),
+        "q_segmented_trend": (
+            # one-breakpoint piecewise OLS over the observed-day
+            # series; exact-int prefix windows, pinned slope/SSE
+            # nesting, argmin ties -> earliest day
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "s0 AS (SELECT day, c, row_number() OVER (ORDER BY day) "
+            "AS rn FROM d), "
+            "s AS (SELECT day, c, rn, SUM(rn) OVER w AS pt, "
+            "SUM(rn * rn) OVER w AS ptt, SUM(c) OVER w AS py, "
+            "SUM(rn * c) OVER w AS pty, SUM(c * c) OVER w AS pyy "
+            "FROM s0 WINDOW w AS (ORDER BY rn)), "
+            "tot AS (SELECT MAX(rn) AS n, MAX(pt) AS tpt, "
+            "MAX(ptt) AS tptt, MAX(py) AS tpy, MAX(pty) AS tpty, "
+            "MAX(pyy) AS tpyy FROM s), "
+            "cand AS (SELECT s.rn AS b, s.day, "
+            "CAST(s.rn AS DOUBLE) AS ml, CAST(s.pt AS DOUBLE) AS sxl, "
+            "CAST(s.ptt AS DOUBLE) AS sxxl, "
+            "CAST(s.py AS DOUBLE) AS syl, "
+            "CAST(s.pty AS DOUBLE) AS sxyl, "
+            "CAST(s.pyy AS DOUBLE) AS syyl, "
+            "CAST(tot.n - s.rn AS DOUBLE) AS mr, "
+            "CAST(tot.tpt - s.pt AS DOUBLE) AS sxr, "
+            "CAST(tot.tptt - s.ptt AS DOUBLE) AS sxxr, "
+            "CAST(tot.tpy - s.py AS DOUBLE) AS syr, "
+            "CAST(tot.tpty - s.pty AS DOUBLE) AS sxyr, "
+            "CAST(tot.tpyy - s.pyy AS DOUBLE) AS syyr, tot.n AS nn "
+            "FROM s, tot WHERE s.rn >= 2 AND s.rn <= tot.n - 2), "
+            "fit AS (SELECT b, day, nn, "
+            "(ml * sxyl - sxl * syl) / (ml * sxxl - sxl * sxl) AS sll "
+            ", (mr * sxyr - sxr * syr) / (mr * sxxr - sxr * sxr) "
+            "AS slr, ml, mr, sxl, sxr, syl, syr, sxyl, sxyr, syyl, "
+            "syyr FROM cand WHERE ml * sxxl - sxl * sxl <> 0.0 "
+            "AND mr * sxxr - sxr * sxr <> 0.0), "
+            "sse AS (SELECT b, day, nn, sll, slr, "
+            "(syyl - ((syl - sll * sxl) / ml) * syl - sll * sxyl) "
+            "+ (syyr - ((syr - slr * sxr) / mr) * syr - slr * sxyr) "
+            "AS total FROM fit), "
+            "best AS (SELECT *, row_number() OVER "
+            "(ORDER BY total, day) AS rk FROM sse) "
+            "SELECT CAST(nn AS BIGINT) AS n_days, day AS break_day, "
+            "ROUND(total, 6) AS sse_total, ROUND(sll, 6) AS slope_left, "
+            "ROUND(slr, 6) AS slope_right FROM best WHERE rk = 1"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -312,6 +312,8 @@ QUERY_NAMES = [
     "q_fisher_exact",
     "q_bayes_ab",
     "q_twonn_dimension",
+    "q_cvar_by_type",
+    "q_segmented_trend",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

@@ -4879,3 +4879,56 @@ def bottomk_sample_documents(sf_dir: str, *, k: int = 64):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "priority": pd.Series(dtype="int64")})
     return out
+
+
+def cvar_by_type(sf_dir: str, *, q: float = 0.95):
+    """Value-at-Risk and Conditional VaR (expected shortfall) of event
+    ``value`` per type — the tail-risk pair ('the 95th-percentile
+    spend, and the AVERAGE spend once you're past it'; CVaR is the
+    coherent risk measure VaR alone isn't). VaR interpolates at
+    position (n−1)·q (the quantile_cont convention the exact-median
+    family pins); CVaR = mean of values ≥ VaR. One scan folds the
+    bounded (event_type, value) count grid; both statistics close on
+    the driver from exact integer counts (Σ c·v tail sums, one double
+    division). Columns: event_type, n, var_q, cvar_q, n_tail."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "value"], {"c": ("value", "count")})
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "n": pd.Series(dtype="int64"),
+        "var_q": pd.Series(dtype="float64"),
+        "cvar_q": pd.Series(dtype="float64"),
+        "n_tail": pd.Series(dtype="int64")})
+    if not len(vc):
+        return empty
+    rows = []
+    for etype, sub in vc.groupby("event_type", sort=True):
+        sub = sub.sort_values("value")
+        c = sub["c"].to_numpy(np.int64)
+        v = sub["value"].to_numpy(np.float64)
+        n = int(c.sum())
+        if n < 2:
+            continue
+        pos = (np.float64(n) - 1.0) * np.float64(q)
+        lo = int(np.floor(pos))
+        frac = pos - np.float64(lo)
+        cum = np.cumsum(c)
+        v_lo = np.float64(v[np.searchsorted(cum, lo + 1)])
+        v_hi = np.float64(v[np.searchsorted(cum, min(lo + 2, n))])
+        var_q = v_lo + (v_hi - v_lo) * frac
+        tail = v >= var_q
+        n_tail = int(c[tail].sum())
+        cvar = (float((c[tail].astype(np.float64) * v[tail]).sum())
+                / np.float64(n_tail))
+        rows.append((etype, np.int64(n),
+                     float(round_half_away(var_q, 6)),
+                     float(round_half_away(np.float64(cvar), 6)),
+                     np.int64(n_tail)))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["event_type", "n", "var_q",
+                                       "cvar_q", "n_tail"]) \
+        .astype({"n": "int64", "n_tail": "int64"})

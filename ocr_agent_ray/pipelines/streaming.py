@@ -3178,3 +3178,78 @@ def bayes_ab_conversion(sf_dir: str, *,
         "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
         "conv_a": [np.int64(ca)], "conv_b": [np.int64(cb)],
         "p_b_beats_a": round_half_away(np.array([p]), 6)})
+
+
+def segmented_trend_daily(sf_dir: str):
+    """Segmented (one-breakpoint) linear trend of the daily event-count
+    series — piecewise regression: the break day b minimizing
+    SSE(1..b) + SSE(b+1..n) over two independent OLS fits ('when did
+    the growth rate change?' — the regression sibling of the CUSUM
+    level-shift detector). Each candidate's segment statistics come
+    from exact integer PREFIX sums (Σt, Σt², Σy, Σty, Σy² as python
+    ints — int64 overflows on 100 TB daily counts; the twin's HUGEINT
+    windows match), the segment SSE closes by the pinned nesting
+
+        slope = (m·Sxy − Sx·Sy) / (m·Sxx − Sx²),
+        SSE = Syy − icept·Sy − slope·Sxy
+
+    and ties on total SSE break to the earliest day — identical floats
+    both engines, so no rounding is needed before the argmin. Segments
+    need ≥ 2 points (b ∈ 2..n−2). Columns: n_days, break_day,
+    sse_total, slope_left, slope_right."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days": pd.Series(dtype="int64"),
+        "break_day": pd.Series(dtype="datetime64[us]"),
+        "sse_total": pd.Series(dtype="float64"),
+        "slope_left": pd.Series(dtype="float64"),
+        "slope_right": pd.Series(dtype="float64")})
+    n = len(days)
+    if n < 4:
+        return empty
+    y = [int(v) for v in days["c"].to_numpy()]
+    t = list(range(1, n + 1))
+    pt = [0]; ptt = [0]; py = [0]; pty = [0]; pyy = [0]
+    for i in range(n):
+        pt.append(pt[-1] + t[i])
+        ptt.append(ptt[-1] + t[i] * t[i])
+        py.append(py[-1] + y[i])
+        pty.append(pty[-1] + t[i] * y[i])
+        pyy.append(pyy[-1] + y[i] * y[i])
+
+    def seg(i: int, j: int):
+        """OLS stats over t index range [i..j] (1-based inclusive)."""
+        m = np.float64(j - i + 1)
+        sx = np.float64(pt[j] - pt[i - 1])
+        sxx = np.float64(ptt[j] - ptt[i - 1])
+        sy = np.float64(py[j] - py[i - 1])
+        sxy = np.float64(pty[j] - pty[i - 1])
+        syy = np.float64(pyy[j] - pyy[i - 1])
+        det = m * sxx - sx * sx
+        if det == 0.0:
+            return None
+        slope = (m * sxy - sx * sy) / det
+        icept = (sy - slope * sx) / m
+        sse = syy - icept * sy - slope * sxy
+        return slope, sse
+
+    best = None
+    for b in range(2, n - 1):
+        left = seg(1, b)
+        right = seg(b + 1, n)
+        if left is None or right is None:
+            continue
+        total = left[1] + right[1]
+        if best is None or total < best[0]:
+            best = (total, b, left[0], right[0])
+    if best is None:
+        return empty
+    total, b, sl, sr = best
+    return pd.DataFrame({
+        "n_days": [np.int64(n)],
+        "break_day": [days["day"].iloc[b - 1]],
+        "sse_total": round_half_away(np.array([total]), 6),
+        "slope_left": round_half_away(np.array([sl]), 6),
+        "slope_right": round_half_away(np.array([sr]), 6)})

@@ -1042,3 +1042,46 @@ def test_isotonic_is_optimal_against_perturbation(ray_session,
         g = np.maximum.accumulate(g)          # force monotone
         g = np.clip(g, 0.0, 1.0)
         assert float((w * (y - g) ** 2).sum()) >= base - 1e-9
+
+
+def test_cvar_planted_tail(ray_session, tmp_path):
+    """20 values 1..20: VaR95 interpolates at position 18.05 ->
+    19.05; the tail {19.05 <= v} = {20}? No — v >= 19.05 keeps 20
+    only... values 19 < 19.05 so tail = {20}, CVaR = 20."""
+    from ocr_agent_ray.pipelines.relational import cvar_by_type
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 20,
+        "value": [float(i) for i in range(1, 21)]}))
+    got = cvar_by_type(str(tmp_path)).set_index("event_type")
+    pos = 19 * 0.95
+    var = 19.0 + (20.0 - 19.0) * (pos - int(pos))
+    assert got.loc["a", "var_q"] == round(var, 6)
+    assert got.loc["a", "n_tail"] == 1
+    assert got.loc["a", "cvar_q"] == 20.0
+
+
+def test_segmented_trend_planted_kink(ray_session, tmp_path):
+    """Counts rise by 1/day for 10 days then by 5/day: the breakpoint
+    lands at the kink and the slopes recover 1 and 5."""
+    from ocr_agent_ray.pipelines.streaming import segmented_trend_daily
+
+    rows = []
+    level = 5
+    for d in range(20):
+        level += 1 if d < 10 else 5
+        for _ in range(level):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = segmented_trend_daily(str(tmp_path))
+    assert got["n_days"].tolist() == [20]
+    # the kink point lies on BOTH lines (15 -> 20 is already +5), so
+    # b=9 and b=10 both reach SSE 0 and the tie breaks to the EARLIER
+    # day — the pinned argmin order
+    assert str(got["break_day"].iloc[0])[:10] == "2024-01-09"
+    assert got["slope_left"].iloc[0] == 1.0
+    assert got["slope_right"].iloc[0] == 5.0
+    assert got["sse_total"].iloc[0] == 0.0
