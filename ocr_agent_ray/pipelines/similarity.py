@@ -2219,41 +2219,54 @@ def twonn_intrinsic_dimension(sf_dir: str):
         ID = n / Σ_i ln(r2_i / r1_i)
 
     (the MLE form) over each vector's first/second neighbor distances.
-    Rides ``knn_graph_ivf`` (rows-only — approximate by design): the
-    rank-1/rank-2 rows pivot per vector in one bucketed fold; vectors
-    with r1 = 0 (exact duplicates) or missing rank-2 drop, as the
-    estimator requires. Columns: n_used, ambient_dim, intrinsic_dim."""
+    Rides ``knn_graph_ivf`` at k = 2 (rows-only — approximate by
+    design): with exactly two rows per vector, r1/r2 are simply the
+    per-vector MIN/MAX over the edge distances — ONE bucketed fold —
+    and Σ ln(r2/r1) then folds as a mergeable (count, sum) partial, so
+    only two numbers reach the driver (the first draft folded 2n rows
+    driver-side). Vectors with r1 = 0 (exact duplicates) or a missing
+    second neighbor drop, as the estimator requires. Columns: n_used,
+    ambient_dim, intrinsic_dim."""
     import pyarrow.parquet as pq
 
     from ocr_agent_ray.functions.textstats import round_half_away
-    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
 
     graph = knn_graph_ivf(sf_dir, k=2)
-    folded = combine_partials_driver(
+    per_vec = hash_partition_aggregate(
         graph.map_batches(lambda b: pd.DataFrame({
             "vec_id": b["vec_id"].astype("int64"),
-            "rank": b["rank"].astype("int64"),
-            "d": 1.0 - b["cosine"].to_numpy(np.float64)}),
+            "d": 1.0 - b["cosine"].to_numpy(np.float64),
+            "one": np.int64(1)}),
             batch_format="pandas", batch_size=65536),
-        ["vec_id", "rank"], {"d": ("d", "min")})
-    piv = folded.pivot_table(index="vec_id", columns="rank",
-                             values="d", aggfunc="min")
-    if 1 not in piv.columns or 2 not in piv.columns:
+        ["vec_id"], {"r1": ("d", "min"), "r2": ("d", "max"),
+                     "nn": ("one", "sum")})
+    folded = combine_partials_driver(
+        per_vec.map_batches(lambda b: (lambda r1, r2, nn: pd.DataFrame({
+            "__k": np.int64(0),
+            "n": ((nn == 2) & (r1 > 0) & (r2 > r1)).astype("int64"),
+            "s": np.where((nn == 2) & (r1 > 0) & (r2 > r1),
+                          np.log(np.where(r1 > 0, r2, 1.0)
+                                 / np.where(r1 > 0, r1, 1.0)),
+                          0.0)}))(
+            b["r1"].to_numpy(np.float64), b["r2"].to_numpy(np.float64),
+            b["nn"].to_numpy(np.int64)),
+            batch_format="pandas", batch_size=65536),
+        ["__k"], {"n": ("n", "sum"), "s": ("s", "sum")})
+    if folded.empty:
         return pd.DataFrame({
             "n_used": pd.Series(dtype="int64"),
             "ambient_dim": pd.Series(dtype="int64"),
             "intrinsic_dim": pd.Series(dtype="float64")})
-    r1 = piv[1].to_numpy(np.float64)
-    r2 = piv[2].to_numpy(np.float64)
-    keep = np.isfinite(r1) & np.isfinite(r2) & (r1 > 0) & (r2 > r1)
-    mu = np.log(r2[keep] / r1[keep])
+    n = int(folded["n"].iloc[0])
+    s = np.float64(folded["s"].iloc[0])
     # ambient dim from the first row-group's first row only
     amb = len(next(iter(pq.ParquetFile(
         f"{sf_dir}/embeddings.parquet").iter_batches(
             batch_size=1, columns=["embedding"])))
         .column("embedding")[0].as_py())
-    n = int(keep.sum())
-    if n == 0 or mu.sum() <= 0:
+    if n == 0 or s <= 0:
         return pd.DataFrame({
             "n_used": pd.Series(dtype="int64"),
             "ambient_dim": pd.Series(dtype="int64"),
@@ -2262,4 +2275,4 @@ def twonn_intrinsic_dimension(sf_dir: str):
         "n_used": [np.int64(n)],
         "ambient_dim": [np.int64(amb)],
         "intrinsic_dim": round_half_away(
-            np.array([np.float64(n) / np.float64(mu.sum())]), 6)})
+            np.array([np.float64(n) / s]), 6)})
