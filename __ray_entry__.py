@@ -574,6 +574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_twonn_dimension": similarity.twonn_intrinsic_dimension,  # rows-only (approx kNN graph; planted pytest)
         "q_cvar_by_type": relational.cvar_by_type,
         "q_segmented_trend": streaming.segmented_trend_daily,
+        "q_trimmed_mean": relational.trimmed_mean_by_type,
+        "q_power_analysis": streaming.power_analysis_conversion,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4871,6 +4873,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(nn AS BIGINT) AS n_days, day AS break_day, "
             "ROUND(total, 6) AS sse_total, ROUND(sll, 6) AS slope_left, "
             "ROUND(slr, 6) AS slope_right FROM best WHERE rk = 1"
+        ),
+        "q_trimmed_mean": (
+            # two-sided 10% trim via surviving multiplicities per grid
+            # cell — all-int until the final division
+            "WITH g AS (SELECT event_type, value, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n, "
+            "CAST(FLOOR(CAST(SUM(c) AS DOUBLE) * 0.1) AS BIGINT) "
+            "AS tr FROM g GROUP BY 1), "
+            "s AS (SELECT event_type, value, c, SUM(c) OVER "
+            "(PARTITION BY event_type ORDER BY value) AS cum FROM g), "
+            "k AS (SELECT s.event_type, s.value, t.n, t.tr, "
+            "GREATEST(LEAST(s.cum, t.n - t.tr) "
+            "- GREATEST(s.cum - s.c, t.tr), 0) AS keep "
+            "FROM s JOIN t USING (event_type) "
+            "WHERE t.n - 2 * t.tr > 0), "
+            "d AS (SELECT event_type, MAX(n) AS n, MAX(tr) AS tr, "
+            "SUM(CAST(keep AS DOUBLE) * value) AS sv FROM k "
+            "GROUP BY 1) "
+            "SELECT event_type, n, tr AS n_trimmed_each, "
+            "ROUND(sv / CAST(n - 2 * tr AS DOUBLE), 6) "
+            "AS trimmed_mean FROM d ORDER BY event_type"
+        ),
+        "q_power_analysis": (
+            # required n/arm for the observed lift at alpha=.05, 80%
+            # power; z quantiles pinned as the same literals
+            "WITH u AS (SELECT user_id, "
+            "CAST(user_id % 2 AS BIGINT) AS arm, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM events GROUP BY 1), "
+            "ar AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(conv) AS BIGINT) AS c FROM u GROUP BY 1), "
+            "w AS (SELECT "
+            "MAX(CASE WHEN arm = 0 THEN n END) AS n_a, "
+            "MAX(CASE WHEN arm = 1 THEN n END) AS n_b, "
+            "MAX(CASE WHEN arm = 0 THEN c END) AS ca, "
+            "MAX(CASE WHEN arm = 1 THEN c END) AS cb FROM ar), "
+            "p AS (SELECT n_a, n_b, "
+            "CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa, "
+            "CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb FROM w) "
+            "SELECT n_a, n_b, ROUND(pa, 6) AS p_a, "
+            "ROUND(pb, 6) AS p_b, "
+            "CASE WHEN pb - pa = 0.0 THEN NULL ELSE "
+            "ROUND((1.959964 + 0.841621) * (1.959964 + 0.841621) "
+            "* (pa * (1.0 - pa) + pb * (1.0 - pb)) "
+            "/ ((pb - pa) * (pb - pa)), 6) END "
+            "AS n_required_per_arm FROM p"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

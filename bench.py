@@ -314,6 +314,8 @@ QUERY_NAMES = [
     "q_twonn_dimension",
     "q_cvar_by_type",
     "q_segmented_trend",
+    "q_trimmed_mean",
+    "q_power_analysis",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

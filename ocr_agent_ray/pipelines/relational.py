@@ -4932,3 +4932,53 @@ def cvar_by_type(sf_dir: str, *, q: float = 0.95):
     return pd.DataFrame(rows, columns=["event_type", "n", "var_q",
                                        "cvar_q", "n_tail"]) \
         .astype({"n": "int64", "n_tail": "int64"})
+
+
+def trimmed_mean_by_type(sf_dir: str, *, trim: float = 0.1):
+    """Two-sided trimmed mean of event ``value`` per type — the robust
+    location estimator between the mean (trim 0) and the median
+    (trim 0.5): drop exactly floor(trim·n) observations from EACH end,
+    average the rest. All-integer semantics (drop counts, no
+    interpolation), so both engines agree exactly before the final
+    division. One scan folds the bounded (event_type, value) count
+    grid; the trim walk closes on the driver (Σ c·v over the kept
+    middle as exact value-weighted sums — partial cells at the trim
+    boundary keep only their surviving multiplicity). Columns:
+    event_type, n, n_trimmed_each, trimmed_mean."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        ["event_type", "value"], {"c": ("value", "count")})
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "n": pd.Series(dtype="int64"),
+        "n_trimmed_each": pd.Series(dtype="int64"),
+        "trimmed_mean": pd.Series(dtype="float64")})
+    if not len(vc):
+        return empty
+    rows = []
+    for etype, sub in vc.groupby("event_type", sort=True):
+        sub = sub.sort_values("value")
+        c = sub["c"].to_numpy(np.int64)
+        v = sub["value"].to_numpy(np.float64)
+        n = int(c.sum())
+        t = int(np.floor(np.float64(n) * np.float64(trim)))
+        if n - 2 * t <= 0:
+            continue
+        # surviving multiplicity per cell: clip the cumulative window
+        cum = np.cumsum(c)
+        start = cum - c                      # exclusive prefix
+        lo, hi = t, n - t
+        keep = (np.minimum(cum, hi) - np.maximum(start, lo)) \
+            .clip(min=0)
+        s = float((keep.astype(np.float64) * v).sum())
+        rows.append((etype, np.int64(n), np.int64(t),
+                     float(round_half_away(
+                         np.float64(s) / np.float64(n - 2 * t), 6))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["event_type", "n",
+                                       "n_trimmed_each",
+                                       "trimmed_mean"]) \
+        .astype({"n": "int64", "n_trimmed_each": "int64"})

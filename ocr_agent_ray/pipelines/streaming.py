@@ -3253,3 +3253,63 @@ def segmented_trend_daily(sf_dir: str):
         "sse_total": round_half_away(np.array([total]), 6),
         "slope_left": round_half_away(np.array([sl]), 6),
         "slope_right": round_half_away(np.array([sr]), 6)})
+
+
+def power_analysis_conversion(sf_dir: str, *,
+                              convert_type: str = "purchase"):
+    """Two-proportion power analysis seeded by the OBSERVED arm rates —
+    the experiment-design closer: how many users per arm would a
+    FUTURE test need to detect the currently-observed lift at
+    α = 0.05 (two-sided) with 80% power?
+
+        n = (z_{α/2} + z_β)² · (p_a(1−p_a) + p_b(1−p_b)) / (p_b − p_a)²
+
+    with the z constants pinned as literals (1.959964, 0.841621 — the
+    standard normal quantiles; DuckDB has no inverse CDF, so both
+    engines carry the same literals). Same bucketed per-user MAX fold
+    as the z-test; the closed form evaluates on two driver rows.
+    Degenerate zero lift reports NULL. Columns: n_a, n_b, p_a, p_b,
+    n_required_per_arm."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    ev = _read_events(sf_dir, ("user_id", "event_type"))
+    per_user = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "conv": (b["event_type"] == convert_type).astype("int64")}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id"], {"converted": ("conv", "max")})
+    arms = combine_partials_driver(
+        per_user.map_batches(lambda b: pd.DataFrame({
+            "arm": b["user_id"].to_numpy(np.int64) % 2,
+            "n": np.int64(1),
+            "c": b["converted"].astype("int64")}),
+            batch_format="pandas"),
+        ["arm"], {"n": ("n", "sum"), "c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_a": pd.Series(dtype="int64"),
+        "n_b": pd.Series(dtype="int64"),
+        "p_a": pd.Series(dtype="float64"),
+        "p_b": pd.Series(dtype="float64"),
+        "n_required_per_arm": pd.Series(dtype="float64")})
+    if len(arms) < 2:
+        return empty
+    arms = arms.sort_values("arm")
+    n_a, n_b = (int(x) for x in arms["n"].to_numpy())
+    ca, cb = (int(x) for x in arms["c"].to_numpy())
+    p_a = np.float64(ca) / np.float64(n_a)
+    p_b = np.float64(cb) / np.float64(n_b)
+    diff = p_b - p_a
+    if diff == 0.0:
+        req = np.nan
+    else:
+        z = np.float64(1.959964) + np.float64(0.841621)
+        req = (z * z * (p_a * (1.0 - p_a) + p_b * (1.0 - p_b))
+               / (diff * diff))
+    return pd.DataFrame({
+        "n_a": [np.int64(n_a)], "n_b": [np.int64(n_b)],
+        "p_a": round_half_away(np.array([p_a]), 6),
+        "p_b": round_half_away(np.array([p_b]), 6),
+        "n_required_per_arm": round_half_away(np.array([req]), 6)})

@@ -1085,3 +1085,46 @@ def test_segmented_trend_planted_kink(ray_session, tmp_path):
     assert got["slope_left"].iloc[0] == 1.0
     assert got["slope_right"].iloc[0] == 5.0
     assert got["sse_total"].iloc[0] == 0.0
+
+
+def test_trimmed_mean_planted(ray_session, tmp_path):
+    """Values 1..10 with trim 0.1 -> drop 1 from each end ->
+    mean(2..9) = 5.5; outliers at the ends don't move it."""
+    from ocr_agent_ray.pipelines.relational import trimmed_mean_by_type
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 10,
+        "value": [float(i) for i in range(1, 11)]}))
+    got = trimmed_mean_by_type(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "n_trimmed_each"] == 1
+    assert got.loc["a", "trimmed_mean"] == 5.5
+
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * 10,
+        "value": [-1000.0] + [float(i) for i in range(2, 10)]
+        + [1000.0]}))
+    got = trimmed_mean_by_type(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "trimmed_mean"] == 5.5
+
+
+def test_power_analysis_known_rates(ray_session, tmp_path):
+    """30% vs 60% conversion with 10 users/arm: closed form
+    n = 2.801585^2 * (0.21 + 0.24) / 0.09."""
+    from ocr_agent_ray.pipelines.streaming import (
+        power_analysis_conversion)
+
+    rows = []
+    for uid in range(20):
+        half = uid // 2
+        conv = half < 3 if uid % 2 == 0 else half < 6
+        rows.append((len(rows), pd.Timestamp("2024-01-01"), uid,
+                     "purchase" if conv else "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = power_analysis_conversion(str(tmp_path))
+    assert got["p_a"].tolist() == [0.3]
+    assert got["p_b"].tolist() == [0.6]
+    z = 1.959964 + 0.841621
+    want = z * z * (0.3 * 0.7 + 0.6 * 0.4) / (0.3 * 0.3)
+    assert got["n_required_per_arm"].tolist() == [round(want, 6)]
