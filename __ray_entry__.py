@@ -576,6 +576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_segmented_trend": streaming.segmented_trend_daily,
         "q_trimmed_mean": relational.trimmed_mean_by_type,
         "q_power_analysis": streaming.power_analysis_conversion,
+        "q_threshold_sweep": lambda sf: dedup.dedup_threshold_sweep(
+            sf, pairs=dedup.shared_ngram_pairs(sf)),
+        "q_hill_tail_index": relational.hill_tail_index,
+        "q_runs_test": streaming.runs_test_daily,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4920,6 +4924,72 @@ def oracle_sql() -> dict[str, str]:
             "* (pa * (1.0 - pa) + pb * (1.0 - pb)) "
             "/ ((pb - pa) * (pb - pa)), 6) END "
             "AS n_required_per_arm FROM p"
+        ),
+        "q_threshold_sweep": (
+            # dedup tuning curve from the pair table's stored jaccard
+            "WITH " + _NGRAM_PAIRS_CTES + ", "
+            "th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) "
+            "AS DOUBLE) AS threshold), "
+            "ex AS (SELECT th.threshold, pairs.doc_id_a, "
+            "pairs.doc_id_b FROM pairs JOIN th "
+            "ON pairs.jaccard >= th.threshold), "
+            "ec AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) "
+            "AS n_pairs FROM ex GROUP BY 1), "
+            "nd AS (SELECT threshold, "
+            "CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs FROM "
+            "(SELECT threshold, doc_id_a AS doc FROM ex "
+            "UNION ALL SELECT threshold, doc_id_b FROM ex) "
+            "GROUP BY 1) "
+            "SELECT th.threshold, "
+            "CAST(COALESCE(ec.n_pairs, 0) AS BIGINT) AS n_pairs, "
+            "CAST(COALESCE(nd.n_docs, 0) AS BIGINT) "
+            "AS n_docs_touched FROM th "
+            "LEFT JOIN ec ON ec.threshold = th.threshold "
+            "LEFT JOIN nd ON nd.threshold = th.threshold "
+            "ORDER BY th.threshold"
+        ),
+        "q_hill_tail_index": (
+            # Hill alpha over the top-200 order statistics; tie
+            # multiset at the boundary is rank-determined
+            "WITH p AS (SELECT value FROM events WHERE value > 0.0), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p), "
+            "r AS (SELECT value, row_number() OVER "
+            "(ORDER BY value DESC) AS rk FROM p), "
+            "ref AS (SELECT value AS xr FROM r WHERE rk = 201), "
+            "topk AS (SELECT SUM(ln(r.value / ref.xr)) AS s "
+            "FROM r, ref WHERE r.rk <= 200) "
+            "SELECT CAST(200 AS BIGINT) AS k, "
+            "ROUND(ref.xr, 6) AS x_kplus1, "
+            "ROUND(200.0 / topk.s, 6) AS hill_alpha "
+            "FROM ref, topk, n WHERE n.n > 200 AND topk.s > 0.0"
+        ),
+        "q_runs_test": (
+            # Wald-Wolfowitz runs z over the above/below-median daily
+            # sign sequence; at-median days drop; LAG run counter
+            "WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "med AS (SELECT MEDIAN(CAST(c AS DOUBLE)) AS m FROM d), "
+            "s2 AS (SELECT day, CASE WHEN CAST(c AS DOUBLE) - med.m "
+            "> 0.0 THEN 1 ELSE -1 END AS sg FROM d, med "
+            "WHERE CAST(c AS DOUBLE) - med.m <> 0.0), "
+            "r AS (SELECT sg, LAG(sg) OVER (ORDER BY day) AS pg "
+            "FROM s2), "
+            "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS np, CAST(SUM(CASE WHEN pg IS NULL OR sg <> pg "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS runs FROM r), "
+            "m AS (SELECT n, np, runs, "
+            "2.0 * CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) + 1.0 AS mu FROM agg "
+            "WHERE n >= 3 AND np > 0 AND np < n) "
+            "SELECT n AS n_days_used, runs AS n_runs, "
+            "ROUND(mu, 6) AS mu_runs, "
+            "ROUND((CAST(runs AS DOUBLE) - mu) "
+            "/ sqrt((mu - 1.0) * (mu - 2.0) "
+            "/ (CAST(n AS DOUBLE) - 1.0)), 6) AS z_runs FROM m "
+            "WHERE (mu - 1.0) * (mu - 2.0) "
+            "/ (CAST(n AS DOUBLE) - 1.0) > 0.0"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

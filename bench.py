@@ -316,6 +316,9 @@ QUERY_NAMES = [
     "q_segmented_trend",
     "q_trimmed_mean",
     "q_power_analysis",
+    "q_threshold_sweep",
+    "q_hill_tail_index",
+    "q_runs_test",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

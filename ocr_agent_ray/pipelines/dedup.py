@@ -3003,3 +3003,77 @@ def source_modularity(sf_dir: str, *, threshold: float = 0.5,
         "n_communities": [np.int64(len(g))],
         "n_edges": [m],
         "modularity": round_half_away(np.array([q]), 6)})
+
+
+def dedup_threshold_sweep(sf_dir: str, *,
+                          thresholds=(0.5, 0.6, 0.7, 0.8, 0.9),
+                          pairs=None):
+    """Dedup threshold-sensitivity curve — how many near-dup edges and
+    touched documents survive as the Jaccard bar rises ('is 0.8 barely
+    different from 0.7, or a cliff?'); the tuning table every dedup
+    rollout wants before committing a threshold. The shared pair table
+    already carries each pair's exact Jaccard (≥ the build floor), so
+    the sweep is ONE pass re-bucketing every pair into the thresholds
+    it clears, plus a bucketed distinct-node count per threshold —
+    nothing recomputes shingles. Columns: threshold, n_pairs,
+    n_docs_touched."""
+    import pandas as pd
+
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+
+    if pairs is None:
+        pairs = shared_ngram_pairs(sf_dir)
+    th = sorted(thresholds)
+
+    def _explode(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        j = b["jaccard"].to_numpy(np.float64)
+        for t in th:
+            m = j >= t
+            if not m.any():
+                continue
+            out.append(pd.DataFrame({
+                "threshold": np.full(int(m.sum()), t, np.float64),
+                "a": b["doc_id_a"].to_numpy(np.int64)[m],
+                "bb": b["doc_id_b"].to_numpy(np.int64)[m]}))
+        if not out:
+            return pd.DataFrame({"threshold": pd.Series(dtype="float64"),
+                                 "a": pd.Series(dtype="int64"),
+                                 "bb": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    exploded = pairs.map_batches(_explode, batch_format="pandas",
+                                 batch_size=65536).materialize()
+    edge_counts = combine_partials_driver(
+        exploded.map_batches(lambda b: pd.DataFrame({
+            "threshold": b["threshold"], "n": np.int64(1)}),
+            batch_format="pandas"),
+        ["threshold"], {"n": ("n", "sum")})
+    # distinct touched docs per threshold: bucketed distinct fold
+    nodes = hash_partition_aggregate(
+        exploded.map_batches(lambda b: pd.DataFrame({
+            "threshold": np.concatenate([b["threshold"].to_numpy(),
+                                         b["threshold"].to_numpy()]),
+            "doc": np.concatenate([b["a"].to_numpy(np.int64),
+                                   b["bb"].to_numpy(np.int64)]),
+            "one": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["threshold", "doc"], {"one": ("one", "max")})
+    node_counts = combine_partials_driver(
+        nodes.map_batches(lambda b: pd.DataFrame({
+            "threshold": b["threshold"], "n": np.int64(1)}),
+            batch_format="pandas"),
+        ["threshold"], {"n": ("n", "sum")})
+    rows = []
+    ec = edge_counts.set_index("threshold")["n"] \
+        if len(edge_counts) else pd.Series(dtype="int64")
+    nc = node_counts.set_index("threshold")["n"] \
+        if len(node_counts) else pd.Series(dtype="int64")
+    for t in th:
+        rows.append((np.float64(t),
+                     np.int64(int(ec.get(t, 0))),
+                     np.int64(int(nc.get(t, 0)))))
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs",
+                                       "n_docs_touched"]) \
+        .astype({"n_pairs": "int64", "n_docs_touched": "int64"})

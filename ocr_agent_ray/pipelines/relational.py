@@ -4982,3 +4982,55 @@ def trimmed_mean_by_type(sf_dir: str, *, trim: float = 0.1):
                                        "n_trimmed_each",
                                        "trimmed_mean"]) \
         .astype({"n": "int64", "n_trimmed_each": "int64"})
+
+
+def hill_tail_index(sf_dir: str, *, k: int = 200):
+    """Hill estimator of the Pareto tail index of event ``value`` —
+    the extreme-value sibling of the degree power-law fit ('how heavy
+    is the spend tail?'; α ≤ 2 means infinite variance and every
+    mean-based statistic above is fragile):
+
+        α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the top-``k`` order statistics. Exact from the bounded
+    (value) count grid (one mergeable fold): the driver walks the top
+    of the grid with integer multiplicities — ties at the x_(k+1)
+    boundary enter with their surviving copies only, pinned identically
+    in the twin's rank filter. Values ≤ 0 are excluded (log). Columns:
+    k, x_kplus1, hill_alpha."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    vc = combine_partials_driver(
+        read_table(sf_dir, "events", ["value"]).map_batches(
+            lambda b: pd.DataFrame({"value": b["value"]})[
+                b["value"].to_numpy() > 0.0],
+            batch_format="pandas", batch_size=65536),
+        ["value"], {"c": ("value", "count")})
+    empty = pd.DataFrame({
+        "k": pd.Series(dtype="int64"),
+        "x_kplus1": pd.Series(dtype="float64"),
+        "hill_alpha": pd.Series(dtype="float64")})
+    if not len(vc):
+        return empty
+    vc = vc.sort_values("value", ascending=False).reset_index(drop=True)
+    c = vc["c"].to_numpy(np.int64)
+    v = vc["value"].to_numpy(np.float64)
+    n = int(c.sum())
+    if n <= k:
+        return empty
+    cum = np.cumsum(c)
+    # x_(k+1): the (k+1)-th largest value
+    i_ref = int(np.searchsorted(cum, k + 1))
+    x_ref = np.float64(v[i_ref])
+    # top-k values with surviving multiplicities
+    keep = np.minimum(c, np.maximum(
+        np.int64(k) - (cum - c), 0))[:i_ref + 1]
+    s = float((keep.astype(np.float64)
+               * np.log(v[:i_ref + 1] / x_ref)).sum())
+    if s <= 0.0:
+        return empty
+    return pd.DataFrame({
+        "k": [np.int64(k)],
+        "x_kplus1": round_half_away(np.array([x_ref]), 6),
+        "hill_alpha": round_half_away(
+            np.array([np.float64(k) / np.float64(s)]), 6)})

@@ -3313,3 +3313,57 @@ def power_analysis_conversion(sf_dir: str, *,
         "p_a": round_half_away(np.array([p_a]), 6),
         "p_b": round_half_away(np.array([p_b]), 6),
         "n_required_per_arm": round_half_away(np.array([req]), 6)})
+
+
+def runs_test_daily(sf_dir: str):
+    """Wald–Wolfowitz runs test on the daily count series' above/below-
+    median sign sequence — the randomness screen ('do high and low days
+    alternate like noise, or clump like regimes?'):
+
+        z = (R − μ_R) / σ_R,  μ_R = 2·n₊·n₋/n + 1,
+        σ_R² = (μ_R − 1)(μ_R − 2) / (n − 1)
+
+    with R the observed number of sign runs; days exactly at the
+    median drop (the standard convention). Bounded daily dimension —
+    one mergeable count fold, the run walk closes on the driver; the
+    twin replays it with a LAG-based run counter and the identical
+    float nesting. Columns: n_days_used, n_runs, mu_runs, z_runs."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_days_used": pd.Series(dtype="int64"),
+        "n_runs": pd.Series(dtype="int64"),
+        "mu_runs": pd.Series(dtype="float64"),
+        "z_runs": pd.Series(dtype="float64")})
+    n_all = len(days)
+    if n_all < 3:
+        return empty
+    c = days["c"].to_numpy(np.int64)
+    # median of the daily counts, interpolated (quantile_cont)
+    srt = np.sort(c)
+    if n_all % 2 == 1:
+        med = np.float64(srt[n_all // 2])
+    else:
+        lo = np.float64(srt[n_all // 2 - 1])
+        hi = np.float64(srt[n_all // 2])
+        med = lo + (hi - lo) * np.float64(0.5)
+    sign = np.sign(c.astype(np.float64) - med)
+    sign = sign[sign != 0.0]
+    n = len(sign)
+    n_pos = int((sign > 0).sum())
+    n_neg = n - n_pos
+    if n < 3 or n_pos == 0 or n_neg == 0:
+        return empty
+    runs = 1 + int((sign[1:] != sign[:-1]).sum())
+    nf = np.float64(n)
+    mu = 2.0 * np.float64(n_pos) * np.float64(n_neg) / nf + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (nf - 1.0)
+    if var <= 0.0:
+        return empty
+    z = (np.float64(runs) - mu) / np.sqrt(var)
+    return pd.DataFrame({
+        "n_days_used": [np.int64(n)],
+        "n_runs": [np.int64(runs)],
+        "mu_runs": round_half_away(np.array([mu]), 6),
+        "z_runs": round_half_away(np.array([z]), 6)})

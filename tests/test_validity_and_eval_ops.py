@@ -1128,3 +1128,62 @@ def test_power_analysis_known_rates(ray_session, tmp_path):
     z = 1.959964 + 0.841621
     want = z * z * (0.3 * 0.7 + 0.6 * 0.4) / (0.3 * 0.3)
     assert got["n_required_per_arm"].tolist() == [round(want, 6)]
+
+
+def test_threshold_sweep_monotone_and_planted(ray_session):
+    """Edge/node counts are non-increasing in the threshold, and a
+    planted pair table sweeps exactly."""
+    import ray.data as rd
+
+    from ocr_agent_ray.pipelines.dedup import dedup_threshold_sweep
+
+    pairs = rd.from_pandas(pd.DataFrame({
+        "doc_id_a": [1, 2, 3, 4],
+        "doc_id_b": [10, 20, 30, 40],
+        "jaccard": [0.55, 0.65, 0.85, 0.95]}))
+    got = dedup_threshold_sweep("unused", pairs=pairs)
+    assert got["threshold"].tolist() == [0.5, 0.6, 0.7, 0.8, 0.9]
+    assert got["n_pairs"].tolist() == [4, 3, 2, 2, 1]
+    assert got["n_docs_touched"].tolist() == [8, 6, 4, 4, 2]
+    assert (np.diff(got["n_pairs"]) <= 0).all()
+
+
+def test_hill_tail_index_planted_pareto(ray_session, tmp_path):
+    """Exact Pareto(alpha=2) order statistics x_(i) = (n/i)^(1/2):
+    the Hill estimate over the top k recovers alpha to ~15%."""
+    from ocr_agent_ray.pipelines.relational import hill_tail_index
+
+    n = 2000
+    i = np.arange(1, n + 1, dtype=np.float64)
+    x = (n / i) ** 0.5                       # deterministic quantiles
+    _write_events(tmp_path, pd.DataFrame({
+        "event_type": ["a"] * n, "value": x}))
+    got = hill_tail_index(str(tmp_path), k=100)
+    assert got["k"].tolist() == [100]
+    assert abs(got["hill_alpha"].iloc[0] - 2.0) < 0.3
+
+
+def test_runs_test_alternating_vs_blocked(ray_session, tmp_path):
+    """A perfectly alternating high/low series maximizes runs
+    (z > 0); two solid blocks minimize them (z < 0)."""
+    from ocr_agent_ray.pipelines.streaming import runs_test_daily
+
+    def write(counts):
+        rows = []
+        for d, c in enumerate(counts):
+            for _ in range(int(c)):
+                rows.append((len(rows), pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(days=d), 0, "view", 0.0))
+        _write_events(tmp_path, pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value"]))
+
+    write([10, 30] * 10)
+    alt = runs_test_daily(str(tmp_path))
+    assert alt["n_runs"].tolist() == [20]
+    assert alt["z_runs"].iloc[0] > 2.0
+
+    write([10] * 10 + [30] * 10)
+    blk = runs_test_daily(str(tmp_path))
+    assert blk["n_runs"].tolist() == [2]
+    assert blk["z_runs"].iloc[0] < -2.0
