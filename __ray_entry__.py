@@ -580,6 +580,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, pairs=dedup.shared_ngram_pairs(sf)),
         "q_hill_tail_index": relational.hill_tail_index,
         "q_runs_test": streaming.runs_test_daily,
+        "q_forecast_backtest": streaming.forecast_backtest_daily,
+        "q_ipf_raking": relational.ipf_raking_weights,  # rows-only (iterative scaling; convergence pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -4990,6 +4992,43 @@ def oracle_sql() -> dict[str, str]:
             "/ (CAST(n AS DOUBLE) - 1.0)), 6) AS z_runs FROM m "
             "WHERE (mu - 1.0) * (mu - 2.0) "
             "/ (CAST(n AS DOUBLE) - 1.0) > 0.0"
+        ),
+        "q_forecast_backtest": (
+            # Holt one-step forecasts vs naive lag-1 on the gapfilled
+            # grid; the Holt recursion replayed UNROUNDED (the
+            # q_holt_linear CTE), errors join state at rn-1
+            "WITH RECURSIVE "
+            "d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS c FROM events "
+            "GROUP BY 1), "
+            "bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d), "
+            "grid AS (SELECT unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds), "
+            "g AS (SELECT row_number() OVER (ORDER BY grid.day) AS rn, "
+            "COALESCE(d.c, 0) AS c FROM grid LEFT JOIN d USING (day)), "
+            "h(rn, c, s, b) AS ("
+            "  SELECT g1.rn, g1.c, CAST(g1.c AS DOUBLE), "
+            "  CAST(g2.c - g1.c AS DOUBLE) "
+            "  FROM g g1 JOIN g g2 ON g2.rn = 2 WHERE g1.rn = 1"
+            "  UNION ALL"
+            "  SELECT g.rn, g.c, "
+            "  0.5 * CAST(g.c AS DOUBLE) + (1.0 - 0.5) * (h.s + h.b), "
+            "  0.3 * ((0.5 * CAST(g.c AS DOUBLE) "
+            "+ (1.0 - 0.5) * (h.s + h.b)) - h.s) + (1.0 - 0.3) * h.b "
+            "  FROM g JOIN h ON g.rn = h.rn + 1), "
+            "err AS (SELECT g.rn, "
+            "abs(CAST(g.c AS DOUBLE) - (h.s + h.b)) AS eh, "
+            "abs(CAST(g.c - gp.c AS DOUBLE)) AS en "
+            "FROM g JOIN h ON h.rn = g.rn - 1 "
+            "JOIN g gp ON gp.rn = g.rn - 1 WHERE g.rn >= 3), "
+            "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+            "SUM(eh) / CAST(COUNT(*) AS DOUBLE) AS mh, "
+            "SUM(en) / CAST(COUNT(*) AS DOUBLE) AS mn FROM err) "
+            "SELECT m AS n_forecasts, ROUND(mh, 6) AS mae_holt, "
+            "ROUND(mn, 6) AS mae_naive, "
+            "CASE WHEN mh = 0.0 THEN NULL "
+            "ELSE ROUND(mn / mh, 6) END AS skill_ratio "
+            "FROM agg WHERE m > 0"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -319,6 +319,8 @@ QUERY_NAMES = [
     "q_threshold_sweep",
     "q_hill_tail_index",
     "q_runs_test",
+    "q_forecast_backtest",
+    "q_ipf_raking",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

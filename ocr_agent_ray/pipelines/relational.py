@@ -5034,3 +5034,66 @@ def hill_tail_index(sf_dir: str, *, k: int = 200):
         "x_kplus1": round_half_away(np.array([x_ref]), 6),
         "hill_alpha": round_half_away(
             np.array([np.float64(k) / np.float64(s)]), 6)})
+
+
+def ipf_raking_weights(sf_dir: str, *, iters: int = 10):
+    """Iterative proportional fitting (raking) of per-cell sampling
+    weights over the (lang, source) grid so that the WEIGHTED marginals
+    become uniform across both axes — the dataset-rebalancing
+    primitive ('upweight the rare language without disturbing the
+    source mix'). Classic IPF: alternately scale rows then columns to
+    the target marginals for ``iters`` rounds. The (lang × source)
+    grid is a bounded dimension folded once from the corpus; the
+    deterministic scaling loop closes on the driver (rows-only —
+    iterative; planted-convergence pytest asserts both marginals land
+    within 1e-6). Cells with zero docs keep weight 0. Columns: lang,
+    source, n_docs, weight (weight·n_docs sums to the corpus total)."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        read_table(sf_dir, "documents", ["lang", "source"]).map_batches(
+            lambda b: pd.DataFrame({
+                "lang": b["lang"], "source": b["source"],
+                "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["lang", "source"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "lang": pd.Series(dtype="object"),
+        "source": pd.Series(dtype="object"),
+        "n_docs": pd.Series(dtype="int64"),
+        "weight": pd.Series(dtype="float64")})
+    if not len(g):
+        return empty
+    piv = (g.pivot_table(index="lang", columns="source", values="c",
+                         aggfunc="sum").fillna(0).astype(np.int64)
+           .sort_index().sort_index(axis=1))
+    cnt = piv.to_numpy(np.int64).astype(np.float64)
+    total = cnt.sum()
+    n_l, n_s = cnt.shape
+    row_target = total / np.float64(n_l)
+    col_target = total / np.float64(n_s)
+    w = np.where(cnt > 0, 1.0, 0.0)
+    for _ in range(iters):
+        rows = (w * cnt).sum(axis=1)
+        w = np.where(rows[:, None] > 0,
+                     w * (row_target / np.where(rows[:, None] > 0,
+                                                rows[:, None], 1.0)),
+                     w)
+        cols = (w * cnt).sum(axis=0)
+        w = np.where(cols[None, :] > 0,
+                     w * (col_target / np.where(cols[None, :] > 0,
+                                                cols[None, :], 1.0)),
+                     w)
+    langs = piv.index.to_numpy()
+    sources = piv.columns.to_numpy()
+    out = []
+    for i, lg in enumerate(langs):
+        for j, src in enumerate(sources):
+            if cnt[i, j] > 0:
+                out.append((lg, src, np.int64(int(cnt[i, j])),
+                            float(round_half_away(
+                                np.float64(w[i, j]), 6))))
+    return pd.DataFrame(out, columns=["lang", "source", "n_docs",
+                                      "weight"]) \
+        .astype({"n_docs": "int64"})

@@ -3367,3 +3367,57 @@ def runs_test_daily(sf_dir: str):
         "n_runs": [np.int64(runs)],
         "mu_runs": round_half_away(np.array([mu]), 6),
         "z_runs": round_half_away(np.array([z]), 6)})
+
+
+def forecast_backtest_daily(sf_dir: str, *, alpha: float = 0.5,
+                            beta: float = 0.3):
+    """One-step-ahead forecasting backtest on the daily series — the
+    evaluation closing the loop on the smoothing family: Holt's
+    forecast ŷ_t = s_{t−1} + b_{t−1} scored against the actual x_t,
+    next to the naive lag-1 baseline ŷ_t = x_{t−1} ('does the trend
+    state actually help, or is yesterday's count just as good?').
+    MAE for both, plus the skill ratio naive/holt (>1: Holt wins).
+    Same bounded-series shape as Holt itself; the twin extends the
+    recursive-CTE replay with the forecast-error aggregate (error
+    terms exact once s/b are — identical recurrence literals).
+    Forecasts score from t = 2 (the first step with state). Columns:
+    n_forecasts, mae_holt, mae_naive, skill_ratio."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+
+    days = _daily_counts_driver(sf_dir)
+    empty = pd.DataFrame({
+        "n_forecasts": pd.Series(dtype="int64"),
+        "mae_holt": pd.Series(dtype="float64"),
+        "mae_naive": pd.Series(dtype="float64"),
+        "skill_ratio": pd.Series(dtype="float64")})
+    if len(days) < 3:
+        return empty
+    grid = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    x = days.set_index("day")["c"].reindex(grid, fill_value=0) \
+        .to_numpy(np.int64)
+    n = len(x)
+    a, bt = np.float64(alpha), np.float64(beta)
+    s_prev = np.float64(x[0])
+    b_prev = np.float64(x[1] - x[0])
+    err_h = np.float64(0.0)
+    err_n = np.float64(0.0)
+    m = 0
+    for t in range(1, n):
+        xt = np.float64(x[t])
+        if t >= 2:
+            err_h = err_h + np.abs(xt - (s_prev + b_prev))
+            err_n = err_n + np.abs(np.float64(x[t] - x[t - 1]))
+            m += 1
+        s_t = a * xt + (1.0 - a) * (s_prev + b_prev)
+        b_t = bt * (s_t - s_prev) + (1.0 - bt) * b_prev
+        s_prev, b_prev = s_t, b_t
+    if m == 0:
+        return empty
+    mae_h = err_h / np.float64(m)
+    mae_n = err_n / np.float64(m)
+    skill = np.nan if mae_h == 0.0 else mae_n / mae_h
+    return pd.DataFrame({
+        "n_forecasts": [np.int64(m)],
+        "mae_holt": round_half_away(np.array([mae_h]), 6),
+        "mae_naive": round_half_away(np.array([mae_n]), 6),
+        "skill_ratio": round_half_away(np.array([skill]), 6)})

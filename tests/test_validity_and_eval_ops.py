@@ -1187,3 +1187,69 @@ def test_runs_test_alternating_vs_blocked(ray_session, tmp_path):
     blk = runs_test_daily(str(tmp_path))
     assert blk["n_runs"].tolist() == [2]
     assert blk["z_runs"].iloc[0] < -2.0
+
+
+def test_forecast_backtest_linear_series_holt_wins(ray_session,
+                                                   tmp_path):
+    """On a pure linear trend Holt converges to near-zero error while
+    naive pays the slope every step -> skill_ratio >> 1."""
+    from ocr_agent_ray.pipelines.streaming import forecast_backtest_daily
+
+    rows = []
+    for d in range(30):
+        for _ in range(10 + 5 * d):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = forecast_backtest_daily(str(tmp_path))
+    assert got["n_forecasts"].tolist() == [28]
+    assert got["mae_naive"].tolist() == [5.0]
+    # Holt's state tracks a pure line EXACTLY (s stays on the line,
+    # b equals the slope) -> zero error, skill pinned to NULL
+    assert got["mae_holt"].tolist() == [0.0]
+    assert np.isnan(got["skill_ratio"].iloc[0])
+
+    # a trending series with alternating wiggle: Holt still beats
+    # naive (which pays slope + wiggle every step)
+    rows = []
+    for d in range(30):
+        for _ in range(10 + 5 * d + (3 if d % 2 else 0)):
+            rows.append((len(rows), pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(days=d), 0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = forecast_backtest_daily(str(tmp_path))
+    assert got["mae_holt"].iloc[0] > 0.0
+    assert got["skill_ratio"].iloc[0] > 1.0
+
+
+def test_ipf_raking_converges_to_uniform_marginals(ray_session,
+                                                   tmp_path):
+    """A skewed lang x source grid rakes to uniform weighted marginals
+    on both axes within 1e-6 relative."""
+    from ocr_agent_ray.pipelines.relational import ipf_raking_weights
+
+    rows = []
+    counts = {("en", "a"): 40, ("en", "b"): 10,
+              ("de", "a"): 5, ("de", "b"): 25}
+    for (lg, src), c in counts.items():
+        for _ in range(c):
+            rows.append((len(rows), "x", lg, src, 1))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "lang",
+                                       "source", "n_chars"])
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = ipf_raking_weights(str(tmp_path), iters=30)
+    total = float((got["weight"] * got["n_docs"]).sum())
+    by_lang = (got["weight"] * got["n_docs"]).groupby(
+        got["lang"]).sum()
+    by_src = (got["weight"] * got["n_docs"]).groupby(
+        got["source"]).sum()
+    np.testing.assert_allclose(by_lang, total / 2, rtol=1e-6)
+    np.testing.assert_allclose(by_src, total / 2, rtol=1e-6)
+    # the rare (de, a) cell is upweighted hardest
+    w = got.set_index(["lang", "source"])["weight"]
+    assert w.loc[("de", "a")] == got["weight"].max()
