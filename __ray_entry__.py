@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_runs_test": streaming.runs_test_daily,
         "q_forecast_backtest": streaming.forecast_backtest_daily,
         "q_ipf_raking": relational.ipf_raking_weights,  # rows-only (iterative scaling; convergence pytest)
+        "q_kleinberg_bursts": streaming.kleinberg_bursts,  # rows-only (per-user Viterbi DP; planted pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:

@@ -321,6 +321,7 @@ QUERY_NAMES = [
     "q_runs_test",
     "q_forecast_backtest",
     "q_ipf_raking",
+    "q_kleinberg_bursts",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

@@ -3421,3 +3421,94 @@ def forecast_backtest_daily(sf_dir: str, *, alpha: float = 0.5,
         "mae_holt": round_half_away(np.array([mae_h]), 6),
         "mae_naive": round_half_away(np.array([mae_n]), 6),
         "skill_ratio": round_half_away(np.array([skill]), 6)})
+
+
+def kleinberg_bursts(sf_dir: str, *, s: float = 2.0, gamma: float = 1.0,
+                     min_events: int = 6):
+    """Kleinberg two-state burst detection per user (Kleinberg KDD'02,
+    the 2-state automaton) — 'which users have genuine bursty episodes,
+    and how long?' beyond the scalar burstiness coefficient
+    (``user_burstiness``): state 0 emits gaps at the user's base rate
+    λ0 = n/T, state 1 at λ1 = s·λ0; per-gap cost −ln λ + λ·g, entering
+    the burst state costs γ·ln n. The min-cost state sequence (Viterbi
+    over 2 states — an O(n) sequential DP per user, the
+    ``event_throttle`` per-user-walk precedent) yields the burst
+    episodes. Bucketed whole-user groups; only per-user summaries
+    leave the kernel. Rows-only (DP; planted metronome-vs-burst
+    pytest). Columns: user_id, n_events, n_bursts, n_burst_events,
+    max_burst_len."""
+    import math
+
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    def _user(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "n_bursts": pd.Series(dtype="int64"),
+            "n_burst_events": pd.Series(dtype="int64"),
+            "max_burst_len": pd.Series(dtype="int64")})
+        g = g.sort_values(["ts", "event_id"])
+        n_ev = len(g)
+        if n_ev < min_events:
+            return empty
+        us = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        gaps = (us[1:] - us[:-1]).astype(np.float64) / 1e6
+        gaps = np.maximum(gaps, 1e-6)
+        n = len(gaps)
+        span = float(gaps.sum())
+        if span <= 0.0:
+            return empty
+        lam0 = n / span
+        lam1 = s * lam0
+        trans = gamma * math.log(n)
+        c0 = -math.log(lam0) + lam0 * gaps
+        c1 = -math.log(lam1) + lam1 * gaps
+        # Viterbi over 2 states; start in state 0
+        INF = float("inf")
+        cost = [0.0, INF]
+        back: list[tuple[int, int]] = []
+        for i in range(n):
+            n0 = min(cost[0], cost[1])
+            b0 = 0 if cost[0] <= cost[1] else 1
+            n1 = min(cost[0] + trans, cost[1])
+            b1 = 0 if cost[0] + trans < cost[1] else 1
+            back.append((b0, b1))
+            cost = [n0 + c0[i], n1 + c1[i]]
+        st = 0 if cost[0] <= cost[1] else 1
+        states = np.empty(n, np.int8)
+        for i in range(n - 1, -1, -1):
+            states[i] = st
+            st = back[i][st]
+        # burst episodes = maximal runs of state 1
+        n_bursts = 0
+        n_burst_gaps = 0
+        max_len = 0
+        run = 0
+        for v in states:
+            if v == 1:
+                run += 1
+            else:
+                if run:
+                    n_bursts += 1
+                    n_burst_gaps += run
+                    max_len = max(max_len, run)
+                run = 0
+        if run:
+            n_bursts += 1
+            n_burst_gaps += run
+            max_len = max(max_len, run)
+        return pd.DataFrame({
+            "user_id": [np.int64(g["user_id"].iloc[0])],
+            "n_events": [np.int64(n_ev)],
+            "n_bursts": [np.int64(n_bursts)],
+            "n_burst_events": [np.int64(n_burst_gaps + n_bursts
+                                        if n_bursts else 0)],
+            "max_burst_len": [np.int64(max_len)]})
+
+    ev = _read_events(sf_dir, ("event_id", "ts", "user_id"))
+    return key_map_groups(
+        ev.map_batches(lambda b: b.assign(
+            user_id=b["user_id"].astype("int64")),
+            batch_format="pandas", batch_size=65536),
+        _user, key_col="user_id", num_buckets=64)

@@ -1253,3 +1253,35 @@ def test_ipf_raking_converges_to_uniform_marginals(ray_session,
     # the rare (de, a) cell is upweighted hardest
     w = got.set_index(["lang", "source"])["weight"]
     assert w.loc[("de", "a")] == got["weight"].max()
+
+
+def test_kleinberg_bursts_metronome_vs_cluster(ray_session, tmp_path):
+    """A metronome user has zero bursts; a user with a tight cluster
+    amid sparse gaps gets exactly one burst covering the cluster."""
+    from ocr_agent_ray.pipelines.streaming import kleinberg_bursts
+
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    # user 1: 20 events exactly one hour apart
+    for i in range(20):
+        rows.append((len(rows), t0 + pd.Timedelta(hours=i), 1))
+    # user 2: hourly, but 8 events packed one minute apart mid-stream
+    t = t0
+    for i in range(8):
+        t += pd.Timedelta(hours=1)
+        rows.append((len(rows), t, 2))
+    for i in range(8):
+        t += pd.Timedelta(minutes=1)
+        rows.append((len(rows), t, 2))
+    for i in range(8):
+        t += pd.Timedelta(hours=1)
+        rows.append((len(rows), t, 2))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    df["event_type"] = "view"
+    df["value"] = 0.0
+    _write_events(tmp_path, df)
+    got = kleinberg_bursts(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+    assert got.loc[1, "n_bursts"] == 0
+    assert got.loc[2, "n_bursts"] == 1
+    assert got.loc[2, "max_burst_len"] >= 7
