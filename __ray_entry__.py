@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_forecast_backtest": streaming.forecast_backtest_daily,
         "q_ipf_raking": relational.ipf_raking_weights,  # rows-only (iterative scaling; convergence pytest)
         "q_kleinberg_bursts": streaming.kleinberg_bursts,  # rows-only (per-user Viterbi DP; planted pytest)
+        "q_bh_significant_terms": text.bh_significant_terms,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5030,6 +5031,44 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN mh = 0.0 THEN NULL "
             "ELSE ROUND(mn / mh, 6) END AS skill_ratio "
             "FROM agg WHERE m > 0"
+        ),
+        "q_bh_significant_terms": (
+            # BH FDR over the full log-odds family; z exact (scalar
+            # function of counts), p via the pinned A&S erf polynomial
+            # (DuckDB has no erf), rank by (p, word)
+            "WITH w AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS wd "
+            "FROM documents WHERE source IN ('src0', 'src1')), "
+            "c AS (SELECT wd, CAST(SUM(CASE WHEN source = 'src0' "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+            "CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS b FROM w GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(a) AS DOUBLE) AS na, "
+            "CAST(SUM(b) AS DOUBLE) AS nb, "
+            "CAST(COUNT(*) AS DOUBLE) AS v FROM c), "
+            "z AS (SELECT wd, "
+            "(ln((CAST(a AS DOUBLE) + 0.01) / (na + v * 0.01 "
+            "- CAST(a AS DOUBLE) - 0.01)) "
+            "- ln((CAST(b AS DOUBLE) + 0.01) / (nb + v * 0.01 "
+            "- CAST(b AS DOUBLE) - 0.01))) "
+            "/ sqrt(1.0 / (CAST(a AS DOUBLE) + 0.01) "
+            "+ 1.0 / (CAST(b AS DOUBLE) + 0.01)) AS zz FROM c, t), "
+            "x AS (SELECT wd, abs(zz) / sqrt(2.0) AS xx, "
+            "1.0 / (1.0 + 0.3275911 * (abs(zz) / sqrt(2.0))) AS tt "
+            "FROM z), "
+            "p AS (SELECT wd, 1.0 - (1.0 - "
+            "((((1.061405429 * tt - 1.453152027) * tt "
+            "+ 1.421413741) * tt - 0.284496736) * tt "
+            "+ 0.254829592) * tt * exp(-xx * xx)) AS p FROM x), "
+            "r AS (SELECT wd, p, row_number() OVER "
+            "(ORDER BY p, wd) AS rnk FROM p), "
+            "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM r), "
+            "q AS (SELECT COALESCE(MAX(rnk), 0) AS rstar FROM r, m "
+            "WHERE p <= 0.05 * CAST(rnk AS DOUBLE) "
+            "/ CAST(m.m AS DOUBLE)) "
+            "SELECT m.m AS n_tested, CAST(q.rstar AS BIGINT) "
+            "AS n_significant, ROUND(0.05 * CAST(q.rstar AS DOUBLE) "
+            "/ CAST(m.m AS DOUBLE), 6) AS bh_threshold FROM m, q"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

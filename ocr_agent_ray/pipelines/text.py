@@ -3779,3 +3779,123 @@ def langid_confusion(sf_dir: str):
         ["lang", "pred_lang"], {"n": ("n", "sum")})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+def _norm_two_sided_p(z: np.ndarray) -> np.ndarray:
+    """Two-sided normal p-value via the Abramowitz–Stegun 7.1.26 erf
+    polynomial — DuckDB has no erf, so BOTH engines evaluate this
+    identical literal polynomial (|error| < 1.5e-7, well inside the
+    6-decimal round):
+
+        t = 1/(1 + 0.3275911·x),
+        erf(x) ≈ 1 − (((((a5·t + a4)·t + a3)·t + a2)·t + a1)·t)·e^{−x²}
+    """
+    x = np.abs(z) / np.sqrt(np.float64(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    erf = 1.0 - poly * np.exp(-x * x)
+    return 1.0 - erf
+
+
+def bh_significant_terms(sf_dir: str, *, source_a: str = "src0",
+                         source_b: str = "src1", alpha: float = 0.01,
+                         fdr: float = 0.05):
+    """Benjamini–Hochberg FDR control over the FULL log-odds term
+    family — the multiple-testing correction the per-term z-scores
+    (``log_odds_terms``) need before anyone acts on them: with m =
+    the union vocabulary size, find the largest rank r* such that
+    p_(r*) ≤ fdr·r*/m; all terms at rank ≤ r* are significant.
+
+    Distributed shape: the word-count exchange scores EVERY term's z
+    (exact — z is a scalar function of per-term counts and corpus
+    totals, no float-sum ordering), p-values via the pinned
+    Abramowitz–Stegun polynomial, then ``ranged_global_rank`` on
+    (p, word) — the no-global-sort ranking — and two mergeable folds
+    (max qualifying rank, then the significant count IS that rank).
+    The vocabulary never centralizes. Columns: n_tested,
+    n_significant, bh_threshold."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate,
+                                             ranged_global_rank)
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["source"].isin([source_a, source_b])
+        batch = batch[m]
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = pd.DataFrame({"source": batch["source"], "w": toks}) \
+            .explode("w").dropna(subset=["w"])
+        if not len(ex):
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        c = (ex.groupby(["w", "source"], sort=False).size()
+             .unstack(fill_value=0))
+        for s in (source_a, source_b):
+            if s not in c.columns:
+                c[s] = 0
+        return pd.DataFrame({"word": c.index,
+                             "a": c[source_a].to_numpy(np.int64),
+                             "b": c[source_b].to_numpy(np.int64)})
+
+    counts = hash_partition_aggregate(
+        _read_documents(sf_dir, ("source", "text")).map_batches(
+            _partial, batch_format="pandas"),
+        ["word"], {"a": ("a", "sum"), "b": ("b", "sum")}).materialize()
+    tot = combine_partials_driver(
+        counts.map_batches(lambda t: pd.DataFrame({
+            "__k": np.int64(0),
+            "na": t["a"].astype("int64"), "nb": t["b"].astype("int64"),
+            "v": np.int64(1)}), batch_format="pandas"),
+        ["__k"], {"na": ("na", "sum"), "nb": ("nb", "sum"),
+                  "v": ("v", "sum")})
+    empty = pd.DataFrame({
+        "n_tested": pd.Series(dtype="int64"),
+        "n_significant": pd.Series(dtype="int64"),
+        "bh_threshold": pd.Series(dtype="float64")})
+    if tot.empty:
+        return empty
+    na = np.float64(np.int64(tot["na"].iloc[0]))
+    nb = np.float64(np.int64(tot["nb"].iloc[0]))
+    vocab = np.float64(np.int64(tot["v"].iloc[0]))
+
+    def _pvals(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["a"].to_numpy(np.int64).astype(np.float64)
+        b = t["b"].to_numpy(np.int64).astype(np.float64)
+        delta = (np.log((a + alpha)
+                        / (na + vocab * alpha - a - alpha))
+                 - np.log((b + alpha)
+                          / (nb + vocab * alpha - b - alpha)))
+        z = delta / np.sqrt(1.0 / (a + alpha) + 1.0 / (b + alpha))
+        p = _norm_two_sided_p(z)
+        return pd.DataFrame({
+            "word": t["word"], "p": p,
+            "__rb": np.minimum((p * 1024.0), 1023.0).astype(np.int64)})
+
+    keyed = counts.map_batches(_pvals, batch_format="pandas",
+                               batch_size=65536)
+    m_total, ranked = ranged_global_rank(keyed, ["p", "word"],
+                                         rank_col="rnk")
+    if m_total == 0:
+        return empty
+    mf = np.float64(int(m_total))
+
+    def _qual(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["rnk"].to_numpy(np.int64)
+        p = b["p"].to_numpy(np.float64)
+        ok = p <= np.float64(fdr) * r.astype(np.float64) / mf
+        best = np.int64(r[ok].max()) if ok.any() else np.int64(0)
+        return pd.DataFrame({"__k": [np.int64(0)], "best": [best]})
+
+    best = combine_partials_driver(
+        ranked.map_batches(_qual, batch_format="pandas",
+                           batch_size=65536),
+        ["__k"], {"best": ("best", "max")})
+    r_star = int(best["best"].iloc[0]) if len(best) else 0
+    return pd.DataFrame({
+        "n_tested": [np.int64(int(m_total))],
+        "n_significant": [np.int64(r_star)],
+        "bh_threshold": round_half_away(
+            np.array([np.float64(fdr) * np.float64(r_star) / mf]), 6)})

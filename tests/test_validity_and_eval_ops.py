@@ -1285,3 +1285,36 @@ def test_kleinberg_bursts_metronome_vs_cluster(ray_session, tmp_path):
     assert got.loc[1, "n_bursts"] == 0
     assert got.loc[2, "n_bursts"] == 1
     assert got.loc[2, "max_burst_len"] >= 7
+
+
+def test_bh_terms_planted_extreme_term(ray_session, tmp_path):
+    """One massively skewed term among balanced filler: the skewed
+    term survives FDR control; the A&S polynomial stays within its
+    documented 1.5e-7 of math.erfc."""
+    import math
+
+    from ocr_agent_ray.pipelines.text import (_norm_two_sided_p,
+                                              bh_significant_terms)
+
+    for z in (0.0, 0.5, 1.0, 2.0, 3.5, 6.0):
+        want = math.erfc(abs(z) / math.sqrt(2.0))
+        got = float(_norm_two_sided_p(np.array([z]))[0])
+        assert abs(got - want) < 1.5e-7
+
+    # NB: the term must appear on BOTH sides — a zero count keeps the
+    # Dirichlet variance term 1/alpha = 100 in the denominator and the
+    # z stays small no matter how lopsided the other side is
+    filler_a = " ".join(f"w{i}" for i in range(30))
+    filler_b = " ".join(f"w{i}" for i in range(30))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [filler_a + " spam" * 400, filler_b + " spam" * 5],
+        "lang": ["en", "en"],
+        "source": ["src0", "src1"],
+        "n_chars": [10, 10]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = bh_significant_terms(str(tmp_path))
+    assert got["n_tested"].iloc[0] == 31
+    assert got["n_significant"].iloc[0] >= 1
+    assert 0.0 < got["bh_threshold"].iloc[0] <= 0.05
