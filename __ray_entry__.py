@@ -584,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ipf_raking": relational.ipf_raking_weights,  # rows-only (iterative scaling; convergence pytest)
         "q_kleinberg_bursts": streaming.kleinberg_bursts,  # rows-only (per-user Viterbi DP; planted pytest)
         "q_bh_significant_terms": text.bh_significant_terms,
+        "q_gumbel_maxima": streaming.gumbel_weekly_maxima,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5069,6 +5070,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT m.m AS n_tested, CAST(q.rstar AS BIGINT) "
             "AS n_significant, ROUND(0.05 * CAST(q.rstar AS DOUBLE) "
             "/ CAST(m.m AS DOUBLE), 6) AS bh_threshold FROM m, q"
+        ),
+        "q_gumbel_maxima": (
+            # EV-I method-of-moments over ISO-week block maxima;
+            # gamma/pi/return-quantile as shared literal expressions
+            "WITH d AS (SELECT strftime(ts, '%G-%V') AS week, "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "m AS (SELECT week, CAST(MAX(c) AS BIGINT) AS mx FROM d "
+            "GROUP BY 1), "
+            "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(mx) AS s1, SUM(mx * mx) AS s2 FROM m), "
+            "f AS (SELECT n, "
+            "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+            "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+            "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "/ (CAST(n AS DOUBLE) - 1.0) AS var FROM a WHERE n >= 3), "
+            "g AS (SELECT n, mean, "
+            "sqrt(var) * sqrt(6.0) / pi() AS beta FROM f "
+            "WHERE var > 0.0), "
+            "h AS (SELECT n, mean, beta, "
+            "mean - 0.577216 * beta AS mu FROM g) "
+            "SELECT n AS n_weeks, ROUND(mean, 6) AS mean_max, "
+            "ROUND(mu, 6) AS gumbel_mu, ROUND(beta, 6) AS gumbel_beta, "
+            "ROUND(mu + beta * (-ln(-ln(1.0 - 1.0 / 4.0))), 6) "
+            "AS return_level_4w FROM h"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -323,6 +323,7 @@ QUERY_NAMES = [
     "q_ipf_raking",
     "q_kleinberg_bursts",
     "q_bh_significant_terms",
+    "q_gumbel_maxima",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

@@ -3512,3 +3512,62 @@ def kleinberg_bursts(sf_dir: str, *, s: float = 2.0, gamma: float = 1.0,
             user_id=b["user_id"].astype("int64")),
             batch_format="pandas", batch_size=65536),
         _user, key_col="user_id", num_buckets=64)
+
+
+def gumbel_weekly_maxima(sf_dir: str):
+    """Gumbel (EV-I) fit over WEEKLY block maxima of the daily count
+    series — the block-maxima half of extreme-value theory (the Hill
+    index handles the tail of raw values; Gumbel asks 'how big is next
+    month's worst day?'). Method-of-moments fit, the standard closed
+    form:
+
+        β̂ = s·√6/π,   μ̂ = x̄ − γ·β̂       (γ = 0.577216)
+
+    over the per-ISO-week maxima, plus the 4-week return level
+    μ̂ + β̂·(−ln(−ln(1 − 1/4))). Bounded weekly dimension: one
+    mergeable (week, max) fold, moments close on the driver with the
+    Bessel-corrected sd from exact int sums — identical float nesting
+    in the twin (γ and the return-level expression as shared
+    literals). Columns: n_weeks, mean_max, gumbel_mu, gumbel_beta,
+    return_level_4w."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    ev = _read_events(sf_dir, ("ts",))
+    wk = combine_partials_driver(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "week": b["ts"].dt.strftime("%G-%V"),
+            "day": b["ts"].dt.floor("D"), "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["week", "day"], {"c": ("c", "sum")})
+    empty = pd.DataFrame({
+        "n_weeks": pd.Series(dtype="int64"),
+        "mean_max": pd.Series(dtype="float64"),
+        "gumbel_mu": pd.Series(dtype="float64"),
+        "gumbel_beta": pd.Series(dtype="float64"),
+        "return_level_4w": pd.Series(dtype="float64")})
+    if wk.empty:
+        return empty
+    mx = wk.groupby("week", sort=True)["c"].max()
+    n = len(mx)
+    if n < 3:
+        return empty
+    x = [int(v) for v in mx.to_numpy()]
+    s1 = sum(x)
+    s2 = sum(v * v for v in x)
+    nf = np.float64(n)
+    mean = np.float64(s1) / nf
+    var = (np.float64(s2) - np.float64(s1) * np.float64(s1) / nf) \
+        / (nf - 1.0)
+    if var <= 0.0:
+        return empty
+    sd = np.sqrt(var)
+    beta = sd * np.sqrt(np.float64(6.0)) / np.float64(np.pi)
+    mu = mean - np.float64(0.577216) * beta
+    rl = mu + beta * (-np.log(-np.log(1.0 - 1.0 / 4.0)))
+    return pd.DataFrame({
+        "n_weeks": [np.int64(n)],
+        "mean_max": round_half_away(np.array([mean]), 6),
+        "gumbel_mu": round_half_away(np.array([mu]), 6),
+        "gumbel_beta": round_half_away(np.array([beta]), 6),
+        "return_level_4w": round_half_away(np.array([rl]), 6)})

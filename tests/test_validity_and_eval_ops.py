@@ -1318,3 +1318,30 @@ def test_bh_terms_planted_extreme_term(ray_session, tmp_path):
     assert got["n_tested"].iloc[0] == 31
     assert got["n_significant"].iloc[0] >= 1
     assert 0.0 < got["bh_threshold"].iloc[0] <= 0.05
+
+
+def test_gumbel_maxima_planted_moments(ray_session, tmp_path):
+    """Three ISO weeks with max daily counts {10, 20, 30}: mean 20,
+    sd 10 -> beta = 10*sqrt(6)/pi, mu = 20 - gamma*beta."""
+    from ocr_agent_ray.pipelines.streaming import gumbel_weekly_maxima
+
+    rows = []
+    # weekday Mondays anchor distinct ISO weeks; spike one day/week
+    for w, peak in enumerate((10, 20, 30)):
+        monday = pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=w)
+        for _ in range(peak):
+            rows.append((len(rows), monday, 0, "view", 0.0))
+        for d in range(1, 5):
+            for _ in range(5):
+                rows.append((len(rows), monday + pd.Timedelta(days=d),
+                             0, "view", 0.0))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = gumbel_weekly_maxima(str(tmp_path))
+    assert got["n_weeks"].tolist() == [3]
+    assert got["mean_max"].tolist() == [20.0]
+    beta = 10.0 * np.sqrt(6.0) / np.pi
+    assert got["gumbel_beta"].tolist() == [round(beta, 6)]
+    assert got["gumbel_mu"].tolist() == [round(20.0 - 0.577216 * beta,
+                                               6)]
