@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kleinberg_bursts": streaming.kleinberg_bursts,  # rows-only (per-user Viterbi DP; planted pytest)
         "q_bh_significant_terms": text.bh_significant_terms,
         "q_gumbel_maxima": streaming.gumbel_weekly_maxima,
+        "q_simpson_check": relational.simpson_paradox_check,
+        "q_dedup_savings": dedup.dedup_savings_report,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5095,6 +5097,53 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(mu, 6) AS gumbel_mu, ROUND(beta, 6) AS gumbel_beta, "
             "ROUND(mu + beta * (-ln(-ln(1.0 - 1.0 / 4.0))), 6) "
             "AS return_level_4w FROM h"
+        ),
+        "q_simpson_check": (
+            # pooled vs stratified value-time correlation; pooled
+            # moments are the SUM of the per-type moment sums
+            "WITH p AS (SELECT event_type, "
+            "(epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 86400.0 "
+            "AS x, value AS y FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, "
+            "SUM(x * x) AS sxx, SUM(y * y) AS syy FROM p GROUP BY 1), "
+            "t AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy, "
+            "SUM(sxy) AS sxy, SUM(sxx) AS sxx, SUM(syy) AS syy "
+            "FROM m), "
+            "pc AS (SELECT (n * sxy - sx * sy) "
+            "/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r "
+            "FROM t), "
+            "wc AS (SELECT event_type, CASE WHEN "
+            "(n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 "
+            "THEN NULL ELSE (n * sxy - sx * sy) "
+            "/ sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END "
+            "AS r FROM m) "
+            "SELECT wc.event_type, ROUND(wc.r, 6) AS corr_within, "
+            "ROUND(pc.r, 6) AS pooled_corr, "
+            "CAST(CASE WHEN wc.r IS NOT NULL AND "
+            "ROUND(wc.r, 6) * ROUND(pc.r, 6) < 0.0 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS sign_flip "
+            "FROM wc, pc ORDER BY wc.event_type"
+        ),
+        "q_dedup_savings": (
+            # first-wins exact-dedup savings; groups by text equality
+            # (the kernel's 64-bit fingerprint stands in — the
+            # q_exact_dedup collision precedent)
+            "WITH g AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS chars, "
+            "CAST(MIN(doc_id) AS BIGINT) AS keep_id FROM documents "
+            "GROUP BY 1), "
+            "k AS (SELECT g.docs, g.chars, d.n_chars AS kc FROM g "
+            "JOIN documents d ON d.doc_id = g.keep_id), "
+            "t AS (SELECT CAST(SUM(docs) AS BIGINT) AS docs, "
+            "CAST(COUNT(*) AS BIGINT) AS kept, "
+            "CAST(SUM(chars) AS BIGINT) AS chars, "
+            "CAST(SUM(kc) AS BIGINT) AS ck FROM k) "
+            "SELECT docs AS n_docs, kept AS n_kept, "
+            "docs - kept AS n_dropped, chars AS chars_total, "
+            "chars - ck AS chars_dropped, "
+            "ROUND(CAST(chars - ck AS DOUBLE) "
+            "/ CAST(chars AS DOUBLE), 6) AS savings_fraction FROM t"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

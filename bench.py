@@ -324,6 +324,8 @@ QUERY_NAMES = [
     "q_kleinberg_bursts",
     "q_bh_significant_terms",
     "q_gumbel_maxima",
+    "q_simpson_check",
+    "q_dedup_savings",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

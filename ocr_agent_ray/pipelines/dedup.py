@@ -3077,3 +3077,70 @@ def dedup_threshold_sweep(sf_dir: str, *,
     return pd.DataFrame(rows, columns=["threshold", "n_pairs",
                                        "n_docs_touched"]) \
         .astype({"n_pairs": "int64", "n_docs_touched": "int64"})
+
+
+def dedup_savings_report(sf_dir: str):
+    """What did exact dedup buy us — document and character savings
+    from dropping non-first exact duplicates (the capacity-planning
+    number behind every dedup rollout). First-wins semantics match
+    ``dedup_keep_first`` (min doc_id per fingerprint survives): one
+    fingerprint exchange carrying (hash, doc_id, n_chars) — never
+    text — with a bucketed per-hash fold emitting mergeable
+    (docs, kept, chars, chars_kept) partials. Columns: n_docs,
+    n_kept, n_dropped, chars_total, chars_dropped, savings_fraction."""
+    import pandas as pd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+    from ocr_agent_ray.sources.readers import read_table
+
+    def _fp(b: pd.DataFrame) -> pd.DataFrame:
+        from pandas.util import hash_array
+
+        h = hash_array(b["text"].fillna("").to_numpy(dtype=object),
+                       categorize=False).astype(np.int64)
+        return pd.DataFrame({"h": h,
+                             "doc_id": b["doc_id"].astype("int64"),
+                             "nc": b["n_chars"].astype("int64")})
+
+    fp = read_table(sf_dir, "documents",
+                    ["doc_id", "text", "n_chars"]).map_batches(
+        _fp, batch_format="pandas", batch_size=65536)
+
+    def _per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g["doc_id"].idxmin()
+        return pd.DataFrame({
+            "__k": [np.int64(0)],
+            "docs": [np.int64(len(g))],
+            "kept": [np.int64(1)],
+            "chars": [np.int64(int(g["nc"].sum()))],
+            "chars_kept": [np.int64(int(g.loc[keep, "nc"]))]})
+
+    tot = combine_partials_driver(
+        key_map_groups(fp, _per_hash, key_col="h", num_buckets=32),
+        ["__k"],
+        {"docs": ("docs", "sum"), "kept": ("kept", "sum"),
+         "chars": ("chars", "sum"),
+         "chars_kept": ("chars_kept", "sum")})
+    empty = pd.DataFrame({
+        "n_docs": pd.Series(dtype="int64"),
+        "n_kept": pd.Series(dtype="int64"),
+        "n_dropped": pd.Series(dtype="int64"),
+        "chars_total": pd.Series(dtype="int64"),
+        "chars_dropped": pd.Series(dtype="int64"),
+        "savings_fraction": pd.Series(dtype="float64")})
+    if tot.empty:
+        return empty
+    docs = np.int64(tot["docs"].iloc[0])
+    kept = np.int64(tot["kept"].iloc[0])
+    chars = np.int64(tot["chars"].iloc[0])
+    ck = np.int64(tot["chars_kept"].iloc[0])
+    return pd.DataFrame({
+        "n_docs": [docs], "n_kept": [kept],
+        "n_dropped": [np.int64(docs - kept)],
+        "chars_total": [chars],
+        "chars_dropped": [np.int64(chars - ck)],
+        "savings_fraction": round_half_away(
+            np.array([np.float64(chars - ck) / np.float64(chars)]),
+            6)})

@@ -5097,3 +5097,72 @@ def ipf_raking_weights(sf_dir: str, *, iters: int = 10):
     return pd.DataFrame(out, columns=["lang", "source", "n_docs",
                                       "weight"]) \
         .astype({"n_docs": "int64"})
+
+
+def simpson_paradox_check(sf_dir: str):
+    """Simpson's-paradox screen on the value–time relationship — does
+    the POOLED correlation's sign survive stratification by event
+    type? (The classic confounding diagnostic: a pooled trend driven
+    by group composition, not within-group behavior, flips sign when
+    conditioned.) One scan folds the same six moment partials as the
+    correlation family, keyed by type; the pooled moments are the SUM
+    of the per-type partials (exact same floats — no second pass), and
+    both correlations close on the driver with the raw-moment formula.
+    Columns: event_type, corr_within, pooled_corr, sign_flip."""
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def _moments(batch: pd.DataFrame) -> pd.DataFrame:
+        x = ((batch["ts"].astype("int64").to_numpy(dtype=np.float64)
+              - base_us) / 1e6) / 86400.0
+        y = batch["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "one": np.ones(len(batch), dtype=np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x,
+            "syy": y * y})
+
+    m = combine_partials_driver(
+        read_table(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_moments, batch_format="pandas",
+                     batch_size=65536),
+        ["event_type"],
+        {"n": ("one", "sum"), "sx": ("sx", "sum"),
+         "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+         "sxx": ("sxx", "sum"), "syy": ("syy", "sum")})
+    empty = pd.DataFrame({
+        "event_type": pd.Series(dtype="object"),
+        "corr_within": pd.Series(dtype="float64"),
+        "pooled_corr": pd.Series(dtype="float64"),
+        "sign_flip": pd.Series(dtype="int64")})
+    if not len(m):
+        return empty
+    m = m.sort_values("event_type").reset_index(drop=True)
+
+    def corr(n, sx, sy, sxy, sxx, syy):
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return np.where(den == 0.0, np.nan,
+                        (n * sxy - sx * sy)
+                        / np.where(den == 0.0, 1.0, den))
+
+    n = m["n"].to_numpy(np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxy = m["sxy"].to_numpy()
+    sxx, syy = m["sxx"].to_numpy(), m["syy"].to_numpy()
+    within = corr(n, sx, sy, sxy, sxx, syy)
+    pooled = float(corr(
+        np.array([n.sum()]), np.array([sx.sum()]),
+        np.array([sy.sum()]), np.array([sxy.sum()]),
+        np.array([sxx.sum()]), np.array([syy.sum()]))[0])
+    # flip decided on the ROUNDED values (a within-corr of ±1e-18
+    # would otherwise sign differently per engine): strictly opposite
+    # signs only — a rounded zero never flips
+    w6 = round_half_away(within, 6)
+    p6 = round_half_away(np.full(len(m), pooled, np.float64), 6)
+    flip = (np.isfinite(w6) & (w6 * p6 < 0.0)).astype(np.int64)
+    return pd.DataFrame({
+        "event_type": m["event_type"],
+        "corr_within": w6,
+        "pooled_corr": p6,
+        "sign_flip": flip})

@@ -1345,3 +1345,47 @@ def test_gumbel_maxima_planted_moments(ray_session, tmp_path):
     assert got["gumbel_beta"].tolist() == [round(beta, 6)]
     assert got["gumbel_mu"].tolist() == [round(20.0 - 0.577216 * beta,
                                                6)]
+
+
+def test_simpson_planted_flip(ray_session, tmp_path):
+    """Two strata each trending DOWN, but the later stratum sits
+    higher -> pooled correlation is positive while both within-type
+    correlations are negative: sign_flip = 1 for both."""
+    from ocr_agent_ray.pipelines.relational import simpson_paradox_check
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for i in range(10):  # type a: early, values 10 -> 1 (down)
+        rows.append(("a", base + pd.Timedelta(hours=i),
+                     10.0 - float(i)))
+    for i in range(10):  # type b: later, values 110 -> 101 (down)
+        rows.append(("b", base + pd.Timedelta(days=5, hours=i),
+                     110.0 - float(i)))
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_type", "ts", "value"]))
+    got = simpson_paradox_check(str(tmp_path)).set_index("event_type")
+    assert got.loc["a", "corr_within"] < 0
+    assert got.loc["b", "corr_within"] < 0
+    assert (got["pooled_corr"] > 0).all()
+    assert got["sign_flip"].tolist() == [1, 1]
+
+
+def test_dedup_savings_planted(ray_session, tmp_path):
+    """Three copies of one doc plus a unique doc: 2 dropped, savings =
+    dropped chars / total chars; first-wins keeps the lowest id."""
+    from ocr_agent_ray.pipelines.dedup import dedup_savings_report
+
+    docs = pd.DataFrame({
+        "doc_id": [5, 1, 9, 3],
+        "text": ["dup", "dup", "dup", "unique text"],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": [3, 3, 3, 11]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = dedup_savings_report(str(tmp_path))
+    assert got["n_docs"].tolist() == [4]
+    assert got["n_kept"].tolist() == [2]
+    assert got["n_dropped"].tolist() == [2]
+    assert got["chars_total"].tolist() == [20]
+    assert got["chars_dropped"].tolist() == [6]
+    assert got["savings_fraction"].tolist() == [round(6 / 20, 6)]
