@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gumbel_maxima": streaming.gumbel_weekly_maxima,
         "q_simpson_check": relational.simpson_paradox_check,
         "q_dedup_savings": dedup.dedup_savings_report,
+        "q_source_hhi": text.source_hhi,
+        "q_cluster_source_ari": dedup.cluster_source_ari,  # rows-only (iterative clustering; planted pytest)
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5144,6 +5146,18 @@ def oracle_sql() -> dict[str, str]:
             "chars - ck AS chars_dropped, "
             "ROUND(CAST(chars - ck AS DOUBLE) "
             "/ CAST(chars AS DOUBLE), 6) AS savings_fraction FROM t"
+        ),
+        "q_source_hhi": (
+            # Herfindahl concentration of the source mix
+            "WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c "
+            "FROM documents GROUP BY 1), "
+            "t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, "
+            "CAST(COUNT(*) AS BIGINT) AS k FROM g), "
+            "h AS (SELECT t.k, SUM((CAST(g.c AS DOUBLE) / t.n) "
+            "* (CAST(g.c AS DOUBLE) / t.n)) AS hhi FROM g, t "
+            "GROUP BY 1) "
+            "SELECT k AS n_sources, ROUND(hhi, 6) AS hhi, "
+            "ROUND(1.0 / hhi, 6) AS effective_n FROM h"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

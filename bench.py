@@ -326,6 +326,8 @@ QUERY_NAMES = [
     "q_gumbel_maxima",
     "q_simpson_check",
     "q_dedup_savings",
+    "q_source_hhi",
+    "q_cluster_source_ari",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

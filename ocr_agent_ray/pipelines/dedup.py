@@ -3144,3 +3144,104 @@ def dedup_savings_report(sf_dir: str):
         "savings_fraction": round_half_away(
             np.array([np.float64(chars - ck) / np.float64(chars)]),
             6)})
+
+
+def cluster_source_ari(sf_dir: str):
+    """Adjusted Rand Index between the near-dup CLUSTER partition and
+    the SOURCE partition — 'do duplicate families coincide with
+    sources?' as a chance-corrected agreement score (the modularity
+    screen's partition-level sibling; ARI 1: every family lives in one
+    source, ≈0: no better than chance):
+
+        ARI = (Σ_ij C(n_ij,2) − E) / (max − E),
+        E = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2)
+
+    Distributed shape: the MinHash-LSH cluster assignment joins its
+    docs' sources through one bucketed hash join; the contingency
+    C(n,2) terms fold as mergeable partials over (cluster, source) /
+    cluster / source keys, so only three scalar sums and n reach the
+    driver. Singleton docs (no cluster) count as their own clusters —
+    they contribute zero pair terms. Rows-only (the clustering itself
+    is iterative; planted agreement pytest). Columns: n_docs,
+    sum_comb_cells, ari."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.joins import bucket_hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    cl = duplicate_clusters(minhash_lsh_dedup(docs))
+    if isinstance(cl, pd.DataFrame):
+        cl = rd.from_pandas(cl) if len(cl) else None
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"]).map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                                "source": b["source"]}),
+        batch_format="pandas", batch_size=65536)
+    if cl is None:
+        joined = src.map_batches(
+            lambda b: b.assign(cluster_id=-b["doc_id"].astype("int64")),
+            batch_format="pandas", batch_size=65536)
+    else:
+        joined = bucket_hash_join(
+            src, cl, on="doc_id", how="left", num_buckets=16,
+            left_schema=pa.schema([("doc_id", pa.int64()),
+                                   ("source", pa.string())]),
+            right_schema=pa.schema([("doc_id", pa.int64()),
+                                    ("cluster_id", pa.int64())]))
+        joined = joined.map_batches(
+            lambda b: pd.DataFrame({
+                "doc_id": b["doc_id"].astype("int64"),
+                "source": b["source"],
+                # singletons: unique negative ids (their own cluster)
+                "cluster_id": b["cluster_id"]
+                .fillna(-b["doc_id"].astype("float64") - 1)
+                .astype("int64")}),
+            batch_format="pandas", batch_size=65536)
+
+    def comb2_fold(keys):
+        counts = hash_partition_aggregate(
+            joined.map_batches(lambda b: b.assign(one=np.int64(1))[
+                keys + ["one"]],
+                batch_format="pandas", batch_size=65536),
+            keys, {"n": ("one", "sum")})
+        return combine_partials_driver(
+            counts.map_batches(lambda b: pd.DataFrame({
+                "__k": np.int64(0),
+                "s": (b["n"].to_numpy(np.int64)
+                      * (b["n"].to_numpy(np.int64) - 1)) // 2,
+                "n": b["n"].astype("int64")}),
+                batch_format="pandas"),
+            ["__k"], {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    cells = comb2_fold(["cluster_id", "source"])
+    rows_a = comb2_fold(["cluster_id"])
+    rows_b = comb2_fold(["source"])
+    empty = pd.DataFrame({
+        "n_docs": pd.Series(dtype="int64"),
+        "sum_comb_cells": pd.Series(dtype="int64"),
+        "ari": pd.Series(dtype="float64")})
+    if cells.empty:
+        return empty
+    n = int(cells["n"].iloc[0])
+    if n < 2:
+        return empty
+    s_cells = np.float64(int(cells["s"].iloc[0]))
+    s_a = np.float64(int(rows_a["s"].iloc[0]))
+    s_b = np.float64(int(rows_b["s"].iloc[0]))
+    c2n = np.float64(n * (n - 1) // 2)
+    e = s_a * s_b / c2n
+    mx = (s_a + s_b) / 2.0
+    if mx == e:
+        return empty
+    ari = (s_cells - e) / (mx - e)
+    return pd.DataFrame({
+        "n_docs": [np.int64(n)],
+        "sum_comb_cells": [np.int64(int(s_cells))],
+        "ari": round_half_away(np.array([ari]), 6)})

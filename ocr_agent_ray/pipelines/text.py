@@ -3899,3 +3899,38 @@ def bh_significant_terms(sf_dir: str, *, source_a: str = "src0",
         "n_significant": [np.int64(r_star)],
         "bh_threshold": round_half_away(
             np.array([np.float64(fdr) * np.float64(r_star) / mf]), 6)})
+
+
+def source_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of the corpus's source mix —
+    'is the dataset dominated by a handful of crawls?' (HHI = Σ share²
+    over sources; 1/HHI is the EFFECTIVE number of sources — the
+    number a uniform mix would need for the same concentration). One
+    mergeable per-source count fold; the index closes on the driver
+    from exact ints (shares as one division each, Σ in source order —
+    the twin's SUM ordering differences wash out in the 6-dp round).
+    Columns: n_sources, hhi, effective_n."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import combine_partials_driver
+
+    g = combine_partials_driver(
+        _read_documents(sf_dir, ("source",)).map_batches(
+            lambda b: pd.DataFrame({"source": b["source"],
+                                    "c": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["source"], {"c": ("c", "sum")})
+    if not len(g):
+        return pd.DataFrame({
+            "n_sources": pd.Series(dtype="int64"),
+            "hhi": pd.Series(dtype="float64"),
+            "effective_n": pd.Series(dtype="float64")})
+    g = g.sort_values("source")
+    c = g["c"].to_numpy(np.int64)
+    n = np.float64(int(c.sum()))
+    share = c.astype(np.float64) / n
+    hhi = float((share * share).sum())
+    return pd.DataFrame({
+        "n_sources": [np.int64(len(c))],
+        "hhi": round_half_away(np.array([hhi]), 6),
+        "effective_n": round_half_away(
+            np.array([1.0 / hhi]), 6)})

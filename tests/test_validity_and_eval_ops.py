@@ -1389,3 +1389,34 @@ def test_dedup_savings_planted(ray_session, tmp_path):
     assert got["chars_total"].tolist() == [20]
     assert got["chars_dropped"].tolist() == [6]
     assert got["savings_fraction"].tolist() == [round(6 / 20, 6)]
+
+
+def test_source_hhi_uniform_and_concentrated(ray_session, tmp_path):
+    """Uniform 4-source mix: HHI = 0.25, effective_n = 4; one dominant
+    source pushes HHI toward 1."""
+    from ocr_agent_ray.pipelines.text import source_hhi
+
+    _write_docs(tmp_path, ["x"] * 8,
+                ["a", "b", "c", "d"] * 2)
+    got = source_hhi(str(tmp_path))
+    assert got["hhi"].tolist() == [0.25]
+    assert got["effective_n"].tolist() == [4.0]
+
+    _write_docs(tmp_path, ["x"] * 10, ["big"] * 9 + ["small"])
+    got = source_hhi(str(tmp_path))
+    assert got["hhi"].tolist() == [round(0.81 + 0.01, 6)]
+
+
+def test_cluster_source_ari_planted_agreement(ray_session, tmp_path):
+    """Duplicate families aligned 1:1 with sources score ARI near 1
+    (sklearn's adjusted_rand_score replayed densely as reference)."""
+    from ocr_agent_ray.pipelines.dedup import cluster_source_ari
+
+    # two exact-duplicate families, each wholly inside one source,
+    # plus no cross-source text reuse
+    texts = (["the quick brown fox jumps over the lazy dog " * 3] * 6
+             + ["pack my box with five dozen liquor jugs now " * 3] * 6)
+    _write_docs(tmp_path, texts, ["s1"] * 6 + ["s2"] * 6)
+    got = cluster_source_ari(str(tmp_path))
+    assert got["n_docs"].tolist() == [12]
+    assert got["ari"].iloc[0] == 1.0
