@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_savings": dedup.dedup_savings_report,
         "q_source_hhi": text.source_hhi,
         "q_cluster_source_ari": dedup.cluster_source_ari,  # rows-only (iterative clustering; planted pytest)
+        "q_user_jaccard_daily": streaming.user_jaccard_daily,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5158,6 +5159,25 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT k AS n_sources, ROUND(hhi, 6) AS hhi, "
             "ROUND(1.0 / hhi, 6) AS effective_n FROM h"
+        ),
+        "q_user_jaccard_daily": (
+            # audience continuity: J(users_d, users_{d+1}) over
+            # consecutive OBSERVED days
+            "WITH du AS (SELECT DISTINCT "
+            "CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id "
+            "FROM events), "
+            "c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM du "
+            "GROUP BY 1), "
+            "i AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS m "
+            "FROM du a JOIN du b ON a.user_id = b.user_id "
+            "AND b.day = a.day + INTERVAL 1 DAY GROUP BY 1) "
+            "SELECT c1.day, c1.n AS n_users, c2.n AS n_users_next, "
+            "CAST(COALESCE(i.m, 0) AS BIGINT) AS n_common, "
+            "ROUND(CAST(COALESCE(i.m, 0) AS DOUBLE) "
+            "/ CAST(c1.n + c2.n - COALESCE(i.m, 0) AS DOUBLE), 6) "
+            "AS jaccard FROM c c1 "
+            "JOIN c c2 ON c2.day = c1.day + INTERVAL 1 DAY "
+            "LEFT JOIN i ON i.day = c1.day ORDER BY c1.day"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

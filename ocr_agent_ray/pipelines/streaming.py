@@ -3571,3 +3571,82 @@ def gumbel_weekly_maxima(sf_dir: str):
         "gumbel_mu": round_half_away(np.array([mu]), 6),
         "gumbel_beta": round_half_away(np.array([beta]), 6),
         "return_level_4w": round_half_away(np.array([rl]), 6)})
+
+
+def user_jaccard_daily(sf_dir: str, *, num_buckets: int = 64):
+    """Day-over-day active-user Jaccard — audience continuity: of the
+    users active on day d or d+1, what fraction was active on BOTH?
+    (≈1: the same people every day; ≈0: full churn. The temporal
+    sibling of the near-dup Jaccard.) Distributed shape: one bucketed
+    distinct-(day, user) fold; per-user groups emit consecutive-
+    calendar-day co-presence partials ((d, d+1) both in the user's day
+    set → one count for d), per-day user counts fold mergeably, and
+    the bounded day table closes the ratio on the driver. Only
+    consecutive OBSERVED day pairs appear (the twin's inner join on
+    d+1). Columns: day, n_users, n_users_next, n_common, jaccard."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.agg import (combine_partials_driver,
+                                             hash_partition_aggregate)
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    ev = _read_events(sf_dir, ("ts", "user_id"))
+    du = hash_partition_aggregate(
+        ev.map_batches(lambda b: pd.DataFrame({
+            "day": b["ts"].dt.floor("D"),
+            "user_id": b["user_id"].astype("int64"),
+            "one": np.int64(1)}),
+            batch_format="pandas", batch_size=65536),
+        ["user_id", "day"], {"one": ("one", "max")}).materialize()
+    counts = combine_partials_driver(
+        du.map_batches(lambda b: pd.DataFrame({
+            "day": b["day"], "n": np.int64(1)}),
+            batch_format="pandas"),
+        ["day"], {"n": ("n", "sum")})
+
+    def _copresence(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["day"].to_numpy(dtype="datetime64[D]")
+                    .astype(np.int64))
+        consec = d[:-1][(d[1:] - d[:-1]) == 1]
+        if not len(consec):
+            return pd.DataFrame({"day": pd.Series(
+                dtype="datetime64[us]"), "m": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "day": consec.astype("datetime64[D]")
+            .astype("datetime64[us]"),
+            "m": np.ones(len(consec), np.int64)})
+
+    inter = combine_partials_driver(
+        key_map_groups(du, _copresence, key_col="user_id",
+                       num_buckets=num_buckets),
+        ["day"], {"m": ("m", "sum")})
+    empty = pd.DataFrame({
+        "day": pd.Series(dtype="datetime64[us]"),
+        "n_users": pd.Series(dtype="int64"),
+        "n_users_next": pd.Series(dtype="int64"),
+        "n_common": pd.Series(dtype="int64"),
+        "jaccard": pd.Series(dtype="float64")})
+    if counts.empty:
+        return empty
+    counts = counts.sort_values("day").reset_index(drop=True)
+    imap = (inter.set_index("day")["m"] if len(inter)
+            else pd.Series(dtype="int64"))
+    day_i = counts["day"].to_numpy(dtype="datetime64[D]") \
+        .astype(np.int64)
+    rows = []
+    for i in range(len(counts) - 1):
+        if day_i[i + 1] - day_i[i] != 1:
+            continue
+        d = counts["day"].iloc[i]
+        n1 = np.int64(counts["n"].iloc[i])
+        n2 = np.int64(counts["n"].iloc[i + 1])
+        m = np.int64(int(imap.get(d, 0)))
+        rows.append((d, n1, n2, m,
+                     float(round_half_away(
+                         np.float64(m) / np.float64(n1 + n2 - m), 6))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["day", "n_users",
+                                       "n_users_next", "n_common",
+                                       "jaccard"]) \
+        .astype({"n_users": "int64", "n_users_next": "int64",
+                 "n_common": "int64"})

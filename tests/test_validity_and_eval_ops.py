@@ -1420,3 +1420,29 @@ def test_cluster_source_ari_planted_agreement(ray_session, tmp_path):
     got = cluster_source_ari(str(tmp_path))
     assert got["n_docs"].tolist() == [12]
     assert got["ari"].iloc[0] == 1.0
+
+
+def test_user_jaccard_daily_planted(ray_session, tmp_path):
+    """Day 1 users {1,2,3}, day 2 users {2,3,4}: J = 2/4 = 0.5;
+    a calendar gap produces NO row (only consecutive observed days)."""
+    from ocr_agent_ray.pipelines.streaming import user_jaccard_daily
+
+    rows = []
+    def ev(day, uid):
+        rows.append((len(rows), pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(days=day), uid, "view", 0.0))
+    for u in (1, 2, 3):
+        ev(0, u)
+    for u in (2, 3, 4):
+        ev(1, u)
+    for u in (7, 8):                      # day 3 skipped -> gap
+        ev(3, u)
+    _write_events(tmp_path, pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value"]))
+    got = user_jaccard_daily(str(tmp_path))
+    assert len(got) == 1
+    assert got["n_users"].tolist() == [3]
+    assert got["n_users_next"].tolist() == [3]
+    assert got["n_common"].tolist() == [2]
+    assert got["jaccard"].tolist() == [0.5]
