@@ -590,6 +590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_source_hhi": text.source_hhi,
         "q_cluster_source_ari": dedup.cluster_source_ari,  # rows-only (iterative clustering; planted pytest)
         "q_user_jaccard_daily": streaming.user_jaccard_daily,
+        "q_mrr_search": text.mrr_search,
     }
 
     # The driver oracles only the FIRST 50 dict entries (round-2 finding:
@@ -5178,6 +5179,48 @@ def oracle_sql() -> dict[str, str]:
             "AS jaccard FROM c c1 "
             "JOIN c c2 ON c2.day = c1.day + INTERVAL 1 DAY "
             "LEFT JOIN i ON i.day = c1.day ORDER BY c1.day"
+        ),
+        "q_mrr_search": (
+            # rank of the first relevant (rel >= 3) doc in the BM25
+            # top-20; none -> rank NULL, reciprocal 0
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[0-9a-z_]+')) "
+            "AS DOUBLE) AS dl FROM documents), "
+            "q AS (SELECT * FROM (VALUES (0,'join'),(0,'hash'),"
+            "(1,'vector'),(1,'stream'),"
+            "(2,'window'),(2,'filter'),(2,'merge')) AS t(qid, w)), "
+            "qsz AS (SELECT qid, COUNT(*) AS sz FROM q GROUP BY 1), "
+            "tf AS (SELECT q.qid, toks.doc_id, q.w, "
+            "CAST(COUNT(*) AS DOUBLE) AS tf FROM toks JOIN q USING (w) "
+            "GROUP BY 1, 2, 3), "
+            "df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+            "FROM toks WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1), "
+            "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(len(regexp_extract_all(lower(text), '[0-9a-z_]+'))) "
+            "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl "
+            "FROM documents), "
+            "sc AS (SELECT tf.qid, tf.doc_id, "
+            "SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0) "
+            "* (tf.tf * (1.2 + 1.0)) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl))) "
+            "AS score, CASE WHEN SUM(tf.tf) >= 3.0 THEN 1 ELSE 0 END "
+            "AS rel, COUNT(*) AS matched "
+            "FROM tf JOIN df USING (w) "
+            "JOIN dl ON tf.doc_id = dl.doc_id, n GROUP BY 1, 2), "
+            "ranked AS (SELECT sc.qid, sc.rel, row_number() OVER "
+            "(PARTITION BY sc.qid ORDER BY sc.score DESC, sc.doc_id) "
+            "AS rk FROM sc JOIN qsz ON sc.qid = qsz.qid "
+            "WHERE sc.matched = qsz.sz), "
+            "f AS (SELECT qid, MIN(CASE WHEN rel = 1 THEN rk END) "
+            "AS fr FROM ranked WHERE rk <= 20 GROUP BY 1) "
+            "SELECT qid AS query_id, CAST(fr AS BIGINT) "
+            "AS first_rel_rank, "
+            "CASE WHEN fr IS NULL THEN 0.0 "
+            "ELSE ROUND(1.0 / CAST(fr AS DOUBLE), 6) END "
+            "AS reciprocal_rank FROM f ORDER BY 1"
         ),
         # rows-only (non-SQL-expressible): q_dup_graph_kcore,
         # q_language_id, q_winnowing,

@@ -329,6 +329,7 @@ QUERY_NAMES = [
     "q_source_hhi",
     "q_cluster_source_ari",
     "q_user_jaccard_daily",
+    "q_mrr_search",
     # media actor-pool queries last (their pools linger at teardown)
     "q_image_phash_pairs",
     "q_audio_dup_pairs",

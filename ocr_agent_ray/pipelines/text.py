@@ -3934,3 +3934,108 @@ def source_hhi(sf_dir: str):
         "hhi": round_half_away(np.array([hhi]), 6),
         "effective_n": round_half_away(
             np.array([1.0 / hhi]), 6)})
+
+
+def mrr_search(sf_dir: str, *, k: int = 20, k1: float = 1.2,
+               b: float = 0.75, rel_min: int = 3):
+    """Mean Reciprocal Rank at ``k`` of the BM25 ranking under the
+    binary relevance bar rel ≥ ``rel_min`` — the fourth member of the
+    retrieval-evaluation family (NDCG grades the whole list, AP the
+    precision profile, RBO the arm agreement; MRR answers the
+    navigational question 'how deep is the FIRST good hit?'). A query
+    with no relevant doc in its top-``k`` scores 0 (the standard
+    truncated convention — and what keeps the per-batch partial top-k
+    by score sufficient: a first-relevant below the cutoff is 0 by
+    definition). Same BM25 two-pass machinery; per query the merge
+    finds the first relevant rank. Columns: query_id, first_rel_rank
+    (NULL when none), reciprocal_rank."""
+    from ocr_agent_ray.functions.textstats import round_half_away
+    from ocr_agent_ray.pipelines.exchange import key_map_groups
+
+    terms = sorted({t for q in _SEARCH_QUERIES.values() for t in q})
+
+    def _pivot(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].fillna("").str.lower()
+                .str.findall(r"[0-9a-z_]+"))
+        ex = toks.explode()
+        m = ex.isin(terms)
+        hits = pd.DataFrame({"i": ex.index[m], "t": ex[m].to_numpy()})
+        tf = (hits.groupby(["i", "t"]).size().unstack(fill_value=0)
+              if len(hits) else pd.DataFrame())
+        tf = tf.reindex(index=range(len(batch)), columns=terms,
+                        fill_value=0)
+        tf.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        tf.insert(1, "__dl", toks.str.len().to_numpy(dtype=np.int64))
+        return tf
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        row = {"__n_docs": np.int64(len(batch)),
+               "__sum_dl": np.int64(tf["__dl"].sum())}
+        for t in terms:
+            row[f"df_{t}"] = np.int64((tf[t] > 0).sum())
+        return pd.DataFrame([row])
+
+    stats = pd.concat(
+        [x for x in _read_documents(sf_dir).map_batches(
+            _stats, batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=None)],
+        ignore_index=True).sum()
+    n_docs = float(stats["__n_docs"])
+    avgdl = float(stats["__sum_dl"]) / n_docs
+    idf = {t: np.log((n_docs - float(stats[f"df_{t}"]) + 0.5)
+                     / (float(stats[f"df_{t}"]) + 0.5) + 1.0)
+           for t in terms}
+
+    def _cand(batch: pd.DataFrame) -> pd.DataFrame:
+        tf = _pivot(batch)
+        dl = tf["__dl"].to_numpy(dtype=np.float64)
+        out = []
+        for qid, qterms in _SEARCH_QUERIES.items():
+            sub = tf[list(qterms)]
+            match = (sub > 0).all(axis=1)
+            if not match.any():
+                continue
+            dlm = dl[match.to_numpy()]
+            score = np.zeros(int(match.sum()), dtype=np.float64)
+            for t in qterms:
+                tfv = sub.loc[match, t].to_numpy(dtype=np.float64)
+                score += idf[t] * (tfv * (k1 + 1.0)) / (
+                    tfv + k1 * (1.0 - b + b * dlm / avgdl))
+            rel = (sub.loc[match].sum(axis=1).to_numpy(np.int64)
+                   >= rel_min).astype(np.int64)
+            g = pd.DataFrame({"query_id": np.int64(qid),
+                              "doc_id": tf.loc[match, "doc_id"].to_numpy(),
+                              "score": score, "rel": rel})
+            out.append(g.sort_values(["score", "doc_id"],
+                                     ascending=[False, True]).head(k))
+        if not out:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+                "rel": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.drop_duplicates("doc_id")
+             .sort_values(["score", "doc_id"],
+                          ascending=[False, True]).head(k))
+        flags = g["rel"].to_numpy(np.int64)
+        hit = np.nonzero(flags == 1)[0]
+        if len(hit):
+            r = int(hit[0]) + 1
+            rr = float(round_half_away(
+                np.float64(1.0) / np.float64(r), 6))
+            rank = np.int64(r)
+        else:
+            rank, rr = pd.NA, 0.0
+        return pd.DataFrame({
+            "query_id": [np.int64(g["query_id"].iloc[0])],
+            "first_rel_rank": pd.array([rank], dtype="Int64"),
+            "reciprocal_rank": [rr]})
+
+    return key_map_groups(
+        _read_documents(sf_dir).map_batches(_cand,
+                                            batch_format="pandas"),
+        _final, key_col="query_id", num_buckets=4)

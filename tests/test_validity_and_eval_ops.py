@@ -1446,3 +1446,28 @@ def test_user_jaccard_daily_planted(ray_session, tmp_path):
     assert got["n_users_next"].tolist() == [3]
     assert got["n_common"].tolist() == [2]
     assert got["jaccard"].tolist() == [0.5]
+
+
+def test_mrr_planted_first_hit(ray_session, tmp_path):
+    """Candidate pool where length normalization puts a low-relevance
+    doc first: the first rel>=3 doc's 1-based rank drives 1/r; a
+    query whose candidates never reach rel 3 scores 0 with NULL rank."""
+    from ocr_agent_ray.pipelines.text import mrr_search
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        # doc 0: short, rel=2 (ranks first on BM25 but NOT relevant);
+        # doc 1: rel=4 (the first relevant); doc 2: filler for q1/q2
+        "text": ["join hash",
+                 "join join hash hash " + "pad " * 30,
+                 "vector stream"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [9, 100, 13]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    got = mrr_search(str(tmp_path)).to_pandas().set_index("query_id")
+    assert got.loc[0, "first_rel_rank"] == 2
+    assert got.loc[0, "reciprocal_rank"] == 0.5
+    # query 1 ("vector","stream"): doc 2 has rel 2 < 3 -> no hit
+    assert pd.isna(got.loc[1, "first_rel_rank"])
+    assert got.loc[1, "reciprocal_rank"] == 0.0
